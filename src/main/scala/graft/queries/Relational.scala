@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables
+
+/** Core relational coverage (SURVEY.md §2.1).
+  *
+  * The reference chains Hadoop Streaming MR jobs (MultiStreamJobRunner.java:34
+  * runs a map phase then per-pipeline reduce jobs); a "query" there is a
+  * chain of mapper/reducer executables. Here each chain is a single
+  * declarative Catalyst plan: map-side combine, broadcast joins for dims,
+  * pushdown to parquet all come from the optimizer rather than hand-wiring.
+  *
+  * Oracle parity rules (SURVEY.md §5): every float aggregate is rounded
+  * identically on both sides; every query ends in a deterministic total
+  * ORDER BY; every computed column is aliased identically in Spark & SQL.
+  */
+object Relational {
+
+  /** TPC-H Q1-flavored grouped aggregation — the Aggregate-package reduce
+    * (reference: users run `...|aggregate` reducers; LongValueSum etc.).
+    * Partial aggregation (map-side combine) is automatic; at 100 TB this
+    * shuffles only |groups| x |partitions| rows.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-flavored: filter + 3-way join + agg + top-k.
+    * customer is a dim (1.5k rows/sf) → broadcast; orders⋈lineitem shuffles
+    * on orderkey. Top-k = TakeOrderedAndProject (no full sort at scale).
+    */
+  def q3JoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t.lineitem.filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-flavored 6-table star join. All dims broadcast; only the
+    * orders⋈lineitem edge shuffles. At 1000 executors the broadcast tree
+    * keeps this a single shuffle stage.
+    */
+  def q5Join5(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val dims = broadcast(
+      t.customer.select("c_custkey", "c_nationkey")
+        .join(t.nation.select("n_nationkey", "n_name", "n_regionkey"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t.region.filter(col("r_name") === "ASIA").select("r_regionkey"),
+          col("n_regionkey") === col("r_regionkey")))
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Join5Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Mapper-only pipeline (`grep` + `cut`): filter + narrow projection.
+    * Both the predicate and the 3-column ReadSchema must reach the parquet
+    * scan (checked in RelationalSpec via the executed plan).
+    */
+  def qFilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .filter(col("o_totalprice") > 100000.0 && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderkey"))
+
+  val qFilterProjectSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+      |FROM orders
+      |WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Secondary sort: Hadoop Streaming gets per-key value ordering via
+    * KeyFieldBasedComparator; Spark expresses it as a window. One shuffle
+    * on the partition key, sort within partitions.
+    */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(s, dir).orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_total",
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("run_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, rn, run_total FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER w AS rn,
+      |    round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Global sort + head — Spark plans TakeOrderedAndProject: per-partition
+    * top-k then a k-row driver merge, not a total sort. Unique key in the
+    * ordering makes it deterministic.
+    */
+  def qOrderbyLimit(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+
+  val qOrderbyLimitSql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |ORDER BY price DESC, l_orderkey, l_linenumber
+      |LIMIT 25""".stripMargin
+
+  /** Job chaining (output of job A = input of job B) + union: two derived
+    * frames unioned then re-aggregated — in Spark one plan, zero
+    * materialization between "jobs".
+    */
+  def qUnionChain(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val hi = t.orders.filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey"), lit("high").as("bucket"))
+    val lo = t.orders.filter(col("o_totalprice") <= 50000.0)
+      .select(col("o_custkey"), lit("low").as("bucket"))
+    hi.unionByName(lo)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("bucket"))
+  }
+
+  val qUnionChainSql: String =
+    """SELECT bucket, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+      |FROM (
+      |  SELECT o_custkey, 'high' AS bucket FROM orders WHERE o_totalprice > 150000.0
+      |  UNION ALL
+      |  SELECT o_custkey, 'low' AS bucket FROM orders WHERE o_totalprice <= 50000.0
+      |)
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  /** EXISTS chain → left_semi join (no row duplication, no projection of
+    * the right side — cheaper than inner+distinct at scale).
+    */
+  def qSemijoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val bigOrders = t.orders.filter(col("o_totalprice") > 200000.0)
+      .select("o_custkey")
+    t.customer.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qSemijoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** NOT EXISTS → left_anti join (customers with no 250k+ order). */
+  def qAntijoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.join(
+        t.orders.filter(col("o_totalprice") > 250000.0).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qAntijoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_topk" -> (q3JoinTopk _),
+    "q5_join5" -> (q5Join5 _),
+    "q_filter_project" -> (qFilterProject _),
+    "q_window" -> (qWindow _),
+    "q_orderby_limit" -> (qOrderbyLimit _),
+    "q_union_chain" -> (qUnionChain _),
+    "q_semijoin" -> (qSemijoin _),
+    "q_antijoin" -> (qAntijoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_topk" -> q3JoinTopkSql,
+    "q5_join5" -> q5Join5Sql,
+    "q_filter_project" -> qFilterProjectSql,
+    "q_window" -> qWindowSql,
+    "q_orderby_limit" -> qOrderbyLimitSql,
+    "q_union_chain" -> qUnionChainSql,
+    "q_semijoin" -> qSemijoinSql,
+    "q_antijoin" -> qAntijoinSql)
+}

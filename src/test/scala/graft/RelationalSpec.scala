@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1_agg: 6 groups, positive sums") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getDouble(2) > 0)) // sum_qty
+    // deterministic order
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      rows.map(r => (r.getString(0), r.getString(1))).toSeq.sorted)
+  }
+
+  test("q1_agg: partial aggregation (map-side combine) in plan") {
+    val plan = planOf(Relational.q1Agg(spark, sf))
+    assert(plan.contains("partial_"), s"expected partial agg in:\n$plan")
+  }
+
+  test("q_filter_project: filter and projection pushed to parquet scan") {
+    val plan = planOf(Relational.qFilterProject(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice)"),
+      s"expected pushed filters in:\n$plan")
+    assert(!plan.contains("o_orderdate"), "pruned column leaked into scan")
+  }
+
+  test("q3_join_topk: broadcast join for customer dim, TakeOrdered for topk") {
+    val plan = planOf(Relational.q3JoinTopk(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+    assert(Relational.q3JoinTopk(spark, sf).count() === 10)
+  }
+
+  test("q5_join5: 5 nations out, all dims broadcast (single shuffle edge)") {
+    val df = Relational.q5Join5(spark, sf)
+    assert(df.count() <= 5 && df.count() > 0)
+    val plan = planOf(df)
+    // only the lineitem⋈orders edge may shuffle: at most 1 non-broadcast join
+    val smj = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(smj <= 1, s"expected <=1 shuffled join, got $smj:\n$plan")
+  }
+
+  test("q_window: rn bounded, running total monotone per key") {
+    val rows = Relational.qWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) <= 3))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val tot = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(tot.zip(tot.tail).forall { case (a, b) => a <= b + 1e-6 })
+    }
+  }
+
+  test("q_orderby_limit: 25 rows, descending price") {
+    val p = Relational.qOrderbyLimit(spark, sf).collect().map(_.getDouble(2))
+    assert(p.length === 25)
+    assert(p.zip(p.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_union_chain / q_semijoin / q_antijoin: sane row counts") {
+    assert(Relational.qUnionChain(spark, sf).count() === 2)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val semi = Relational.qSemijoin(spark, sf).count()
+    val anti = Relational.qAntijoin(spark, sf).count()
+    assert(semi > 0 && semi <= nCust)
+    assert(anti > 0 && anti <= nCust)
+  }
+}

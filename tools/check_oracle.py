@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with views
+over <sfDir>/*.parquet, loads the Spark result parquet from
+<verifyOutDir>/<name>/, sorts columns by name, and compares row-by-row.
+Dev tooling only — the engine itself never depends on Python.
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    return sorted(out, key=repr), [colnames[i] for i in order]
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING  {name}: no spark result"); n_bad += 1; continue
+        t = pq.read_table(files[0])
+        got_rows = [tuple(r) for r in zip(*[c.to_pylist() for c in t.columns])] if t.num_columns else []
+        if t.num_rows and not got_rows:
+            got_rows = [()] * t.num_rows
+        got, got_cols = canon(got_rows, t.column_names)
+        try:
+            cur = con.execute(sql)
+            exp_cols = [d[0] for d in cur.description]
+            exp, exp_cols = canon(cur.fetchall(), exp_cols)
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}"); n_bad += 1; continue
+        if got_cols != exp_cols:
+            print(f"COLS     {name}: spark={got_cols} duckdb={exp_cols}"); n_bad += 1; continue
+        if len(got) != len(exp):
+            print(f"ROWS     {name}: spark={len(got)} duckdb={len(exp)}"); n_bad += 1; continue
+        bad = [(g, e) for g, e in zip(got, exp) if g != e]
+        if bad:
+            print(f"VALUES   {name}: {len(bad)}/{len(got)} differ; first: spark={bad[0][0]} duckdb={bad[0][1]}")
+            n_bad += 1
+        else:
+            print(f"OK       {name} ({len(got)} rows)"); n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
