@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Hadoop Aggregate package (`-reducer aggregate` in Hadoop
+  * Streaming) — the stock reducers users of the reference chain after
+  * their mappers: LongValueSum, DoubleValueSum, LongValueMax/Min,
+  * StringValueMax/Min, UniqValueCount, ValueHistogram.
+  *
+  * Each is a Spark aggregate `Column`, so any combination runs as ONE
+  * partial+final aggregation (map-side combine) instead of one MR job
+  * per metric.
+  */
+object AggregatePackage {
+  def longValueSum(c: String): Column    = sum(col(c).cast("long")).as(s"sum_$c")
+  def doubleValueSum(c: String): Column  = sum(col(c).cast("double")).as(s"dsum_$c")
+  def longValueMax(c: String): Column    = max(col(c).cast("long")).as(s"max_$c")
+  def longValueMin(c: String): Column    = min(col(c).cast("long")).as(s"min_$c")
+  def stringValueMax(c: String): Column  = max(col(c).cast("string")).as(s"smax_$c")
+  def stringValueMin(c: String): Column  = min(col(c).cast("string")).as(s"smin_$c")
+  /** Exact distinct — expands to a two-phase distinct agg in Spark. */
+  def uniqValueCount(c: String): Column  = countDistinct(col(c)).as(s"uniq_$c")
+  /** Scale path: HLL sketch instead of exact distinct (one pass, tiny state). */
+  def approxUniqValueCount(c: String): Column =
+    approx_count_distinct(col(c)).as(s"approx_uniq_$c")
+
+  /** ValueHistogram semantics (hadoop's ValueHistogram reducer): for each
+    * key, over the multiset of values, report statistics of the per-unique-
+    * value frequencies: #unique, min/median/max/avg/stddev of counts.
+    *
+    * Two-level aggregation — (key, value) counts, then per-key stats.
+    * Both levels partial-aggregate; no value list is ever materialized
+    * (the Hadoop reducer holds all values of a key in one JVM — this
+    * doesn't).
+    */
+  def valueHistogram(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(col(key), col(value))
+      .agg(count(lit(1)).as("vcnt"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        min(col("vcnt")).as("min_cnt"),
+        // exact interpolated median for oracle parity (matches DuckDB
+        // quantile_cont); swap to percentile_approx at extreme cardinality
+        round(expr("percentile(vcnt, 0.5)"), 4).as("median_cnt"),
+        max(col("vcnt")).as("max_cnt"),
+        round(avg(col("vcnt")), 4).as("avg_cnt"),
+        round(coalesce(stddev_pop(col("vcnt")), lit(0.0)), 4).as("std_cnt"))
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-first equivalents of the line-pipe executables users run under
+  * Hadoop Streaming (the reference pipes records through external
+  * processes: MultiPipeMapRed.java writes each record to every child's
+  * stdin and parses stdout back into key/value on a field separator).
+  *
+  * Here a "pipe stage" is `DataFrame => DataFrame` built from codegen'd
+  * `functions._` — no process boundary, no row-at-a-time serialization,
+  * and Catalyst can fuse consecutive stages into one WholeStageCodegen
+  * span (chained executables in the reference cost a full MR job each).
+  */
+object Pipes {
+  type Pipe = DataFrame => DataFrame
+
+  /** `/bin/cat` — identity mapper (reference README's 4th example). */
+  def cat: Pipe = identity
+
+  /** `grep pattern` over a text column. */
+  def grep(c: String, pattern: String): Pipe = _.filter(col(c).rlike(pattern))
+
+  /** `grep -v`. */
+  def grepV(c: String, pattern: String): Pipe = _.filter(!col(c).rlike(pattern))
+
+  /** `cut -d sep -f fields` — 1-based field indexes, like cut(1).
+    * Emits one column per requested field, named `f<i>`.
+    */
+  def cut(c: String, sep: String, fields: Seq[Int]): Pipe = { df =>
+    val parts = split(col(c), java.util.regex.Pattern.quote(sep))
+    df.select(fields.map(i => parts.getItem(i - 1).as(s"f$i")): _*)
+  }
+
+  /** `tr` / `sed s/…/…/g` — regex replace over a column. */
+  def sed(c: String, pattern: String, replacement: String): Pipe =
+    _.withColumn(c, regexp_replace(col(c), pattern, replacement))
+
+  /** `/bin/wc` — lines, whitespace-delimited words, chars of a text
+    * column. Single partial-aggregatable pass; at 100 TB this is a
+    * map-side-combined global agg, not a driver loop.
+    */
+  def wc(c: String): Pipe = _.agg(
+    count(lit(1)).as("lines"),
+    sum(size(regexp_extract_all(col(c), lit("\\S+"), lit(0)))).as("words"),
+    sum(length(col(c))).as("chars"))
+
+  /** Canonical streaming wordcount: tokenize, explode, count. */
+  def wordcount(c: String): Pipe = { df =>
+    df.select(explode(split(lower(col(c)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Key extraction per `stream.num.map.output.key.fields` /
+    * `stream.map.output.field.separator` (MultiPipeMapper.java:118-125):
+    * key = first `numKeyFields` fields of the line, value = the rest.
+    * The reference shuffles on this key (KeyFieldBasedPartitioner);
+    * downstream groupBy/repartition on `key` is the Spark equivalent.
+    */
+  def keyBy(c: String, sep: String, numKeyFields: Int): Pipe = { df =>
+    val q = java.util.regex.Pattern.quote(sep)
+    val parts = split(col(c), q)
+    df.withColumn("key",
+        concat_ws(sep, (1 to numKeyFields).map(i => parts.getItem(i - 1)): _*))
+      .withColumn("value",
+        // everything after the first numKeyFields fields
+        array_join(
+          slice(parts, lit(numKeyFields + 1),
+            greatest(size(parts) - numKeyFields, lit(0))), sep))
+  }
+
+  /** Build a delimited "line" from columns — the inverse bridge: turns a
+    * structured frame into the text-line world the reference lives in.
+    */
+  def toLine(sep: String, cols: Seq[String]): Pipe = { df =>
+    df.select(concat_ws(sep, cols.map(col): _*).as("line"))
+  }
+
+  /** Chain stages left-to-right — the reference chains MR jobs; here the
+    * chain is one Catalyst plan.
+    */
+  def chain(stages: Pipe*): Pipe = stages.reduceLeft(_ andThen _)
+}

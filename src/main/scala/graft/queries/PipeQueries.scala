@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{MultiPipeline, Pipes}
+import graft.ops.AggregatePackage
+import graft.util.Tables
+
+/** Streaming-pipe operator coverage (SURVEY.md §2.2) — each query drives
+  * the graft.pipeline / graft.ops library and has a DuckDB oracle.
+  */
+object PipeQueries {
+
+  /** `/bin/cat` identity pipeline over nation. */
+  def pipeCat(s: SparkSession, dir: String): DataFrame =
+    Pipes.cat(Tables(s, dir).nation).orderBy(col("n_nationkey"))
+
+  val pipeCatSql: String =
+    "SELECT * FROM nation ORDER BY n_nationkey"
+
+  /** `grep` mapper over documents.text. */
+  def pipeGrep(s: SparkSession, dir: String): DataFrame =
+    Pipes.grep("text", "spark")(Tables(s, dir).documents)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val pipeGrepSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE regexp_matches(text, 'spark')
+      |ORDER BY doc_id""".stripMargin
+
+  /** `cut -f1,3` over a tab-delimited line built from orders — the
+    * round-trip through the reference's text-line world.
+    */
+  def pipeCut(s: SparkSession, dir: String): DataFrame = {
+    val line = Pipes.toLine("\t",
+      Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))(Tables(s, dir).orders)
+    Pipes.cut("line", "\t", Seq(1, 3))(line)
+      .select(col("f1").cast("long").as("o_orderkey"), col("f3").as("priority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val pipeCutSql: String =
+    """SELECT o_orderkey, o_orderpriority AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** `/bin/wc` over documents.text (README example 4: `/bin/cat|/bin/wc`). */
+  def pipeWc(s: SparkSession, dir: String): DataFrame =
+    Pipes.wc("text")(Tables(s, dir).documents)
+
+  val pipeWcSql: String =
+    """SELECT count(*) AS lines,
+      |  sum(length(regexp_extract_all(text, '\S+'))) AS words,
+      |  sum(length(text)) AS chars
+      |FROM documents""".stripMargin
+
+  /** Canonical streaming wordcount, top 50 for a stable oracle. */
+  def pipeWordcount(s: SparkSession, dir: String): DataFrame =
+    Pipes.wordcount("text")(Tables(s, dir).documents)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)
+
+  val pipeWordcountSql: String =
+    """SELECT word, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+      |  FROM documents
+      |) WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY cnt DESC, word
+      |LIMIT 50""".stripMargin
+
+  /** Key = first 2 tab-separated fields (stream.num.map.output.key.fields=2,
+    * MultiPipeMapper.java:118-125), then a keyed reduce — the reference's
+    * KeyFieldBasedPartitioner + reducer shape.
+    */
+  def pipeKeyfieldAgg(s: SparkSession, dir: String): DataFrame = {
+    val line = Pipes.toLine("\t",
+      Seq("l_returnflag", "l_linestatus", "l_quantity"))(Tables(s, dir).lineitem)
+    Pipes.keyBy("line", "\t", 2)(line)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("double")), 2).as("sum_qty"))
+      .orderBy(col("key"))
+  }
+
+  val pipeKeyfieldAggSql: String =
+    """SELECT l_returnflag || chr(9) || l_linestatus AS key,
+      |  count(*) AS cnt,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY key""".stripMargin
+
+  /** Every Aggregate-package reducer in ONE partial+final aggregation. */
+  def aggPackage(s: SparkSession, dir: String): DataFrame = {
+    import AggregatePackage._
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        longValueSum("l_orderkey"),
+        round(doubleValueSum("l_quantity"), 2).as("dsum_l_quantity"),
+        longValueMax("l_partkey"),
+        longValueMin("l_partkey"),
+        stringValueMax("l_linestatus"),
+        stringValueMin("l_linestatus"),
+        uniqValueCount("l_suppkey"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggPackageSql: String =
+    """SELECT l_returnflag,
+      |  sum(l_orderkey) AS sum_l_orderkey,
+      |  round(sum(l_quantity), 2) AS dsum_l_quantity,
+      |  max(l_partkey) AS max_l_partkey,
+      |  min(l_partkey) AS min_l_partkey,
+      |  max(l_linestatus) AS smax_l_linestatus,
+      |  min(l_linestatus) AS smin_l_linestatus,
+      |  count(DISTINCT l_suppkey) AS uniq_l_suppkey
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** ValueHistogram reducer over events: per event_type, stats of the
+    * per-user frequency distribution.
+    */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    AggregatePackage.valueHistogram(Tables(s, dir).events, "event_type", "user_id")
+      .orderBy(col("event_type"))
+
+  val aggHistogramSql: String =
+    """SELECT event_type,
+      |  count(*) AS n_unique,
+      |  min(vcnt) AS min_cnt,
+      |  round(quantile_cont(vcnt, 0.5), 4) AS median_cnt,
+      |  max(vcnt) AS max_cnt,
+      |  round(avg(vcnt), 4) AS avg_cnt,
+      |  round(coalesce(stddev_pop(vcnt), 0.0), 4) AS std_cnt
+      |FROM (
+      |  SELECT event_type, user_id, count(*) AS vcnt
+      |  FROM events GROUP BY event_type, user_id
+      |)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** The headline feature: one input fanned to three pipelines in one
+    * logical pass (README: -multiple "dir1|m1|r1" -multiple "dir2|m2|r2").
+    * Summary = tagged union of each branch's aggregate, mirroring the
+    * per-branch output dirs.
+    */
+  def multiFanout(s: SparkSession, dir: String): DataFrame = {
+    val branches = MultiPipeline(Tables(s, dir).orders)
+      .branch("high_value") {
+        _.filter(col("o_totalprice") > 150000.0)
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .select(lit("high_value").as("branch"), col("n_rows"), col("total"))
+      }
+      .branch("by_status") {
+        _.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"))
+          .agg(count(lit(1)).as("n_rows"), lit(null).cast("double").as("total"))
+          .select(lit("by_status").as("branch"), col("n_rows"), col("total"))
+      }
+      .branch("recent") {
+        _.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .select(lit("recent").as("branch"), col("n_rows"), col("total"))
+      }
+      .run()
+    branches.values.reduce(_ unionByName _).orderBy(col("branch"))
+  }
+
+  val multiFanoutSql: String =
+    """SELECT 'high_value' AS branch, count(*) AS n_rows,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_totalprice > 150000.0
+      |UNION ALL
+      |SELECT 'by_status', count(*), NULL FROM
+      |  (SELECT o_orderstatus FROM orders GROUP BY o_orderstatus)
+      |UNION ALL
+      |SELECT 'recent', count(*), round(sum(o_totalprice), 2)
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |ORDER BY branch""".stripMargin
+
+  /** PartitionByKeyField.java:8 — output partitioned by key into per-key
+    * directories. Spark-first: `write.partitionBy(key)`; verified by
+    * round-tripping through a partitioned parquet tree and re-aggregating.
+    */
+  def partitionByKey(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_partition_by_key"
+    Tables(s, dir).orders
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val partitionByKeySql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** `-inputtagged` (MapStreamJob option surface): tag each record with
+    * its source input, then reduce over the tagged union.
+    */
+  def inputTagged(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val a = t.orders.select(lit("orders").as("src"),
+      col("o_totalprice").as("amount"))
+    val b = t.lineitem.select(lit("lineitem").as("src"),
+      col("l_extendedprice").as("amount"))
+    a.unionByName(b)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("amount")), 2).as("total"))
+      .orderBy(col("src"))
+  }
+
+  val inputTaggedSql: String =
+    """SELECT src, count(*) AS n_rows, round(sum(amount), 2) AS total FROM (
+      |  SELECT 'orders' AS src, o_totalprice AS amount FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', l_extendedprice FROM lineitem
+      |)
+      |GROUP BY src
+      |ORDER BY src""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_cat" -> (pipeCat _),
+    "pipe_grep" -> (pipeGrep _),
+    "pipe_cut" -> (pipeCut _),
+    "pipe_wc" -> (pipeWc _),
+    "pipe_wordcount" -> (pipeWordcount _),
+    "pipe_keyfield_agg" -> (pipeKeyfieldAgg _),
+    "agg_package" -> (aggPackage _),
+    "agg_histogram" -> (aggHistogram _),
+    "multi_fanout" -> (multiFanout _),
+    "partition_by_key" -> (partitionByKey _),
+    "input_tagged" -> (inputTagged _))
+
+  val oracleSql: Map[String, String] = Map(
+    "pipe_cat" -> pipeCatSql,
+    "pipe_grep" -> pipeGrepSql,
+    "pipe_cut" -> pipeCutSql,
+    "pipe_wc" -> pipeWcSql,
+    "pipe_wordcount" -> pipeWordcountSql,
+    "pipe_keyfield_agg" -> pipeKeyfieldAggSql,
+    "agg_package" -> aggPackageSql,
+    "agg_histogram" -> aggHistogramSql,
+    "multi_fanout" -> multiFanoutSql,
+    "partition_by_key" -> partitionByKeySql,
+    "input_tagged" -> inputTaggedSql)
+}

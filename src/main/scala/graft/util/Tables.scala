@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loader for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -20,7 +21,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = table("part")
   def orders: DataFrame    = table("orders")
   def lineitem: DataFrame  = table("lineitem")
-  def events: DataFrame    = table("events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's converter
+    * rejects. Read nanos as long (legacy conf, runtime-settable) and
+    * normalize to a microsecond timestamp — identical to DuckDB's own
+    * ns→us truncation, so oracle parity holds.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{MultiPipeline, Pipes}
+import graft.queries.PipeQueries
+
+class PipeSpec extends SparkSpec {
+
+  test("Pipes.cut extracts 1-based fields") {
+    import spark.implicits._
+    val df = Seq("a\tb\tc", "x\ty\tz").toDF("line")
+    val out = Pipes.cut("line", "\t", Seq(1, 3))(df).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "c"), ("x", "z")))
+  }
+
+  test("Pipes.keyBy splits key fields and the remaining value") {
+    import spark.implicits._
+    val df = Seq("k1\tk2\tv1\tv2").toDF("line")
+    val r = Pipes.keyBy("line", "\t", 2)(df).select("key", "value").head()
+    assert(r.getString(0) === "k1\tk2")
+    assert(r.getString(1) === "v1\tv2")
+  }
+
+  test("Pipes.wc counts lines/words/chars") {
+    import spark.implicits._
+    val df = Seq("one two", " three  four five ").toDF("text")
+    val r = Pipes.wc("text")(df).head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === (7L + 18L))
+  }
+
+  test("Pipes.chain fuses stages") {
+    import spark.implicits._
+    val df = Seq("hello world", "hello spark").toDF("text")
+    val out = Pipes.chain(
+      Pipes.grep("text", "spark"),
+      Pipes.wordcount("text"))(df).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("hello", 1L), ("spark", 1L)))
+  }
+
+  test("MultiPipeline: branches see the same input, write per-branch dirs") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
+    val out = MultiPipeline(df, share = true)
+      .branch("evens")(_.filter(col("id") % 2 === 0))
+      .branch("byTag")(_.groupBy("tag").count())
+      .run()
+    assert(out("evens").count() === 1)
+    assert(out("byTag").count() === 2)
+    val home = java.nio.file.Files.createTempDirectory("graft_mp").toString
+    MultiPipeline(df)
+      .branch("all")(Pipes.cat)
+      .branch("as")(_.filter(col("tag") === "a"))
+      .write(home)
+    assert(spark.read.parquet(s"$home/all").count() === 3)
+    assert(spark.read.parquet(s"$home/as").count() === 2)
+  }
+
+  test("MultiPipeline rejects duplicate branch names") {
+    import spark.implicits._
+    val df = Seq(1).toDF("id")
+    intercept[IllegalArgumentException] {
+      MultiPipeline(df).branch("x")(Pipes.cat).branch("x")(Pipes.cat)
+    }
+  }
+
+  test("pipe queries return sane results on sf0.001") {
+    assert(PipeQueries.pipeCat(spark, sf).count() === 25)
+    assert(PipeQueries.pipeWc(spark, sf).head().getLong(0) === 500L)
+    val wc = PipeQueries.pipeWordcount(spark, sf).collect()
+    assert(wc.nonEmpty && wc.length <= 50)
+    assert(wc.map(_.getLong(1)).toSeq === wc.map(_.getLong(1)).toSeq.sortBy(-_))
+    assert(PipeQueries.multiFanout(spark, sf).count() === 3)
+    assert(PipeQueries.aggHistogram(spark, sf).count() > 0)
+    assert(PipeQueries.partitionByKey(spark, sf).count() > 0)
+  }
+
+  test("partition_by_key produces per-key directories (PartitionByKeyField)") {
+    PipeQueries.partitionByKey(spark, sf).collect()
+    val out = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_partition_by_key")
+    val dirs = out.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("o_orderstatus=")), s"got $dirs")
+  }
+}
