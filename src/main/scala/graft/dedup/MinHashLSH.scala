@@ -1,0 +1,83 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** MinHash + banded LSH near-duplicate detection.
+  *
+  * Pipeline (each step one distributed pass, no driver-side data):
+  *  1. shingle: word n-grams per doc (distinct).
+  *  2. signature: 64 minhash lanes — lane i = min over shingles of
+  *     `xxhash64(i, shingle)` (64 independent partial-aggregatable `min`s
+  *     in ONE groupBy, i.e. one shuffle keyed by doc id).
+  *  3. band: 8 bands × 8 lanes; band hash = xxhash64 of the 8 lanes.
+  *  4. candidates: self-join on (band_id, band_hash) — the shuffle key is
+  *     uniform hash output, so at 100 TB this join is skew-free unless
+  *     a band bucket is genuinely a giant duplicate cluster (then AQE
+  *     skew-join splits it).
+  *  5. verify: exact Jaccard on candidate pairs only, via each doc's
+  *     shingle set (array_intersect/array_union — codegen'd).
+  *
+  * With s = 0.9 true Jaccard, P(candidate) = 1-(1-s^8)^8 ≈ 0.99; at
+  * s = 0.5 it's ≈ 0.03 — the classic 8×8 S-curve.
+  */
+object MinHashLSH {
+  val NumLanes = 64
+  val NumBands = 8
+  val LanesPerBand: Int = NumLanes / NumBands
+
+  /** (id, shingles) with empty-shingle docs dropped. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(
+        col(idCol).as("doc_id"),
+        TextOps.wordNgrams(TextOps.tokens(col(textCol)), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** (doc_id, h0..h63) minhash signatures — one shuffle. */
+  def signatures(sh: DataFrame): DataFrame = {
+    val lanes = (0 until NumLanes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(lanes.head, lanes.tail: _*)
+  }
+
+  /** (doc_id, band_id, band_hash) — NumBands rows per doc. */
+  def bands(sig: DataFrame): DataFrame = {
+    val bandHashes = array((0 until NumBands).map { b =>
+      val laneCols = (0 until LanesPerBand).map(k => col(s"h${b * LanesPerBand + k}"))
+      xxhash64(laneCols: _*)
+    }: _*)
+    sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket. */
+  def candidates(bandDf: DataFrame): DataFrame = {
+    val a = bandDf.as("a")
+    val b = bandDf.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Candidates with exact Jaccard ≥ tau, verified on true shingle sets.
+    * Output: (id_a, id_b, jaccard rounded to 4).
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n)
+    val cand = candidates(bands(signatures(sh)))
+    val shA = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

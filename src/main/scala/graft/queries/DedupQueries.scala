@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, EmbeddingDedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.util.Tables
+
+/** Deduplication coverage (SURVEY.md §2.3) over the documents /
+  * embeddings tables. Thresholds are tuned to the synthetic corpus: word
+  * trigram Jaccard splits it into ~25 planted near-dup pairs (≥ 0.9) vs
+  * background (< 0.2), and embedding cosine tops out near 0.51.
+  */
+object DedupQueries {
+
+  /** Normalization key shared by the DuckDB oracles: lowercase →
+    * whitespace tokens → distinct → sort → join.
+    */
+  private val normKeySql =
+    """array_to_string(list_sort(list_distinct(
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))), ' ')""".stripMargin
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  val dedupExactSql: String =
+    s"""SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+       |FROM (SELECT doc_id, $normKeySql AS k FROM documents)
+       |GROUP BY k
+       |ORDER BY keep_id""".stripMargin
+
+  def dedupExactCount(s: SparkSession, dir: String): DataFrame =
+    Dedup.classHistogram(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy(col("class_size"))
+
+  val dedupExactCountSql: String =
+    s"""SELECT n_docs AS class_size, count(*) AS n_classes
+       |FROM (
+       |  SELECT count(*) AS n_docs
+       |  FROM (SELECT doc_id, $normKeySql AS k FROM documents)
+       |  GROUP BY k)
+       |GROUP BY class_size
+       |ORDER BY class_size""".stripMargin
+
+  /** Word-trigram shingle set per doc, as the DuckDB oracles build it. */
+  private val shingleSql =
+    """SELECT doc_id,
+      |  list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                 FOR i IN range(1, len(toks) - 1)]) AS sh
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |      FROM documents)
+      |WHERE len(toks) >= 3""".stripMargin
+
+  /** Exact-Jaccard pair SQL (word trigrams, tau applied to round(·,4)). */
+  private def jaccardPairsSql(tau: Double): String =
+    s"""SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+       |  FROM ($shingleSql) a, ($shingleSql) b
+       |  WHERE a.doc_id < b.doc_id)
+       |WHERE jaccard >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash LSH candidates verified by exact Jaccard. The oracle is the
+    * full exact-pair SQL: sound because verification reports EXACT
+    * Jaccard, and complete on this corpus because every true pair sits at
+    * J ≥ 0.9 where the 8×8 band S-curve detects with P ≈ 0.99 per pair —
+    * confirmed pair-for-pair (deterministic hashes) in DedupSpec.
+    */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicates(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, tau = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupMinhashLshSql: String = jaccardPairsSql(0.7)
+
+  /** SimHash Hamming ≤ 3 pairs — rows-only oracle (xxhash64 has no DuckDB
+    * twin); invariants (symmetry, hamming bound, permuted-copy collision)
+    * are spec-tested.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDuplicates(Tables(s, dir).documents, "doc_id", "text", maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Inverted-index exact n-gram Jaccard — same oracle SQL as minhash
+    * (both report exact pairs ≥ 0.7), but completeness here is
+    * structural (df-capped candidate generation), not probabilistic.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    NgramJaccard.pairs(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, tau = 0.7, maxDf = 100)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupNgramJaccardSql: String = jaccardPairsSql(0.7)
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    EmbeddingDedup.pairs(Tables(s, dir).embeddings, "vec_id", "embedding", tau = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupEmbeddingSql: String =
+    """SELECT id_a, id_b, cos FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |          (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+      |           sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+      |      6) AS cos
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < b.vec_id)
+      |WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_exact_count" -> (dedupExactCount _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_exact_count" -> dedupExactCountSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

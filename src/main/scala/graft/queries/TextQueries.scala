@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.util.Tables
+
+/** Text-analysis coverage (SURVEY.md §2.5) over the documents table.
+  * Every metric is a per-row Column expression (embarrassingly parallel)
+  * or a partial-aggregatable count — nothing here widens a shuffle.
+  */
+object TextQueries {
+
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).as("n_words"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |  len($toksSql) AS n_tokens,
+       |  len(regexp_extract_all(text, '\\w+')) AS n_words,
+       |  length(text) AS n_chars
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Half-up rounding via floor(x·10⁴+0.5): `round()` disagrees between
+    * Spark (BigDecimal HALF_UP on the exact binary value) and DuckDB
+    * when a score lands exactly on a half (e.g. 0.48625). Both engines
+    * compute bit-identical IEEE doubles for the same op order, so this
+    * floor form is deterministic across them.
+    */
+  private def round4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (floor(c * 10000 + 0.5).cast("double") / 10000).as("r")
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        round4(TextOps.stopwordRatio(toks)).as("stop_ratio"),
+        round4(TextOps.avgTokenLen(toks)).as("avg_tok_len"),
+        round4(TextOps.qualityScore(toks)).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, n_tokens,
+       |  floor(stop_ratio * 10000 + 0.5) / 10000 AS stop_ratio,
+       |  floor(avg_tok_len * 10000 + 0.5) / 10000 AS avg_tok_len,
+       |  floor((0.4 * least(n_tokens / 100.0, 1.0)
+       |      + 0.3 * (1.0 - stop_ratio)
+       |      + 0.3 * least(avg_tok_len / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS score
+       |FROM (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t)))::DOUBLE
+       |        / len(toks) ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+       |      ELSE 0.0 END AS avg_tok_len
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Confusion matrix of the marker-token language classifier: one row
+    * per (actual, predicted) pair. The oracle reruns the identical
+    * integer scoring in SQL, so parity is exact regardless of accuracy.
+    */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables(s, dir).documents
+      .select(col("lang"), TextOps.langPredict(toks).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val textLangidSql: String = {
+    val markers = TextOps.LangMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_filter(toks, x -> list_contains($lst, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextOps.LangMarkers.map { case (l, _) => s"'$l'" }.mkString(",")
+    val scores = TextOps.LangMarkers.map { case (l, _) => s"s_$l" }.mkString(",")
+    s"""SELECT lang, pred_lang, count(*) AS n FROM (
+       |  SELECT doc_id, lang, pl AS pred_lang FROM (
+       |    SELECT doc_id, lang, unnest([$langs]) AS pl, unnest([$scores]) AS s
+       |    FROM (SELECT doc_id, lang,
+       |      $markers
+       |      FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)))
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, pl) = 1)
+       |GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Rolling polynomial hash fingerprint per doc — deterministic, so the
+    * oracle replays the identical fold in DuckDB via list_reduce.
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      [ascii(t[i])::BIGINT FOR i IN range(1, len(t) + 1)]),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      |FROM (SELECT doc_id,
+      |        regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-wide top word bigrams by document frequency. */
+  def textNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(explode(TextOps.wordNgrams(TextOps.tokens(col("text")), 2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(30)
+
+  val textNgramsSql: String =
+    s"""SELECT gram, count(*) AS df FROM (
+       |  SELECT unnest(list_distinct(
+       |    [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))])) AS gram
+       |  FROM (SELECT $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 2)
+       |GROUP BY gram
+       |ORDER BY df DESC, gram
+       |LIMIT 30""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_ngrams" -> (textNgrams _))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "text_ngrams" -> textNgramsSql)
+}

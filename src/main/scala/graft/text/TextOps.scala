@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for a training-data pipeline:
+  * tokenization, n-grams, quality metrics, language-ID scoring, and a
+  * rolling-hash fingerprint.
+  *
+  * Everything here is a pure `Column` expression built from codegen'd
+  * `functions._` (incl. higher-order array functions) — no UDFs, so every
+  * metric stays inside WholeStageCodegen and partial aggregation at
+  * 100 TB. The reference's users would run these as external `-mapper`
+  * scripts (one process per record stream, MultiPipeMapRed.java); here
+  * they are columns you can stack in ONE pass over the corpus.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= lit(""))
+
+  /** Word n-grams (each gram = n tokens joined by one space), distinct.
+    * Guarded so docs with fewer than n tokens yield an empty array —
+    * `sequence(0, negative)` would otherwise generate a DESCENDING range.
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Character n-grams of the lowercased text, distinct. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val grams = transform(
+      sequence(lit(1), length(t) - (n - 1)),
+      i => substring(t, i, n))
+    array_distinct(when(length(t) >= n, grams).otherwise(array()))
+  }
+
+  /** substring with a Column start position (functions.substring only
+    * takes Int literals; the SQL form accepts expressions).
+    */
+  private def substring(str: Column, pos: Column, len: Int): Column =
+    str.substr(pos, lit(len))
+
+  // ---- quality scoring -------------------------------------------------
+
+  /** Tokens counted as stopwords — the synthetic corpus' function words;
+    * swap the list per real corpus. Kept tiny so the SQL oracle can
+    * mirror it verbatim.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Ratio of stopword occurrences to tokens (0 for empty docs). */
+  def stopwordRatio(toks: Column): Column = {
+    val stops = size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*)))
+    when(size(toks) > lit(0),
+      stops.cast("double") / size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters (0 for empty docs). */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) > lit(0),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Composite quality score in [0,1]: rewards length (saturating at 100
+    * tokens), non-stopword density, and plausible mean token length.
+    * The exact formula is mirrored in the DuckDB oracle — simple by
+    * design; weights are the tunable part.
+    */
+  def qualityScore(toks: Column): Column = {
+    val lenTerm = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+    val stopTerm = lit(1.0) - stopwordRatio(toks)
+    val tokLenTerm = least(avgTokenLen(toks) / lit(8.0), lit(1.0))
+    lit(0.4) * lenTerm + lit(0.3) * stopTerm + lit(0.3) * tokLenTerm
+  }
+
+  // ---- language ID -----------------------------------------------------
+
+  /** Marker tokens per language, picked by frequency lift on the corpus.
+    * Deliberately data-derived-but-frozen: the scoring (count marker
+    * occurrences, argmax, ties broken by language code) is what's under
+    * test, and the oracle runs the identical scoring in SQL.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("small", "table", "part", "key"),
+    "en" -> Seq("window", "big", "sort", "key"),
+    "es" -> Seq("line", "hash", "slow", "agg"),
+    "fr" -> Seq("query", "scan", "order", "stream"),
+    "zh" -> Seq("join", "fast", "the", "vector"))
+
+  /** Marker-occurrence score for one language. */
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+
+  /** Predicted language: argmax of marker scores, ties → smallest
+    * language code. Implemented as sort of (−score, lang) structs so the
+    * whole decision is one codegen'd expression per row.
+    */
+  def langPredict(toks: Column): Column = {
+    val scored = array(LangMarkers.map { case (lang, ms) =>
+      struct((-langScore(toks, ms)).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    array_sort(scored).getItem(0).getField("lang")
+  }
+
+  // ---- fingerprint -----------------------------------------------------
+
+  /** Rolling polynomial hash over the normalized text (whitespace
+    * collapsed, lowercased): h = (h*31 + codepoint) mod 1e9+7.
+    * Modular form keeps the fold inside ANSI-safe long arithmetic
+    * (Spark 4 throws on silent 64-bit overflow). Deterministic across
+    * partitionings — it's a per-row expression, not an aggregation.
+    */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.queries.DedupQueries
+
+class DedupSpec extends SparkSpec {
+
+  test("Dedup.exact collapses token-permuted copies") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b"), (4L, "b  a"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (3L, 2L)))
+  }
+
+  test("MinHash LSH finds all planted near-dup pairs (recall vs exact)") {
+    // exact word-trigram jaccard >= 0.7, brute force
+    val docs = graft.util.Tables(spark, sf).documents
+    val sh = MinHashLSH.shingled(docs, "doc_id", "text", 3)
+    val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("j") >= 0.7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh === exact,
+      s"LSH missed ${exact -- lsh}, spurious ${lsh -- exact}")
+  }
+
+  test("NgramJaccard equals brute-force exact pairs") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val viaIndex = NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = DedupQueries.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex === lsh)
+  }
+
+  test("SimHash: permuted copies collide; hamming bound respected") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
+      (3L, "totally different words here entirely")).toDF("doc_id", "text")
+    val fp = SimHash.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L), "order-insensitive by construction")
+    val pairs = SimHash.nearDuplicates(df, "doc_id", "text", 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.forall(_.getInt(2) <= 3))
+  }
+
+  test("simhash near-dups on corpus are found and symmetric-free") {
+    val out = DedupQueries.dedupSimhash(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("embedding near-dup pairs have cos in [tau, 1]") {
+    val out = DedupQueries.dedupEmbedding(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+  }
+}
