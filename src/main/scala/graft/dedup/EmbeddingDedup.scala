@@ -20,6 +20,7 @@ object EmbeddingDedup {
     * oracle agree on boundary pairs).
     */
   def pairs(embs: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
     val withNorm = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.normD(col(vecCol)).as("nrm"))
     val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))

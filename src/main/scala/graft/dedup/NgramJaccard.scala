@@ -6,23 +6,29 @@ import graft.text.TextOps
 
 /** Exact n-gram Jaccard pair mining via an inverted index.
   *
-  * Two phases, both distributed:
-  *  1. candidates — explode (doc, shingle), drop shingles with document
-  *     frequency > maxDf, self-join on shingle, distinct pairs. The df
-  *     cap is the standard guard against the Σ df² blowup (one shingle
-  *     in 1M docs would alone emit 5·10¹¹ pairs); it cannot miss a
-  *     near-duplicate pair unless the pair shares ONLY ubiquitous
-  *     shingles — for J ≥ tau the pair shares most of their shingles,
-  *     so any rare shingle in either doc is almost surely shared.
-  *  2. verify — join candidates back to the full (unpruned) shingle
-  *     arrays and compute EXACT Jaccard with array_intersect/union, so
-  *     the reported value is never affected by the df cap.
+  * Classic shape: explode (doc, shingle); self-join on shingle; count
+  * rows per (id_a, id_b) — that count IS |A ∩ B| because shingle sets
+  * are distinct per doc; then J = |A∩B| / (|A|+|B|-|A∩B|) with per-doc
+  * set sizes joined in (one row per doc — AQE broadcasts it when it
+  * fits, shuffle-joins on id otherwise). No per-pair array
+  * materialization: the whole thing is joins + a partial-aggregatable
+  * count.
   *
-  * Shuffles key on shingle then (id_a, id_b): uniform, AQE-safe.
+  * `maxDf` drops shingles with document frequency > maxDf before the
+  * self-join — the standard guard against the Σ df² blowup (one shingle
+  * in 1M docs would alone emit 5·10¹¹ pairs). With the cap active the
+  * computed J is a LOWER bound (common shingles no longer counted), so
+  * pruning is conservative for near-duplicate detection: a true
+  * near-dup pair shares mostly rare shingles and keeps J ≈ exact, while
+  * background pairs glued only by ubiquitous shingles drop out — they
+  * were never near-dups. Set maxDf ≥ corpus size for fully exact output
+  * (the regime the DuckDB oracle checks).
+  *
+  * All shuffles key on shingle or (id_a, id_b): uniform, AQE-safe.
   */
 object NgramJaccard {
 
-  /** Exact Jaccard ≥ tau pairs over word n-grams.
+  /** Jaccard ≥ tau pairs over word n-grams.
     * Output: (id_a, id_b, jaccard rounded to 4), id_a < id_b.
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
@@ -30,22 +36,23 @@ object NgramJaccard {
     val shingled = docs.select(col(idCol).as("doc_id"),
         TextOps.wordNgrams(TextOps.tokens(col(textCol)), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
+    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val sh = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("sh"))
     val indexed = sh.join(rare, "sh")
-    val cand = indexed.as("a")
+    val common = indexed.as("a")
       .join(indexed.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val shA = shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    cand.join(shA, "id_a").join(shB, "id_b")
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -28,24 +28,19 @@ object SimHash {
   val Blocks = 4
   val BitsPerBlock: Int = Bits / Blocks
 
-  /** 64-bit simhash of a token array, as a long column. */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitCols = (0 until Bits).map { i =>
-      // sum of +1/-1 per token for bit i, as one sequential fold
-      val fold = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-      when(fold > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ bitwiseOR _)
-  }
+  /** 64-bit simhash of a token array — delegates to the native
+    * `SimHash64` codegen expression (one pass over the tokens; the
+    * pure-`functions._` alternative needs 64 interpreted folds).
+    */
+  def simhash(toks: Column): Column = call_function("graft_simhash64", toks)
 
   /** (id, simhash) for non-empty docs. */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), simhash(col("toks")).as("sim"))
+  }
 
   /** Pairs (id_a < id_b) with Hamming distance ≤ maxDist. Pigeonhole over
     * 4 blocks is complete only for maxDist ≤ 3 (d flipped bits can touch

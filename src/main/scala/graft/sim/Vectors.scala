@@ -3,8 +3,12 @@ package graft.sim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns as pure Catalyst
-  * expressions (higher-order functions — codegen'd, no UDF).
+/** Vector math over `array<float>` embedding columns, backed by graft's
+  * native codegen expressions (graft.functions.DotProductD / L2NormD) —
+  * the higher-order-function formulation is interpreted and allocates an
+  * intermediate array per evaluation, which dominates all-pairs joins.
+  * Call `GraftFunctions.register(spark)` before use (every graft entry
+  * point does).
   *
   * Precision contract: every product/sum is computed in DOUBLE with a
   * sequential left fold, matching the DuckDB oracle's
@@ -14,16 +18,10 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   /** Sequential-fold double dot product of two float vectors. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, p) => acc + p)
+  def dotD(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Euclidean norm in double. */
-  def normD(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, p) => acc + p))
+  def normD(a: Column): Column = call_function("graft_l2norm", a)
 
   /** Cosine similarity given precomputed norms (precompute per row before
     * a pair join so each norm is evaluated once, not once per pair).
