@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.sim.Knn
+import graft.util.Tables
+
+/** Similarity search (SURVEY.md §2.4) + multimodal plumbing (§2.6).
+  * Queries = the first 10 vectors by id; corpus = all embeddings.
+  */
+object SimQueries {
+
+  private val K = 10
+  private val NQueries = 10
+
+  private def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables(s, dir).embeddings
+    (e.filter(col("vec_id") < NQueries), e)
+  }
+
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(s, dir)
+    Knn.brute(q, c, "vec_id", "embedding", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnBruteSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+       |          (q.nrm * c.nrm), 6) AS cos
+       |  FROM n q, n c
+       |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM p)
+       |WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Approximate: rows-only oracle; recall vs brute is spec-asserted. */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(s, dir)
+    Knn.lsh(q, c, "vec_id", "embedding", K, dim = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Approximate: rows-only oracle; recall vs brute is spec-asserted. */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(s, dir)
+    Knn.ivf(q, c, "vec_id", "embedding", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Multimodal: per-format stats over the batch-decoded features. The
+    * decode stub's arithmetic is mirrored exactly in the oracle (the
+    * corpus is pure ASCII, so byte k of the UTF-8 payload == codepoint
+    * of char k).
+    */
+  def mmMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(Multimodal.mediaTable(Tables(s, dir).documents))
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("checksum16")).as("sum_checksum"),
+        sum(col("thumb_w").cast("long")).as("sum_thumb_w"),
+        sum(col("thumb_h").cast("long")).as("sum_thumb_h"))
+      .orderBy(col("format"))
+
+  val mmMetaSql: String =
+    """SELECT format, count(*) AS n_items,
+      |  sum(length(text)) AS total_bytes,
+      |  sum(cs) AS sum_checksum,
+      |  sum((64 + n_chars % 512) // 8) AS sum_thumb_w,
+      |  sum((64 + (n_chars * 7) % 512) // 8) AS sum_thumb_h
+      |FROM (
+      |  SELECT text, n_chars,
+      |    (['png','jpeg','webp','mp4'])[(n_chars % 4) + 1] AS format,
+      |    list_sum([ascii(text[i]) FOR i IN range(1, least(length(text), 16) + 1)]) AS cs
+      |  FROM documents)
+      |GROUP BY format
+      |ORDER BY format""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute" -> (knnBrute _),
+    "knn_lsh" -> (knnLsh _),
+    "knn_ivf" -> (knnIvf _),
+    "mm_meta" -> (mmMeta _))
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_brute" -> knnBruteSql,
+    "mm_meta" -> mmMetaSql)
+}

@@ -1,0 +1,179 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** k-nearest-neighbor search over an `array<float>` embedding column.
+  *
+  * Three paths, one contract (query_id, rank, neighbor_id, cos):
+  *
+  *  - `brute`: exact. Queries are broadcast against the corpus (the
+  *    query set is the small side by construction); every (query,
+  *    corpus) pair is scored with the native codegen dot product and
+  *    ranked per query. The pair scoring is embarrassingly parallel;
+  *    the rank is one shuffle keyed by query_id. This is the
+  *    correctness baseline — at 100 TB its pair count is the problem,
+  *    which is what the two approximate paths fix.
+  *
+  *  - `lsh`: random-hyperplane (sign) LSH. L tables × b Rademacher
+  *    hyperplanes; bucket = the b sign bits. Same-bucket-in-any-table
+  *    candidates, then exact scoring + rank on candidates only. The
+  *    hyperplanes are literal constants baked into the plan (seeded
+  *    deterministic), so bucketing is a pure per-row map — no fit step,
+  *    no model state.
+  *
+  *  - `ivf`: inverted-file index. C centroids learned by a few Lloyd
+  *    iterations (centroids collected to the driver between iterations
+  *    — C×dim floats, i.e. KB — and re-broadcast as literals; the
+  *    per-row assignment stays fully distributed). Queries probe the
+  *    nProbe nearest cells and score only those cells' vectors.
+  */
+object Knn {
+
+  private def pairTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, nAs: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      Vectors.normD(col(vecCol)).as(nAs))
+  }
+
+  private def scorePairs(qs: DataFrame, corpus: DataFrame): DataFrame =
+    qs.join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
+          col("qn"), col("nn")), 6))
+
+  /** Exact brute-force top-k (query set broadcast). */
+  def brute(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qs = broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn")
+    pairTopK(scorePairs(qs, cs), k)
+  }
+
+  // ---- random-hyperplane LSH ------------------------------------------
+
+  /** Deterministic Rademacher (±1) hyperplanes: L tables × b planes. */
+  private def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+  }
+
+  /** (table_id, bucket) pairs for a vector column, as an exploded frame
+    * column expression: array of structs, one per table.
+    */
+  private def bucketsCol(vec: Column, planes: Array[Array[Array[Float]]]): Column =
+    array(planes.zipWithIndex.map { case (tbl, t) =>
+      val bucket = tbl.zipWithIndex.map { case (plane, i) =>
+        when(Vectors.dotD(vec, typedlit(plane.toSeq)) >= 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("table_id"), bucket.as("bucket"))
+    }: _*)
+
+  /** Approximate top-k via sign-LSH candidate generation. */
+  def lsh(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, tables: Int = 16, bits: Int = 6, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, tables, bits, seed)
+    val qs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .withColumn("tb", explode(bucketsCol(col("qv"), planes)))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn")
+      .withColumn("tb", explode(bucketsCol(col("nv"), planes)))
+      .select(col("neighbor_id"), col("nv"), col("nn"),
+        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    val cand = broadcast(qs).join(cs, Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "qn", "neighbor_id", "nv", "nn")
+      .distinct()
+    val scored = cand.withColumn("cos", round(
+      Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
+        col("qn"), col("nn")), 6))
+    pairTopK(scored, k)
+  }
+
+  // ---- IVF -------------------------------------------------------------
+
+  /** Lloyd iterations with driver-held centroids (C×dim floats). Returns
+    * the final centroids. Assignment/update are distributed; only the
+    * tiny centroid table moves through the driver.
+    */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      c: Int, iters: Int): Array[(Int, Array[Float])] = {
+    GraftFunctions.register(corpus.sparkSession)
+    val dimRow = corpus.select(size(col(vecCol))).head()
+    val dim = dimRow.getInt(0)
+    // deterministic init: first C vectors by id
+    var centroids: Array[(Int, Array[Float])] = corpus
+      .orderBy(col(idCol)).limit(c)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCells(corpus, idCol, vecCol, centroids, 1)
+      val sums = assigned
+        .select(col("cell"), col(vecCol).as("v"))
+        .groupBy(col("cell"))
+        .agg(
+          count(lit(1)).as("n"),
+          array((0 until dim).map(d =>
+            sum(element_at(col("v"), d + 1).cast("double"))): _*).as("vsum"))
+        .collect()
+      centroids = sums.map { r =>
+        val n = r.getLong(1).toDouble
+        val s = r.getSeq[Double](2)
+        (r.getInt(0), s.map(x => (x / n).toFloat).toArray)
+      }.sortBy(_._1)
+      it += 1
+    }
+    centroids
+  }
+
+  /** Attach the `nProbe` nearest cell ids (by cosine to each centroid)
+    * to every row — pure map against literal centroids.
+    */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Float])], nProbe: Int): DataFrame = {
+    val scored = array(centroids.map { case (cid, cv) =>
+      struct(
+        (-Vectors.cosine(col(vecCol), typedlit(cv.toSeq))).as("negcos"),
+        lit(cid).as("cell"))
+    }: _*)
+    val probes = transform(
+      slice(array_sort(scored), 1, nProbe), s => s.getField("cell"))
+    if (nProbe == 1)
+      df.withColumn("cell", probes.getItem(0))
+    else
+      df.withColumn("cells", probes)
+  }
+
+  /** Approximate top-k probing nProbe IVF cells per query. */
+  def ivf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, c: Int = 16, iters: Int = 3, nProbe: Int = 4): DataFrame = {
+    val centroids = fitCentroids(corpus, idCol, vecCol, c, iters)
+    val cs = assignCells(
+        withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn"),
+        "neighbor_id", "nv", centroids, 1)
+    val qs = assignCells(
+        withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"),
+        "query_id", "qv", centroids, nProbe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("cells")).as("cell"))
+    val scored = broadcast(qs).join(cs, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
+          col("qn"), col("nn")), 6))
+    pairTopK(scored, k)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.SimQueries
+
+class SimSpec extends SparkSpec {
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+
+  test("knn_brute: k results per query, ranks contiguous, cos descending") {
+    val out = SimQueries.knnBrute(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 10))
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cs === cs.sorted.reverse, "cos must not increase with rank")
+    }
+  }
+
+  test("knn_lsh recall vs brute is usable") {
+    val brute = neighborSets(SimQueries.knnBrute(spark, sf))
+    val lsh = neighborSets(SimQueries.knnLsh(spark, sf))
+    val recalls = brute.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean LSH recall@10 $mean")
+  }
+
+  test("knn_ivf recall vs brute is usable") {
+    val brute = neighborSets(SimQueries.knnBrute(spark, sf))
+    val ivf = neighborSets(SimQueries.knnIvf(spark, sf))
+    val recalls = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean IVF recall@10 $mean")
+  }
+
+  test("approximate results are subsets of exact scoring (no fabricated cos)") {
+    // every (q, n, cos) from LSH must agree with brute-force cos when present
+    val brute = SimQueries.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = SimQueries.knnLsh(spark, sf).collect()
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      }
+    }
+  }
+
+  test("mm_meta covers all docs across formats with sane stats") {
+    val out = SimQueries.mmMeta(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum === 500L)
+    assert(out.forall(_.getLong(2) > 0))
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp", "mp4")))
+  }
+
+  test("media batch decode preserves ids and byte counts") {
+    val media = graft.multimodal.Multimodal.mediaTable(
+      graft.util.Tables(spark, sf).documents)
+    val feats = graft.multimodal.Multimodal.decodeFeatures(media)
+    val n = graft.util.Tables(spark, sf).documents.count()
+    assert(feats.count() === n)
+    val joined = feats.toDF().join(
+      graft.util.Tables(spark, sf).documents,
+      col("media_id") === col("doc_id"))
+    assert(joined.filter(col("n_bytes") =!= length(col("text"))).count() === 0)
+  }
+}
