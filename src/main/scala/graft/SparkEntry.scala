@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupQueries, PipeQueries, Relational, SimQueries, TextQueries}
+import graft.queries.{DedupQueries, PipeQueries, Relational, SimQueries, StreamQueries, TextQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ PipeQueries.queries ++
-      DedupQueries.queries ++ TextQueries.queries ++ SimQueries.queries
+      DedupQueries.queries ++ TextQueries.queries ++ SimQueries.queries ++
+      StreamQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ PipeQueries.oracleSql ++
-      DedupQueries.oracleSql ++ TextQueries.oracleSql ++ SimQueries.oracleSql
+      DedupQueries.oracleSql ++ TextQueries.oracleSql ++ SimQueries.oracleSql ++
+      StreamQueries.oracleSql
 }

@@ -1,0 +1,122 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.Streams
+import graft.util.Tables
+
+/** Structured Streaming coverage (SURVEY.md §2.7) over the events table.
+  * stream_window_agg / stream_sessionize run the shared transforms in
+  * batch mode (what the DuckDB oracle checks); their streaming behavior
+  * is spec-tested. stream_multi_sink actually RUNS a streaming query
+  * (file source → AvailableNow → foreachBatch fan-out) and returns the
+  * summary of what landed in the sinks.
+  */
+object StreamQueries {
+
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Streams.windowAgg(Tables(s, dir).events)
+      .orderBy(col("ws"), col("event_type"))
+
+  val streamWindowAggSql: String =
+    """SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS ws,
+      |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY ws, event_type""".stripMargin
+
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    Streams.sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_id"))
+
+  val streamSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM e)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  floor(epoch(min(ts)))::BIGINT AS start_s,
+      |  floor(epoch(max(ts)))::BIGINT AS end_s,
+      |  floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_s
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Schema of events.parquet for the file streaming source (ts read as
+    * raw nanos — the nanosAsLong conf — and normalized after).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** One readStream fanned to three sinks (the reference's `-multiple`
+    * on a stream), then a summary of what landed — deterministic because
+    * AvailableNow drains the source completely, so the oracle can state
+    * the same aggregates straight off the batch table.
+    */
+  def streamMultiSink(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val home = Files.createTempDirectory("graft_multisink").toString
+    // the file streaming source wants a DIRECTORY; link the table file in
+    val srcDir = Files.createTempDirectory("graft_multisink_src")
+    Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream.schema(eventsRawSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.multiSink(stream, home, Seq(
+      "clicks" -> (df => df.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"))),
+      "errors" -> (df => df.filter(col("event_type") === "error" && col("value") > 5)
+        .select(col("event_id"), col("user_id"), col("value"))),
+      "by_user" -> (df => df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v")))))
+    q.awaitTermination()
+    val clicks = s.read.parquet(s"$home/clicks")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 2).as("total"))
+      .select(lit("clicks").as("branch"), col("n_rows"), col("total"))
+    val errors = s.read.parquet(s"$home/errors")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 2).as("total"))
+      .select(lit("errors").as("branch"), col("n_rows"), col("total"))
+    val byUser = s.read.parquet(s"$home/by_user")
+      .agg(count(lit(1)).as("n_rows"),
+        lit(null).cast("double").as("total"))
+      .select(lit("by_user").as("branch"), col("n_rows"), col("total"))
+    clicks.unionByName(errors).unionByName(byUser).orderBy(col("branch"))
+  }
+
+  val streamMultiSinkSql: String =
+    """SELECT * FROM (
+      |  SELECT 'clicks' AS branch, count(*) AS n_rows,
+      |         round(sum(value), 2) AS total
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT 'errors', count(*), round(sum(value), 2)
+      |  FROM events WHERE event_type = 'error' AND value > 5
+      |  UNION ALL
+      |  SELECT 'by_user', count(DISTINCT user_id), NULL
+      |  FROM events)
+      |ORDER BY branch""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_multi_sink" -> (streamMultiSink _))
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_window_agg" -> streamWindowAggSql,
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_multi_sink" -> streamMultiSinkSql)
+}

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's streaming-job
+  * surface (SURVEY.md §2.7). The design point: every transform here is
+  * written once against DataFrame/Dataset and runs in BOTH batch and
+  * streaming mode — the batch run is what the DuckDB oracle checks, the
+  * streaming run is spec-tested with memory/file sources. That is the
+  * Spark-first answer to the reference's "a pipeline is a pair of
+  * executables": a pipeline is a plan, and the engine decides micro-batch
+  * vs batch execution.
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregation by event type — works on a
+    * batch OR streaming frame (add `withWatermark` upstream for
+    * streaming). Window start exported as epoch seconds for oracle
+    * parity across engines' timestamp conventions.
+    */
+  def windowAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("ws"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  // ---- sessionization --------------------------------------------------
+
+  /** Batch sessionization: sessions split on gaps > gapMinutes per user.
+    * Classic lag → gap flag → running sum = session index; one shuffle
+    * keyed by user_id (per-user windows, uniform unless one user
+    * dominates — then AQE skew handling or pre-salting by day).
+    * Deterministic: ties on ts broken by event_id in BOTH engines.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("start_s"),
+        unix_timestamp(max(col("ts"))).as("end_s"))
+      .withColumn("duration_s", col("end_s") - col("start_s"))
+  }
+
+  /** One event as consumed by the streaming sessionizer. */
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Closed session emitted by the streaming sessionizer. */
+  final case class Session(user_id: Long, n_events: Long,
+      start_s: Long, end_s: Long, duration_s: Long)
+
+  /** Open-session state (public: the state encoder's generated code
+    * needs constructor access).
+    */
+  final case class SessionState(nEvents: Long, startMs: Long, lastMs: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState with event-time
+    * timeout: state = the open session per user; a session closes (and
+    * is emitted) when the watermark passes last-event + gap. The same
+    * gap semantics as `sessionizeBatch` — specs assert the two agree on
+    * a replayed stream.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, st.nEvents, st.startMs / 1000L, st.lastMs / 1000L,
+        st.lastMs / 1000L - st.startMs / 1000L)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var st = state.getOption.orNull
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              st = st match {
+                case null => SessionState(1L, t, t)
+                case s if t - s.lastMs > gapMs =>
+                  closed ::= flush(userId, s)
+                  SessionState(1L, t, t)
+                case s => SessionState(s.nEvents + 1, s.startMs, math.max(s.lastMs, t))
+              }
+            }
+            state.update(st)
+            // close the open session once the watermark passes last + gap
+            state.setTimeoutTimestamp(st.lastMs + gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+
+  // ---- multi-sink fan-out ---------------------------------------------
+
+  /** The reference's `-multiple` on a stream: ONE readStream, N branch
+    * plans, each writing its own sink directory — fanned out inside a
+    * single foreachBatch so the source is read once per micro-batch
+    * (the streaming twin of graft.pipeline.MultiPipeline; branch
+    * DataFrames shuffle independently, a heavy branch can't starve the
+    * others' sinks).
+    */
+  def multiSink(stream: DataFrame, outputHome: String,
+      branches: Seq[(String, DataFrame => DataFrame)]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val shared = batch.persist()
+        try branches.foreach { case (name, f) =>
+          f(shared).write.mode("append").parquet(s"$outputHome/$name")
+        } finally { shared.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}

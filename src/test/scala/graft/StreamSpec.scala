@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+import graft.queries.StreamQueries
+
+class StreamSpec extends SparkSpec {
+
+  private def ev(id: Long, minute: Long, user: Long,
+      typ: String = "click", value: Double = 1.0): Ev =
+    Ev(id, new Timestamp(1700000000000L + minute * 60000L), user, typ, value)
+
+  test("windowAgg: streaming (complete mode) equals batch on same data") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 0, 1), ev(2, 10, 1, "view", 2.0), ev(3, 65, 2, "click", 3.5),
+      ev(4, 70, 2, "error", 0.5), ev(5, 130, 3))
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = Streams.windowAgg(ms.toDS().toDF())
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wagg").orderBy("ws", "event_type").collect()
+    val batch = Streams.windowAgg(events.toDF())
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.length === 5)
+  }
+
+  test("sessionizeStream: closed sessions match batch sessionization") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // user 1: two sessions (gap 45 min > 30); user 2: one session
+    val real = Seq(
+      ev(1, 0, 1), ev(2, 5, 1), ev(3, 50, 1),
+      ev(4, 0, 2), ev(5, 20, 2))
+    // sentinel far in the future pushes the watermark so real sessions close
+    val sentinel = ev(99, 10000, 9999)
+    val ms = MemoryStream[Ev]
+    val q = Streams.sessionizeStream(ms.toDS(), 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      ms.addData(real)
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel))
+      q.processAllAvailable()
+      // one more empty-ish batch so event-time timeouts fire
+      ms.addData(Seq(ev(100, 10001, 9999)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess")
+      .filter(col("user_id") =!= 9999L)
+      .select("user_id", "n_events", "start_s", "end_s", "duration_s")
+      .orderBy("user_id", "start_s").collect()
+    val batch = Streams.sessionizeBatch(real.toDF(), 30)
+      .select("user_id", "n_events", "start_s", "end_s", "duration_s")
+      .orderBy("user_id", "start_s").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.length === 3)
+  }
+
+  test("sessionizeBatch on corpus: durations non-negative, events conserved") {
+    val out = StreamQueries.streamSessionize(spark, sf)
+    val total = out.agg(sum("n_events")).head().getLong(0)
+    val nEvents = graft.util.Tables(spark, sf).events.count()
+    assert(total === nEvents)
+    assert(out.filter(col("duration_s") < 0).count() === 0)
+  }
+
+  test("stream_multi_sink drains the source once into three sinks") {
+    val out = StreamQueries.streamMultiSink(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("by_user", "clicks", "errors"))
+    assert(out.forall(_.getLong(1) > 0))
+  }
+}
