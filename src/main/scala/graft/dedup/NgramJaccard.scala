@@ -38,8 +38,10 @@ object NgramJaccard {
       .filter(size(col("shingles")) > 0)
     val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val sh = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // df = 1 shingles can't form a pair — dropping them shrinks the index
+    // (singletons usually dominate) without changing ANY pair's count
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") > 1 && col("df") <= maxDf)
       .select(col("sh"))
     val indexed = sh.join(rare, "sh")
     val common = indexed.as("a")

@@ -190,6 +190,10 @@ object PipeQueries {
   def partitionByKey(s: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_partition_by_key"
     Tables(s, dir).orders
+      // co-locate each key before the partitioned write: without this every
+      // task opens a writer per key value (tasks × keys small files); with
+      // it, one file per key — the standard partitionBy write pattern
+      .repartition(col("o_orderstatus"))
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     s.read.parquet(out)
       .groupBy(col("o_orderstatus"))
