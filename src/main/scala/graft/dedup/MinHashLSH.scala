@@ -11,7 +11,8 @@ import graft.text.TextOps
   *  2. signature: 64 minhash lanes — lane i = min over shingles of
   *     `xxhash64(i, shingle)` (64 independent partial-aggregatable `min`s
   *     in ONE groupBy, i.e. one shuffle keyed by doc id).
-  *  3. band: 8 bands × 8 lanes; band hash = xxhash64 of the 8 lanes.
+  *  3. band: NumBands bands of LanesPerBand lanes; band hash =
+  *     xxhash64 of the band's lanes.
   *  4. candidates: self-join on (band_id, band_hash) — the shuffle key is
   *     uniform hash output, so at 100 TB this join is skew-free unless
   *     a band bucket is genuinely a giant duplicate cluster (then AQE
@@ -19,12 +20,17 @@ import graft.text.TextOps
   *  5. verify: exact Jaccard on candidate pairs only, via each doc's
   *     shingle set (array_intersect/array_union — codegen'd).
   *
-  * With s = 0.9 true Jaccard, P(candidate) = 1-(1-s^8)^8 ≈ 0.99; at
-  * s = 0.5 it's ≈ 0.03 — the classic 8×8 S-curve.
+  * Band geometry tunes the S-curve. 16 bands × 4 lanes: P(candidate)
+  * at true Jaccard s is 1-(1-s⁴)¹⁶ — ≈ 1-4·10⁻⁸ at s = 0.9, ≈ 0.988
+  * at s = 0.7, ≈ 2.5% at s = 0.2. That buys near-perfect recall in the
+  * near-duplicate regime (so the exact-pair SQL oracle stays valid at
+  * any corpus size) at the cost of some sub-threshold candidates, all
+  * discarded by exact verification. 8×8 is the cheaper-verify /
+  * lower-recall alternative; both keep 64 hash lanes.
   */
 object MinHashLSH {
   val NumLanes = 64
-  val NumBands = 8
+  val NumBands = 16
   val LanesPerBand: Int = NumLanes / NumBands
 
   /** (id, shingles) with empty-shingle docs dropped. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.dedup.{Dedup, EmbeddingDedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.dedup.{ConnectedComponents, Dedup, EmbeddingDedup, MinHashLSH, NgramJaccard, SimHash}
 import graft.util.Tables
 
 /** Deduplication coverage (SURVEY.md §2.3) over the documents /
@@ -65,9 +65,10 @@ object DedupQueries {
 
   /** MinHash LSH candidates verified by exact Jaccard. The oracle is the
     * full exact-pair SQL: sound because verification reports EXACT
-    * Jaccard, and complete on this corpus because every true pair sits at
-    * J ≥ 0.9 where the 8×8 band S-curve detects with P ≈ 0.99 per pair —
-    * confirmed pair-for-pair (deterministic hashes) in DedupSpec.
+    * Jaccard, and complete because every true pair in this corpus sits
+    * at J ≥ 0.9 where the 16×4 band S-curve detects with
+    * P ≈ 1 - 4·10⁻⁸ per pair — confirmed pair-for-pair (deterministic
+    * hashes) in DedupSpec and against the exact inverted index at sf0.1.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDuplicates(Tables(s, dir).documents, "doc_id", "text",
@@ -95,6 +96,40 @@ object DedupQueries {
 
   val dedupNgramJaccardSql: String = jaccardPairsSql(0.7)
 
+  /** Near-dup pairs → duplicate clusters via min-label propagation.
+    * The oracle computes the same components with a recursive CTE over
+    * the exact-Jaccard pair graph (sound because the LSH pair set is
+    * verified equal to the exact pair set — see dedupMinhashLsh).
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(Tables(s, dir).documents,
+      "doc_id", "text", n = 3, tau = 0.7)
+    ConnectedComponents.clusters(pairs.select(col("id_a"), col("id_b")))
+      .orderBy(col("cluster_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |            len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+       |    FROM ($shingleSql) a, ($shingleSql) b
+       |    WHERE a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.7),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT label AS cluster_id, count(*) AS n_docs FROM (
+       |  SELECT u AS id, least(u, min(v)) AS label FROM reach GROUP BY u)
+       |GROUP BY label
+       |ORDER BY cluster_id""".stripMargin
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     EmbeddingDedup.pairs(Tables(s, dir).embeddings, "vec_id", "embedding", tau = 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -118,6 +153,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
@@ -125,5 +161,6 @@ object DedupQueries {
     "dedup_exact_count" -> dedupExactCountSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -62,6 +62,36 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("ConnectedComponents: known graph resolves to min-label clusters") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}, isolated pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val out = graft.dedup.ConnectedComponents.clusters(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 3L, 10L -> 2L, 20L -> 2L))
+  }
+
+  test("dedup_clusters matches driver-side union-find on the pair graph") {
+    val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // tiny reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => find(k) -> k).toSeq
+      .groupBy(_._1).map { case (c, m) => c -> m.size.toLong }
+    val got = DedupQueries.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+  }
+
   test("embedding near-dup pairs have cos in [tau, 1]") {
     val out = DedupQueries.dedupEmbedding(spark, sf).collect()
     assert(out.nonEmpty)
