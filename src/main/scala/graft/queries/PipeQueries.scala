@@ -233,6 +233,25 @@ object PipeQueries {
       |GROUP BY src
       |ORDER BY src""".stripMargin
 
+  /** The reference's native input format is text lines (-inputformat
+    * TextInputFormat). Round-trip the corpus through a line-oriented
+    * source: write documents as raw text, read them back with
+    * spark.read.text, aggregate. Valid because the corpus is
+    * newline-free — one doc per line, the Hadoop Streaming record model.
+    */
+  def sourceTextfile(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_text_source"
+    Tables(s, dir).documents.select(col("text"))
+      .write.mode("overwrite").text(out)
+    Pipes.wc("value")(s.read.text(out))
+  }
+
+  val sourceTextfileSql: String =
+    """SELECT count(*) AS lines,
+      |  sum(length(regexp_extract_all(text, '\S+'))) AS words,
+      |  sum(length(text)) AS chars
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_cat" -> (pipeCat _),
     "pipe_grep" -> (pipeGrep _),
@@ -244,7 +263,8 @@ object PipeQueries {
     "agg_histogram" -> (aggHistogram _),
     "multi_fanout" -> (multiFanout _),
     "partition_by_key" -> (partitionByKey _),
-    "input_tagged" -> (inputTagged _))
+    "input_tagged" -> (inputTagged _),
+    "source_textfile" -> (sourceTextfile _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_cat" -> pipeCatSql,
@@ -257,5 +277,6 @@ object PipeQueries {
     "agg_histogram" -> aggHistogramSql,
     "multi_fanout" -> multiFanoutSql,
     "partition_by_key" -> partitionByKeySql,
-    "input_tagged" -> inputTaggedSql)
+    "input_tagged" -> inputTaggedSql,
+    "source_textfile" -> sourceTextfileSql)
 }

@@ -19,6 +19,7 @@ object TextQueries {
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).as("n_tokens"),
         size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).as("n_words"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"),
         length(col("text")).as("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -26,6 +27,7 @@ object TextQueries {
     s"""SELECT doc_id,
        |  len($toksSql) AS n_tokens,
        |  len(regexp_extract_all(text, '\\w+')) AS n_words,
+       |  len(regexp_extract_all(lower(text), '${TextOps.BpePattern}')) AS n_bpe,
        |  length(text) AS n_chars
        |FROM documents
        |ORDER BY doc_id""".stripMargin

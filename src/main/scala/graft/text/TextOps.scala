@@ -62,6 +62,17 @@ object TextOps {
     array_distinct(array_compact(grams))
   }
 
+  /** BPE-pretokenizer-style segmentation count: letter runs, digit runs,
+    * and single punctuation marks over the lowercased text (whitespace
+    * separates, never counts). The alternation is deliberately kept to
+    * constructs Java regex and RE2 treat identically, so the DuckDB
+    * oracle can run the same pattern.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
   // ---- quality scoring -------------------------------------------------
 
   /** Tokens counted as stopwords — the synthetic corpus' function words;

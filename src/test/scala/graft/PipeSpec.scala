@@ -67,6 +67,23 @@ class PipeSpec extends SparkSpec {
     }
   }
 
+  test("Pipes.sed rewrites in place; grepV inverts") {
+    import spark.implicits._
+    val df = Seq("foo bar", "baz qux").toDF("text")
+    val sedded = Pipes.sed("text", "ba", "BA")(df).collect().map(_.getString(0)).toSet
+    assert(sedded === Set("foo BAr", "BAz qux"))
+    val kept = Pipes.grepV("text", "foo")(df).collect().map(_.getString(0)).toSeq
+    assert(kept === Seq("baz qux"))
+  }
+
+  test("source_textfile round-trip preserves corpus totals") {
+    val viaText = PipeQueries.sourceTextfile(spark, sf).head()
+    val direct = PipeQueries.pipeWc(spark, sf).head()
+    assert(viaText.getLong(0) === direct.getLong(0))
+    assert(viaText.getLong(1) === direct.getLong(1))
+    assert(viaText.getLong(2) === direct.getLong(2))
+  }
+
   test("pipe queries return sane results on sf0.001") {
     assert(PipeQueries.pipeCat(spark, sf).count() === 25)
     assert(PipeQueries.pipeWc(spark, sf).head().getLong(0) === 500L)

@@ -65,6 +65,33 @@ class StreamSpec extends SparkSpec {
     assert(batch.length === 3)
   }
 
+  test("windowAgg append mode drops data later than the watermark") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = Streams.windowAgg(ms.toDS().toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("wlate")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, 0, 1), ev(2, 5, 1)))
+      q.processAllAvailable()
+      // advance watermark far past the first window (+10 min delay)
+      ms.addData(Seq(ev(3, 500, 2)))
+      q.processAllAvailable()
+      // now arrive LATE into the long-closed first window: must be dropped
+      ms.addData(Seq(ev(4, 1, 3)))
+      q.processAllAvailable()
+      // and push the last window closed so counts are final
+      ms.addData(Seq(ev(5, 1000, 4)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wlate").collect()
+    assert(rows.nonEmpty)
+    val firstWs = rows.map(_.getLong(0)).min
+    // first hour window: only the 2 on-time events, late event 4 excluded
+    assert(rows.filter(_.getLong(0) == firstWs).map(_.getLong(2)).sum === 2L)
+  }
+
   test("sessionizeBatch on corpus: durations non-negative, events conserved") {
     val out = StreamQueries.streamSessionize(spark, sf)
     val total = out.agg(sum("n_events")).head().getLong(0)
