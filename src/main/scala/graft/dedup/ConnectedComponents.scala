@@ -23,9 +23,12 @@ object ConnectedComponents {
     * min node id reachable. Only nodes with at least one edge appear.
     */
   def labels(edges: DataFrame, maxIters: Int = 10): DataFrame = {
-    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist()
+    // persist the EDGE LIST, not just the symmetrized view: sym unions two
+    // projections of `edges`, so an unpersisted edges plan (e.g. a whole
+    // MinHash pipeline) would execute once per union branch per action
+    val e = edges.persist()
+    val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
     var cur = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
@@ -33,22 +36,26 @@ object ConnectedComponents {
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
+      // change detection rides the SAME aggregation: each node's own row
+      // carries its previous label in `old` (max ignores the nulls from
+      // propagated rows), so converged ⟺ no node got a smaller label —
+      // one shuffle and one action per iteration, no extra join.
       val prop = sym.join(cur, sym("v") === cur("id"))
-        .select(sym("u").as("id"), col("label"))
-      val next = cur.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(sym("u").as("id"), col("label"),
+          lit(null).cast("long").as("old"))
+      val own = cur.select(col("id"), col("label"), col("label").as("old"))
+      val agg = own.unionByName(prop)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
         .persist()
-      val changed = next.as("n")
-        .join(cur.as("c"), col("n.id") === col("c.id"))
-        .filter(col("n.label") =!= col("c.label"))
-        .count()
+      val changed = agg.filter(col("label") < col("old")).count()
       cur.unpersist()
-      cur = next
+      cur = agg
       converged = changed == 0
       it += 1
     }
-    sym.unpersist()
-    cur
+    e.unpersist()
+    cur.select(col("id"), col("label"))
   }
 
   /** Cluster summary: (cluster_id = min doc id, n_docs), one row per

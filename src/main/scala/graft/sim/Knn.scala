@@ -69,29 +69,40 @@ object Knn {
     Array.fill(tables, bits, dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
   }
 
-  /** (table_id, bucket) pairs for a vector column, as an exploded frame
-    * column expression: array of structs, one per table.
+  /** One bucket value per table (array of `tables` ints). Kept to ONE
+    * dot-product subtree per hyperplane — flips for multiprobe are
+    * derived later by XOR on the materialized VALUE, never by
+    * re-embedding this expression (re-embedding made the query-side
+    * tree 9× bigger and codegen pathological).
     */
   private def bucketsCol(vec: Column, planes: Array[Array[Array[Float]]]): Column =
-    array(planes.zipWithIndex.map { case (tbl, t) =>
-      val bucket = tbl.zipWithIndex.map { case (plane, i) =>
+    array(planes.map { tbl =>
+      tbl.zipWithIndex.map { case (plane, i) =>
         when(Vectors.dotD(vec, typedlit(plane.toSeq)) >= 0, 1 << i).otherwise(0)
       }.reduce(_ + _)
-      struct(lit(t).as("table_id"), bucket.as("bucket"))
     }: _*)
 
-  /** Approximate top-k via sign-LSH candidate generation. */
+  /** Approximate top-k via sign-LSH with query-side multiprobe: the
+    * query also probes every bucket within Hamming `probeRadius` of its
+    * own (cheap XORs on the bucket value), the corpus stays
+    * single-bucketed — so multiprobe cost scales with the QUERY side
+    * only.
+    */
   def lsh(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, tables: Int = 16, bits: Int = 6, seed: Long = 42L): DataFrame = {
+      k: Int, dim: Int, tables: Int = 16, bits: Int = 8, seed: Long = 42L,
+      probeRadius: Int = 1): DataFrame = {
     val planes = hyperplanes(dim, tables, bits, seed)
+    val probes = (b: Column) => array((b +:
+      (if (probeRadius >= 1) (0 until bits).map(i => b.bitwiseXOR(lit(1 << i)))
+       else Seq.empty)): _*)
     val qs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
-      .withColumn("tb", explode(bucketsCol(col("qv"), planes)))
       .select(col("query_id"), col("qv"), col("qn"),
-        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+        posexplode(bucketsCol(col("qv"), planes)).as(Seq("table_id", "bucket0")))
+      .select(col("query_id"), col("qv"), col("qn"), col("table_id"),
+        explode(probes(col("bucket0"))).as("bucket"))
     val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn")
-      .withColumn("tb", explode(bucketsCol(col("nv"), planes)))
       .select(col("neighbor_id"), col("nv"), col("nn"),
-        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+        posexplode(bucketsCol(col("nv"), planes)).as(Seq("table_id", "bucket")))
     val cand = broadcast(qs).join(cs, Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "nv", "nn")

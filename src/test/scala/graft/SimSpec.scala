@@ -28,7 +28,7 @@ class SimSpec extends SparkSpec {
       lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.4, s"mean LSH recall@10 $mean")
+    assert(mean >= 0.7, s"mean LSH recall@10 $mean")
   }
 
   test("knn_ivf recall vs brute is usable") {
@@ -38,7 +38,7 @@ class SimSpec extends SparkSpec {
       ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.4, s"mean IVF recall@10 $mean")
+    assert(mean >= 0.7, s"mean IVF recall@10 $mean")
   }
 
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
