@@ -12,37 +12,17 @@ object BenchProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val edges = graft.dedup.MinHashLSH.nearDuplicates(
-      graft.util.Tables(spark, dir).documents, "doc_id", "text", 3, 0.7)
-      .select(col("id_a"), col("id_b")).persist()
-    time("pairs materialize")(edges.count())
-
-    // replicate ConnectedComponents.labels with per-step timing
-    val e = edges
-    val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    var cur = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    time("init count")(cur.count())
-    var it = 0
-    var converged = false
-    while (it < 10 && !converged) {
-      val prop = sym.join(broadcast(cur), sym("v") === cur("id"))
-        .select(sym("u").as("id"), col("label"), lit(null).cast("long").as("old"))
-      val own = cur.select(col("id"), col("label"), col("label").as("old"))
-      val agg = own.unionByName(prop)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-        .persist()
-      val changed = time(s"iter $it")(agg.filter(col("label") < col("old")).count())
-      println(s"[probe] iter $it changed=$changed")
-      cur.unpersist()
-      cur = agg
-      converged = changed == 0
-      it += 1
-    }
+    // LSH vs exact equality at 5000 docs, then timings
+    val lsh = time("minhash lsh run1")(
+      graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).collect())
+    time("minhash lsh run2")(
+      graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count())
+    val exact = graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).collect()
+    val l = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[probe] lsh=${l.size} exact=${e.size} missed=${(e -- l).size} spurious=${(l -- e).size}")
+    time("clusters run1")(graft.queries.DedupQueries.dedupClusters(spark, dir).count())
+    time("clusters run2")(graft.queries.DedupQueries.dedupClusters(spark, dir).count())
     spark.stop()
   }
 }

@@ -40,19 +40,26 @@ object MinHashLSH {
         TextOps.wordNgrams(TextOps.tokens(col(textCol)), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-  /** (doc_id, h0..h63) minhash signatures — one shuffle. */
+  /** (doc_id, lanes array<long>) minhash signatures — MAP-ONLY: all 64
+    * lanes fold in one native pass per row (graft.functions
+    * .MinHashLanes), so nothing shuffles until the band join. The
+    * explode + 64-min-agg formulation this replaces shuffled every
+    * (doc, shingle) pair — the dominant data movement of the whole
+    * dedup pipeline at corpus scale.
+    */
   def signatures(sh: DataFrame): DataFrame = {
-    val lanes = (0 until NumLanes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(lanes.head, lanes.tail: _*)
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    sh.select(col("doc_id"),
+      call_function("graft_minhash_lanes", col("shingles")).as("lanes"))
   }
 
-  /** (doc_id, band_id, band_hash) — NumBands rows per doc. */
+  /** (doc_id, band_id, band_hash) — NumBands rows per doc, still
+    * map-only (band hash = xxhash64 over the band's lanes).
+    */
   def bands(sig: DataFrame): DataFrame = {
     val bandHashes = array((0 until NumBands).map { b =>
-      val laneCols = (0 until LanesPerBand).map(k => col(s"h${b * LanesPerBand + k}"))
+      val laneCols = (0 until LanesPerBand).map(k =>
+        element_at(col("lanes"), b * LanesPerBand + k + 1))
       xxhash64(laneCols: _*)
     }: _*)
     sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band_id", "band_hash")))

@@ -14,7 +14,8 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { case Seq(a, b) => DotProductD(a, b) },
     "graft_l2norm" -> { case Seq(a) => L2NormD(a) },
-    "graft_simhash64" -> { case Seq(a) => SimHash64(a) })
+    "graft_simhash64" -> { case Seq(a) => SimHash64(a) },
+    "graft_minhash_lanes" -> { case Seq(a) => MinHashLanes(a) })
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
