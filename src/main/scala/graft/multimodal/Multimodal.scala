@@ -77,4 +77,31 @@ object Multimodal {
       it.grouped(DecodeBatchSize).flatMap(batch => decodeStub(batch))
     }
   }
+
+  /** One sampled "frame" of a media payload. */
+  final case class MediaFrame(
+      media_id: Long, frame_id: Int, n_bytes: Long, checksum: Long)
+
+  /** STUB frame sampler — the video-path analogue of decodeStub: split
+    * the payload into nFrames equal byte windows ("frames") and emit a
+    * per-frame stat. A real implementation would seek keyframes and
+    * decode; the windowing, fan-out shape (rows × frames), and batch
+    * loop are what's real here.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], nFrames: Int = 4): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
+        val len = m.bytes.length
+        (0 until nFrames).map { f =>
+          val lo = f * len / nFrames
+          val hi = (f + 1) * len / nFrames
+          val window = m.bytes.slice(lo, hi)
+          MediaFrame(m.media_id, f, window.length.toLong,
+            window.iterator.map(b => (b & 0xff).toLong).sum)
+        }
+      })
+    }
+  }
 }

@@ -89,13 +89,36 @@ object SimQueries {
       |GROUP BY format
       |ORDER BY format""".stripMargin
 
+  /** Frame sampling over the first 20 payloads: 4 byte-window "frames"
+    * per item, per-frame size + checksum. Oracle replays the identical
+    * windowing arithmetic on the ASCII corpus.
+    */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.mediaTable(Tables(s, dir).documents.filter(col("doc_id") < 20)))
+      .toDF()
+      .orderBy(col("media_id"), col("frame_id"))
+
+  val mmFramesSql: String =
+    """SELECT doc_id AS media_id, f AS frame_id,
+      |  (((f + 1) * L) // 4 - (f * L) // 4)::BIGINT AS n_bytes,
+      |  coalesce(list_sum([ascii(text[i])
+      |    FOR i IN range((f * L) // 4 + 1, ((f + 1) * L) // 4 + 1)]), 0)::BIGINT
+      |    AS checksum
+      |FROM (SELECT doc_id, text, length(text) AS L,
+      |        unnest([0, 1, 2, 3]) AS f
+      |      FROM documents WHERE doc_id < 20)
+      |ORDER BY media_id, frame_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
-    "mm_meta" -> (mmMeta _))
+    "mm_meta" -> (mmMeta _),
+    "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
-    "mm_meta" -> mmMetaSql)
+    "mm_meta" -> mmMetaSql,
+    "mm_frames" -> mmFramesSql)
 }

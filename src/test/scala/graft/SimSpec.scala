@@ -60,6 +60,19 @@ class SimSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp", "mp4")))
   }
 
+  test("frame sampling partitions the payload exactly") {
+    val frames = SimQueries.mmFrames(spark, sf).collect()
+    assert(frames.length === 20 * 4)
+    val byDoc = frames.groupBy(_.getLong(0))
+    val docs = graft.util.Tables(spark, sf).documents
+      .filter(col("doc_id") < 20)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.map(_.getLong(2)).sum === docs(id), "frame bytes must sum to payload")
+    }
+  }
+
   test("media batch decode preserves ids and byte counts") {
     val media = graft.multimodal.Multimodal.mediaTable(
       graft.util.Tables(spark, sf).documents)
