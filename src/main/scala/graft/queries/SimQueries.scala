@@ -110,15 +110,37 @@ object SimQueries {
       |      FROM documents WHERE doc_id < 20)
       |ORDER BY media_id, frame_id""".stripMargin
 
+  /** Per-label centroids as (label, dim, value) — the distributed
+    * feature-aggregation shape: posexplode the vector, one partial-
+    * aggregatable avg keyed by (label, dim). At corpus scale this is
+    * the standard "class centroid" building block (and the batch half
+    * of IVF training).
+    */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), round(avg(col("x").cast("double")), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  val embCentroidsSql: String =
+    """SELECT label, i - 1 AS dim, count(*) AS n,
+      |  round(avg(embedding[i]::DOUBLE), 6) AS centroid
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
+    "emb_centroids" -> (embCentroids _),
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
+    "emb_centroids" -> embCentroidsSql,
     "mm_meta" -> mmMetaSql,
     "mm_frames" -> mmFramesSql)
 }

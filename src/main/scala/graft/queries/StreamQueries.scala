@@ -110,13 +110,36 @@ object StreamQueries {
       |  FROM events)
       |ORDER BY branch""".stripMargin
 
+  /** Semi-structured payloads: parse the props JSON column natively
+    * (get_json_object — codegen'd Jackson path eval, no UDF) and
+    * aggregate by a derived bucket. The everyday "events carry a JSON
+    * blob" pipeline stage.
+    */
+  def eventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select((get_json_object(col("props"), "$.k").cast("long") / 10)
+          .cast("long").as("k_decile"),
+        col("value"))
+      .groupBy(col("k_decile"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("k_decile"))
+
+  val eventsJsonSql: String =
+    """SELECT (json_extract(props, '$.k')::BIGINT // 10) AS k_decile,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
-    "stream_multi_sink" -> (streamMultiSink _))
+    "stream_multi_sink" -> (streamMultiSink _),
+    "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
     "stream_sessionize" -> streamSessionizeSql,
-    "stream_multi_sink" -> streamMultiSinkSql)
+    "stream_multi_sink" -> streamMultiSinkSql,
+    "events_json" -> eventsJsonSql)
 }
