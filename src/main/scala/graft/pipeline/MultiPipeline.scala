@@ -49,11 +49,36 @@ final class MultiPipeline private (
 
   /** Write each branch under `outputHome/<name>` — the reference's
     * output layout (MultiStreamJobRunner.java:66-69).
+    *
+    * Branch jobs are SUBMITTED CONCURRENTLY (bounded thread pool):
+    * Spark's scheduler interleaves independent jobs, so a branch
+    * waiting on shuffle fetch or output commit doesn't serialize the
+    * others — the reference pays one full sequential MR job per
+    * pipeline here. Set parallelism = 1 for strictly sequential writes.
     */
-  def write(outputHome: String, format: String = "parquet"): Unit =
-    run().foreach { case (name, df) =>
-      df.write.mode("overwrite").format(format).save(s"$outputHome/$name")
+  def write(outputHome: String, format: String = "parquet",
+      parallelism: Int = 4): Unit = {
+    val planned = run().toSeq
+    if (parallelism <= 1 || planned.sizeIs <= 1) {
+      planned.foreach { case (name, df) =>
+        df.write.mode("overwrite").format(format).save(s"$outputHome/$name")
+      }
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, planned.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.traverse(planned) { case (name, df) =>
+          Future {
+            df.write.mode("overwrite").format(format).save(s"$outputHome/$name")
+          }
+        }, Duration.Inf)
+      finally pool.shutdown()
+      ()
     }
+  }
 }
 
 object MultiPipeline {

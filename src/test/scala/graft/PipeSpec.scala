@@ -54,9 +54,16 @@ class PipeSpec extends SparkSpec {
     MultiPipeline(df)
       .branch("all")(Pipes.cat)
       .branch("as")(_.filter(col("tag") === "a"))
-      .write(home)
+      .write(home) // default path: concurrent branch-job submission
     assert(spark.read.parquet(s"$home/all").count() === 3)
     assert(spark.read.parquet(s"$home/as").count() === 2)
+    val seqHome = java.nio.file.Files.createTempDirectory("graft_mp_seq").toString
+    MultiPipeline(df)
+      .branch("all")(Pipes.cat)
+      .branch("as")(_.filter(col("tag") === "a"))
+      .write(seqHome, parallelism = 1)
+    assert(spark.read.parquet(s"$seqHome/all").count() === 3)
+    assert(spark.read.parquet(s"$seqHome/as").count() === 2)
   }
 
   test("MultiPipeline rejects duplicate branch names") {
