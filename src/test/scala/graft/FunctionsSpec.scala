@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+
+  test("native functions are SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dot,
+        |  graft_l2norm(array(3.0F, 4.0F)) AS nrm,
+        |  graft_simhash64(array('a', 'b')) AS sh,
+        |  graft_minhash_lanes(array('a', 'b')) AS mh
+      """.stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getSeq[Long](3).length === 64)
+  }
+
+  test("dot/norm match interpreted and codegen paths") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.0f, 0.5f, -2.0f), Array(2.0f, 4.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(
+      call_function("graft_dot", col("a"), col("b")),
+      call_function("graft_l2norm", col("a"))).head()
+    assert(math.abs(got.getDouble(0) - 2.0) < 1e-12)
+    assert(math.abs(got.getDouble(1) - math.sqrt(1.0 + 0.25 + 4.0)) < 1e-12)
+  }
+
+  test("GraftExtensions registers the same function set") {
+    // unit-level: apply against a fresh extensions container
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; wiring is typed
+  }
+
+  test("minhash lanes: permutation-invariant, sensitive to content") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Array("x y z", "y z w")),
+      (2L, Array("y z w", "x y z")),
+      (3L, Array("totally different"))).toDF("id", "sh")
+    val lanes = df.select(col("id"), call_function("graft_minhash_lanes", col("sh")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(lanes(1L) === lanes(2L), "min over a set ignores order")
+    assert(lanes(1L) !== lanes(3L))
+  }
+}
