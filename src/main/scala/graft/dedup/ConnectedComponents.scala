@@ -22,16 +22,17 @@ object ConnectedComponents {
   /** (id, label) for every node of `edges` (columns id_a, id_b); label =
     * min node id reachable. Only nodes with at least one edge appear.
     */
-  /** Below this node count the label table is joined with an explicit
-    * broadcast hint and AQE is paused for the loop: on a small graph the
-    * per-iteration win is all scheduling/re-planning overhead (~2.5×
-    * measured), while a large graph wants the normal shuffle path and
-    * AQE's runtime re-planning.
+  /** Below this node count the label table joins with an explicit
+    * broadcast hint — on a small graph the per-iteration cost is all
+    * scheduling overhead, while a large graph wants the shuffle path.
+    * (Deliberately NOT toggling session-global confs like AQE here:
+    * labels() can run concurrently with other queries — e.g. inside a
+    * MultiPipeline branch — and a save/set/restore of session conf
+    * races and can leave the session misconfigured.)
     */
   val SmallGraphNodes = 1000000L
 
-  def labels(edges: DataFrame, maxIters: Int = 10): DataFrame = {
-    val spark = edges.sparkSession
+  def labels(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     // persist the EDGE LIST, not just the symmetrized view: sym unions two
     // projections of `edges`, so an unpersisted edges plan (e.g. a whole
     // MinHash pipeline) would execute once per union branch per action
@@ -43,11 +44,9 @@ object ConnectedComponents {
       .persist()
     val nNodes = cur.count()
     val small = nNodes < SmallGraphNodes
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    if (small) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var converged = false
     try {
       var it = 0
-      var converged = false
       while (it < maxIters && !converged) {
         // change detection rides the SAME aggregation: each node's own row
         // carries its previous label in `old` (max ignores the nulls from
@@ -69,9 +68,15 @@ object ConnectedComponents {
         it += 1
       }
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       e.unpersist()
     }
+    // silent non-convergence would return WRONG labels (nodes farther
+    // than maxIters hops from their component's min keep a stale label)
+    // and diverge from the exact transitive-closure oracle — fail loudly
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters iterations " +
+          s"($nNodes nodes); raise maxIters (graph diameter exceeds it)")
     cur.select(col("id"), col("label"))
   }
 

@@ -95,8 +95,9 @@ object Multimodal {
       it.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
         val len = m.bytes.length
         (0 until nFrames).map { f =>
-          val lo = f * len / nFrames
-          val hi = (f + 1) * len / nFrames
+          // long arithmetic: f * len overflows Int for GB-scale payloads
+          val lo = (f.toLong * len / nFrames).toInt
+          val hi = ((f + 1).toLong * len / nFrames).toInt
           val window = m.bytes.slice(lo, hi)
           MediaFrame(m.media_id, f, window.length.toLong,
             window.iterator.map(b => (b & 0xff).toLong).sum)

@@ -40,12 +40,20 @@ final class MultiPipeline private (
     new MultiPipeline(input, share, branches + (name -> f))
   }
 
-  /** Plan all branches over the (optionally persisted) shared input. */
+  /** Plan all branches over the (optionally persisted) shared input.
+    * With share = true the caller owns the persisted input's lifetime:
+    * call `unpersistShared()` (or use `write`, which does it) once all
+    * branch actions have run, or the cached blocks live until session
+    * end.
+    */
   def run(): ListMap[String, DataFrame] = {
     val src = if (share && branches.size > 1)
       input.persist(StorageLevel.MEMORY_AND_DISK) else input
     branches.map { case (name, f) => name -> f(src) }
   }
+
+  /** Release the shared input's cached blocks (no-op if share = false). */
+  def unpersistShared(): Unit = if (share) { input.unpersist(); () }
 
   /** Write each branch under `outputHome/<name>` — the reference's
     * output layout (MultiStreamJobRunner.java:66-69).
@@ -59,25 +67,27 @@ final class MultiPipeline private (
   def write(outputHome: String, format: String = "parquet",
       parallelism: Int = 4): Unit = {
     val planned = run().toSeq
-    if (parallelism <= 1 || planned.sizeIs <= 1) {
-      planned.foreach { case (name, df) =>
-        df.write.mode("overwrite").format(format).save(s"$outputHome/$name")
+    try {
+      if (parallelism <= 1 || planned.sizeIs <= 1) {
+        planned.foreach { case (name, df) =>
+          df.write.mode("overwrite").format(format).save(s"$outputHome/$name")
+        }
+      } else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, planned.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try Await.result(
+          Future.traverse(planned) { case (name, df) =>
+            Future {
+              df.write.mode("overwrite").format(format).save(s"$outputHome/$name")
+            }
+          }, Duration.Inf)
+        finally pool.shutdown()
+        ()
       }
-    } else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(parallelism, planned.size))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try Await.result(
-        Future.traverse(planned) { case (name, df) =>
-          Future {
-            df.write.mode("overwrite").format(format).save(s"$outputHome/$name")
-          }
-        }, Duration.Inf)
-      finally pool.shutdown()
-      ()
-    }
+    } finally unpersistShared()
   }
 }
 

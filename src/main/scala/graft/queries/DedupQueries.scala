@@ -90,8 +90,11 @@ object DedupQueries {
     * structural (df-capped candidate generation), not probabilistic.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    // maxDf effectively off: the exact-pair SQL oracle requires the
+    // uncapped regime (a capped run lower-bounds J for pairs sharing
+    // high-df shingles). Capped maxDf is the >>test-scale knob.
     NgramJaccard.pairs(Tables(s, dir).documents, "doc_id", "text",
-        n = 3, tau = 0.7, maxDf = 100)
+        n = 3, tau = 0.7, maxDf = Int.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
 
   val dedupNgramJaccardSql: String = jaccardPairsSql(0.7)

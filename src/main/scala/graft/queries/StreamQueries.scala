@@ -117,7 +117,8 @@ object StreamQueries {
     */
   def eventsJson(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
-      .select((get_json_object(col("props"), "$.k").cast("long") / 10)
+      // floor(), not cast-truncation: matches DuckDB's // for negatives too
+      .select(floor(get_json_object(col("props"), "$.k").cast("long") / 10)
           .cast("long").as("k_decile"),
         col("value"))
       .groupBy(col("k_decile"))

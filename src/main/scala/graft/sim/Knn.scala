@@ -91,6 +91,8 @@ object Knn {
   def lsh(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, tables: Int = 16, bits: Int = 8, seed: Long = 42L,
       probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      s"only Hamming radius 0 or 1 probing is implemented, got $probeRadius")
     val planes = hyperplanes(dim, tables, bits, seed)
     val probes = (b: Column) => array((b +:
       (if (probeRadius >= 1) (0 until bits).map(i => b.bitwiseXOR(lit(1 << i)))

@@ -80,11 +80,15 @@ object Streams {
   def sessionizeStream(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapSec = gapMinutes * 60L
+    // second-truncated gap, matching sessionizeBatch's unix_timestamp
+    // semantics exactly — a ms-precision gap here would split sessions
+    // differently than batch for gaps within 1s of the boundary
+    def sec(ms: Long): Long = Math.floorDiv(ms, 1000L)
 
     def flush(userId: Long, st: SessionState): Session =
-      Session(userId, st.nEvents, st.startMs / 1000L, st.lastMs / 1000L,
-        st.lastMs / 1000L - st.startMs / 1000L)
+      Session(userId, st.nEvents, sec(st.startMs), sec(st.lastMs),
+        sec(st.lastMs) - sec(st.startMs))
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")
@@ -104,7 +108,7 @@ object Streams {
               val t = e.ts.getTime
               st = st match {
                 case null => SessionState(1L, t, t)
-                case s if t - s.lastMs > gapMs =>
+                case s if sec(t) - sec(s.lastMs) > gapSec =>
                   closed ::= flush(userId, s)
                   SessionState(1L, t, t)
                 case s => SessionState(s.nEvents + 1, s.startMs, math.max(s.lastMs, t))
@@ -112,7 +116,7 @@ object Streams {
             }
             state.update(st)
             // close the open session once the watermark passes last + gap
-            state.setTimeoutTimestamp(st.lastMs + gapMs)
+            state.setTimeoutTimestamp(st.lastMs + gapSec * 1000L)
             closed.reverseIterator
           }
       }

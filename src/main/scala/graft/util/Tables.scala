@@ -25,6 +25,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     * rejects. Read nanos as long (legacy conf, runtime-settable) and
     * normalize to a microsecond timestamp — identical to DuckDB's own
     * ns→us truncation, so oracle parity holds.
+    *
+    * NOTE: the conf is session-global and deliberately left set — the
+    * read plan's schema AND its execution both honor it, so restoring
+    * it eagerly could break this very frame's execution. Side effect:
+    * other TIMESTAMP(NANOS) parquet reads in the session also see raw
+    * longs (without the conf, Spark refuses to read them at all).
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
