@@ -250,7 +250,48 @@ object Relational {
       |  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Multi-level totals in one pass: ROLLUP plans a single aggregation
+    * producing all grouping-set levels (vs one chained MR job per level
+    * in the reference's world). NULLS FIRST pinned on both sides —
+    * Spark and DuckDB default null ordering differ.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Pivot: wide per-status totals per priority. Spark's pivot API
+    * compiles to conditional aggregation — the oracle states the same
+    * computation as explicit FILTER aggregates (engine-neutral form).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS total_f,
+      |  round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS total_o,
+      |  round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS total_p
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_join5" -> (q5Join5 _),
@@ -262,6 +303,8 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_rollup" -> qRollupSql,
+    "q_pivot" -> qPivotSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q5_join5" -> q5Join5Sql,

@@ -92,6 +92,33 @@ class StreamSpec extends SparkSpec {
     assert(rows.filter(_.getLong(0) == firstWs).map(_.getLong(2)).sum === 2L)
   }
 
+  test("sessionize gap semantics agree at sub-second boundaries") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // true gap 1800.8s but second-TRUNCATED gap exactly 1800 -> same
+    // session in both implementations (the unit-mismatch regression test)
+    val base = 1700000000000L
+    val real = Seq(
+      Ev(1, new Timestamp(base + 100), 1, "click", 1.0),
+      Ev(2, new Timestamp(base + 1800900), 1, "click", 1.0))
+    val ms = MemoryStream[Ev]
+    val q = Streams.sessionizeStream(ms.toDS(), 30)
+      .writeStream.format("memory").queryName("sessb")
+      .outputMode("append").start()
+    try {
+      ms.addData(real)
+      q.processAllAvailable()
+      ms.addData(Seq(ev(99, 10000, 9999), ev(100, 10001, 9999)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessb").filter(col("user_id") === 1L)
+      .select("n_events", "start_s", "end_s").collect()
+    val batch = Streams.sessionizeBatch(real.toDF(), 30)
+      .select("n_events", "start_s", "end_s").collect()
+    assert(batch.map(_.getLong(0)).toSeq === Seq(2L), "one 2-event session in batch")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("sessionizeBatch on corpus: durations non-negative, events conserved") {
     val out = StreamQueries.streamSessionize(spark, sf)
     val total = out.agg(sum("n_events")).head().getLong(0)
