@@ -15,7 +15,10 @@ object GraftFunctions {
     "graft_dot" -> { case Seq(a, b) => DotProductD(a, b) },
     "graft_l2norm" -> { case Seq(a) => L2NormD(a) },
     "graft_simhash64" -> { case Seq(a) => SimHash64(a) },
-    "graft_minhash_lanes" -> { case Seq(a) => MinHashLanes(a) })
+    "graft_minhash_lanes" -> { case Seq(a) => MinHashLanes(a) },
+    "graft_heavy_hitters" -> { case Seq(a, k) =>
+      HeavyHitters(a, k.eval().asInstanceOf[Int])
+        .toAggregateExpression() })
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -233,6 +233,33 @@ object PipeQueries {
       |GROUP BY src
       |ORDER BY src""".stripMargin
 
+  /** SpaceSaving heavy hitters over the corpus vocabulary — the
+    * bounded-state sketch answer to "top words at 100 TB" (exact
+    * wordcount shuffles every word; the sketch ships `capacity` slots
+    * per partition). Capacity 100 exceeds the corpus vocabulary, so
+    * the sketch is provably exact here (err = 0) and the oracle is the
+    * plain GROUP BY top-20.
+    */
+  def aggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables(s, dir).documents
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("word"))
+      .agg(call_function("graft_heavy_hitters", col("word"), lit(100)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.cnt").as("cnt"), col("e.err").as("err"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(20)
+  }
+
+  val aggHeavyHittersSql: String =
+    """SELECT word AS item, count(*) AS cnt, 0 AS err FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x <> '')) AS word
+      |  FROM documents)
+      |GROUP BY word
+      |ORDER BY cnt DESC, item
+      |LIMIT 20""".stripMargin
+
   /** The reference's native input format is text lines (-inputformat
     * TextInputFormat). Round-trip the corpus through a line-oriented
     * source: write documents as raw text, read them back with
@@ -264,7 +291,8 @@ object PipeQueries {
     "multi_fanout" -> (multiFanout _),
     "partition_by_key" -> (partitionByKey _),
     "input_tagged" -> (inputTagged _),
-    "source_textfile" -> (sourceTextfile _))
+    "source_textfile" -> (sourceTextfile _),
+    "agg_heavy_hitters" -> (aggHeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_cat" -> pipeCatSql,
@@ -278,5 +306,6 @@ object PipeQueries {
     "multi_fanout" -> multiFanoutSql,
     "partition_by_key" -> partitionByKeySql,
     "input_tagged" -> inputTaggedSql,
-    "source_textfile" -> sourceTextfileSql)
+    "source_textfile" -> sourceTextfileSql,
+    "agg_heavy_hitters" -> aggHeavyHittersSql)
 }

@@ -36,6 +36,31 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; wiring is typed
   }
 
+  test("heavy hitters: exact when capacity exceeds cardinality") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val words = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val out = words.toDF("w")
+      .agg(call_function("graft_heavy_hitters", col("w"), lit(10)))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ===
+      Seq(("a", 5L, 0L), ("b", 3L, 0L), ("c", 1L, 0L)))
+  }
+
+  test("heavy hitters: bounded state under eviction keeps the frequent item") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // capacity 2, stream with one dominant item: it must survive with
+    // cnt >= true frequency (SpaceSaving overestimates, never loses it)
+    val words = (1 to 50).map(_ => "hot") ++ (1 to 10).map(i => s"cold$i")
+    val out = words.toDF("w").coalesce(1)
+      .agg(call_function("graft_heavy_hitters", col("w"), lit(2)))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(out.size === 2)
+    val hot = out.find(_.getString(0) == "hot")
+    assert(hot.isDefined && hot.get.getLong(1) >= 50L)
+  }
+
   test("minhash lanes: permutation-invariant, sensitive to content") {
     import spark.implicits._
     GraftFunctions.register(spark)
