@@ -1,28 +1,34 @@
 package graft
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
 
-/** Ad-hoc plan/profiling entry point — not part of the driver contract. */
+/** Ad-hoc plan/profiling entry point — NOT part of the driver contract.
+  *
+  * Usage: `sbt "runMain graft.BenchProbe [queryName ...]"` — times each
+  * named query (all of them if none given) cold and warm at
+  * SPARK_GRAFT_SF_DIR (default sf0.1); with explicit names it also
+  * prints the formatted physical plan for explain-driven tuning
+  * (PushedFilters / broadcast / WholeStageCodegen / exchange count).
+  */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val which =
+      if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
+      else SparkEntry.queries
+    which.foreach { case (name, fn) =>
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = run(); val warm = run()
+      println(f"[probe] $name: cold $cold%.2f s, warm $warm%.2f s")
+      if (args.nonEmpty)
+        println(fn(spark, dir).queryExecution.explainString(FormattedMode))
     }
-    // LSH vs exact equality at 5000 docs, then timings
-    val lsh = time("minhash lsh run1")(
-      graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).collect())
-    time("minhash lsh run2")(
-      graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count())
-    val exact = graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).collect()
-    val l = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val e = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(s"[probe] lsh=${l.size} exact=${e.size} missed=${(e -- l).size} spurious=${(l -- e).size}")
-    time("clusters run1")(graft.queries.DedupQueries.dedupClusters(spark, dir).count())
-    time("clusters run2")(graft.queries.DedupQueries.dedupClusters(spark, dir).count())
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductD, L2NormD, MinHashLanes, SimHash64}
+import graft.functions.{DotProductD, HeavyHitters, L2NormD, MinHashLanes, SimHash64}
 
 /** Standard Spark extension packaging: enables graft's native functions
   * in ANY session via configuration —
@@ -22,18 +22,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  /** Arity-checked builder: wrong argument counts surface as a clear
+    * error instead of an IndexOutOfBounds from inside resolution.
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n,
+        s"$name expects $n argument(s), got ${es.length}")
+      build(es)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - double-precision dot product of two float arrays"),
-      (es: Seq[Expression]) => DotProductD(es(0), es(1))))
+      arity("graft_dot", 2)(es => DotProductD(es(0), es(1)))))
     ext.injectFunction((FunctionIdentifier("graft_l2norm"),
       info("graft_l2norm", "graft_l2norm(a) - Euclidean norm of a float array in double"),
-      (es: Seq[Expression]) => L2NormD(es.head)))
+      arity("graft_l2norm", 1)(es => L2NormD(es.head))))
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      arity("graft_simhash64", 1)(es => SimHash64(es.head))))
     ext.injectFunction((FunctionIdentifier("graft_minhash_lanes"),
       info("graft_minhash_lanes", "graft_minhash_lanes(shingles) - 64 MinHash lane minima"),
-      (es: Seq[Expression]) => MinHashLanes(es.head)))
+      arity("graft_minhash_lanes", 1)(es => MinHashLanes(es.head))))
+    ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters", "graft_heavy_hitters(col, capacity) - SpaceSaving top items"),
+      arity("graft_heavy_hitters", 2)(es =>
+        HeavyHitters(es(0), es(1).eval().asInstanceOf[Int]).toAggregateExpression())))
   }
 }

@@ -38,6 +38,15 @@ case class HeavyHitters(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(s"graft_heavy_hitters needs a string column, got ${child.dataType.sql}")
+    else if (capacity <= 0)
+      TypeCheckFailure(s"capacity must be positive, got $capacity")
+    else TypeCheckSuccess
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType), StructField("cnt", LongType),
     StructField("err", LongType))), containsNull = false)
@@ -69,8 +78,16 @@ case class HeavyHitters(
 
   override def merge(buf: mutable.LinkedHashMap[String, (Long, Long)],
       other: mutable.LinkedHashMap[String, (Long, Long)]): mutable.LinkedHashMap[String, (Long, Long)] = {
-    other.foreach { case (item, (c, e)) => bump(buf, item, c, e) }
-    // re-truncate to capacity, dropping the smallest counts
+    // combine WITHOUT per-item eviction (bump would evict on every
+    // insert once full, making the result depend on other's iteration
+    // order and able to drop genuinely frequent items), THEN truncate
+    // once with a deterministic (-count, item) order
+    other.foreach { case (item, (c, e)) =>
+      buf.get(item) match {
+        case Some((c0, e0)) => buf.update(item, (c0 + c, e0 + e))
+        case None => buf.update(item, (c, e))
+      }
+    }
     if (buf.size > capacity) {
       val keep = buf.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
       buf.clear()
@@ -87,12 +104,16 @@ case class HeavyHitters(
     new GenericArrayData(rows.toArray[Any])
   }
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF hard-fails on any
+  // string whose encoding exceeds 64 KiB (real document-sized items)
   override def serialize(buf: mutable.LinkedHashMap[String, (Long, Long)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (k, (c, e)) =>
-      out.writeUTF(k); out.writeLong(c); out.writeLong(e)
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -104,7 +125,10 @@ case class HeavyHitters(
     val buf = mutable.LinkedHashMap.empty[String, (Long, Long)]
     var i = 0
     while (i < n) {
-      val k = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val k = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       buf.update(k, (c, e))
       i += 1
     }

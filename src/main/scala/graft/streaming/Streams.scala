@@ -111,7 +111,11 @@ object Streams {
                 case s if sec(t) - sec(s.lastMs) > gapSec =>
                   closed ::= flush(userId, s)
                   SessionState(1L, t, t)
-                case s => SessionState(s.nEvents + 1, s.startMs, math.max(s.lastMs, t))
+                // min() on start: a late-but-within-watermark event from a
+                // later micro-batch can precede the open session's start;
+                // without it, start/duration diverge from sessionizeBatch
+                case s => SessionState(s.nEvents + 1, math.min(s.startMs, t),
+                  math.max(s.lastMs, t))
               }
             }
             state.update(st)
@@ -127,20 +131,40 @@ object Streams {
   /** The reference's `-multiple` on a stream: ONE readStream, N branch
     * plans, each writing its own sink directory — fanned out inside a
     * single foreachBatch so the source is read once per micro-batch
-    * (the streaming twin of graft.pipeline.MultiPipeline; branch
-    * DataFrames shuffle independently, a heavy branch can't starve the
-    * others' sinks).
+    * (the streaming twin of graft.pipeline.MultiPipeline). Branch jobs
+    * are submitted concurrently over the persisted shared batch, so a
+    * heavy branch doesn't serialize the others' sinks.
+    *
+    * Restart semantics: pass a durable `checkpointDir` for exactly-once
+    * progress tracking; each branch writes its micro-batch into a
+    * `batch=<id>` subdirectory with overwrite mode, so a retried batch
+    * REPLACES its own partial output instead of appending duplicates
+    * (batchId-keyed idempotence — the standard foreachBatch pattern).
     */
   def multiSink(stream: DataFrame, outputHome: String,
-      branches: Seq[(String, DataFrame => DataFrame)]): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      branches: Seq[(String, DataFrame => DataFrame)],
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val shared = batch.persist()
-        try branches.foreach { case (name, f) =>
-          f(shared).write.mode("append").parquet(s"$outputHome/$name")
-        } finally { shared.unpersist(); () }
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, math.max(1, branches.size)))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          Await.result(
+            Future.traverse(branches) { case (name, f) =>
+              Future {
+                f(shared).write.mode("overwrite")
+                  .parquet(s"$outputHome/$name/batch=$batchId")
+              }
+            }, Duration.Inf)
+          ()
+        } finally { pool.shutdown(); shared.unpersist(); () }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
 }
