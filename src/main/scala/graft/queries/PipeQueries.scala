@@ -49,9 +49,11 @@ object PipeQueries {
     Pipes.wc("text")(Tables(s, dir).documents)
 
   val pipeWcSql: String =
+    // ::BIGINT — DuckDB sum(INTEGER) yields HUGEINT → Arrow decimal128,
+    // which hash-mismatches Spark's int64 even at equal values.
     """SELECT count(*) AS lines,
-      |  sum(length(regexp_extract_all(text, '\S+'))) AS words,
-      |  sum(length(text)) AS chars
+      |  sum(length(regexp_extract_all(text, '\S+')))::BIGINT AS words,
+      |  sum(length(text))::BIGINT AS chars
       |FROM documents""".stripMargin
 
   /** Canonical streaming wordcount, top 50 for a stable oracle. */
@@ -109,7 +111,7 @@ object PipeQueries {
 
   val aggPackageSql: String =
     """SELECT l_returnflag,
-      |  sum(l_orderkey) AS sum_l_orderkey,
+      |  sum(l_orderkey)::BIGINT AS sum_l_orderkey,
       |  round(sum(l_quantity), 2) AS dsum_l_quantity,
       |  max(l_partkey) AS max_l_partkey,
       |  min(l_partkey) AS min_l_partkey,
@@ -188,7 +190,9 @@ object PipeQueries {
     * round-tripping through a partitioned parquet tree and re-aggregating.
     */
   def partitionByKey(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_partition_by_key"
+    // per-run temp dir: concurrent sessions must not collide on the path
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_partition_by_key").toString
     Tables(s, dir).orders
       // co-locate each key before the partitioned write: without this every
       // task opens a writer per key value (tasks × keys small files); with
@@ -267,7 +271,8 @@ object PipeQueries {
     * newline-free — one doc per line, the Hadoop Streaming record model.
     */
   def sourceTextfile(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_text_source"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_text_source").toString
     Tables(s, dir).documents.select(col("text"))
       .write.mode("overwrite").text(out)
     Pipes.wc("value")(s.read.text(out))
@@ -275,8 +280,8 @@ object PipeQueries {
 
   val sourceTextfileSql: String =
     """SELECT count(*) AS lines,
-      |  sum(length(regexp_extract_all(text, '\S+'))) AS words,
-      |  sum(length(text)) AS chars
+      |  sum(length(regexp_extract_all(text, '\S+')))::BIGINT AS words,
+      |  sum(length(text))::BIGINT AS chars
       |FROM documents""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -76,11 +76,13 @@ object SimQueries {
       .orderBy(col("format"))
 
   val mmMetaSql: String =
+    // ::BIGINT on every integer sum — DuckDB sum(INTEGER) is HUGEINT →
+    // Arrow decimal128, which hash-mismatches Spark's int64.
     """SELECT format, count(*) AS n_items,
-      |  sum(length(text)) AS total_bytes,
-      |  sum(cs) AS sum_checksum,
-      |  sum((64 + n_chars % 512) // 8) AS sum_thumb_w,
-      |  sum((64 + (n_chars * 7) % 512) // 8) AS sum_thumb_h
+      |  sum(length(text))::BIGINT AS total_bytes,
+      |  sum(cs)::BIGINT AS sum_checksum,
+      |  sum((64 + n_chars % 512) // 8)::BIGINT AS sum_thumb_w,
+      |  sum((64 + (n_chars * 7) % 512) // 8)::BIGINT AS sum_thumb_h
       |FROM (
       |  SELECT text, n_chars,
       |    (['png','jpeg','webp','mp4'])[(n_chars % 4) + 1] AS format,

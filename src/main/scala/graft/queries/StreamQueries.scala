@@ -42,7 +42,7 @@ object StreamQueries {
       |s AS (
       |  SELECT user_id, ts,
       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
       |  FROM e)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  floor(epoch(min(ts)))::BIGINT AS start_s,

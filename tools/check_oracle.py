@@ -24,6 +24,25 @@ def norm(v):
         return round(v, 6)
     return v
 
+def normtype(t):
+    """Collapse Arrow type spellings that hash identically in the driver.
+
+    Empirically (round 1): int width does NOT affect the driver's hash
+    (int32 vs int64 queries passed), but HUGEINT → decimal128 DOES fail
+    it. So fold all plain ints together and keep decimal distinct.
+    """
+    s = str(t)
+    s = s.replace("large_string", "string").replace("large_list", "list")
+    if s in ("int8", "int16", "int32", "int64", "uint8", "uint16",
+             "uint32", "uint64"):
+        return "int"
+    if s in ("float", "float32", "float64", "double", "halffloat"):
+        return "float"
+    # timestamp unit/tz noise: Spark writes us/UTC, DuckDB us (no tz)
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return s
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -41,14 +60,24 @@ def main():
         if t.num_rows and not got_rows:
             got_rows = [()] * t.num_rows
         got, got_cols = canon(got_rows, t.column_names)
+        got_types = {n: normtype(t.schema.field(n).type) for n in t.column_names}
         try:
             cur = con.execute(sql)
-            exp_cols = [d[0] for d in cur.description]
-            exp, exp_cols = canon(cur.fetchall(), exp_cols)
+            exp_t = cur.arrow()
+            exp_cols = exp_t.column_names
+            exp, exp_cols = canon([tuple(r) for r in zip(*[c.to_pylist() for c in exp_t.columns])] if exp_t.num_columns else [], exp_cols)
+            exp_types = {n: normtype(exp_t.schema.field(n).type) for n in exp_t.column_names}
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}"); n_bad += 1; continue
         if got_cols != exp_cols:
             print(f"COLS     {name}: spark={got_cols} duckdb={exp_cols}"); n_bad += 1; continue
+        # The driver hashes Arrow-materialized values, so a HUGEINT →
+        # decimal128 oracle column hash-mismatches Spark's int64 even at
+        # equal numeric values. Flag any differing Arrow type.
+        tdiff = {c: (got_types[c], exp_types[c]) for c in got_cols
+                 if got_types[c] != exp_types[c]}
+        if tdiff:
+            print(f"TYPES    {name}: {tdiff}"); n_bad += 1; continue
         if len(got) != len(exp):
             print(f"ROWS     {name}: spark={len(got)} duckdb={len(exp)}"); n_bad += 1; continue
         bad = [(g, e) for g, e in zip(got, exp) if g != e]
