@@ -13,15 +13,29 @@ import org.apache.spark.sql.functions._
   * near-cliques (diameter ≤ 2-3 in practice), so the loop converges in
   * a handful of rounds; `maxIters` bounds the worst case. The driver
   * holds only the convergence counter — labels never leave the cluster.
-  * Results are materialized each round (persist + count) so the lineage
-  * doesn't re-run prior rounds; at true scale swap the persist for
-  * `checkpoint` to also truncate lineage.
+  *
+  * Two costs this version engineers away (measured: they dominated the
+  * sf0.1 bench):
+  *  - **Round 0 is free.** The initial label table is already one
+  *    neighbor-min pass (`label = least(id, min(neighbor))`), computed by
+  *    the same groupBy that collects the node set — a clique converges in
+  *    one propagation round + one confirm round.
+  *  - **Plans must not grow.** `persist` short-circuits execution but the
+  *    logical plan still accretes one join+union+agg per round, so
+  *    analysis/optimization cost grows quadratically with iterations.
+  *    Each round ends in a lazy `localCheckpoint`, truncating plan AND
+  *    lineage; the round's single action materializes it. Superseded
+  *    round buffers become unreferenced and the ContextCleaner reclaims
+  *    them (no cache-manager pinning as with `persist`) — including the
+  *    final buffer once the caller drops it, which closes the
+  *    cached-block leak `persist` had. localCheckpoint trades fault
+  *    tolerance for speed: an executor loss fails the job instead of
+  *    recomputing. On a real cluster with flaky nodes, prefer
+  *    `spark.sparkContext.setCheckpointDir` + reliable `checkpoint`
+  *    every few rounds; the loop structure is identical.
   */
 object ConnectedComponents {
 
-  /** (id, label) for every node of `edges` (columns id_a, id_b); label =
-    * min node id reachable. Only nodes with at least one edge appear.
-    */
   /** Below this node count the label table joins with an explicit
     * broadcast hint — on a small graph the per-iteration cost is all
     * scheduling overhead, while a large graph wants the shuffle path.
@@ -32,6 +46,9 @@ object ConnectedComponents {
     */
   val SmallGraphNodes = 1000000L
 
+  /** (id, label) for every node of `edges` (columns id_a, id_b); label =
+    * min node id reachable. Only nodes with at least one edge appear.
+    */
   def labels(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     // persist the EDGE LIST, not just the symmetrized view: sym unions two
     // projections of `edges`, so an unpersisted edges plan (e.g. a whole
@@ -39,9 +56,12 @@ object ConnectedComponents {
     val e = edges.persist()
     val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
-    var cur = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist()
+    // round 0 fused into initialization: one aggregation yields both the
+    // node set and each node's first neighbor-min label
+    var cur = sym.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .select(col("u").as("id"), col("label"))
+      .localCheckpoint(false)
     val nNodes = cur.count()
     val small = nNodes < SmallGraphNodes
     var converged = false
@@ -60,10 +80,9 @@ object ConnectedComponents {
         val agg = own.unionByName(prop)
           .groupBy(col("id"))
           .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-          .persist()
+          .localCheckpoint(false)
         val changed = agg.filter(col("label") < col("old")).count()
-        cur.unpersist()
-        cur = agg
+        cur = agg // previous round's buffer is now unreferenced → cleaned
         converged = changed == 0
         it += 1
       }

@@ -37,7 +37,10 @@ class DedupSpec extends SparkSpec {
 
   test("NgramJaccard equals brute-force exact pairs") {
     val docs = graft.util.Tables(spark, sf).documents
-    val viaIndex = NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.7)
+    // uncapped maxDf to match the query layer's regime: with the default
+    // cap, a df>100 shingle would make this a lower-bound-vs-exact compare
+    val viaIndex = NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.7,
+        maxDf = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val lsh = DedupQueries.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -70,6 +73,16 @@ class DedupSpec extends SparkSpec {
     val out = graft.dedup.ConnectedComponents.clusters(edges).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out === Map(1L -> 3L, 10L -> 2L, 20L -> 2L))
+  }
+
+  test("ConnectedComponents: long path graph needs multiple rounds") {
+    import spark.implicits._
+    // path 1-2-...-8: diameter 7, so the fused round-0 cannot finish it —
+    // exercises the iterative localCheckpoint loop over several rounds
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.dedup.ConnectedComponents.labels(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === (1L to 8L).map(i => (i, 1L)).toSet)
   }
 
   test("dedup_clusters matches driver-side union-find on the pair graph") {
