@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductD, HeavyHitters, L2NormD, MinHashLanes, SimHash64}
+import graft.functions.{DotProductD, GraftFunctions, HeavyHitters, L2NormD, MinHashLanes, PolyFingerprint, SimHash64}
 
 /** Standard Spark extension packaging: enables graft's native functions
   * in ANY session via configuration —
@@ -46,9 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_lanes"),
       info("graft_minhash_lanes", "graft_minhash_lanes(shingles) - 64 MinHash lane minima"),
       arity("graft_minhash_lanes", 1)(es => MinHashLanes(es.head))))
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "graft_fingerprint(s) - rolling polynomial hash of a string"),
+      arity("graft_fingerprint", 1)(es => PolyFingerprint(es.head))))
     ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters", "graft_heavy_hitters(col, capacity) - SpaceSaving top items"),
       arity("graft_heavy_hitters", 2)(es =>
-        HeavyHitters(es(0), es(1).eval().asInstanceOf[Int]).toAggregateExpression())))
+        HeavyHitters(es(0), GraftFunctions.foldableCapacity(es(1)))
+          .toAggregateExpression())))
   }
 }

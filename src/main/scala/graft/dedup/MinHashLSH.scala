@@ -33,11 +33,17 @@ object MinHashLSH {
   val NumBands = 16
   val LanesPerBand: Int = NumLanes / NumBands
 
-  /** (id, shingles) with empty-shingle docs dropped. */
+  /** (id, shingles) with empty-shingle docs dropped. Tokenization is
+    * bound to an attribute first so the shifted-slice zip_with in
+    * wordNgrams (which references the token array n+1 times) consumes
+    * an attribute, not a re-evaluated derived expression — the SURVEY
+    * §8 higher-order-function pitfall.
+    */
   def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(
+    docs.withColumn("graft_toks", TextOps.tokens(col(textCol)))
+      .select(
         col(idCol).as("doc_id"),
-        TextOps.wordNgrams(TextOps.tokens(col(textCol)), n).as("shingles"))
+        TextOps.wordNgrams(col("graft_toks"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   /** (doc_id, lanes array<long>) minhash signatures — MAP-ONLY: all 64

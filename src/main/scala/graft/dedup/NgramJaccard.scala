@@ -33,8 +33,10 @@ object NgramJaccard {
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxDf: Int = 100): DataFrame = {
-    val shingled = docs.select(col(idCol).as("doc_id"),
-        TextOps.wordNgrams(TextOps.tokens(col(textCol)), n).as("shingles"))
+    // attribute-bound tokens: wordNgrams references the array n+1 times
+    val shingled = docs.withColumn("graft_toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        TextOps.wordNgrams(col("graft_toks"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val sh = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))

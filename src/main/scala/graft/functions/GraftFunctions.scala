@@ -16,9 +16,25 @@ object GraftFunctions {
     "graft_l2norm" -> { case Seq(a) => L2NormD(a) },
     "graft_simhash64" -> { case Seq(a) => SimHash64(a) },
     "graft_minhash_lanes" -> { case Seq(a) => MinHashLanes(a) },
+    "graft_fingerprint" -> { case Seq(a) => PolyFingerprint(a) },
     "graft_heavy_hitters" -> { case Seq(a, k) =>
-      HeavyHitters(a, k.eval().asInstanceOf[Int])
-        .toAggregateExpression() })
+      HeavyHitters(a, foldableCapacity(k)).toAggregateExpression() })
+
+  /** Plan-time capacity arg: must be a foldable integral expression —
+    * a clear error beats the ClassCastException/NPE a bare
+    * `eval().asInstanceOf[Int]` throws on BIGINT literals or columns.
+    */
+  private[graft] def foldableCapacity(k: Expression): Int = {
+    if (!k.foldable)
+      throw new IllegalArgumentException(
+        "graft_heavy_hitters capacity must be a literal, got a non-foldable " +
+          s"expression: ${k.sql}")
+    k.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_heavy_hitters capacity must be integral, got $other")
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

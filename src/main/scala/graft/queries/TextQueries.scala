@@ -41,9 +41,18 @@ object TextQueries {
   private def round4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (floor(c * 10000 + 0.5).cast("double") / 10000).as("r")
 
+  /** Tokenizes ONCE into an attribute-bound column, then derives all
+    * four metrics from it: higher-order functions re-evaluate
+    * non-attribute argument subtrees per lambda call, so passing the
+    * derived `tokens(text)` expression straight into `filter`/
+    * `aggregate` re-tokenizes per lambda invocation. (CollapseProject
+    * keeps the binding: it never inlines a non-cheap alias consumed
+    * more than once.)
+    */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    val toks = col("toks")
     Tables(s, dir).documents
+      .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"),
         size(toks).as("n_tokens"),
         round4(TextOps.stopwordRatio(toks)).as("stop_ratio"),
@@ -75,8 +84,9 @@ object TextQueries {
     * integer scoring in SQL, so parity is exact regardless of accuracy.
     */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    val toks = col("toks")
     Tables(s, dir).documents
+      .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("lang"), TextOps.langPredict(toks).as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
@@ -104,10 +114,12 @@ object TextQueries {
   /** Rolling polynomial hash fingerprint per doc — deterministic, so the
     * oracle replays the identical fold in DuckDB via list_reduce.
     */
-  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables(s, dir).documents
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+  }
 
   val textFingerprintSql: String =
     """SELECT doc_id,
@@ -123,7 +135,8 @@ object TextQueries {
   /** Corpus-wide top word bigrams by document frequency. */
   def textNgrams(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
-      .select(explode(TextOps.wordNgrams(TextOps.tokens(col("text")), 2)).as("gram"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(explode(TextOps.wordNgrams(col("toks"), 2)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("gram"))

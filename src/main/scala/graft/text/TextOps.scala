@@ -140,13 +140,20 @@ object TextOps {
 
   /** Rolling polynomial hash over the normalized text (whitespace
     * collapsed, lowercased): h = (h*31 + codepoint) mod 1e9+7.
-    * Modular form keeps the fold inside ANSI-safe long arithmetic
-    * (Spark 4 throws on silent 64-bit overflow). Deterministic across
-    * partitionings — it's a per-row expression, not an aggregation.
+    * Deterministic across partitionings — it's a per-row expression,
+    * not an aggregation.
+    *
+    * One native codegen'd pass (see [[graft.functions.PolyFingerprint]])
+    * — the previous `aggregate(transform(split(...)))` chain re-split
+    * the text per character (HOFs re-evaluate non-attribute arguments
+    * per lambda call, the SURVEY §8 50× pitfall). Self-registers on the
+    * active session; plan-building happens on the driver, so the active
+    * session is the one about to analyze this expression.
     */
   def fingerprint(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
     val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
-    val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
-    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+    call_function("graft_fingerprint", norm)
   }
 }
