@@ -5,13 +5,17 @@ package graft
   * pays plan compilation (Catalyst + janino) and cache warmup, and this
   * shared box sees sporadic co-tenant CPU steal; min-of-2 reports
   * steady-state engine time rather than host noise.
+  *
+  * The line goes to stdout AND to `BENCH.json` in the working
+  * directory: sbt prefixes stdout with `[info] `, which breaks naive
+  * JSON parsing downstream, so the file is the clean machine-readable
+  * copy.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
-    // a failed query must NOT read as a fast timing: report -1 sentinel
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -21,12 +25,26 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = Seq(once(fn), once(fn)).flatten
+      // a failed query must NOT read as a fast timing: -1 sentinel per
+      // query, and it is EXCLUDED from the total (a sentinel summed in
+      // would make the headline metric improve as correctness degrades)
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
+    val failed = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
+    val ok = results.values.filter(_ >= 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

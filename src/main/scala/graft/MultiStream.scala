@@ -1,0 +1,68 @@
+package graft
+
+import graft.pipeline.MultiSpec
+
+/** CLI-shaped entry mirroring the reference's invocation surface
+  * (HadoopMultipleStreaming.java:27 — all args parsed by the job
+  * runner):
+  *
+  * {{{
+  * runMain graft.MultiStream \
+  *   -input  /data/docs.parquet  -column text \
+  *   -output /out/home \
+  *   -multiple "hits|grep spark|NONE" \
+  *   -multiple "counts|/bin/cat|/bin/wc" \
+  *   -cmdenv NAME=VALUE \
+  *   -format parquet
+  * }}}
+  *
+  * `-input` reads parquet when the path contains ".parquet", else text
+  * lines (column `value`); `-column` names the text column piped into
+  * every branch; each branch writes `<output>/<dirKey>` — the
+  * reference's output layout (MultiStreamJobRunner.java:53-59). Branch
+  * writes are submitted concurrently (MultiPipeline.write), where the
+  * reference pays one sequential MR job per spec.
+  */
+object MultiStream {
+
+  def main(args: Array[String]): Unit = {
+    var input = ""; var output = ""; var column = ""
+    var format = "parquet"
+    val specs = scala.collection.mutable.ListBuffer.empty[String]
+    val env = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-input" => input = args(i + 1); i += 2
+        case "-output" => output = args(i + 1); i += 2
+        case "-column" => column = args(i + 1); i += 2
+        case "-format" => format = args(i + 1); i += 2
+        case "-multiple" => specs += args(i + 1); i += 2
+        case "-cmdenv" =>
+          val Array(k, v) = args(i + 1).split("=", 2)
+          env(k) = v; i += 2
+        case other =>
+          sys.error(s"unknown option '$other' (want -input -output " +
+            "-column -format -multiple -cmdenv)")
+      }
+    }
+    require(input.nonEmpty, "-input is required")
+    require(output.nonEmpty, "-output is required")
+    require(specs.nonEmpty, "at least one -multiple spec is required")
+
+    // only stop a session this main created: under tests (or a notebook
+    // calling main directly) getOrCreate returns the caller's session
+    val hadActive = org.apache.spark.sql.SparkSession.getActiveSession.isDefined
+    val spark = GraftSession.create()
+    try {
+      val df =
+        if (input.contains(".parquet")) spark.read.parquet(input)
+        else spark.read.text(input)
+      val c = if (column.nonEmpty) column
+        else if (input.contains(".parquet")) df.columns.head else "value"
+      MultiSpec.pipeline(df, c, specs.toSeq, env = env.toMap)
+        .write(output, format)
+      println(s"[multistream] ${specs.size} branch(es) written under $output")
+    } finally if (!hadActive) spark.stop()
+  }
+}

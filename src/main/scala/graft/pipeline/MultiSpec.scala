@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Front end for the reference's `-multiple "outputDir|mapper|reducer"`
+  * job specs (README example; parsed at MapStreamJob.java:266-278 and
+  * fanned out one reduce job per spec by MultiStreamJobRunner.java:34-78).
+  * Turns spec STRINGS into [[MultiPipeline]] branches, completing the
+  * migration story: a reference user's CLI invocation maps 1:1 onto
+  *
+  * {{{
+  * MultiSpec.pipeline(input, "line", Seq(
+  *   "high|grep important|NONE",
+  *   "counts|/bin/cat|/bin/wc",
+  *   "scored|./score.py|./sum.py"), registry).write(outputHome)
+  * }}}
+  *
+  * Each mapper/reducer command resolves, in order:
+  *  1. a caller-supplied registry entry (named native stage — the
+  *     Spark-first replacement for a rewritten script);
+  *  2. a recognized common executable, re-expressed as the codegen'd
+  *     native stage (`cat`, `wc`, `grep [-v] PAT`, `cut [-d SEP] -f LIST`,
+  *     `NONE`/empty = identity, the Hadoop `-reducer NONE` convention);
+  *  3. anything else runs as a REAL child process: mappers through
+  *     [[Pipes.exec]], reducers through [[Pipes.execReduce]] (key =
+  *     first tab field, the Hadoop Streaming default) — the unmodified
+  *     legacy binary keeps working.
+  */
+object MultiSpec {
+
+  /** Named native stages, keyed by the command string in the spec. */
+  type Registry = Map[String, Pipes.Pipe]
+
+  final case class Spec(dirKey: String, mapper: String, reducer: String)
+
+  /** Split on `|`, except inside double-quoted fields — a shell-pipeline
+    * mapper like `"tr ' ' '\n' | sort"` quotes the whole field. (The
+    * reference's splitter has no such escape; its README examples are
+    * all pipe-free commands.)
+    */
+  def parse(spec: String): Spec = {
+    val raw = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    spec.foreach {
+      case '"' => inQuotes = !inQuotes; cur += '"'
+      case '|' if !inQuotes => raw += cur.result().trim; cur.clear()
+      case ch => cur += ch
+    }
+    raw += cur.result().trim
+    require(!inQuotes, s"unbalanced quotes in -multiple spec '$spec'")
+    // strip ONE surrounding quote layer; quotes inside commands survive
+    val parts = raw.map { f =>
+      if (f.length >= 2 && f.head == '"' && f.last == '"')
+        f.substring(1, f.length - 1)
+      else f
+    }
+    require(parts.length == 2 || parts.length == 3,
+      s"""bad -multiple spec '$spec': want "outputDir|mapper|reducer"""")
+    require(parts(0).nonEmpty, s"empty outputDir in -multiple spec '$spec'")
+    Spec(parts(0), parts(1), if (parts.length == 3) parts(2) else "NONE")
+  }
+
+  private val Grep = """grep\s+(.+)""".r
+  private val GrepV = """grep\s+-v\s+(.+)""".r
+  private val Cut = """cut\s+(?:-d\s*(\S+)\s+)?-f\s*([\d,]+)""".r
+
+  /** Resolve one command string to a stage over text column `c`. */
+  def resolve(cmd: String, c: String, registry: Registry,
+      asReducer: Boolean, env: Map[String, String] = Map.empty): Pipes.Pipe =
+    registry.get(cmd).getOrElse {
+      val base = cmd.split("/").last // "/bin/cat" and "cat" are one idiom
+      (base, cmd) match {
+        case _ if cmd.isEmpty || cmd == "NONE" => Pipes.cat
+        case ("cat", _) => Pipes.cat
+        case ("wc", _) => Pipes.wc(c)
+        case (GrepV(pat), _) => Pipes.grepV(c, pat)
+        case (Grep(pat), _) => Pipes.grep(c, pat)
+        case (Cut(sep, fields), _) =>
+          Pipes.cut(c, Option(sep).getOrElse("\t"),
+            fields.split(",").toIndexedSeq.map(_.toInt))
+        case _ =>
+          // unknown command — run the real executable through a shell,
+          // so spec strings with arguments/pipes work as they did under
+          // `-mapper`. Reducers get the keyed+sorted stream contract.
+          val sh = Seq("/bin/sh", "-c", cmd)
+          if (asReducer) Pipes.execReduce(c, "\t", 1, sh, env)
+          else Pipes.exec(c, sh, env)
+      }
+    }
+
+  /** Build the fan-out pipeline from `-multiple` spec strings; `env` is
+    * the `-cmdenv` surface, applied to every exec'd child.
+    */
+  def pipeline(input: DataFrame, c: String, specs: Seq[String],
+      registry: Registry = Map.empty, share: Boolean = false,
+      env: Map[String, String] = Map.empty): MultiPipeline =
+    specs.map(parse).foldLeft(MultiPipeline(input, share)) { (mp, sp) =>
+      mp.branch(sp.dirKey)(
+        resolve(sp.mapper, c, registry, asReducer = false, env)
+          .andThen(resolve(sp.reducer, c, registry, asReducer = true, env)))
+    }
+}

@@ -83,4 +83,65 @@ object Pipes {
     * chain is one Catalyst plan.
     */
   def chain(stages: Pipe*): Pipe = stages.reduceLeft(_ andThen _)
+
+  /** The external-executable escape hatch: pipe a text column through an
+    * arbitrary child process, one process per partition, exactly the
+    * reference's record model (MultiPipeMapRed.java:212 holds one child
+    * stdin per pipeline; :764 frames records as lines). This is the
+    * migration path for a legacy `-mapper ./score.py` that the native
+    * stages above can't express.
+    *
+    * Every other stage in this file beats this one at scale — a child
+    * process costs fork/exec per partition, line serialization both
+    * ways, and is opaque to Catalyst (no pushdown through it, no
+    * codegen fusion). Use it for the binaries you can't rewrite; tag
+    * ids into the line (`toLine`) and parse them back out (`cut`) to
+    * keep joinability.
+    *
+    * `env` is the `-cmdenv NAME=VALUE` surface (MultiPipeMapRed.java:203
+    * addEnvironment): vars are set in each child's environment. For the
+    * reference's `-file` shipping, distribute with
+    * `spark.sparkContext.addFile(path)` and resolve per-executor inside
+    * a shell wrapper, or inline small scripts via env:
+    * `exec(c, Seq("/bin/sh", "-c", "python3 -c \"\$GRAFT_SRC\""),
+    *       Map("GRAFT_SRC" -> src))`.
+    *
+    * The child must exit 0: Spark's PipedRDD fails the task otherwise.
+    * Tools with grep-style "no match" exit codes need a
+    * `sh -c '... || true'` wrapper.
+    *
+    * Output: one string column named like the input — exec stages chain
+    * with each other and with every native stage.
+    */
+  def exec(c: String, command: Seq[String],
+      env: Map[String, String] = Map.empty): Pipe = { df =>
+    linesToDf(df, c, df.select(col(c).cast("string")))(command, env)
+  }
+
+  /** The external REDUCER contract, exactly as Hadoop Streaming frames
+    * it: records are partitioned by key (first `numKeyFields`
+    * `sep`-separated fields) and each partition is key-sorted before
+    * the child sees it, so one child process receives every record of
+    * each of its keys, contiguously — the child can aggregate by
+    * watching the key change between lines, the way every streaming
+    * reducer script is written. One shuffle, then one child per
+    * partition; key groups never straddle children.
+    */
+  def execReduce(c: String, sep: String, numKeyFields: Int,
+      command: Seq[String], env: Map[String, String] = Map.empty): Pipe = { df =>
+    val keyed = keyBy(c, sep, numKeyFields)(df)
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"))
+      .select(col(c).cast("string"))
+    linesToDf(df, c, keyed)(command, env)
+  }
+
+  private def linesToDf(src: DataFrame, c: String,
+      lines: DataFrame)(command: Seq[String], env: Map[String, String]): DataFrame =
+    src.sparkSession.createDataFrame(
+      lines.rdd.map(_.getString(0)).pipe(command, env)
+        .map(org.apache.spark.sql.Row(_)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.StringType, nullable = false))))
 }

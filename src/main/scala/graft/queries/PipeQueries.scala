@@ -56,6 +56,32 @@ object PipeQueries {
       |  sum(length(text))::BIGINT AS chars
       |FROM documents""".stripMargin
 
+  /** The escape hatch exercised for real: documents piped through an
+    * actual `/bin/grep` child process (one per partition), with the
+    * pattern delivered via the environment — the reference's
+    * `-mapper grep -cmdenv` shape end-to-end. Ids ride the line
+    * (toLine) and are parsed back out (cut), so the result matches the
+    * native pipe_grep oracle exactly. The `|| true` wrapper absorbs
+    * grep's exit-1-on-no-match (PipedRDD fails tasks on nonzero exit,
+    * and some partition may contain no matching doc).
+    */
+  def pipeExecGrep(s: SparkSession, dir: String): DataFrame = {
+    val line = Pipes.toLine("\t", Seq("doc_id", "lang", "text"))(
+      Tables(s, dir).documents)
+    val piped = Pipes.exec("line",
+      Seq("/bin/sh", "-c", "grep \"$GRAFT_PATTERN\" || true"),
+      env = Map("GRAFT_PATTERN" -> "spark"))(line)
+    Pipes.cut("line", "\t", Seq(1, 2))(piped)
+      .select(col("f1").cast("long").as("doc_id"), col("f2").as("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same oracle as pipe_grep: only the text field can contain the
+    * pattern (doc_id is numeric, lang is a 2-letter code), so grepping
+    * the whole tab-joined line equals grepping text.
+    */
+  val pipeExecGrepSql: String = pipeGrepSql
+
   /** Canonical streaming wordcount, top 50 for a stable oracle. */
   def pipeWordcount(s: SparkSession, dir: String): DataFrame =
     Pipes.wordcount("text")(Tables(s, dir).documents)
@@ -185,14 +211,49 @@ object PipeQueries {
       |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
       |ORDER BY branch""".stripMargin
 
+  /** The same fan-out driven through the `-multiple` spec-string front
+    * end: spec strings name registry stages (the migration path for a
+    * user's rewritten mapper/reducer scripts), and the branch set must
+    * equal multi_fanout's — same oracle.
+    */
+  def multiSpec(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.MultiSpec
+    val registry: MultiSpec.Registry = Map(
+      "agg_high_value" ->
+        (_.filter(col("o_totalprice") > 150000.0)
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .select(lit("high_value").as("branch"), col("n_rows"), col("total"))),
+      "agg_by_status" ->
+        (_.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"))
+          .agg(count(lit(1)).as("n_rows"), lit(null).cast("double").as("total"))
+          .select(lit("by_status").as("branch"), col("n_rows"), col("total"))),
+      "agg_recent" ->
+        (_.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .select(lit("recent").as("branch"), col("n_rows"), col("total"))))
+    val branches = MultiSpec.pipeline(Tables(s, dir).orders, "line", Seq(
+        "high_value|agg_high_value|NONE",
+        "by_status|agg_by_status|NONE",
+        "recent|agg_recent|NONE"), registry)
+      .run()
+    branches.values.reduce(_ unionByName _).orderBy(col("branch"))
+  }
+
+  val multiSpecSql: String = multiFanoutSql
+
   /** PartitionByKeyField.java:8 — output partitioned by key into per-key
     * directories. Spark-first: `write.partitionBy(key)`; verified by
     * round-tripping through a partitioned parquet tree and re-aggregating.
     */
-  def partitionByKey(s: SparkSession, dir: String): DataFrame = {
+  def partitionByKey(s: SparkSession, dir: String): DataFrame =
     // per-run temp dir: concurrent sessions must not collide on the path
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_partition_by_key").toString
+    partitionByKeyTo(s, dir,
+      java.nio.file.Files.createTempDirectory("graft_partition_by_key").toString)
+
+  def partitionByKeyTo(s: SparkSession, dir: String, out: String): DataFrame = {
     Tables(s, dir).orders
       // co-locate each key before the partitioned write: without this every
       // task opens a writer per key value (tasks × keys small files); with
@@ -287,6 +348,7 @@ object PipeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_cat" -> (pipeCat _),
     "pipe_grep" -> (pipeGrep _),
+    "pipe_exec_grep" -> (pipeExecGrep _),
     "pipe_cut" -> (pipeCut _),
     "pipe_wc" -> (pipeWc _),
     "pipe_wordcount" -> (pipeWordcount _),
@@ -294,6 +356,7 @@ object PipeQueries {
     "agg_package" -> (aggPackage _),
     "agg_histogram" -> (aggHistogram _),
     "multi_fanout" -> (multiFanout _),
+    "multi_spec" -> (multiSpec _),
     "partition_by_key" -> (partitionByKey _),
     "input_tagged" -> (inputTagged _),
     "source_textfile" -> (sourceTextfile _),
@@ -302,6 +365,7 @@ object PipeQueries {
   val oracleSql: Map[String, String] = Map(
     "pipe_cat" -> pipeCatSql,
     "pipe_grep" -> pipeGrepSql,
+    "pipe_exec_grep" -> pipeExecGrepSql,
     "pipe_cut" -> pipeCutSql,
     "pipe_wc" -> pipeWcSql,
     "pipe_wordcount" -> pipeWordcountSql,
@@ -309,6 +373,7 @@ object PipeQueries {
     "agg_package" -> aggPackageSql,
     "agg_histogram" -> aggHistogramSql,
     "multi_fanout" -> multiFanoutSql,
+    "multi_spec" -> multiSpecSql,
     "partition_by_key" -> partitionByKeySql,
     "input_tagged" -> inputTaggedSql,
     "source_textfile" -> sourceTextfileSql,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{MultiSpec, Pipes}
+import graft.queries.PipeQueries
+
+class MultiSpecSpec extends SparkSpec {
+
+  test("parse accepts dir|mapper|reducer and defaults reducer to NONE") {
+    assert(MultiSpec.parse("out1|/bin/cat|/bin/wc") ===
+      MultiSpec.Spec("out1", "/bin/cat", "/bin/wc"))
+    assert(MultiSpec.parse("out2|grep x") ===
+      MultiSpec.Spec("out2", "grep x", "NONE"))
+    intercept[IllegalArgumentException](MultiSpec.parse("just-a-dir"))
+    intercept[IllegalArgumentException](MultiSpec.parse("|cat|wc"))
+  }
+
+  test("resolve: builtins become native stages, registry wins over builtins") {
+    import spark.implicits._
+    val df = Seq("keep this spark line", "drop this").toDF("line")
+    val grep = MultiSpec.resolve("grep spark", "line", Map.empty, asReducer = false)
+    assert(grep(df).collect().map(_.getString(0)).toSeq ===
+      Seq("keep this spark line"))
+    val wc = MultiSpec.resolve("/bin/wc", "line", Map.empty, asReducer = true)
+    assert(wc(df).head().getLong(0) === 2L)
+    val cut = MultiSpec.resolve("cut -d , -f 2", "line", Map.empty, asReducer = false)
+    assert(cut(Seq("a,b,c").toDF("line")).head().getString(0) === "b")
+    // registry shadows the builtin name
+    val custom = MultiSpec.resolve("cat", "line",
+      Map("cat" -> ((d: org.apache.spark.sql.DataFrame) => d.limit(1))),
+      asReducer = false)
+    assert(custom(df).count() === 1L)
+  }
+
+  test("spec pipeline with exec mapper and execReduce reducer = native wordcount") {
+    // the full legacy shape: a real /bin/sh mapper emitting "word\t1"
+    // lines, a real /bin/sh reducer summing per key group — Hadoop
+    // Streaming's canonical wordcount, run through spec strings
+    val docs = graft.util.Tables(spark, sf).documents
+    val lines = Pipes.toLine("\t", Seq("text"))(docs)
+    val mapper = "tr ' ' '\\n' | tr 'A-Z' 'a-z' | grep -v '^$' | sed 's/$/\\t1/'"
+    val reducer = "awk -F'\\t' '$1 != k && NR > 1 { print k \"\\t\" s; s = 0 } " +
+      "{ k = $1; s += $2 } END { if (NR > 0) print k \"\\t\" s }'"
+    val out = MultiSpec.pipeline(lines, "line",
+        Seq(s"""wc|"$mapper"|"$reducer"""")).run()("wc")
+    val got = Pipes.cut("line", "\t", Seq(1, 2))(out)
+      .select(col("f1").as("word"), col("f2").cast("long").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val native = Pipes.wordcount("text")(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.nonEmpty && got === native)
+  }
+
+  test("multi_spec equals multi_fanout (spec front end parity)") {
+    val a = PipeQueries.multiSpec(spark, sf).collect().map(_.toSeq).toSeq
+    val b = PipeQueries.multiFanout(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("MultiStream CLI writes one directory per spec") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ms_cli").toString
+    MultiStream.main(Array(
+      "-input", s"$sf/documents.parquet", "-column", "text",
+      "-output", out,
+      "-multiple", "hits|grep spark|NONE",
+      "-multiple", "counts|/bin/cat|/bin/wc"))
+    val hits = spark.read.parquet(s"$out/hits")
+    val counts = spark.read.parquet(s"$out/counts")
+    assert(hits.count() > 0)
+    assert(counts.head().getLong(0) === 500L)
+  }
+}

@@ -103,10 +103,40 @@ class PipeSpec extends SparkSpec {
   }
 
   test("partition_by_key produces per-key directories (PartitionByKeyField)") {
-    PipeQueries.partitionByKey(spark, sf).collect()
-    val out = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_partition_by_key")
-    val dirs = out.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    val out = java.nio.file.Files.createTempDirectory("graft_pbk_spec").toString
+    PipeQueries.partitionByKeyTo(spark, sf, out).collect()
+    val dirs = new java.io.File(out)
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.exists(_.startsWith("o_orderstatus=")), s"got $dirs")
+  }
+
+  test("Pipes.exec runs a real child process and matches the native stage") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val native = Pipes.grep("text", "spark")(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val line = Pipes.toLine("\t", Seq("doc_id", "text"))(docs)
+    val exec = Pipes.exec("line",
+        Seq("/bin/sh", "-c", "grep spark || true"))(line)
+    val ids = Pipes.cut("line", "\t", Seq(1))(exec)
+      .collect().map(_.getString(0).toLong).toSet
+    assert(native.nonEmpty && ids === native)
+  }
+
+  test("Pipes.exec passes -cmdenv environment variables to the child") {
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("line")
+    val out = Pipes.exec("line",
+        Seq("/bin/sh", "-c", "while read l; do echo \"$l-$GRAFT_TAG\"; done"),
+        env = Map("GRAFT_TAG" -> "tagged"))(df)
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("a-tagged", "b-tagged"))
+  }
+
+  test("pipe_exec_grep equals pipe_grep (exec-vs-native parity)") {
+    val native = PipeQueries.pipeGrep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val exec = PipeQueries.pipeExecGrep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(native.nonEmpty && exec === native)
   }
 }
