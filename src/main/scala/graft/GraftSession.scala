@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); set at build time so no
+      // read path has to flip session conf mid-flight (Tables.events
+      // still sets it defensively for sessions built elsewhere)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Core count for local mode: SPARK_GRAFT_CPUS env, else 32 (the

@@ -59,6 +59,33 @@ object SimQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Numeric quality gate for the approximate ANN paths: recall@K of
+    * LSH and IVF against the exact brute-force top-k, macro-averaged
+    * over queries, computed entirely in Spark (one plan: union the
+    * method outputs, left-join the exact set, two aggregations).
+    * Rows-only for the driver (the approx methods have no SQL twin),
+    * but a recall regression now shows as a VALUE change instead of
+    * being invisible behind `no_oracle`; the spec asserts the floors.
+    */
+  def knnRecall(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(s, dir)
+    val exact = Knn.brute(q, c, "vec_id", "embedding", K)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val methods =
+      Knn.lsh(q, c, "vec_id", "embedding", K, dim = 64)
+        .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
+        .unionByName(Knn.ivf(q, c, "vec_id", "embedding", K)
+          .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
+    methods
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("method"), col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0))) / lit(K)).as("recall_q"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall_q")), 4).as("recall"))
+      .orderBy(col("method"))
+  }
+
   /** Multimodal: per-format stats over the batch-decoded features. The
     * decode stub's arithmetic is mirrored exactly in the oracle (the
     * corpus is pure ASCII, so byte k of the UTF-8 payload == codepoint
@@ -136,6 +163,7 @@ object SimQueries {
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
+    "knn_recall" -> (knnRecall _),
     "emb_centroids" -> (embCentroids _),
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _))

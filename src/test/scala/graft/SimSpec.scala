@@ -41,6 +41,24 @@ class SimSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean IVF recall@10 $mean")
   }
 
+  test("knn_recall query agrees with the driver-side recall computation") {
+    val rows = SimQueries.knnRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set("ivf", "lsh"))
+    rows.foreach { case (m, (nq, rec)) =>
+      assert(nq === 10L, s"$m covered $nq queries")
+      assert(rec >= 0.7, s"$m recall@10 $rec below floor")
+      assert(rec <= 1.0)
+    }
+    // cross-check one method against the independent driver-side compute
+    val brute = neighborSets(SimQueries.knnBrute(spark, sf))
+    val lsh = neighborSets(SimQueries.knnLsh(spark, sf))
+    val mean = brute.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }.sum / brute.size
+    assert(math.abs(rows("lsh")._2 - mean) < 1e-3)
+  }
+
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
     // every (q, n, cos) from LSH must agree with brute-force cos when present
     val brute = SimQueries.knnBrute(spark, sf).collect()
