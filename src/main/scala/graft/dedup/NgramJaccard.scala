@@ -1,30 +1,49 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
-/** Exact n-gram Jaccard pair mining via an inverted index.
+/** Exact n-gram Jaccard pair mining via a PREFIX-FILTERED inverted
+  * index (the AllPairs/PPJoin family, Xiao et al., WWW'08).
   *
-  * Classic shape: explode (doc, shingle); self-join on shingle; count
-  * rows per (id_a, id_b) — that count IS |A ∩ B| because shingle sets
-  * are distinct per doc; then J = |A∩B| / (|A|+|B|-|A∩B|) with per-doc
-  * set sizes joined in (one row per doc — AQE broadcasts it when it
-  * fits, shuffle-joins on id otherwise). No per-pair array
-  * materialization: the whole thing is joins + a partial-aggregatable
-  * count.
+  * The naive inverted index joins every co-occurrence: Σ df² candidate
+  * rows — one shingle in 1M docs alone emits 5·10¹¹ pairs. Prefix
+  * filtering makes the index sparse while staying EXACT:
   *
-  * `maxDf` drops shingles with document frequency > maxDf before the
-  * self-join — the standard guard against the Σ df² blowup (one shingle
-  * in 1M docs would alone emit 5·10¹¹ pairs). With the cap active the
-  * computed J is a LOWER bound (common shingles no longer counted), so
-  * pruning is conservative for near-duplicate detection: a true
-  * near-dup pair shares mostly rare shingles and keeps J ≈ exact, while
-  * background pairs glued only by ubiquitous shingles drop out — they
-  * were never near-dups. Set maxDf ≥ corpus size for fully exact output
-  * (the regime the DuckDB oracle checks).
+  *  1. order all shingles canonically by (document frequency, shingle)
+  *     — rarest first;
+  *  2. any pair with J(a,b) ≥ τ shares o ≥ ⌈τ·|a|⌉ shingles, and its
+  *     smallest common shingle s* has at least o−1 common shingles
+  *     after it in BOTH docs' ordered sets — so s* sits within the
+  *     first |x| − o + 1 shingles of each. Indexing only that PREFIX
+  *     per doc still discovers every qualifying pair, via its minimum
+  *     common shingle;
+  *  3. candidates (distinct pairs from the prefix join) are verified
+  *     with one `array_intersect` on the full shingle arrays — J is
+  *     exact, reported to 4 decimals.
   *
-  * All shuffles key on shingle or (id_a, id_b): uniform, AQE-safe.
+  * At τ = 0.7 the prefix is ≈ 30% of each doc, and because the order
+  * is df-ascending the prefix is the RARE end: high-df shingles almost
+  * never enter any index row. df = 1 shingles are dropped entirely
+  * (a shared shingle has df ≥ 2 by definition; the rank arithmetic
+  * accounts for the removal). The candidate side shrinks from Σ df²
+  * to Σ df_prefix² over rare shingles — the difference between "dies
+  * at corpus scale" and "bounded by the planted-duplicate density".
+  *
+  * `maxDf` additionally drops shingles with df > maxDf from the index
+  * (NOT from verification): with the cap a pair glued ONLY by
+  * ultra-common shingles can be missed — conservative for near-dup
+  * mining, where true near-dups share rare shingles — but every
+  * reported pair carries its exact J either way. maxDf ≥ corpus size
+  * (e.g. Int.MaxValue) = complete exact output, the regime the DuckDB
+  * oracle checks.
+  *
+  * Shuffles: explode keys on shingle (uniform), ranking windows key on
+  * doc_id, candidate distinct keys on (id_a, id_b), verification joins
+  * key on doc_id. All uniform, AQE-safe; nothing materializes a
+  * per-pair array except for verified candidates.
   */
 object NgramJaccard {
 
@@ -33,30 +52,44 @@ object NgramJaccard {
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxDf: Int = 100): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     // attribute-bound tokens: wordNgrams references the array n+1 times
     val shingled = docs.withColumn("graft_toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("doc_id"),
         TextOps.wordNgrams(col("graft_toks"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val sh = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // df = 1 shingles can't form a pair — dropping them shrinks the index
-    // (singletons usually dominate) without changing ANY pair's count
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ex = shingled.select(col("doc_id"),
+      size(col("shingles")).as("n_orig"), explode(col("shingles")).as("sh"))
+    val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 1 && col("df") <= maxDf)
-      .select(col("sh"))
-    val indexed = sh.join(rare, "sh")
-    val common = indexed.as("a")
-      .join(indexed.as("b"),
+    val kept = ex.join(dfs, "sh")
+    // canonical rank within each doc; both windows share one exchange
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = kept.select(col("doc_id"), col("n_orig"), col("sh"),
+      row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rk"),
+      count(lit(1)).over(byDoc).as("n_kept"))
+    // o = ⌈τ·|a|⌉ minimum overlap with ANY qualifying partner; the −1e−9
+    // guards float error on exact multiples (rounding o UP would shrink
+    // the prefix and could miss pairs; down only adds candidates)
+    val prefix = ranked
+      .filter(col("rk") <=
+        col("n_kept") - ceil(lit(tau) * col("n_orig") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
         col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"),
+        4))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

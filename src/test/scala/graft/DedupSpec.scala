@@ -47,6 +47,38 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex === lsh)
   }
 
+  test("NgramJaccard prefix filter is exact at a looser tau (boundary stress)") {
+    // τ = 0.5 puts many docs right at the ⌈τ·|a|⌉ prefix boundary —
+    // compare against an independent brute-force all-pairs computation
+    val docs = graft.util.Tables(spark, sf).documents
+    val sh = MinHashLSH.shingled(docs, "doc_id", "text", 3)
+    val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("nc", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("j", round(col("nc").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("nc")).cast("double"), 4))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.5,
+        maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty && viaIndex === brute,
+      s"missed ${brute -- viaIndex}, spurious ${viaIndex -- brute}")
+  }
+
+  test("NgramJaccard default df cap still finds every planted near-dup") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val uncapped = NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.7,
+        maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === uncapped,
+      "df-capped index lost a pair not glued by ultra-common shingles")
+  }
+
   test("SimHash: permuted copies collide; hamming bound respected") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
