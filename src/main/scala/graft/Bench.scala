@@ -24,7 +24,12 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = Seq(once(fn), once(fn)).flatten
+      val two = Seq(once(fn), once(fn)).flatten
+      // co-tenant CPU steal can inflate a single run several-fold; when
+      // the two timings disagree wildly both are suspect, so spend one
+      // more run on exactly those queries before taking the min
+      val runs =
+        if (two.size == 2 && two.max > 2 * two.min) two ++ once(fn) else two
       // a failed query must NOT read as a fast timing: -1 sentinel per
       // query, and it is EXCLUDED from the total (a sentinel summed in
       // would make the headline metric improve as correctness degrades)

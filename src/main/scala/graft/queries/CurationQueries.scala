@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Decontaminate
+import graft.text.TextOps
+import graft.util.Tables
+
+/** Training-data curation operators beyond the reference's surface —
+  * the filters every large-scale corpus pipeline runs between raw text
+  * and the tokenizer: PII redaction, heuristic quality rules
+  * (C4/Gopher-style), benchmark decontamination, and deterministic
+  * stratified sampling. All per-row expressions or uniform-key
+  * aggregations; every query has a DuckDB oracle.
+  */
+object CurationQueries {
+
+  private def round4(c: Column): Column =
+    floor(c * 10000 + 0.5).cast("double") / 10000
+
+  /** PII redaction with per-pattern counts. The corpus is synthetic and
+    * PII-free, so the query INJECTS deterministic synthetic PII
+    * (email + IPv4 + long number derived from doc_id) and the oracle
+    * replays the same injection — the machinery under test is the
+    * sequential count+redact chain, each stage bound to a column so
+    * each regex runs once per row per stage.
+    */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = Tables(s, dir).documents
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)), lit("."),
+          pmod(col("doc_id") * 7, lit(256)),
+          lit(" ref "), col("doc_id") * 1009).as("t0"))
+    val staged = TextOps.PiiPatterns.zipWithIndex
+      .foldLeft(injected) { case (df, ((name, pat), i)) =>
+        val (cnt, red) = TextOps.redactStep(col(s"t$i"), pat)
+        df.withColumn(s"n_$name", cnt).withColumn(s"t${i + 1}", red)
+      }
+    val tFinal = s"t${TextOps.PiiPatterns.size}"
+    staged.select(col("doc_id"),
+        col("n_email"), col("n_ipv4"), col("n_number"),
+        length(col(tFinal)).as("len_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPiiScrubSql: String = {
+    val Seq(email, ipv4, number) = TextOps.PiiPatterns.map(_._2).toSeq
+    s"""SELECT doc_id, n_email, n_ipv4, n_number,
+       |  length(regexp_replace(t3, '$number', '<PII>', 'g')) AS len_clean
+       |FROM (
+       |  SELECT doc_id, n_email, n_ipv4,
+       |    len(regexp_extract_all(t3, '$number')) AS n_number, t3
+       |  FROM (
+       |    SELECT doc_id, n_email,
+       |      len(regexp_extract_all(t2, '$ipv4')) AS n_ipv4,
+       |      regexp_replace(t2, '$ipv4', '<PII>', 'g') AS t3
+       |    FROM (
+       |      SELECT doc_id,
+       |        len(regexp_extract_all(t1, '$email')) AS n_email,
+       |        regexp_replace(t1, '$email', '<PII>', 'g') AS t2
+       |      FROM (
+       |        SELECT doc_id,
+       |          text || ' contact user' || doc_id || '@example.com from 10.0.'
+       |            || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+       |            || ' ref ' || (doc_id * 1009) AS t1
+       |        FROM documents))))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Gopher/C4-style heuristic quality rules, all from ONE exploded
+    * token aggregation (plus a per-row symbol scan): token count, mean
+    * token length (Σ cnt·len / Σ cnt), top-token dominance, symbol
+    * ratio, and the resulting keep flag. The (doc_id, token) groupBy
+    * keys are uniform; everything partial-aggregates.
+    */
+  def textQualityRules(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val tokStats = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        (sum(col("cnt") * length(col("tok"))).cast("double") /
+          sum(col("cnt")).cast("double")).as("mean_len"),
+        (max(col("cnt")).cast("double") /
+          sum(col("cnt")).cast("double")).as("top_ratio"))
+    val symbol = docs.select(col("doc_id"),
+      (length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+        .cast("double") / length(col("text")).cast("double")).as("symbol_ratio"))
+    tokStats.join(symbol, "doc_id")
+      .select(col("doc_id"), col("n_toks"),
+        round4(col("mean_len")).as("mean_len"),
+        round4(col("top_ratio")).as("top_ratio"),
+        round4(col("symbol_ratio")).as("symbol_ratio"),
+        (col("n_toks") >= 10 && col("n_toks") <= 100000 &&
+          col("mean_len") >= 2.0 && col("mean_len") <= 12.0 &&
+          col("top_ratio") <= 0.2 && col("symbol_ratio") <= 0.1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualityRulesSql: String =
+    """SELECT doc_id, n_toks,
+      |  floor(mean_len * 10000 + 0.5) / 10000 AS mean_len,
+      |  floor(top_ratio * 10000 + 0.5) / 10000 AS top_ratio,
+      |  floor(symbol_ratio * 10000 + 0.5) / 10000 AS symbol_ratio,
+      |  (n_toks >= 10 AND n_toks <= 100000
+      |    AND mean_len >= 2.0 AND mean_len <= 12.0
+      |    AND top_ratio <= 0.2 AND symbol_ratio <= 0.1) AS keep
+      |FROM (
+      |  SELECT t.doc_id, t.n_toks, t.mean_len, t.top_ratio, d.symbol_ratio
+      |  FROM (
+      |    SELECT doc_id, sum(cnt)::BIGINT AS n_toks,
+      |      sum(cnt * length(tok))::DOUBLE / sum(cnt) AS mean_len,
+      |      max(cnt)::DOUBLE / sum(cnt) AS top_ratio
+      |    FROM (
+      |      SELECT doc_id, tok, count(*) AS cnt FROM (
+      |        SELECT doc_id,
+      |          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '')) AS tok
+      |        FROM documents)
+      |      GROUP BY doc_id, tok)
+      |    GROUP BY doc_id) t
+      |  JOIN (
+      |    SELECT doc_id,
+      |      length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))::DOUBLE
+      |        / length(text) AS symbol_ratio
+      |    FROM documents) d USING (doc_id))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: corpus docs (doc_id % 25 ≠ 0) sharing
+    * ≥ 5 distinct word trigrams with the synthetic holdout
+    * (doc_id % 25 = 0) — near-dup partners of held-out docs surface
+    * with large overlaps, background collisions sit at the threshold.
+    */
+  def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    Decontaminate.overlap(
+        docs.filter(pmod(col("doc_id"), lit(25)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(25)) === 0),
+        "doc_id", "text", n = 3, minShared = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupDecontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                   FOR i IN range(1, len(toks) - 1)]) AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |                      x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3),
+      |hold AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 25 = 0),
+      |corp AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 25 <> 0)
+      |SELECT doc_id, n_shared FROM (
+      |  SELECT c.doc_id, count(*)::BIGINT AS n_shared
+      |  FROM corp c JOIN hold h USING (g)
+      |  GROUP BY c.doc_id)
+      |WHERE n_shared >= 5
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling: k docs per language, selected
+    * by Knuth multiplicative hash order — reproducible across runs,
+    * partitionings and engines (no RNG state). `row_number ≤ k` over
+    * the window compiles to WindowGroupLimit: each task keeps only its
+    * local top-k per stratum BEFORE the exchange, so the shuffle
+    * carries O(strata · k) rows per task, not the corpus.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    Tables(s, dir).documents
+      .select(col("lang"), col("doc_id"), h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT lang, rk, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (textPiiScrub _),
+    "text_quality_rules" -> (textQualityRules _),
+    "dedup_decontaminate" -> (dedupDecontaminate _),
+    "sample_stratified" -> (sampleStratified _))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_pii_scrub" -> textPiiScrubSql,
+    "text_quality_rules" -> textQualityRulesSql,
+    "dedup_decontaminate" -> dedupDecontaminateSql,
+    "sample_stratified" -> sampleStratifiedSql)
+}

@@ -136,6 +136,29 @@ object TextOps {
     array_sort(scored).getItem(0).getField("lang")
   }
 
+  // ---- PII scrubbing ---------------------------------------------------
+
+  /** Redaction patterns, applied IN ORDER (email first: its local part
+    * would otherwise be half-eaten by the number rule). Alternations
+    * stay within the regex subset Java and RE2 treat identically, so
+    * the DuckDB oracle can run the same patterns.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "number" -> "[0-9]{3,}")
+
+  val PiiToken = "<PII>"
+
+  /** One redaction step (count on the CURRENT text, then replace) —
+    * callers chain steps binding each intermediate to a column, so the
+    * regex runs once per stage per row. Sequential semantics make the
+    * counts well-defined: a digit run inside an email is counted as
+    * email, never double-counted as number.
+    */
+  def redactStep(cur: Column, pattern: String): (Column, Column) =
+    (regexp_count(cur, lit(pattern)), regexp_replace(cur, pattern, PiiToken))
+
   // ---- fingerprint -----------------------------------------------------
 
   /** Rolling polynomial hash over the normalized text (whitespace

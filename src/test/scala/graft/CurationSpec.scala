@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.CurationQueries
+
+class CurationSpec extends SparkSpec {
+
+  test("pii scrub: sequential counts, everything injected is redacted") {
+    val rows = CurationQueries.textPiiScrub(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 1, s"doc $id n_email")
+      assert(r.getInt(2) === 1, s"doc $id n_ipv4")
+      // doc 0's 'ref 0' is a 1-digit run, below the {3,} floor
+      assert(r.getInt(3) === (if (id * 1009 >= 100) 1 else 0), s"doc $id n_number")
+    }
+    // no residual PII after the full chain: rerun the patterns on clean text
+    import spark.implicits._
+    val clean = Seq("a <PII> b <PII> c").toDF("t")
+    graft.text.TextOps.PiiPatterns.foreach { case (_, pat) =>
+      assert(clean.filter(col("t").rlike(pat)).count() === 0L)
+    }
+  }
+
+  test("quality rules: exploded-aggregation metrics match a direct compute") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val byId = CurationQueries.textQualityRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId.size === 500)
+    // independent per-row check on a few docs via plain Scala
+    docs.select("doc_id", "text").collect().take(20).foreach { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val row = byId(r.getLong(0))
+      assert(row.getLong(1) === toks.length.toLong)
+      val meanLen = toks.map(_.length).sum.toDouble / toks.length
+      assert(math.abs(row.getDouble(2) - meanLen) < 1e-3)
+      val topRatio = toks.groupBy(identity).values.map(_.size).max.toDouble / toks.length
+      assert(math.abs(row.getDouble(3) - topRatio) < 1e-3)
+      assert(row.getDouble(4) === 0.0, "word-soup corpus has no symbols")
+    }
+  }
+
+  test("decontaminate: flagged docs really share >= minShared trigrams") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val flagged = CurationQueries.dedupDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.nonEmpty, "corpus should contain contaminated docs")
+    assert(flagged.keys.forall(_ % 25 != 0), "holdout docs must not be flagged")
+    // independent recompute with the library's own shingler
+    val sh = graft.dedup.MinHashLSH.shingled(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val holdGrams = sh.collect { case (id, g) if id % 25 == 0 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    flagged.foreach { case (id, n) =>
+      assert(sh(id).count(holdGrams.contains).toLong === n, s"doc $id overlap")
+    }
+  }
+
+  test("stratified sample is deterministic, k per stratum, hash-ordered") {
+    val a = CurationQueries.sampleStratified(spark, sf).collect()
+    val b = CurationQueries.sampleStratified(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "must be reproducible")
+    val perLang = a.groupBy(_.getString(0))
+    assert(perLang.keySet === Set("de", "en", "es", "fr", "zh"))
+    perLang.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 20))
+      val hs = rows.sortBy(_.getInt(1))
+        .map(r => math.floorMod(r.getLong(2) * 2654435761L, 4294967296L))
+      assert(hs.toSeq === hs.sorted.toSeq, "must follow hash order")
+    }
+  }
+}
