@@ -192,15 +192,103 @@ object CurationQueries {
       |WHERE rk <= 20
       |ORDER BY lang, rk""".stripMargin
 
+  /** Sequence packing, concat-and-chunk style (the GPT training-data
+    * layout: concatenate every doc's tokens per stratum, cut every
+    * `Capacity` tokens): each doc is assigned to the chunk containing
+    * its START offset — a pure prefix-sum, so the whole packing is one
+    * window cumsum + one aggregation, no sequential bin state. Output:
+    * per (lang, chunk) doc count and token count.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val Capacity = 512
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables(s, dir).documents
+      .select(col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("chunk",
+        floor((col("cum") - col("n_toks")) / Capacity).cast("long"))
+      .groupBy(col("lang"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("lang"), col("chunk"))
+  }
+
+  val packSequencesSql: String =
+    """SELECT lang, chunk, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens
+      |FROM (
+      |  SELECT lang, doc_id, n_toks,
+      |    ((sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) - n_toks)
+      |     // 512)::BIGINT AS chunk
+      |  FROM (
+      |    SELECT lang, doc_id,
+      |      len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                      x -> x <> '')) AS n_toks
+      |    FROM documents))
+      |GROUP BY lang, chunk
+      |ORDER BY lang, chunk""".stripMargin
+
+  /** Symmetric int8 quantization of the embedding column with
+    * per-vector scale (max|x| / 127) and exact reconstruction-error
+    * accounting, reported per label. The scale is one native array pass
+    * per row (attribute argument); the error sum rides a posexplode →
+    * partial-aggregatable avg. All arithmetic is the same IEEE double
+    * sequence in both engines, so the oracle matches bit-for-bit after
+    * the fixed-point floor rounding.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val scale = (array_max(transform(col("embedding"), x => abs(x)))
+      .cast("double") / 127.0).as("scale")
+    Tables(s, dir).embeddings
+      .select(col("label"), col("vec_id"), scale, col("embedding"))
+      .select(col("label"), col("scale"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xd", col("x").cast("double"))
+      .withColumn("q",
+        when(col("scale") > 0, floor(col("xd") / col("scale") + 0.5))
+          .otherwise(lit(0.0)))
+      .withColumn("resid", col("xd") - col("q") * col("scale"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_values"),
+        round4(avg(col("scale")) * 1000).as("avg_scale_e3"),
+        round4(avg(col("resid") * col("resid")) * 1000000).as("mse_e6"),
+        max(abs(col("q"))).cast("long").as("max_q"))
+      .orderBy(col("label"))
+  }
+
+  val embQuantizeSql: String =
+    """SELECT label, count(*) AS n_values,
+      |  floor(avg(scale) * 1000 * 10000 + 0.5) / 10000 AS avg_scale_e3,
+      |  floor(avg(resid * resid) * 1000000 * 10000 + 0.5) / 10000 AS mse_e6,
+      |  max(abs(q))::BIGINT AS max_q
+      |FROM (
+      |  SELECT label, scale, xd,
+      |    CASE WHEN scale > 0 THEN floor(xd / scale + 0.5) ELSE 0.0 END AS q,
+      |    xd - (CASE WHEN scale > 0 THEN floor(xd / scale + 0.5) ELSE 0.0 END)
+      |      * scale AS resid
+      |  FROM (
+      |    SELECT label,
+      |      list_max(list_transform(embedding, x -> abs(x)))::DOUBLE / 127.0
+      |        AS scale,
+      |      unnest(embedding)::DOUBLE AS xd
+      |    FROM embeddings))
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (textPiiScrub _),
     "text_quality_rules" -> (textQualityRules _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
-    "sample_stratified" -> (sampleStratified _))
+    "sample_stratified" -> (sampleStratified _),
+    "pack_sequences" -> (packSequences _),
+    "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
     "text_pii_scrub" -> textPiiScrubSql,
     "text_quality_rules" -> textQualityRulesSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,
-    "sample_stratified" -> sampleStratifiedSql)
+    "sample_stratified" -> sampleStratifiedSql,
+    "pack_sequences" -> packSequencesSql,
+    "emb_quantize" -> embQuantizeSql)
 }

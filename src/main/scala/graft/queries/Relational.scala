@@ -172,6 +172,39 @@ object Relational {
       |) WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** 7-day moving average over daily revenue — the rolling-metric shape.
+    * Two stages: a partial-aggregatable daily rollup (shuffle keyed on
+    * date, uniform), then the moving window over the AGGREGATED series.
+    * The global window runs on one task, which is correct at any corpus
+    * scale: the windowed input is one row per date (thousands of rows),
+    * not the raw fact table — aggregate first, window the small series.
+    * Daily totals are rounded before the average so both engines fold
+    * identical 2-decimal values.
+    */
+  def qRolling(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir).orders
+      .groupBy(col("o_orderdate"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    daily
+      .withColumn("ma7", round(avg(col("revenue")).over(
+        Window.orderBy(col("o_orderdate")).rowsBetween(-6, 0)), 2))
+      .select(unix_timestamp(col("o_orderdate")).as("ds"),
+        col("revenue"), col("ma7"))
+      .orderBy(col("ds"))
+      .limit(100)
+  }
+
+  val qRollingSql: String =
+    """SELECT ds, revenue, ma7 FROM (
+      |  SELECT floor(epoch(o_orderdate))::BIGINT AS ds, revenue,
+      |    round(avg(revenue) OVER (ORDER BY o_orderdate
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+      |  FROM (
+      |    SELECT o_orderdate, round(sum(o_totalprice), 2) AS revenue
+      |    FROM orders GROUP BY o_orderdate))
+      |ORDER BY ds
+      |LIMIT 100""".stripMargin
+
   /** Global sort + head — Spark plans TakeOrderedAndProject: per-partition
     * top-k then a k-row driver merge, not a total sort. Unique key in the
     * ordering makes it deterministic.
@@ -297,6 +330,7 @@ object Relational {
     "q5_join5" -> (q5Join5 _),
     "q_filter_project" -> (qFilterProject _),
     "q_window" -> (qWindow _),
+    "q_rolling" -> (qRolling _),
     "q_orderby_limit" -> (qOrderbyLimit _),
     "q_union_chain" -> (qUnionChain _),
     "q_semijoin" -> (qSemijoin _),
@@ -310,6 +344,7 @@ object Relational {
     "q5_join5" -> q5Join5Sql,
     "q_filter_project" -> qFilterProjectSql,
     "q_window" -> qWindowSql,
+    "q_rolling" -> qRollingSql,
     "q_orderby_limit" -> qOrderbyLimitSql,
     "q_union_chain" -> qUnionChainSql,
     "q_semijoin" -> qSemijoinSql,

@@ -110,6 +110,45 @@ object StreamQueries {
       |  FROM events)
       |ORDER BY branch""".stripMargin
 
+  /** Stream-static enrichment: events joined to the customer dimension
+    * (user_id ⊆ c_custkey in the synthetic data), rolled up by market
+    * segment. The dim side is broadcast — the stream side never
+    * shuffles. Batch mode is what the oracle checks; the streaming
+    * path (same transform over a MemoryStream) is spec-tested.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Streams.enrich(t.events, t.customer, "user_id", "c_custkey", "c_mktsegment")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("segment"))
+  }
+
+  val streamEnrichSql: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin
+
+  /** First-occurrence dedup per (user_id, event_type): batch form =
+    * deterministic earliest-by-event-time (the oracle); streaming form
+    * (dropDuplicates + watermark) is spec-tested for key-set equality.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    Streams.firstEvents(Tables(s, dir).events, Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("first_s"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val streamDedupSql: String =
+    """SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS first_s, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, event_id) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Semi-structured payloads: parse the props JSON column natively
     * (get_json_object — codegen'd Jackson path eval, no UDF) and
     * aggregate by a derived bucket. The everyday "events carry a JSON
@@ -136,11 +175,15 @@ object StreamQueries {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_multi_sink" -> (streamMultiSink _),
+    "stream_enrich" -> (streamEnrich _),
+    "stream_dedup" -> (streamDedup _),
     "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_multi_sink" -> streamMultiSinkSql,
+    "stream_enrich" -> streamEnrichSql,
+    "stream_dedup" -> streamDedupSql,
     "events_json" -> eventsJsonSql)
 }

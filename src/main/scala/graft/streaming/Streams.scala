@@ -126,6 +126,50 @@ object Streams {
       }
   }
 
+  // ---- stream-static enrichment ---------------------------------------
+
+  /** Stream-static join: enrich each event with dimension columns from a
+    * static table — the everyday "attach customer attributes to the
+    * clickstream" stage. Works identically on a batch or streaming
+    * events frame (stream-static joins need no watermark). The dim side
+    * is broadcast: dimension tables are executor-memory-sized by
+    * design, so the stream side never shuffles — at 100 TB/day of
+    * events that is the difference between a map-only enrichment and
+    * repartitioning the firehose.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String, dimCols: String*): DataFrame =
+    events.join(
+      broadcast(dim.select((dimKey +: dimCols).map(col): _*)),
+      col(eventKey) === col(dimKey))
+      .drop(dimKey)
+
+  // ---- streaming dedup -------------------------------------------------
+
+  /** Batch/oracle form of first-occurrence dedup: the earliest event
+    * (by event time, ties by event_id) per key set. Deterministic — this
+    * is what the DuckDB oracle checks.
+    */
+  def firstEvents(events: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+  }
+
+  /** Streaming form: `dropDuplicates` on the keys with a watermark
+    * bounding state. Keeps the first ARRIVING record per key (arrival
+    * order, not event order — the streaming-native semantic), so specs
+    * assert key-set equality with `firstEvents`, not row equality.
+    * State per key lives until the watermark passes; without the
+    * watermark the state store grows forever.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keys)
+
   // ---- multi-sink fan-out ---------------------------------------------
 
   /** The reference's `-multiple` on a stream: ONE readStream, N branch

@@ -57,6 +57,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pack_sequences: chunks are contiguous, tokens conserved per stratum") {
+    val rows = CurationQueries.packSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet === Set("de", "en", "es", "fr", "zh"))
+    val docs = graft.util.Tables(spark, sf).documents
+      .select(col("lang"), graft.text.TextOps.tokens(col("text")).as("t"))
+      .select(col("lang"), size(col("t")).as("n")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1).toLong).sum)
+    byLang.foreach { case (lang, chunks) =>
+      val ids = chunks.map(_._2).sorted
+      assert(ids.toSeq === (ids.min to ids.max).toSeq, s"$lang chunks contiguous")
+      assert(ids.min === 0L)
+      assert(chunks.map(_._4).sum === docs(lang), s"$lang token conservation")
+    }
+  }
+
+  test("emb_quantize: int8 range respected, reconstruction error sane") {
+    val rows = CurationQueries.embQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (label, n, scaleE3, mseE6, maxQ) =
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(n % 64 === 0L, s"label $label: 64 dims per vector")
+      assert(maxQ <= 127L, s"label $label exceeds int8 range")
+      assert(scaleE3 > 0.0)
+      // residual ≤ scale_v/2 per element; with per-vector scales the
+      // label-level bound uses avg scale with 4× slack (Jensen headroom)
+      assert(mseE6 / 1e6 <= math.pow(scaleE3 / 1000.0, 2),
+        s"label $label mse out of bound")
+    }
+  }
+
   test("stratified sample is deterministic, k per stratum, hash-ordered") {
     val a = CurationQueries.sampleStratified(spark, sf).collect()
     val b = CurationQueries.sampleStratified(spark, sf).collect()

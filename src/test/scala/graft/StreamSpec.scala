@@ -127,6 +127,54 @@ class StreamSpec extends SparkSpec {
     assert(out.filter(col("duration_s") < 0).count() === 0)
   }
 
+  test("enrich: streaming stream-static join equals batch enrichment") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val events = Seq(ev(1, 0, 1), ev(2, 5, 1, "view", 2.0), ev(3, 10, 2))
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = Streams.enrich(ms.toDS().toDF(), dim, "user_id", "k", "tier")
+      .groupBy("tier").count()
+      .writeStream.format("memory").queryName("enr")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enr").orderBy("tier").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed === Seq(("gold", 2L), ("silver", 1L)))
+  }
+
+  test("dedupStream key set equals batch firstEvents key set") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 0, 1), ev(2, 5, 1), ev(3, 1, 1, "view"),
+      ev(4, 0, 2), ev(5, 9, 2), ev(6, 3, 2, "view"))
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = Streams.dedupStream(ms.toDS().toDF(), Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName("ddp")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedKeys = spark.table("ddp").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchKeys = Streams.firstEvents(events.toDF(), Seq("user_id", "event_type"))
+      .collect().map(r => (r.getLong(2), r.getString(3))).toSet
+    assert(streamedKeys === Set((1L, "click"), (1L, "view"),
+      (2L, "click"), (2L, "view")))
+    assert(streamedKeys === batchKeys)
+  }
+
+  test("firstEvents keeps the earliest event per key deterministically") {
+    import spark.implicits._
+    val events = Seq(ev(10, 5, 7), ev(11, 2, 7), ev(12, 2, 7, "view"))
+    val out = Streams.firstEvents(events.toDF(), Seq("user_id", "event_type"))
+      .collect().map(r => (r.getString(3), r.getLong(0))).toMap
+    // within user 7/click: minute 2 beats minute 5
+    assert(out === Map("click" -> 11L, "view" -> 12L))
+  }
+
   test("stream_multi_sink drains the source once into three sinks") {
     val out = StreamQueries.streamMultiSink(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq === Seq("by_user", "clicks", "errors"))
