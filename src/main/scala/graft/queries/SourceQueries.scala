@@ -1,0 +1,85 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Input-format coverage for the reference's `-inputformat` surface
+  * (MapStreamJob.java:298 inputFormatSpec_, with TextInputFormat,
+  * KeyValueTextInputFormat and the SequenceFile variants imported at
+  * :53-57). source_textfile (PipeQueries) covers plain text lines;
+  * these cover the key/value-shaped formats by ROUND-TRIP: write the
+  * table out in the legacy format, read it back with the legacy
+  * semantics, aggregate, and let the DuckDB oracle check the result
+  * against the original parquet — proving both directions of the
+  * interop.
+  */
+object SourceQueries {
+
+  /** KeyValueTextInputFormat: key = text before the first tab, value =
+    * the rest of the line. The split carries a limit of 2, so tabs
+    * inside the value survive — the Hadoop semantic.
+    */
+  def sourceKv(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_kv_source").toString
+    Tables(s, dir).orders
+      .select(concat_ws("\t", col("o_orderstatus"),
+        col("o_totalprice").cast("string")).as("value"))
+      .write.mode("overwrite").text(out)
+    val kv = s.read.text(out)
+      .select(split(col("value"), "\t", 2).as("parts"))
+      .select(col("parts").getItem(0).as("k"),
+        col("parts").getItem(1).as("v"))
+    kv.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("v").cast("double")), 2).as("total"))
+      .orderBy(col("k"))
+  }
+
+  /** Doubles round-trip text exactly (shortest-representation
+    * formatting), so summing the re-parsed values matches summing the
+    * originals to well past 2 decimals.
+    */
+  val sourceKvSql: String =
+    """SELECT o_orderstatus AS k, count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin
+
+  /** SequenceFile (Text, Text) round-trip via the Hadoop-format RDD
+    * bridge — the one legacy surface where RDDs are the honest carrier:
+    * there is no DataFrame SequenceFile source, and a migrating corpus
+    * often sits in SequenceFiles. Write, read with WritableConverters,
+    * then hand straight back to the declarative layer.
+    */
+  def sourceSeqfile(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_seq_source").toString + "/data"
+    Tables(s, dir).orders
+      .select(col("o_orderstatus"), col("o_orderkey").cast("string"))
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .saveAsSequenceFile(out)
+    import s.implicits._
+    s.sparkContext.sequenceFile[String, String](out).toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("long")).as("sum_orderkey"))
+      .orderBy(col("k"))
+  }
+
+  val sourceSeqfileSql: String =
+    """SELECT o_orderstatus AS k, count(*) AS n_rows,
+      |  sum(o_orderkey)::BIGINT AS sum_orderkey
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_kv" -> (sourceKv _),
+    "source_seqfile" -> (sourceSeqfile _))
+
+  val oracleSql: Map[String, String] = Map(
+    "source_kv" -> sourceKvSql,
+    "source_seqfile" -> sourceSeqfileSql)
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.queries.SourceQueries
+
+class SourceSpec extends SparkSpec {
+
+  test("source_kv: tab-in-value survives the limit-2 split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("k1\tv with\ttab", "k2\tplain").toDF("value")
+    val kv = df.select(split(col("value"), "\t", 2).as("p"))
+      .select(col("p").getItem(0).as("k"), col("p").getItem(1).as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(kv === Map("k1" -> "v with\ttab", "k2" -> "plain"))
+  }
+
+  test("source_kv aggregates the round-tripped orders correctly") {
+    val got = SourceQueries.sourceKv(spark, sf).collect()
+    val want = graft.util.Tables(spark, sf).orders.count()
+    assert(got.map(_.getLong(1)).sum === want)
+    assert(got.map(_.getString(0)).toSeq === got.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("source_seqfile round-trips (Text,Text) pairs losslessly") {
+    val got = SourceQueries.sourceSeqfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import org.apache.spark.sql.functions._
+    val want = graft.util.Tables(spark, sf).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)), sum(col("o_orderkey")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
+}
