@@ -148,16 +148,25 @@ object Relational {
   /** Secondary sort: Hadoop Streaming gets per-key value ordering via
     * KeyFieldBasedComparator; Spark expresses it as a window. One shuffle
     * on the partition key, sort within partitions.
+    *
+    * The rank filter runs in its OWN window stage, separate from the
+    * running sum: a rank-only window with `rn ≤ k` compiles to
+    * WindowGroupLimit (every task keeps its local top-3 per customer
+    * BEFORE the exchange), and the cumulative sum over the surviving
+    * ≤ 3 rows per key is identical to the cumsum over the full
+    * partition truncated to rn ≤ 3 — prefix sums only look backward.
+    * Fusing both into one window (the naive form) disables the
+    * pushdown and shuffles the entire fact table.
     */
   def qWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables(s, dir).orders
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
       .withColumn("run_total",
         round(sum(col("o_totalprice")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
-      .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("run_total"))
       .orderBy(col("o_custkey"), col("rn"))
   }

@@ -75,11 +75,54 @@ object SourceQueries {
       |GROUP BY 1
       |ORDER BY k""".stripMargin
 
+  /** `-inputreader StreamXmlRecordReader,begin=…,end=…` — tag-delimited
+    * records that SPAN LINES. The Spark-first carrier is Hadoop's own
+    * TextInputFormat with `textinputformat.record.delimiter` set to the
+    * end tag: the input splits on record boundaries (not newlines),
+    * records never straddle splits, and parsing the tag body is one
+    * codegen'd regexp per record. Round-trip: documents written as
+    * 3-line `<doc id="…">⏎text⏎</doc>` records, read back by
+    * delimiter, aggregated against the original parquet.
+    */
+  def sourceXmlrecord(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_xml_source").toString
+    Tables(s, dir).documents
+      .select(concat(lit("<doc id=\""), col("doc_id"), lit("\">\n"),
+        col("text"), lit("\n</doc>")).as("value"))
+      .write.mode("overwrite").text(out)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      s.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "</doc>")
+    val records = s.sparkContext.newAPIHadoopFile(out,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text], conf)
+      .map(_._2.toString)
+    import s.implicits._
+    records.toDF("rec")
+      .filter(col("rec").contains("<doc id=\""))
+      .select(
+        regexp_extract(col("rec"), "(?s)<doc id=\"([0-9]+)\">", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("rec"), "(?s)<doc id=\"[0-9]+\">\n(.*)\n$", 1)
+          .as("body"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("body"))).as("total_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
+  val sourceXmlrecordSql: String =
+    """SELECT count(*) AS n_docs, sum(length(text))::BIGINT AS total_chars,
+      |  sum(doc_id)::BIGINT AS sum_ids
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_kv" -> (sourceKv _),
-    "source_seqfile" -> (sourceSeqfile _))
+    "source_seqfile" -> (sourceSeqfile _),
+    "source_xmlrecord" -> (sourceXmlrecord _))
 
   val oracleSql: Map[String, String] = Map(
     "source_kv" -> sourceKvSql,
-    "source_seqfile" -> sourceSeqfileSql)
+    "source_seqfile" -> sourceSeqfileSql,
+    "source_xmlrecord" -> sourceXmlrecordSql)
 }

@@ -15,6 +15,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
+  test("q_window rank filter compiles to WindowGroupLimit before the cumsum") {
+    val plan = planOf(Relational.qWindow(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
   test("stream_enrich joins the dimension side by broadcast") {
     val plan = planOf(StreamQueries.streamEnrich(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))

@@ -21,6 +21,16 @@ class SourceSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq === got.map(_.getString(0)).toSeq.sorted)
   }
 
+  test("source_xmlrecord reassembles multi-line tag-delimited records") {
+    val r = SourceQueries.sourceXmlrecord(spark, sf).head()
+    import org.apache.spark.sql.functions._
+    val want = graft.util.Tables(spark, sf).documents
+      .agg(count(lit(1)), sum(length(col("text"))), sum(col("doc_id"))).head()
+    assert(r.getLong(0) === want.getLong(0))
+    assert(r.getLong(1) === want.getLong(1))
+    assert(r.getLong(2) === want.getLong(2))
+  }
+
   test("source_seqfile round-trips (Text,Text) pairs losslessly") {
     val got = SourceQueries.sourceSeqfile(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
