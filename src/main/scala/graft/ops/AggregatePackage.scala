@@ -25,6 +25,19 @@ object AggregatePackage {
   def approxUniqValueCount(c: String): Column =
     approx_count_distinct(col(c)).as(s"approx_uniq_$c")
 
+  /** Skew-proof exact distinct count: `countDistinct` plans the distinct
+    * expansion keyed on the GROUP key, so one hot key funnels its whole
+    * value set through one reducer. This form shuffles on (key, value)
+    * instead — a hot key's values spread across the cluster — then
+    * counts with an ordinary partial-aggregatable count. Same exact
+    * result, skew-immune plan: the 100 TB spelling of UniqValueCount
+    * when group keys are Zipfian.
+    */
+  def uniqValueCountTwoPhase(df: DataFrame, key: String, value: String): DataFrame =
+    df.select(col(key), col(value)).distinct()
+      .groupBy(col(key))
+      .agg(count(lit(1)).as(s"uniq_$value"))
+
   /** ValueHistogram semantics (hadoop's ValueHistogram reducer): for each
     * key, over the multiset of values, report statistics of the per-unique-
     * value frequencies: #unique, min/median/max/avg/stddev of counts.

@@ -148,6 +148,21 @@ object PipeQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** The skew-proof spelling of UniqValueCount: shuffle on
+    * (key, value), not key — same exact answer as agg_package's
+    * `uniq_l_suppkey` column, different (Zipf-immune) plan.
+    */
+  def aggDistinctTwophase(s: SparkSession, dir: String): DataFrame =
+    AggregatePackage.uniqValueCountTwoPhase(
+        Tables(s, dir).lineitem, "l_returnflag", "l_suppkey")
+      .orderBy(col("l_returnflag"))
+
+  val aggDistinctTwophaseSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS uniq_l_suppkey
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** ValueHistogram reducer over events: per event_type, stats of the
     * per-user frequency distribution.
     */
@@ -354,6 +369,7 @@ object PipeQueries {
     "pipe_wordcount" -> (pipeWordcount _),
     "pipe_keyfield_agg" -> (pipeKeyfieldAgg _),
     "agg_package" -> (aggPackage _),
+    "agg_distinct_twophase" -> (aggDistinctTwophase _),
     "agg_histogram" -> (aggHistogram _),
     "multi_fanout" -> (multiFanout _),
     "multi_spec" -> (multiSpec _),
@@ -371,6 +387,7 @@ object PipeQueries {
     "pipe_wordcount" -> pipeWordcountSql,
     "pipe_keyfield_agg" -> pipeKeyfieldAggSql,
     "agg_package" -> aggPackageSql,
+    "agg_distinct_twophase" -> aggDistinctTwophaseSql,
     "agg_histogram" -> aggHistogramSql,
     "multi_fanout" -> multiFanoutSql,
     "multi_spec" -> multiSpecSql,

@@ -110,6 +110,17 @@ class PipeSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("o_orderstatus=")), s"got $dirs")
   }
 
+  test("two-phase distinct equals countDistinct (skew-proof plan parity)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.util.Tables(spark, sf).lineitem
+    val twoPhase = PipeQueries.aggDistinctTwophase(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPhase === direct && twoPhase.nonEmpty)
+  }
+
   test("Pipes.exec runs a real child process and matches the native stage") {
     val docs = graft.util.Tables(spark, sf).documents
     val native = Pipes.grep("text", "spark")(docs)
