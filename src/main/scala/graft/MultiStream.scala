@@ -27,7 +27,7 @@ object MultiStream {
 
   def main(args: Array[String]): Unit = {
     var input = ""; var output = ""; var column = ""
-    var format = "parquet"
+    var format = "parquet"; var numReduceTasks = -1
     val specs = scala.collection.mutable.ListBuffer.empty[String]
     val env = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -38,12 +38,13 @@ object MultiStream {
         case "-column" => column = args(i + 1); i += 2
         case "-format" => format = args(i + 1); i += 2
         case "-multiple" => specs += args(i + 1); i += 2
+        case "-numReduceTasks" => numReduceTasks = args(i + 1).toInt; i += 2
         case "-cmdenv" =>
           val Array(k, v) = args(i + 1).split("=", 2)
           env(k) = v; i += 2
         case other =>
           sys.error(s"unknown option '$other' (want -input -output " +
-            "-column -format -multiple -cmdenv)")
+            "-column -format -multiple -cmdenv -numReduceTasks)")
       }
     }
     require(input.nonEmpty, "-input is required")
@@ -55,6 +56,10 @@ object MultiStream {
     val hadActive = org.apache.spark.sql.SparkSession.getActiveSession.isDefined
     val spark = GraftSession.create()
     try {
+      // the reference's -numReduceTasks: Spark's closest knob is the
+      // shuffle partition count (AQE coalescing still refines it)
+      if (numReduceTasks > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", numReduceTasks)
       val df =
         if (input.contains(".parquet")) spark.read.parquet(input)
         else spark.read.text(input)

@@ -64,6 +64,7 @@ object MultiSpec {
   private val Grep = """grep\s+(.+)""".r
   private val GrepV = """grep\s+-v\s+(.+)""".r
   private val Cut = """cut\s+(?:-d\s*(\S+)\s+)?-f\s*([\d,]+)""".r
+  private val Sed = """sed\s+s/([^/]+)/([^/]*)/g""".r
 
   /** Resolve one command string to a stage over text column `c`. */
   def resolve(cmd: String, c: String, registry: Registry,
@@ -79,6 +80,9 @@ object MultiSpec {
         case (Cut(sep, fields), _) =>
           Pipes.cut(c, Option(sep).getOrElse("\t"),
             fields.split(",").toIndexedSeq.map(_.toInt))
+        // match on the FULL command: sed's s/…/…/g contains slashes, so
+        // the path-stripped `base` is meaningless for it
+        case (_, Sed(pat, rep)) => Pipes.sed(c, pat, rep)
         case _ =>
           // unknown command — run the real executable through a shell,
           // so spec strings with arguments/pipes work as they did under

@@ -107,6 +107,17 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 10L -> 2L, 20L -> 2L))
   }
 
+  test("ConnectedComponents throws loudly instead of returning stale labels") {
+    import spark.implicits._
+    // path of 8 needs more than 1 round; maxIters = 1 must not return
+    // silently-wrong labels
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.dedup.ConnectedComponents.labels(edges, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("ConnectedComponents: long path graph needs multiple rounds") {
     import spark.implicits._
     // path 1-2-...-8: diameter 7, so the fused round-0 cannot finish it —

@@ -30,6 +30,11 @@ class MultiSpecSpec extends SparkSpec {
       Map("cat" -> ((d: org.apache.spark.sql.DataFrame) => d.limit(1))),
       asReducer = false)
     assert(custom(df).count() === 1L)
+    // sed: matched on the full command (its slashes defeat path stripping)
+    val sed = MultiSpec.resolve("sed s/spark/flink/g", "line",
+      Map.empty, asReducer = false)
+    assert(sed(df).orderBy("line").collect().map(_.getString(0)).toSeq ===
+      Seq("drop this", "keep this flink line"))
   }
 
   test("spec pipeline with exec mapper and execReduce reducer = native wordcount") {

@@ -133,6 +133,15 @@ class PipeSpec extends SparkSpec {
     assert(native.nonEmpty && ids === native)
   }
 
+  test("Pipes.exec fails the job loudly when the child exits nonzero") {
+    import spark.implicits._
+    val df = Seq("x").toDF("line")
+    val e = intercept[org.apache.spark.SparkException] {
+      Pipes.exec("line", Seq("/bin/sh", "-c", "exit 3"))(df).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("exit"))
+  }
+
   test("Pipes.exec passes -cmdenv environment variables to the child") {
     import spark.implicits._
     val df = Seq("a", "b").toDF("line")
