@@ -214,6 +214,37 @@ object Relational {
       |ORDER BY ds
       |LIMIT 100""".stripMargin
 
+  /** Point-in-time join: each event picks up the user's prevailing
+    * order "quote" (latest order at or before the event time), then a
+    * per-user rollup. The right side is pre-aggregated to one row per
+    * (customer, date) — as-of requires a unique (key, ts) right side in
+    * any engine. DuckDB checks the same semantics with its native
+    * ASOF JOIN.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val quotes = t.orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("quote"))
+    graft.ops.AsofJoin.asof(
+        t.events.select(col("event_id"), col("user_id"), col("ts")),
+        quotes, "user_id", "ts", "o_custkey", "o_orderdate")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("quote")), 2).as("total_quote"))
+      .orderBy(col("user_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  round(sum(quote), 2) AS total_quote
+      |FROM events e ASOF JOIN (
+      |  SELECT o_custkey, o_orderdate, max(o_totalprice) AS quote
+      |  FROM orders GROUP BY 1, 2) q
+      |  ON e.user_id = q.o_custkey AND e.ts >= q.o_orderdate
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Global sort + head — Spark plans TakeOrderedAndProject: per-partition
     * top-k then a k-row driver merge, not a total sort. Unique key in the
     * ordering makes it deterministic.
@@ -340,6 +371,7 @@ object Relational {
     "q_filter_project" -> (qFilterProject _),
     "q_window" -> (qWindow _),
     "q_rolling" -> (qRolling _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_orderby_limit" -> (qOrderbyLimit _),
     "q_union_chain" -> (qUnionChain _),
     "q_semijoin" -> (qSemijoin _),
@@ -354,6 +386,7 @@ object Relational {
     "q_filter_project" -> qFilterProjectSql,
     "q_window" -> qWindowSql,
     "q_rolling" -> qRollingSql,
+    "q_asof_join" -> qAsofJoinSql,
     "q_orderby_limit" -> qOrderbyLimitSql,
     "q_union_chain" -> qUnionChainSql,
     "q_semijoin" -> qSemijoinSql,

@@ -66,4 +66,30 @@ class RelationalSpec extends SparkSpec {
     assert(semi > 0 && semi <= nCust)
     assert(anti > 0 && anti <= nCust)
   }
+
+  test("AsofJoin: latest-at-or-before semantics with boundary cases") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, 5L),   // after both right rows of key 1 → latest (t=4) wins
+      (2L, 1L, 4L),   // exactly AT a right ts → that row matches (≤)
+      (3L, 1L, 1L),   // before the first right row → dropped (inner)
+      (4L, 2L, 9L),   // key 2: matches its only row
+      (5L, 3L, 9L))   // key 3: no right rows at all → dropped
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (1L, 2L, "a"), (1L, 4L, "b"), (2L, 3L, "c"))
+      .toDF("rk", "rt", "v")
+    val out = graft.ops.AsofJoin.asof(left, right, "k", "t", "rk", "rt")
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "b", 2L -> "b", 4L -> "c"))
+  }
+
+  test("AsofJoin carries null right values without dropping the match") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 5L)).toDF("event_id", "k", "t")
+    val right = Seq((1L, 2L, Option.empty[String])).toDF("rk", "rt", "v")
+    val out = graft.ops.AsofJoin.asof(left, right, "k", "t", "rk", "rt").collect()
+    assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("v")))
+  }
 }
