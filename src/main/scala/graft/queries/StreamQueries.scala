@@ -149,6 +149,48 @@ object StreamQueries {
       |                           ORDER BY ts, event_id) = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Range join: every event assigned to its containing session
+    * interval via the bin-bucketed equi-join (RangeJoin.binned, 30-min
+    * bins ≈ the session gap) — and the per-interval event counts must
+    * reproduce sessionize's n_events exactly, which the oracle checks
+    * with a plain BETWEEN range join in DuckDB.
+    */
+  def streamRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables(s, dir).events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val sessions = Streams.sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
+      .select(col("user_id"), col("start_s"), col("end_s"))
+    graft.ops.RangeJoin.binned(events, sessions, "es", "start_s", "end_s",
+        keys = Seq("user_id"), binWidth = 1800L)
+      .groupBy(col("user_id"), col("start_s"))
+      .agg(count(lit(1)).as("n_in_range"))
+      .orderBy(col("user_id"), col("start_s"))
+  }
+
+  val streamRangeJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      |  FROM e),
+      |iv AS (
+      |  SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s,
+      |    floor(epoch(max(ts)))::BIGINT AS end_s
+      |  FROM s GROUP BY user_id, session_id),
+      |pts AS (SELECT user_id, floor(epoch(ts))::BIGINT AS es FROM events)
+      |SELECT p.user_id, iv.start_s, count(*) AS n_in_range
+      |FROM pts p JOIN iv ON p.user_id = iv.user_id
+      |  AND p.es BETWEEN iv.start_s AND iv.end_s
+      |GROUP BY p.user_id, iv.start_s
+      |ORDER BY p.user_id, iv.start_s""".stripMargin
+
   /** Semi-structured payloads: parse the props JSON column natively
     * (get_json_object — codegen'd Jackson path eval, no UDF) and
     * aggregate by a derived bucket. The everyday "events carry a JSON
@@ -177,6 +219,7 @@ object StreamQueries {
     "stream_multi_sink" -> (streamMultiSink _),
     "stream_enrich" -> (streamEnrich _),
     "stream_dedup" -> (streamDedup _),
+    "stream_range_join" -> (streamRangeJoin _),
     "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
@@ -185,5 +228,6 @@ object StreamQueries {
     "stream_multi_sink" -> streamMultiSinkSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_range_join" -> streamRangeJoinSql,
     "events_json" -> eventsJsonSql)
 }

@@ -85,6 +85,19 @@ class RelationalSpec extends SparkSpec {
     assert(out === Map(1L -> "b", 2L -> "b", 4L -> "c"))
   }
 
+  test("RangeJoin.binned: containment exact at bounds, across bin borders") {
+    import spark.implicits._
+    val pts = Seq((1L, 10L), (1L, 25L), (1L, 26L), (2L, 10L), (1L, 99L))
+      .toDF("k", "p")
+    val ivs = Seq((1L, 10L, 25L), (2L, 0L, 9L)).toDF("k", "s", "e")
+    // binWidth 7 ≪ interval length: intervals straddle several bins
+    val out = graft.ops.RangeJoin.binned(pts, ivs, "p", "s", "e",
+        keys = Seq("k"), binWidth = 7L)
+      .select("k", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 and 25 are inclusive bounds; 26 just outside; key 2 point 10 > e=9
+    assert(out === Set((1L, 10L), (1L, 25L)))
+  }
+
   test("AsofJoin carries null right values without dropping the match") {
     import spark.implicits._
     val left = Seq((1L, 1L, 5L)).toDF("event_id", "k", "t")

@@ -175,6 +175,17 @@ class StreamSpec extends SparkSpec {
     assert(out === Map("click" -> 11L, "view" -> 12L))
   }
 
+  test("stream_range_join reproduces sessionize event counts exactly") {
+    import org.apache.spark.sql.functions._
+    val viaRange = StreamQueries.streamRangeJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaSessions = Streams.sessionizeBatch(
+        graft.util.Tables(spark, sf).events, 30)
+      .select(col("user_id"), col("start_s"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaRange.nonEmpty && viaRange === viaSessions)
+  }
+
   test("stream_multi_sink drains the source once into three sinks") {
     val out = StreamQueries.streamMultiSink(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq === Seq("by_user", "clicks", "errors"))
