@@ -163,6 +163,27 @@ object PipeQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** The bounded-state sketch family at corpus scale, alongside
+    * agg_heavy_hitters' SpaceSaving: HyperLogLog++ distinct counts and
+    * GK approximate quantiles per group — constant state through the
+    * shuffle where their exact twins (distinct expansion / full sort)
+    * scale with the data. Rows-only for the driver (sketch estimates
+    * have no SQL twin); relative-error floors are spec-asserted
+    * against the exact answers.
+    */
+  def aggSketches(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_suppliers"),
+        round(element_at(
+          percentile_approx(col("l_quantity"), array(lit(0.5), lit(0.95)),
+            lit(10000)), 1), 2).as("p50_qty"),
+        round(element_at(
+          percentile_approx(col("l_quantity"), array(lit(0.5), lit(0.95)),
+            lit(10000)), 2), 2).as("p95_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** ValueHistogram reducer over events: per event_type, stats of the
     * per-user frequency distribution.
     */
@@ -370,6 +391,7 @@ object PipeQueries {
     "pipe_keyfield_agg" -> (pipeKeyfieldAgg _),
     "agg_package" -> (aggPackage _),
     "agg_distinct_twophase" -> (aggDistinctTwophase _),
+    "agg_sketches" -> (aggSketches _),
     "agg_histogram" -> (aggHistogram _),
     "multi_fanout" -> (multiFanout _),
     "multi_spec" -> (multiSpec _),

@@ -121,6 +121,27 @@ class PipeSpec extends SparkSpec {
     assert(twoPhase === direct && twoPhase.nonEmpty)
   }
 
+  test("agg_sketches: HLL within 5% of exact, quantiles within rank tolerance") {
+    import org.apache.spark.sql.functions._
+    val li = graft.util.Tables(spark, sf).lineitem
+    val sk = PipeQueries.aggSketches(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("d"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(sk.keySet === exact.keySet && sk.nonEmpty)
+    sk.foreach { case (k, (d, p50, p95)) =>
+      val (ed, e50, e95) = exact(k)
+      assert(math.abs(d - ed).toDouble / ed <= 0.05, s"$k HLL error")
+      // l_quantity is integers 1..50: approx quantile must land within
+      // one unit of the exact percentile
+      assert(math.abs(p50 - e50) <= 1.0, s"$k p50")
+      assert(math.abs(p95 - e95) <= 1.0, s"$k p95")
+    }
+  }
+
   test("Pipes.exec runs a real child process and matches the native stage") {
     val docs = graft.util.Tables(spark, sf).documents
     val native = Pipes.grep("text", "spark")(docs)
