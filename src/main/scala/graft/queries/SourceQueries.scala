@@ -116,13 +116,47 @@ object SourceQueries {
       |  sum(doc_id)::BIGINT AS sum_ids
       |FROM documents""".stripMargin
 
+  /** Partition pruning end-to-end: orders written partitioned by
+    * status, read back with a partition-key filter — the scan must
+    * touch ONLY the matching directory (PlanSpec pins the
+    * PartitionFilters entry). At 100 TB this is the difference between
+    * scanning one partition and scanning the lake; the layout is the
+    * same `write.partitionBy` the reference's PartitionByKeyField
+    * produces.
+    */
+  def sourcePartitioned(s: SparkSession, dir: String): DataFrame =
+    sourcePartitionedFrom(s, dir,
+      Files.createTempDirectory("graft_part_source").toString)
+
+  def sourcePartitionedFrom(s: SparkSession, dir: String, out: String): DataFrame = {
+    Tables(s, dir).orders
+      .repartition(col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val sourcePartitionedSql: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_kv" -> (sourceKv _),
     "source_seqfile" -> (sourceSeqfile _),
-    "source_xmlrecord" -> (sourceXmlrecord _))
+    "source_xmlrecord" -> (sourceXmlrecord _),
+    "source_partitioned" -> (sourcePartitioned _))
 
   val oracleSql: Map[String, String] = Map(
     "source_kv" -> sourceKvSql,
     "source_seqfile" -> sourceSeqfileSql,
-    "source_xmlrecord" -> sourceXmlrecordSql)
+    "source_xmlrecord" -> sourceXmlrecordSql,
+    "source_partitioned" -> sourcePartitionedSql)
 }

@@ -37,6 +37,50 @@ class PlanSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("source_partitioned prunes to the single matching partition") {
+    val plan = planOf(graft.queries.SourceQueries.sourcePartitioned(spark, sf))
+    assert(plan.contains("PartitionFilters: ["), plan.take(800))
+    assert(!plan.contains("PartitionFilters: []"),
+      "the status filter must prune partitions, not scan the lake")
+  }
+
+  test("bucketed tables join with zero shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    val t = graft.util.Tables(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — remove them or saveAsTable throws
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File("spark-warehouse/graft_bkt_orders"))
+    rm(new java.io.File("spark-warehouse/graft_bkt_lineitem"))
+    t.orders.select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    t.lineitem.select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    // forbid broadcast so the test proves BUCKETING removes the shuffle,
+    // not that the tables are merely small
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(400))
+      // matching bucketing on both sides: the join must not add exchanges
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed-by-join-key tables must join without a shuffle")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("text_quality tokenizes once per row (single array_remove in plan)") {
     val plan = planOf(graft.queries.TextQueries.textQuality(spark, sf))
     val n = "array_remove".r.findAllIn(plan).length
