@@ -170,23 +170,39 @@ object Knn {
       df.withColumn("cells", probes)
   }
 
-  /** Approximate top-k probing nProbe IVF cells per query. */
-  def ivf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, c: Int = 16, iters: Int = 3, nProbe: Int = 4): DataFrame = {
-    val centroids = fitCentroids(corpus, idCol, vecCol, c, iters)
-    val cs = assignCells(
-        withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn"),
-        "neighbor_id", "nv", centroids, 1)
+  /** Cell-assign the normalized corpus: (neighbor_id, nv, nn, cell) —
+    * the materialized half of an [[IvfIndex]].
+    */
+  private[sim] def assignCorpus(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[(Int, Array[Float])]): DataFrame =
+    assignCells(
+      withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn"),
+      "neighbor_id", "nv", centroids, 1)
+
+  /** Probe-and-score against an already-fitted index. */
+  private[sim] def searchIndex(index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val qs = assignCells(
         withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"),
-        "query_id", "qv", centroids, nProbe)
+        "query_id", "qv", index.centroids, nProbe)
       .select(col("query_id"), col("qv"), col("qn"),
         explode(col("cells")).as("cell"))
-    val scored = broadcast(qs).join(cs, "cell")
+    val scored = broadcast(qs).join(index.assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(
         Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
           col("qn"), col("nn")), 6))
     pairTopK(scored, k)
+  }
+
+  /** Approximate top-k probing nProbe IVF cells per query — fit +
+    * search in one call; for a long-lived corpus use [[IvfIndex]].
+    */
+  def ivf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, c: Int = 16, iters: Int = 3, nProbe: Int = 4): DataFrame = {
+    val centroids = fitCentroids(corpus, idCol, vecCol, c, iters)
+    searchIndex(
+      IvfIndex(centroids, assignCorpus(corpus, idCol, vecCol, centroids)),
+      queries, idCol, vecCol, k, nProbe)
   }
 }

@@ -59,6 +59,29 @@ class SimSpec extends SparkSpec {
     assert(math.abs(rows("lsh")._2 - mean) < 1e-3)
   }
 
+  test("IvfIndex: fit-once search-many equals one-shot ivf; disk round-trip prunes") {
+    import org.apache.spark.sql.functions._
+    val e = graft.util.Tables(spark, sf).embeddings
+    val (q, c) = (e.filter(col("vec_id") < 10), e)
+    val oneShot = SimQueries.knnIvf(spark, sf).collect().map(_.toSeq).toSeq
+    val index = graft.sim.IvfIndex.fit(c, "vec_id", "embedding")
+    val viaIndex = index.search(q, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(viaIndex === oneShot, "fit/search split must not change results")
+    // disk round-trip: same results, and probing the cell-partitioned
+    // table plans a dynamic partition-pruning subquery on cell
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    index.save(dir)
+    val loaded = graft.sim.IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_._1).toSeq === index.centroids.map(_._1).toSeq)
+    val fromDisk = loaded.search(q, "vec_id", "embedding", k = 10)
+    assert(fromDisk.orderBy(col("query_id"), col("rank"))
+      .collect().map(_.toSeq).toSeq === oneShot)
+    val plan = planOf(fromDisk)
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      plan.take(600))
+  }
+
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
     // every (q, n, cos) from LSH must agree with brute-force cos when present
     val brute = SimQueries.knnBrute(spark, sf).collect()
