@@ -110,6 +110,43 @@ object StreamQueries {
       |  FROM events)
       |ORDER BY branch""".stripMargin
 
+  /** The ENGINE-NATIVE sessionization: `session_window` grouping (works
+    * batch and streaming) instead of the hand-built lag-cumsum /
+    * flatMapGroupsWithState pair. Subtlety mirrored in the oracle:
+    * session_window merges at MICROsecond precision with a strict gap
+    * (new session iff diff ≥ gap), while stream_sessionize's contract
+    * is second-truncated with diff > gap — the two queries are
+    * intentionally distinct operators with their own oracles.
+    */
+  def streamSessionNative(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("start_s"),
+        unix_timestamp(max(col("ts"))).as("end_s"))
+      .select(col("user_id"), col("start_s"), col("end_s"), col("n_events"))
+      .orderBy(col("user_id"), col("start_s"))
+
+  val streamSessionNativeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_ns(ts) // 1000 AS us,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000
+      |              >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+      |  FROM e)
+      |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s,
+      |  floor(epoch(max(ts)))::BIGINT AS end_s, count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_s""".stripMargin
+
   /** Stream-static enrichment: events joined to the customer dimension
     * (user_id ⊆ c_custkey in the synthetic data), rolled up by market
     * segment. The dim side is broadcast — the stream side never
@@ -220,6 +257,7 @@ object StreamQueries {
     "stream_enrich" -> (streamEnrich _),
     "stream_dedup" -> (streamDedup _),
     "stream_range_join" -> (streamRangeJoin _),
+    "stream_session_native" -> (streamSessionNative _),
     "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
@@ -229,5 +267,6 @@ object StreamQueries {
     "stream_enrich" -> streamEnrichSql,
     "stream_dedup" -> streamDedupSql,
     "stream_range_join" -> streamRangeJoinSql,
+    "stream_session_native" -> streamSessionNativeSql,
     "events_json" -> eventsJsonSql)
 }

@@ -175,6 +175,37 @@ class StreamSpec extends SparkSpec {
     assert(out === Map("click" -> 11L, "view" -> 12L))
   }
 
+  test("session_window: streaming (append + watermark) equals batch grouping") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // user 1: two sessions (45-min gap); user 2: one session
+    val real = Seq(
+      ev(1, 0, 1), ev(2, 5, 1), ev(3, 50, 1), ev(4, 0, 2), ev(5, 20, 2))
+    def sessionized(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    val ms = MemoryStream[Ev]
+    val q = sessionized(ms.toDS().toDF().withWatermark("ts", "30 minutes"))
+      .writeStream.format("memory").queryName("sessnat")
+      .outputMode("append").start()
+    try {
+      ms.addData(real)
+      q.processAllAvailable()
+      // sentinel far ahead pushes the watermark so real sessions emit
+      ms.addData(Seq(ev(99, 10000, 9999)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessnat").filter(col("user_id") =!= 9999L)
+      .orderBy("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = sessionized(real.toDF())
+      .orderBy("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch === Seq((1L, 1L), (1L, 2L), (2L, 2L)))
+    assert(streamed === batch)
+  }
+
   test("stream_range_join reproduces sessionize event counts exactly") {
     import org.apache.spark.sql.functions._
     val viaRange = StreamQueries.streamRangeJoin(spark, sf).collect()
