@@ -148,15 +148,60 @@ object SourceQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** CSV round-trip with an explicit read schema (header + quoting
+    * handled by the source, no string surgery) — the format a
+    * migrating user most likely has on disk besides plain text.
+    */
+  def sourceCsv(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_csv_source").toString
+    Tables(s, dir).nation
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG, n_comment STRING")
+      .option("header", "true").csv(out)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val sourceCsvSql: String =
+    """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  /** JSON-lines round-trip with an explicit schema (schema-on-read,
+    * no inference job at scale — inference means an extra full scan).
+    */
+  def sourceJsonl(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_jsonl_source").toString
+    Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").json(out)
+    s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val sourceJsonlSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_kv" -> (sourceKv _),
     "source_seqfile" -> (sourceSeqfile _),
     "source_xmlrecord" -> (sourceXmlrecord _),
-    "source_partitioned" -> (sourcePartitioned _))
+    "source_partitioned" -> (sourcePartitioned _),
+    "source_csv" -> (sourceCsv _),
+    "source_jsonl" -> (sourceJsonl _))
 
   val oracleSql: Map[String, String] = Map(
     "source_kv" -> sourceKvSql,
     "source_seqfile" -> sourceSeqfileSql,
     "source_xmlrecord" -> sourceXmlrecordSql,
-    "source_partitioned" -> sourcePartitionedSql)
+    "source_partitioned" -> sourcePartitionedSql,
+    "source_csv" -> sourceCsvSql,
+    "source_jsonl" -> sourceJsonlSql)
 }
