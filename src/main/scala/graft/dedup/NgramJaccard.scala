@@ -54,6 +54,12 @@ object NgramJaccard {
       n: Int, tau: Double, maxDf: Int = 100): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     // attribute-bound tokens: wordNgrams references the array n+1 times
+    // deliberately NOT cached/checkpointed although three consumers
+    // re-derive it (prefix index + both verification joins): shingling
+    // is one codegen'd pass, and measured at sf0.1 a localCheckpoint's
+    // materialization cost cancels the recomputation saving while
+    // pinning executor storage for the whole shingle table. At extreme
+    // corpus scale, materialize to parquet once instead.
     val shingled = docs.withColumn("graft_toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("doc_id"),
         TextOps.wordNgrams(col("graft_toks"), n).as("shingles"))
