@@ -84,6 +84,26 @@ object Pipes {
     */
   def chain(stages: Pipe*): Pipe = stages.reduceLeft(_ andThen _)
 
+  /** Hadoop Streaming's counter channel (`reporter:counter:group,name,n`
+    * lines on a child's stderr, parsed by MultiPipeMapRed), Spark-first:
+    * an `observe` stage records aggregate metrics DURING the same pass —
+    * a CollectMetrics node in the plan, no second job, no UDF, the
+    * surrounding stages stay codegen-fused. Read the values from the
+    * Observation after the action:
+    *
+    * {{{
+    * val obs = new org.apache.spark.sql.Observation("stage1")
+    * val out = Pipes.chain(Pipes.grep("text", "spark"),
+    *   Pipes.counted(obs, count(lit(1)).as("records_out")))(df)
+    * out.write...; obs.get("records_out")
+    * }}}
+    */
+  def counted(obs: org.apache.spark.sql.Observation,
+      metrics: org.apache.spark.sql.Column*): Pipe = { df =>
+    require(metrics.nonEmpty, "counted needs at least one metric column")
+    df.observe(obs, metrics.head, metrics.tail: _*)
+  }
+
   /** The external-executable escape hatch: pipe a text column through an
     * arbitrary child process, one process per partition, exactly the
     * reference's record model (MultiPipeMapRed.java:212 holds one child

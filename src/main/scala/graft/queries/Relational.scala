@@ -245,6 +245,40 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Full outer join: customers vs a per-customer order rollup —
+    * customers with no orders keep a 0 total, order keys with no
+    * customer row (none in conformant data, but the join type must
+    * handle it) surface with a null name. Completes the join-type
+    * matrix (inner/semi/anti/broadcast/as-of/range elsewhere).
+    */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val perCust = t.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+    t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders").isNull, 1).otherwise(0)).cast("long")
+          .as("n_orderless"),
+        round(sum(coalesce(col("total"), lit(0.0))), 2).as("segment_total"))
+      .orderBy(col("segment"))
+  }
+
+  val qOuterJoinSql: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+      |  sum(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_orderless,
+      |  round(sum(coalesce(total, 0.0)), 2) AS segment_total
+      |FROM customer c FULL OUTER JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    round(sum(o_totalprice), 2) AS total
+      |  FROM orders GROUP BY o_custkey) o
+      |  ON c.c_custkey = o.o_custkey
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin
+
   /** Global sort + head — Spark plans TakeOrderedAndProject: per-partition
     * top-k then a k-row driver merge, not a total sort. Unique key in the
     * ordering makes it deterministic.
@@ -372,6 +406,7 @@ object Relational {
     "q_window" -> (qWindow _),
     "q_rolling" -> (qRolling _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_outer_join" -> (qOuterJoin _),
     "q_orderby_limit" -> (qOrderbyLimit _),
     "q_union_chain" -> (qUnionChain _),
     "q_semijoin" -> (qSemijoin _),
@@ -387,6 +422,7 @@ object Relational {
     "q_window" -> qWindowSql,
     "q_rolling" -> qRollingSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_outer_join" -> qOuterJoinSql,
     "q_orderby_limit" -> qOrderbyLimitSql,
     "q_union_chain" -> qUnionChainSql,
     "q_semijoin" -> qSemijoinSql,

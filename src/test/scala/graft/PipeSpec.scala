@@ -142,6 +142,20 @@ class PipeSpec extends SparkSpec {
     }
   }
 
+  test("Pipes.counted records reporter-counter metrics in the same pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation("grep_out")
+    val df = Seq("keep spark", "drop", "also spark").toDF("text")
+    val out = Pipes.chain(
+      Pipes.grep("text", "spark"),
+      Pipes.counted(obs, count(lit(1)).as("records"),
+        sum(length(col("text"))).as("chars")))(df)
+    assert(out.count() === 2L)
+    assert(obs.get("records") === 2L)
+    assert(obs.get("chars") === (10L + 10L))
+  }
+
   test("Pipes.exec runs a real child process and matches the native stage") {
     val docs = graft.util.Tables(spark, sf).documents
     val native = Pipes.grep("text", "spark")(docs)
