@@ -30,6 +30,7 @@ object MultiStream {
     var format = "parquet"; var numReduceTasks = -1
     val specs = scala.collection.mutable.ListBuffer.empty[String]
     val env = scala.collection.mutable.Map.empty[String, String]
+    val jobconf = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -42,9 +43,12 @@ object MultiStream {
         case "-cmdenv" =>
           val Array(k, v) = args(i + 1).split("=", 2)
           env(k) = v; i += 2
+        case "-jobconf" | "-D" =>
+          val Array(k, v) = args(i + 1).split("=", 2)
+          jobconf(k) = v; i += 2
         case other =>
           sys.error(s"unknown option '$other' (want -input -output " +
-            "-column -format -multiple -cmdenv -numReduceTasks)")
+            "-column -format -multiple -cmdenv -numReduceTasks -jobconf/-D)")
       }
     }
     require(input.nonEmpty, "-input is required")
@@ -60,6 +64,9 @@ object MultiStream {
       // shuffle partition count (AQE coalescing still refines it)
       if (numReduceTasks > 0)
         spark.conf.set("spark.sql.shuffle.partitions", numReduceTasks)
+      // -jobconf/-D key=value → session conf, the same passthrough the
+      // reference gives its JobConf
+      jobconf.foreach { case (k, v) => spark.conf.set(k, v) }
       val df =
         if (input.contains(".parquet")) spark.read.parquet(input)
         else spark.read.text(input)

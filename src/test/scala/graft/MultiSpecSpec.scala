@@ -67,8 +67,11 @@ class MultiSpecSpec extends SparkSpec {
     MultiStream.main(Array(
       "-input", s"$sf/documents.parquet", "-column", "text",
       "-output", out,
+      "-numReduceTasks", "4",
+      "-jobconf", "spark.sql.autoBroadcastJoinThreshold=10485760",
       "-multiple", "hits|grep spark|NONE",
       "-multiple", "counts|/bin/cat|/bin/wc"))
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") === "10485760")
     val hits = spark.read.parquet(s"$out/hits")
     val counts = spark.read.parquet(s"$out/counts")
     assert(hits.count() > 0)
