@@ -37,12 +37,22 @@ object Bench {
     }
     val failed = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
     val ok = results.values.filter(_ >= 0)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2000 characters of stdout; a
+    // full-precision line for 70+ queries overflows that window and the
+    // truncated JSON never parses (observed in rounds 1-2). Millisecond
+    // precision is plenty for a wall-clock bench, and if the surface
+    // grows past what 3 decimals fits, drop to 2 rather than overflow.
+    def render(dec: Int): String = {
+      // Locale.ROOT: a comma decimal separator would corrupt the JSON
+      def f(v: Double) =
+        String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = Seq(3, 2, 1).map(render).find(_.length <= 1850).getOrElse(render(1))
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
