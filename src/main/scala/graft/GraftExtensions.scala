@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductD, GraftFunctions, HeavyHitters, L2NormD, MinHashLanes, PolyFingerprint, SimHash64}
+import graft.functions.{BloomFilterAgg, BloomMightContain, DotProductD, GraftFunctions, HeavyHitters, L2NormD, MinHashLanes, PolyFingerprint, SimHash64}
 
 /** Standard Spark extension packaging: enables graft's native functions
   * in ANY session via configuration —
@@ -54,5 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_heavy_hitters", 2)(es =>
         HeavyHitters(es(0), GraftFunctions.foldableCapacity(es(1)))
           .toAggregateExpression())))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "graft_bloom_agg(keyHash, numBits, numHashes) - bloom filter of the key hashes"),
+      arity("graft_bloom_agg", 3)(es =>
+        BloomFilterAgg(es(0),
+          GraftFunctions.foldableInt("graft_bloom_agg numBits", es(1)),
+          GraftFunctions.foldableInt("graft_bloom_agg numHashes", es(2)))
+          .toAggregateExpression())))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "graft_bloom_contains(filter, keyHash) - bloom membership, no false negatives"),
+      arity("graft_bloom_contains", 2)(es => BloomMightContain(es(0), es(1)))))
   }
 }

@@ -18,23 +18,29 @@ object GraftFunctions {
     "graft_minhash_lanes" -> { case Seq(a) => MinHashLanes(a) },
     "graft_fingerprint" -> { case Seq(a) => PolyFingerprint(a) },
     "graft_heavy_hitters" -> { case Seq(a, k) =>
-      HeavyHitters(a, foldableCapacity(k)).toAggregateExpression() })
+      HeavyHitters(a, foldableCapacity(k)).toAggregateExpression() },
+    "graft_bloom_agg" -> { case Seq(a, m, k) =>
+      BloomFilterAgg(a, foldableInt("graft_bloom_agg numBits", m),
+        foldableInt("graft_bloom_agg numHashes", k)).toAggregateExpression() },
+    "graft_bloom_contains" -> { case Seq(f, v) => BloomMightContain(f, v) })
 
-  /** Plan-time capacity arg: must be a foldable integral expression —
+  /** Plan-time integral arg: must be a foldable integral expression —
     * a clear error beats the ClassCastException/NPE a bare
     * `eval().asInstanceOf[Int]` throws on BIGINT literals or columns.
     */
-  private[graft] def foldableCapacity(k: Expression): Int = {
+  private[graft] def foldableInt(what: String, k: Expression): Int = {
     if (!k.foldable)
       throw new IllegalArgumentException(
-        "graft_heavy_hitters capacity must be a literal, got a non-foldable " +
-          s"expression: ${k.sql}")
+        s"$what must be a literal, got a non-foldable expression: ${k.sql}")
     k.eval() match {
       case n: java.lang.Number => n.intValue()
       case other => throw new IllegalArgumentException(
-        s"graft_heavy_hitters capacity must be integral, got $other")
+        s"$what must be integral, got $other")
     }
   }
+
+  private[graft] def foldableCapacity(k: Expression): Int =
+    foldableInt("graft_heavy_hitters capacity", k)
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

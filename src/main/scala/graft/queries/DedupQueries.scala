@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.dedup.{ConnectedComponents, Dedup, EmbeddingDedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.dedup.{BloomMembership, ConnectedComponents, Dedup, EmbeddingDedup, MinHashLSH, NgramJaccard, SimHash}
 import graft.util.Tables
 
 /** Deduplication coverage (SURVEY.md §2.3) over the documents /
@@ -150,7 +150,34 @@ object DedupQueries {
       |WHERE cos >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Bloom-prefiltered membership: probe docs (doc_id ≡ 4 mod 5) whose
+    * normalization key already exists in the seen 80% — the scale shape
+    * of "is this document already in the training set". The bloom
+    * prefilter plus exact verification makes the output EXACTLY the
+    * semi join the oracle runs; the spec additionally checks the
+    * candidate set contains every true match (no false negatives).
+    */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val probe = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    BloomMembership.matches(probe, seen,
+        Dedup.normKey(col("text")), Dedup.normKey(col("text")),
+        expectedN = 10000L, fpp = 0.001)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupBloomSql: String =
+    s"""SELECT d.doc_id
+       |FROM (SELECT doc_id, $normKeySql AS k FROM documents) d
+       |WHERE d.doc_id % 5 = 4 AND EXISTS (
+       |  SELECT 1 FROM (SELECT doc_id, $normKeySql AS k FROM documents) s
+       |  WHERE s.doc_id % 5 < 4 AND s.k = d.k)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom" -> (dedupBloom _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_count" -> (dedupExactCount _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -160,6 +187,7 @@ object DedupQueries {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_bloom" -> dedupBloomSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_count" -> dedupExactCountSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -250,7 +250,41 @@ object StreamQueries {
       |GROUP BY 1
       |ORDER BY k_decile""".stripMargin
 
+  /** Stream-stream interval join (batch mode for the oracle; the
+    * watermarked streaming run of the same transform is spec-tested):
+    * every error within 5 minutes AFTER a click by the same user,
+    * rolled up per user. Microsecond-precision BETWEEN on both engines
+    * (ns→us truncation is identical), gaps reported in whole seconds.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    Streams.intervalJoin(clicks, errors, "c_user", "e_user", "c_ts", "e_ts",
+        lowerSec = 0L, upperSec = 300L)
+      .select(col("c_user").as("user_id"),
+        (unix_timestamp(col("e_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT c.user_id, count(*) AS n_pairs,
+      |  min(floor(epoch(e.ts))::BIGINT - floor(epoch(c.ts))::BIGINT) AS min_gap_s,
+      |  max(floor(epoch(e.ts))::BIGINT - floor(epoch(c.ts))::BIGINT) AS max_gap_s
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 300 SECOND
+      |GROUP BY c.user_id
+      |ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> (streamStreamJoin _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_multi_sink" -> (streamMultiSink _),
@@ -261,6 +295,7 @@ object StreamQueries {
     "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_multi_sink" -> streamMultiSinkSql,

@@ -152,17 +152,125 @@ object TextQueries {
        |ORDER BY df DESC, gram
        |LIMIT 30""".stripMargin
 
+  /** Gopher-style repetition metrics per doc: what fraction of the 2-gram
+    * occurrence stream is repeats (`dup_frac` = occurrences of grams seen
+    * more than once ÷ all occurrences) and how dominant the single most
+    * frequent gram is (`top_frac`). High values flag boilerplate /
+    * degenerate generations — the classic pre-training repetition filter.
+    *
+    * One explode + two-level aggregation, keys (doc_id, gram) then
+    * doc_id — uniform, fully partial-aggregatable; nothing is held
+    * per-doc except the running counts. Docs with fewer than 2 tokens
+    * have no 2-grams and are excluded (mirrored in the oracle).
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(TextOps.wordNgramsAll(col("toks"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        round4(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("double")
+          / sum(col("cnt")).cast("double")).as("dup_frac"),
+        round4(max(col("cnt")).cast("double")
+          / sum(col("cnt")).cast("double")).as("top_frac"))
+      .orderBy(col("doc_id"))
+
+  val textRepetitionSql: String =
+    s"""SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+       |  floor((sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+       |         / sum(cnt)::DOUBLE) * 10000 + 0.5) / 10000 AS dup_frac,
+       |  floor((max(cnt)::DOUBLE / sum(cnt)::DOUBLE) * 10000 + 0.5) / 10000
+       |    AS top_frac
+       |FROM (
+       |  SELECT doc_id, gram, count(*) AS cnt FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(toks[i:i+1], ' ')
+       |              FOR i IN range(1, len(toks))]) AS gram
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |    WHERE len(toks) >= 2)
+       |  GROUP BY doc_id, gram)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  private val TfidfK = 3
+
+  /** Per-doc top-k terms by tf·idf (idf = ln(N/df)). The tf table feeds
+    * BOTH its own per-term document frequency and the scoring join — df
+    * is derived from tf (count of docs per term), so the corpus is
+    * tokenized once. Shuffles key on term (uniform vocabulary) and
+    * doc_id; N rides in as a broadcast 1-row aggregate, never a
+    * driver-side action. The rank window has a single window function,
+    * so it compiles to WindowGroupLimit: each partition keeps only k
+    * rows per doc before the exchange.
+    *
+    * Ranking compares the ROUNDED score (ties → term asc): both engines
+    * rank on identical 4-decimal values, so rank order can't diverge on
+    * a last-ulp difference deep in `ln`.
+    */
+  def tfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val tf = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfTbl, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round4(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfK)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfToptermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |  GROUP BY doc_id, term),
+       |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT doc_id, term,
+       |    floor((tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE)) * 10000 + 0.5)
+       |      / 10000 AS score
+       |  FROM tf JOIN dfv USING (term) CROSS JOIN n)
+       |SELECT doc_id, rank, term, score FROM (
+       |  SELECT doc_id, term, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, term) AS rank
+       |  FROM sc)
+       |WHERE rank <= $TfidfK
+       |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_ngrams" -> (textNgrams _))
+    "text_ngrams" -> (textNgrams _),
+    "text_repetition" -> (textRepetition _),
+    "tfidf_topterms" -> (tfidfTopterms _))
 
   val oracleSql: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_ngrams" -> textNgramsSql)
+    "text_ngrams" -> textNgramsSql,
+    "text_repetition" -> textRepetitionSql,
+    "tfidf_topterms" -> tfidfToptermsSql)
 }

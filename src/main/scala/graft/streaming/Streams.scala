@@ -170,6 +170,31 @@ object Streams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(keys)
 
+  // ---- stream-stream interval join ------------------------------------
+
+  /** Stream-stream (or batch-batch — same plan API) interval join: each
+    * left row matched to right rows with the same key whose event time
+    * falls in [left.ts + lowerSec, left.ts + upperSec]. The canonical
+    * "error within 5 minutes of a click" correlation.
+    *
+    * Callers must rename columns so the two sides don't collide, and —
+    * for STREAMING inputs — put `withWatermark` on both sides before
+    * calling: the watermark plus this time-range predicate is exactly
+    * what lets Spark expire join state (left rows older than
+    * watermark − upperSec can never match again and are dropped). On
+    * batch frames the same condition plans as an equi hash join on the
+    * key with the range as a post-join filter; at extreme right-side
+    * cardinality per key, [[graft.ops.RangeJoin.binned]] is the
+    * bucketed alternative.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lowerSec: Long, upperSec: Long): DataFrame =
+    left.join(right,
+      left(leftKey) === right(rightKey) &&
+        right(rightTs) >= left(leftTs) + expr(s"INTERVAL '$lowerSec' SECOND") &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL '$upperSec' SECOND"))
+
   // ---- multi-sink fan-out ---------------------------------------------
 
   /** The reference's `-multiple` on a stream: ONE readStream, N branch

@@ -44,6 +44,21 @@ object TextOps {
     array_distinct(array_compact(grams))
   }
 
+  /** Word n-grams WITH multiplicity (no dedup): the occurrence stream
+    * repetition metrics need — `dup_frac` counts how often the SAME
+    * gram recurs within one doc, which `wordNgrams`' array_distinct
+    * destroys. Same shifted-zip construction, one codegen'd pass per
+    * shift.
+    */
+  def wordNgramsAll(toks: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      val shifted = slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0)))
+      zip_with(acc, shifted, (g, t) => concat(g, lit(" "), t))
+    }
+    array_compact(grams)
+  }
+
   /** Character n-grams of the lowercased text, distinct — same
     * shifted-zip construction over the exploded char array (split("")
     * leaves a trailing empty string; remove it or the last gram comes

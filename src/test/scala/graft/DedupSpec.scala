@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.dedup.{Dedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.dedup.{BloomMembership, Dedup, MinHashLSH, NgramJaccard, SimHash}
 import graft.queries.DedupQueries
 
 class DedupSpec extends SparkSpec {
@@ -152,5 +152,38 @@ class DedupSpec extends SparkSpec {
     val out = DedupQueries.dedupEmbedding(spark, sf).collect()
     assert(out.nonEmpty)
     assert(out.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+  }
+
+  test("BloomMembership.matches equals the exact semi join") {
+    import spark.implicits._
+    val seen = (1L to 400L).map(i => (i, s"doc number $i body"))
+      .toDF("doc_id", "text")
+    // probe: half overlap seen's text (different ids), half novel
+    val probe = ((1001L to 1050L).map(i => (i, s"doc number ${i - 1000} body")) ++
+      (2001L to 2050L).map(i => (i, s"unseen text $i"))).toDF("doc_id", "text")
+    val got = BloomMembership.matches(probe, seen,
+        Dedup.normKey(col("text")), Dedup.normKey(col("text")),
+        expectedN = 400L, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === (1001L to 1050L).toSet,
+      "bloom prefilter + verify must reproduce the exact semi join")
+  }
+
+  test("bloom prefilter alone has no false negatives on the corpus split") {
+    // candidate set (prefilter only, before verification) must contain
+    // every true match — the one-sidedness the design relies on
+    val docs = graft.util.Tables(spark, sf).documents
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val probe = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val filter = BloomMembership.seenFilter(seen,
+      Dedup.normKey(col("text")), expectedN = 10000L, fpp = 0.001)
+    val candidates = probe.crossJoin(broadcast(filter))
+      .filter(call_function("graft_bloom_contains",
+        col("graft_bloom"), xxhash64(Dedup.normKey(col("text")))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val truth = DedupQueries.dedupBloom(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(truth.subsetOf(candidates),
+      s"prefilter dropped true matches: ${truth -- candidates}")
   }
 }

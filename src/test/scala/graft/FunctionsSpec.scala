@@ -61,6 +61,56 @@ class FunctionsSpec extends SparkSpec {
     assert(hot.isDefined && hot.get.getLong(1) >= 50L)
   }
 
+  test("bloom filter: no false negatives across partition merges") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val keys = (1L to 2000L).toDF("k").repartition(8)
+    val filter = keys
+      .agg(call_function("graft_bloom_agg", xxhash64(col("k")), lit(65536), lit(7)))
+      .head().getAs[Array[Byte]](0)
+    // every inserted key must test positive, regardless of which
+    // partition's partial filter it landed in before the OR-merge
+    val misses = (1L to 2000L).count { k =>
+      val h = spark.range(1).select(xxhash64(lit(k))).head().getLong(0)
+      !graft.functions.BloomUtil.mightContain(filter, h)
+    }
+    assert(misses === 0, s"bloom filter produced $misses false negatives")
+  }
+
+  test("bloom filter: false-positive rate near the sized target") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val n = 5000L
+    val m = graft.functions.BloomUtil.optimalNumBits(n, 0.01)
+    val k = graft.functions.BloomUtil.optimalNumHashes(m, n)
+    val filter = (1L to n).toDF("k")
+      .agg(call_function("graft_bloom_agg", xxhash64(col("k")), lit(m), lit(k)))
+      .head().getAs[Array[Byte]](0)
+    // probe keys disjoint from the inserted range; xxhash64 of a long is
+    // computed spark-side once, then tested against the serialized filter
+    val probeHashes = (1000001L to 1010000L).toDF("k")
+      .select(xxhash64(col("k"))).collect().map(_.getLong(0))
+    val fp = probeHashes.count(graft.functions.BloomUtil.mightContain(filter, _))
+    val rate = fp.toDouble / probeHashes.length
+    assert(rate < 0.05, s"fpp $rate far above the 0.01 target")
+  }
+
+  test("bloom contains is SQL-callable and rejects junk types") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_bloom_contains(f, xxhash64(42L)) AS hit,
+        |       graft_bloom_contains(f, xxhash64(-42L)) AS miss_or_fp
+        |FROM (SELECT graft_bloom_agg(xxhash64(id), 4096, 5) AS f
+        |      FROM range(0, 100))""".stripMargin).head()
+    assert(r.getBoolean(0), "inserted key must hit")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_agg(xxhash64(id), id, 5) FROM range(10)")
+        .head()
+    }
+    assert(err.getMessage.contains("literal"),
+      s"non-foldable numBits should fail clearly, got: ${err.getMessage}")
+  }
+
   test("minhash lanes: permutation-invariant, sensitive to content") {
     import spark.implicits._
     GraftFunctions.register(spark)

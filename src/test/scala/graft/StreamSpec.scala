@@ -217,6 +217,37 @@ class StreamSpec extends SparkSpec {
     assert(viaRange.nonEmpty && viaRange === viaSessions)
   }
 
+  test("intervalJoin: streaming stream-stream join equals batch join") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // user 1: click at t0, errors at +2min (in) and +7min (out of 5-min window)
+    // user 2: click at t0, no errors;  user 3: error with no click
+    val clicks = Seq(ev(1, 0, 1), ev(2, 0, 2))
+    val errors = Seq(ev(10, 2, 1, "error"), ev(11, 7, 1, "error"),
+      ev(12, 3, 3, "error"))
+    def shape(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("user_id").as(s"${side}_user"), col("ts").as(s"${side}_ts"))
+    val msC = MemoryStream[Ev]; val msE = MemoryStream[Ev]
+    val sc = shape(msC.toDS().toDF(), "c").withWatermark("c_ts", "1 minute")
+    val se = shape(msE.toDS().toDF(), "e").withWatermark("e_ts", "1 minute")
+    val q = Streams.intervalJoin(sc, se, "c_user", "e_user", "c_ts", "e_ts", 0L, 300L)
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      msC.addData(clicks); msE.addData(errors)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ivj")
+      .select("c_user", "c_ts", "e_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val batch = Streams.intervalJoin(
+        shape(clicks.toDF(), "c"), shape(errors.toDF(), "e"),
+        "c_user", "e_user", "c_ts", "e_ts", 0L, 300L)
+      .select("c_user", "c_ts", "e_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(batch === Set((1L, clicks.head.ts, errors.head.ts)))
+    assert(streamed === batch)
+  }
+
   test("stream_multi_sink drains the source once into three sinks") {
     val out = StreamQueries.streamMultiSink(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq === Seq("by_user", "clicks", "errors"))

@@ -66,4 +66,55 @@ class TextSpec extends SparkSpec {
     assert(TextQueries.textFingerprint(spark, sf).count() === 500L)
     assert(TextQueries.textNgrams(spark, sf).count() === 30L)
   }
+
+  test("wordNgramsAll keeps multiplicity; wordNgrams dedups") {
+    import spark.implicits._
+    val df = Seq("go go go stop").toDF("text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val all = df.select(TextOps.wordNgramsAll(col("toks"), 2))
+      .head().getSeq[String](0)
+    assert(all === Seq("go go", "go go", "go stop"))
+    val distinct = df.select(TextOps.wordNgrams(col("toks"), 2))
+      .head().getSeq[String](0).sorted
+    assert(distinct === Seq("go go", "go stop"))
+  }
+
+  test("repetition metrics: degenerate doc scores high, varied doc low") {
+    import spark.implicits._
+    // textRepetition runs on the documents table; build expectations
+    // from hand-computable docs via the same ops instead
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),       // all 2-grams identical
+      (2L, "one two three four five"))        // all 2-grams unique
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(TextOps.wordNgramsAll(col("toks"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg((sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("double") /
+        sum(col("cnt")).cast("double")).as("dup_frac"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 0.0)
+    val corpus = TextQueries.textRepetition(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall { r =>
+      val (d, t) = (r.getDouble(2), r.getDouble(3))
+      d >= 0.0 && d <= 1.0 && t > 0.0 && t <= 1.0
+    })
+  }
+
+  test("tfidf top terms: rare planted term outranks common filler") {
+    val out = TextQueries.tfidfTopterms(spark, sf).collect()
+    // exactly k rows per doc (or fewer for tiny docs), ranks 1..k dense
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length))
+      // scores non-increasing with rank
+      val sorted = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
