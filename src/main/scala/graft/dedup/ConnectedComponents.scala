@@ -106,4 +106,17 @@ object ConnectedComponents {
     labels(edges, maxIters)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Eagerly drop the cached checkpoint blocks behind a frame returned
+    * by [[labels]]/[[clusters]]. The final round's buffer is otherwise
+    * reclaimed only when the caller's reference is garbage-collected
+    * (ContextCleaner); long-lived sessions that hold many results can
+    * release deterministically instead. Call ONLY after every action on
+    * the frame (and anything derived from it) has run: a localCheckpoint
+    * truncates lineage, so unpersisted blocks cannot be recomputed.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

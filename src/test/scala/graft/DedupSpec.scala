@@ -128,6 +128,24 @@ class DedupSpec extends SparkSpec {
     assert(out === (1L to 8L).map(i => (i, 1L)).toSet)
   }
 
+  test("ConnectedComponents.release drops the final checkpoint blocks") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val lbl = graft.dedup.ConnectedComponents.labels(edges)
+    lbl.count() // consume fully before releasing (lineage is truncated)
+    val ids = lbl.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    assert(ids.nonEmpty, "labels() should be checkpoint-backed")
+    assert(ids.exists(spark.sparkContext.getPersistentRDDs.contains),
+      "final buffer should be cached before release")
+    graft.dedup.ConnectedComponents.release(lbl)
+    // unpersist(blocking=false) is async only in block removal; the
+    // persistentRdds registry is updated synchronously
+    assert(!ids.exists(spark.sparkContext.getPersistentRDDs.contains),
+      "release() must drop the cached final buffer")
+  }
+
   test("dedup_clusters matches driver-side union-find on the pair graph") {
     val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
