@@ -176,7 +176,64 @@ object DedupQueries {
        |  WHERE s.doc_id % 5 < 4 AND s.k = d.k)
        |ORDER BY doc_id""".stripMargin
 
+  /** The dedup pipeline's last mile: near-dup pairs → clusters → ONE
+    * canonical doc kept per cluster. Keep-heuristic = longest text
+    * (ties → smallest doc_id) — the standard "keep the most complete
+    * copy" rule; swap the ORDER BY for a quality score to change policy.
+    *
+    * The rank window partitions on the same key the following groupBy
+    * uses, so Catalyst reuses the exchange: cluster assembly costs one
+    * shuffle past label propagation. Output is per-cluster (small —
+    * one row per duplicate cluster, not per doc); the kept corpus
+    * itself is `docs ⟕ losers` anti-join, same frame, no extra pass.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text", n = 3, tau = 0.7)
+    val labels = ConnectedComponents.labels(pairs.select(col("id_a"), col("id_b")))
+    val members = labels.join(docs, labels("id") === docs("doc_id"))
+      .select(col("label").as("cluster_id"), col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    members.withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |            len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+       |    FROM ($shingleSql) a, ($shingleSql) b
+       |    WHERE a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.7),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |labels AS (
+       |  SELECT u AS id, least(u, min(v)) AS label FROM reach GROUP BY u),
+       |m AS (
+       |  SELECT l.label AS cluster_id, d.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY l.label
+       |                       ORDER BY d.n_chars DESC, d.doc_id) AS rk
+       |  FROM labels l JOIN documents d ON l.id = d.doc_id)
+       |SELECT cluster_id, max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+       |  count(*) AS n_members
+       |FROM m GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_bloom" -> (dedupBloom _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_count" -> (dedupExactCount _),
@@ -187,6 +244,7 @@ object DedupQueries {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_bloom" -> dedupBloomSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_count" -> dedupExactCountSql,

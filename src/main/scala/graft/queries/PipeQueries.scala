@@ -184,6 +184,35 @@ object PipeQueries {
             lit(10000)), 2), 2).as("p95_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact tail percentiles per group — the ground-truth twin of
+    * aggSketches' GK estimates. Spark's `percentile` (linear
+    * interpolation, same definition as DuckDB `quantile_cont`) is a
+    * TypedImperativeAggregate that buffers the GROUP'S values: fine
+    * when groups are few and bounded (here: 3 return flags), the wrong
+    * tool for high-cardinality keys at 100 TB — that's what the
+    * constant-state agg_sketches path is for. Both exist because a
+    * pipeline needs the exact one to VALIDATE the sketch's error.
+    */
+  def aggPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val aggPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** ValueHistogram reducer over events: per event_type, stats of the
     * per-user frequency distribution.
     */
@@ -392,6 +421,7 @@ object PipeQueries {
     "agg_package" -> (aggPackage _),
     "agg_distinct_twophase" -> (aggDistinctTwophase _),
     "agg_sketches" -> (aggSketches _),
+    "agg_percentiles" -> (aggPercentiles _),
     "agg_histogram" -> (aggHistogram _),
     "multi_fanout" -> (multiFanout _),
     "multi_spec" -> (multiSpec _),
@@ -410,6 +440,7 @@ object PipeQueries {
     "pipe_keyfield_agg" -> pipeKeyfieldAggSql,
     "agg_package" -> aggPackageSql,
     "agg_distinct_twophase" -> aggDistinctTwophaseSql,
+    "agg_percentiles" -> aggPercentilesSql,
     "agg_histogram" -> aggHistogramSql,
     "multi_fanout" -> multiFanoutSql,
     "multi_spec" -> multiSpecSql,

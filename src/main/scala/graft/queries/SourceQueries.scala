@@ -189,7 +189,48 @@ object SourceQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Bucketed co-located join — the storage-side answer to the
+    * reference's `-partitioner` (pre-partitioned output consumed by the
+    * next job without re-shuffling). Both join sides are written
+    * `bucketBy(orderkey) sortBy(orderkey)` into a throwaway catalog
+    * table; because bucket counts match and buckets are sorted, the
+    * sort-merge join needs NO Exchange and NO Sort — at 100 TB this is
+    * the difference between shuffling the fact table on every join and
+    * shuffling it once at write time. The `merge` hint keeps Spark from
+    * broadcasting the (test-scale-small) side, so the bucket layout is
+    * actually exercised; PlanSpec asserts the exchange-free plan.
+    */
+  def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val warehouse = Files.createTempDirectory("graft_bucket").toString
+    def writeBucketed(df: DataFrame, name: String, key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.bucketBy(8, key).sortBy(key)
+        .option("path", s"$warehouse/$name").saveAsTable(name)
+    }
+    writeBucketed(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_bk_orders", "o_orderkey")
+    writeBucketed(t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
+      "graft_bk_lineitem", "l_orderkey")
+    s.table("graft_bk_orders")
+      .hint("merge")
+      .join(s.table("graft_bk_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bucketJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucket_join" -> (bucketJoin _),
     "source_kv" -> (sourceKv _),
     "source_seqfile" -> (sourceSeqfile _),
     "source_xmlrecord" -> (sourceXmlrecord _),
@@ -198,6 +239,7 @@ object SourceQueries {
     "source_jsonl" -> (sourceJsonl _))
 
   val oracleSql: Map[String, String] = Map(
+    "bucket_join" -> bucketJoinSql,
     "source_kv" -> sourceKvSql,
     "source_seqfile" -> sourceSeqfileSql,
     "source_xmlrecord" -> sourceXmlrecordSql,

@@ -283,7 +283,43 @@ object StreamQueries {
       |GROUP BY c.user_id
       |ORDER BY c.user_id""".stripMargin
 
+  /** Trending top-k: per tumbling hour, the 3 most frequent event types.
+    * The rank stage carries exactly ONE window function, so it compiles
+    * to WindowGroupLimit — each partition keeps only k rows per window
+    * BEFORE the exchange (the 100 TB difference between "sort every
+    * group" and "carry k rows"). In streaming this shape runs as the
+    * windowed count (append mode + watermark) with the per-window rank
+    * applied to each CLOSED window in foreachBatch — counts are the
+    * stateful part; rank is stateless per emitted window.
+    */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("ws"),
+        col("event_type"), col("n_events"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ws"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .orderBy(col("ws"), col("rank"))
+  }
+
+  val streamTopkSql: String =
+    """SELECT ws, event_type, n_events, rank FROM (
+      |  SELECT ws, event_type, n_events,
+      |    row_number() OVER (PARTITION BY ws
+      |                       ORDER BY n_events DESC, event_type) AS rank
+      |  FROM (
+      |    SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS ws,
+      |      event_type, count(*) AS n_events
+      |    FROM events GROUP BY 1, 2))
+      |WHERE rank <= 3
+      |ORDER BY ws, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk" -> (streamTopk _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
@@ -295,6 +331,7 @@ object StreamQueries {
     "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_topk" -> streamTopkSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_sessionize" -> streamSessionizeSql,

@@ -172,6 +172,28 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
   }
 
+  test("dedup_keep_best: one representative per cluster, sizes match clusters") {
+    val best = DedupQueries.dedupKeepBest(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sizes = DedupQueries.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(best.keySet === sizes.keySet)
+    assert(best.forall { case (c, (_, n)) => n === sizes(c) })
+    // the kept doc must be the longest member (ties → smallest id)
+    val docs = graft.util.Tables(spark, sf).documents
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = graft.dedup.ConnectedComponents.labels(
+        DedupQueries.dedupMinhashLsh(spark, sf)
+          .select(col("id_a"), col("id_b"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val membersOf = labels.groupBy(_._2).map { case (c, m) => c -> m.map(_._1) }
+    best.foreach { case (c, (keep, _)) =>
+      val want = membersOf(c).minBy(id => (-docs(id), id))
+      assert(keep === want, s"cluster $c kept $keep, expected $want")
+    }
+  }
+
   test("BloomMembership.matches equals the exact semi join") {
     import spark.implicits._
     val seen = (1L to 400L).map(i => (i, s"doc number $i body"))

@@ -142,6 +142,20 @@ class PipeSpec extends SparkSpec {
     }
   }
 
+  test("agg_percentiles: exact tail order p50 <= p95 <= p99 <= max") {
+    import org.apache.spark.sql.functions._
+    val li = graft.util.Tables(spark, sf).lineitem
+    val maxes = li.groupBy(col("l_returnflag")).agg(max(col("l_extendedprice")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = PipeQueries.aggPercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, p50, p95, p99) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p95 && p95 <= p99 && p99 <= maxes(k), s"$k tail order")
+    }
+  }
+
   test("Pipes.counted records reporter-counter metrics in the same pass") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -81,6 +81,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucket_join query: join keys come pre-partitioned, no join-side exchange") {
+    val plan = planOf(graft.queries.SourceQueries.bucketJoin(spark, sf))
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      "bucket layout must feed the join without re-shuffling either side")
+  }
+
+  test("stream_topk rank stage compiles to WindowGroupLimit") {
+    val plan = planOf(StreamQueries.streamTopk(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
   test("text_quality tokenizes once per row (single array_remove in plan)") {
     val plan = planOf(graft.queries.TextQueries.textQuality(spark, sf))
     val n = "array_remove".r.findAllIn(plan).length

@@ -248,6 +248,18 @@ class StreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_topk: at most 3 per window, counts non-increasing by rank") {
+    val rows = StreamQueries.streamTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, grp) =>
+      val byRank = grp.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq === (1 to byRank.length))
+      assert(byRank.length <= 3)
+      val counts = byRank.map(_.getLong(2))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("stream_multi_sink drains the source once into three sinks") {
     val out = StreamQueries.streamMultiSink(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq === Seq("by_user", "clicks", "errors"))
