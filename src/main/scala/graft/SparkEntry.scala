@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CurationQueries, DedupQueries, PipeQueries, Relational, SimQueries, SourceQueries, StreamQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, EventQueries, PipeQueries, Relational, SimQueries, SourceQueries, StreamQueries, TextQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -10,11 +10,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ PipeQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++ SimQueries.queries ++
-      StreamQueries.queries ++ CurationQueries.queries ++ SourceQueries.queries
+      StreamQueries.queries ++ CurationQueries.queries ++ SourceQueries.queries ++ EventQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ PipeQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++ SimQueries.oracleSql ++
-      StreamQueries.oracleSql ++ CurationQueries.oracleSql ++ SourceQueries.oracleSql
+      StreamQueries.oracleSql ++ CurationQueries.oracleSql ++ SourceQueries.oracleSql ++ EventQueries.oracleSql
 }

@@ -1,0 +1,91 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+  * "Winnowing: Local Algorithms for Document Fingerprinting",
+  * SIGMOD 2003): from each window of `w` consecutive token k-grams,
+  * keep the minimum gram under a total order. The guarantee: any shared
+  * run of at least `w + k − 1` tokens between two documents yields at
+  * least one shared fingerprint — substring-level near-dup detection at
+  * a fraction of the full k-gram index's size (expected density 2/(w+1)
+  * of all grams).
+  *
+  * Spark shape: tokens are exploded once and every later step is a
+  * window function over the SAME (doc, position) exchange — grams via
+  * `lead` (k−1 shifted copies in one Window node, no higher-order
+  * functions, whole-stage codegen throughout), the winnow min via a
+  * `ROWS w−1 PRECEDING` frame that reuses the exchange and sort. One
+  * uniform doc-keyed shuffle total; fingerprint distinct + the pair
+  * self-join shuffle on the fingerprint value, which winnowing keeps
+  * sparse.
+  *
+  * Order choice: production wants a HASH order (`graft_fingerprint` —
+  * uniform selection independent of token spelling); the default here
+  * is plain lexicographic gram order, which is engine-portable (binary
+  * string compare everywhere) and keeps the winnowing guarantee — any
+  * total order does. Pass `orderKey` to swap in a hash.
+  */
+object Winnow {
+
+  /** Distinct (id, fp) winnowing fingerprints of a token-array column.
+    * `k` = tokens per gram, `w` = winnow window (in grams).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, toksCol: String,
+      k: Int = 5, w: Int = 4,
+      orderKey: Column => Column = identity): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val id = col(idCol)
+    val toks = docs.select(id, posexplode(col(toksCol)).as(Seq("pos", "tok")))
+    val byPos = Window.partitionBy(id).orderBy(col("pos"))
+    // gram at pos = tok .. tok+k-1 joined; lead() nulls past the end and
+    // concat_ws skips nulls, so trailing partial grams are exactly the
+    // rows whose FARTHEST lead is null — materialize that lead and
+    // filter on it (all k−1 leads share one Window node)
+    val gramCols = (1 until k).map(i => lead(col("tok"), i).over(byPos))
+    val grams = (if (k == 1) toks.withColumn("gram", col("tok"))
+      else toks
+        .withColumn("tail_tok", gramCols.last)
+        .withColumn("gram", concat_ws(" ",
+          (col("tok") +: gramCols.dropRight(1)) :+ col("tail_tok"): _*))
+        .filter(col("tail_tok").isNotNull))
+    // every w-window's minimum, expressed as a per-gram trailing-frame
+    // min: the window ending at each gram position. Early positions get
+    // truncated frames (prefix mins) — a small deterministic superset of
+    // strict winnowing that keeps the coverage guarantee.
+    val frame = byPos.rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .select(id, min(orderKey(col("gram"))).over(frame).as("fp"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs: documents sharing at least `minShared`
+    * winnowing fingerprints. Join keys are the fingerprints themselves —
+    * cap runaway stop-gram buckets with `maxDf` at corpus scale (same
+    * Σdf² argument as the n-gram inverted index).
+    */
+  def pairs(fps: DataFrame, idCol: String, minShared: Int = 2,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val pruned =
+      if (maxDf == Int.MaxValue) fps
+      else {
+        val dfs = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+        fps.join(pruned_hint(dfs.select(col("fp"))), "fp")
+      }
+    val a = pruned.select(col(idCol).as("doc_a"), col("fp"))
+    val b = pruned.select(col(idCol).as("doc_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The df table is orders of magnitude smaller than the fingerprint
+    * table (one row per distinct fp) — broadcast it when it fits.
+    */
+  private def pruned_hint(dfs: DataFrame): DataFrame = dfs.hint("broadcast")
+}

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.dedup.{BloomMembership, ConnectedComponents, Dedup, EmbeddingDedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.dedup.{BloomMembership, ConnectedComponents, Dedup, EmbeddingDedup, MinHashLSH, NgramJaccard, SimHash, Winnow}
+import graft.text.TextOps
 import graft.util.Tables
 
 /** Deduplication coverage (SURVEY.md §2.3) over the documents /
@@ -232,7 +233,56 @@ object DedupQueries {
        |FROM m GROUP BY cluster_id
        |ORDER BY cluster_id""".stripMargin
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer et al. SIGMOD'03;
+    * graft.dedup.Winnow): docs sharing ≥ 2 selected k-gram fingerprints.
+    * Any shared token run of length ≥ w+k−1 guarantees a shared
+    * fingerprint, at ~2/(w+1) of the full gram index's size. The oracle
+    * replays the identical trailing-window-min selection with DuckDB
+    * window functions — selection order is lexicographic gram order
+    * here, which both engines compare bytewise (production would plug a
+    * hash order via `orderKey`; the guarantee holds for any total
+    * order).
+    */
+  def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val fps = Winnow.fingerprints(docs, "doc_id", "toks", k = WinnowK,
+      w = WinnowW)
+    Winnow.pairs(fps, "doc_id", minShared = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val WinnowK = 5
+  private val WinnowW = 4
+
+  val dedupWinnowSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, u.gpos, u.gram FROM (
+       |    SELECT doc_id,
+       |      unnest([{'gpos': i,
+       |               'gram': array_to_string(toks[i:i+${WinnowK - 1}], ' ')}
+       |              FOR i IN range(1, len(toks) - ${WinnowK - 2})]) AS u
+       |    FROM toks
+       |    WHERE len(toks) >= $WinnowK)),
+       |fp AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(gram) OVER (PARTITION BY doc_id ORDER BY gpos
+       |                    ROWS BETWEEN ${WinnowW - 1} PRECEDING
+       |                    AND CURRENT ROW) AS fp
+       |  FROM grams)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY doc_a, doc_b
+       |HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow" -> (dedupWinnow _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_bloom" -> (dedupBloom _),
     "dedup_exact" -> (dedupExact _),
@@ -244,6 +294,7 @@ object DedupQueries {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_winnow" -> dedupWinnowSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_bloom" -> dedupBloomSql,
     "dedup_exact" -> dedupExactSql,

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Event-log analytics the reference's users run as chained streaming
+  * jobs (mapper extracts (user, type, ts); reducer walks each user's
+  * ordered history): funnel conversion, cohort retention, and a
+  * salt-keyed join for skewed keys. All three are single-exchange
+  * window/agg plans here — the "ordered walk per user" reduce becomes a
+  * user-partitioned window, and every aggregate is partial-aggregatable.
+  */
+object EventQueries {
+
+  /** Step-order funnel (view → click → purchase) per user: the classic
+    * sessionized conversion query. Each step's timestamp is a
+    * conditional window-min over the user's history that must be
+    * strictly after the previous step — three window stages over ONE
+    * user_id exchange (same partitioning ⇒ Catalyst reuses the sort and
+    * shuffle), then a per-user collapse and a single global row.
+    *
+    * All outputs are exact integers (counts + a summed seconds lag), so
+    * there is no float-parity surface at all.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+    val w = Window.partitionBy(col("user_id"))
+    val staged = e
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("es"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("es") > col("t_view"),
+          col("es"))).over(w))
+      .withColumn("t_buy",
+        min(when(col("event_type") === "purchase" && col("es") > col("t_click"),
+          col("es"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("t_view"), max(col("t_click")).as("t_click"),
+        max(col("t_buy")).as("t_buy"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("u_view"),
+        count(col("t_click")).as("u_click"),
+        count(col("t_buy")).as("u_purchase"),
+        sum(col("t_buy") - col("t_view")).as("sum_funnel_s"))
+  }
+
+  val qFunnelSql: String =
+    """SELECT count(*) AS n_users,
+      |  count(t_view) AS u_view,
+      |  count(t_click) AS u_click,
+      |  count(t_buy) AS u_purchase,
+      |  sum(t_buy - t_view)::BIGINT AS sum_funnel_s
+      |FROM (
+      |  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+      |    max(t_buy) AS t_buy
+      |  FROM (
+      |    SELECT user_id, t_view, t_click,
+      |      min(CASE WHEN event_type = 'purchase' AND es > t_click
+      |               THEN es END) OVER (PARTITION BY user_id) AS t_buy
+      |    FROM (
+      |      SELECT user_id, event_type, es, t_view,
+      |        min(CASE WHEN event_type = 'click' AND es > t_view
+      |                 THEN es END) OVER (PARTITION BY user_id) AS t_click
+      |      FROM (
+      |        SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS es,
+      |          min(CASE WHEN event_type = 'view'
+      |                   THEN floor(epoch(ts))::BIGINT END)
+      |            OVER (PARTITION BY user_id) AS t_view
+      |        FROM events)))
+      |  GROUP BY user_id)""".stripMargin
+
+  /** Cohort retention: users grouped by first-seen week, activity
+    * counted per week offset — the (cohort, age) retention triangle.
+    * First-seen is a window-min per user (one exchange), the distinct
+    * (cohort, offset, user) collapse shuffles on exactly those keys,
+    * and the final count partial-aggregates. `date_trunc('week')` is
+    * Monday-start in both engines.
+    */
+  def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val withCohort = e.withColumn("cohort_d",
+      min(col("d")).over(Window.partitionBy(col("user_id"))))
+    withCohort
+      .select(
+        to_date(date_trunc("week", col("cohort_d"))).as("cohort_week"),
+        floor(datediff(col("d"), col("cohort_d")) / 7).cast("long")
+          .as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qCohortSql: String =
+    """SELECT cohort_week, week_offset, count(*) AS n_users
+      |FROM (
+      |  SELECT DISTINCT
+      |    date_trunc('week', cohort_d) AS cohort_week,
+      |    (date_diff('day', cohort_d, d) // 7)::BIGINT AS week_offset,
+      |    user_id
+      |  FROM (
+      |    SELECT user_id, ts::DATE AS d,
+      |      min(ts::DATE) OVER (PARTITION BY user_id) AS cohort_d
+      |    FROM events))
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Salt factor for the skewed join below. */
+  val SkewSalts = 8
+
+  /** Skew-immune fact↔dim equi-join. `event_type` has ~5 distinct
+    * values over the whole fact table — a plain shuffle join sends each
+    * type to ONE reducer (5 working partitions at any cluster size).
+    * The salted form replicates the dim side `SkewSalts`× (explode —
+    * dims are tiny, replication is free) and splits the fact side by a
+    * uniform hash-salt, so the join key (event_type, salt) fans each
+    * hot key across `SkewSalts` partitions. The result is byte-identical
+    * to the unsalted join — the oracle IS the plain join.
+    *
+    * The dim here is derived from the fact table itself (per-type
+    * earliest event id) to stay self-contained; `merge` hint keeps the
+    * demo honest (a broadcast would hide the skew problem entirely —
+    * and broadcasting IS the right fix when the dim fits; salting is
+    * for when it doesn't).
+    */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = e.groupBy(col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SkewSalts - 1))))
+    val fact = e.withColumn("salt",
+      pmod(xxhash64(col("event_id")), lit(SkewSalts)).cast("int"))
+    fact.join(dim.hint("merge"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("first_event_id")).as("first_event_id"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT e.event_type, count(*) AS n_events,
+      |  min(d.first_event_id) AS first_event_id,
+      |  round(sum(e.value), 2) AS sum_value
+      |FROM events e
+      |JOIN (SELECT event_type, min(event_id) AS first_event_id
+      |      FROM events GROUP BY event_type) d
+      |  ON e.event_type = d.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
+    "q_cohort" -> (qCohort _),
+    "q_skew_join" -> (qSkewJoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_cohort" -> qCohortSql,
+    "q_skew_join" -> qSkewJoinSql)
+}

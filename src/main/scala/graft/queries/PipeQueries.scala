@@ -213,6 +213,50 @@ object PipeQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Equi-depth histogram: quartile BOUNDARIES from one exact-percentile
+    * pass (small: 3 doubles), bucket assignment + per-bucket stats from a
+    * second scan with the boundaries broadcast — no global sort, no
+    * single-partition ntile. Boundaries are rounded to 4 decimals on
+    * BOTH sides before comparing, so a last-ulp interpolation difference
+    * between engines can't flip a row across a bucket edge. At high key
+    * cardinality swap the exact percentile for the GK sketch
+    * (agg_sketches) — the plan shape is identical.
+    */
+  def aggEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem.select(col("l_extendedprice").as("p"))
+    val bounds = li.agg(
+      round(expr("percentile(p, 0.25)"), 4).as("q1"),
+      round(expr("percentile(p, 0.5)"), 4).as("q2"),
+      round(expr("percentile(p, 0.75)"), 4).as("q3"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("p"),
+        when(col("p") > col("q3"), 3).when(col("p") > col("q2"), 2)
+          .when(col("p") > col("q1"), 1).otherwise(0).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("p")), 2).as("min_p"),
+        round(max(col("p")), 2).as("max_p"),
+        round(sum(col("p")), 2).as("sum_p"))
+      .orderBy(col("bucket"))
+  }
+
+  val aggEquidepthSql: String =
+    """WITH b AS (
+      |  SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+      |    round(quantile_cont(l_extendedprice, 0.5), 4) AS q2,
+      |    round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+      |  FROM lineitem)
+      |SELECT CASE WHEN l_extendedprice > q3 THEN 3
+      |            WHEN l_extendedprice > q2 THEN 2
+      |            WHEN l_extendedprice > q1 THEN 1 ELSE 0 END AS bucket,
+      |  count(*) AS n,
+      |  round(min(l_extendedprice), 2) AS min_p,
+      |  round(max(l_extendedprice), 2) AS max_p,
+      |  round(sum(l_extendedprice), 2) AS sum_p
+      |FROM lineitem, b
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   /** ValueHistogram reducer over events: per event_type, stats of the
     * per-user frequency distribution.
     */
@@ -422,6 +466,7 @@ object PipeQueries {
     "agg_distinct_twophase" -> (aggDistinctTwophase _),
     "agg_sketches" -> (aggSketches _),
     "agg_percentiles" -> (aggPercentiles _),
+    "agg_equidepth" -> (aggEquidepth _),
     "agg_histogram" -> (aggHistogram _),
     "multi_fanout" -> (multiFanout _),
     "multi_spec" -> (multiSpec _),
@@ -441,6 +486,7 @@ object PipeQueries {
     "agg_package" -> aggPackageSql,
     "agg_distinct_twophase" -> aggDistinctTwophaseSql,
     "agg_percentiles" -> aggPercentilesSql,
+    "agg_equidepth" -> aggEquidepthSql,
     "agg_histogram" -> aggHistogramSql,
     "multi_fanout" -> multiFanoutSql,
     "multi_spec" -> multiSpecSql,

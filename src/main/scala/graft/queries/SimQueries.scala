@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
-import graft.sim.Knn
+import graft.sim.{Knn, Pq}
 import graft.util.Tables
 
 /** Similarity search (SURVEY.md §2.4) + multimodal plumbing (§2.6).
@@ -86,6 +86,24 @@ object SimQueries {
       .orderBy(col("method"))
   }
 
+  /** Product quantization accounting (graft.sim.Pq): train 8x16
+    * codebooks on the embedding corpus (2 Lloyd rounds, deterministic
+    * init), encode every vector to 8 bytes, report per-subspace code
+    * usage and mean squared reconstruction error. Rows-only: k-means is
+    * not SQL-expressible; SimSpec gates the invariants (codes bounded,
+    * training monotonically improves on the init codebook).
+    */
+  def embPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2)
+    Pq.encode(emb, "vec_id", "embedding", model)
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("code")).as("n_codes"),
+        round(avg(col("dist")), 4).as("mse"))
+      .orderBy(col("sub"))
+  }
+
   /** Multimodal: per-format stats over the batch-decoded features. The
     * decode stub's arithmetic is mirrored exactly in the oracle (the
     * corpus is pure ASCII, so byte k of the UTF-8 payload == codepoint
@@ -164,6 +182,7 @@ object SimQueries {
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_recall" -> (knnRecall _),
+    "emb_pq" -> (embPq _),
     "emb_centroids" -> (embCentroids _),
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _))

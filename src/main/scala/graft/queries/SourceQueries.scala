@@ -229,7 +229,34 @@ object SourceQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** ORC round-trip: the other columnar format the Hadoop world feeds
+    * a streaming job from. Same push-down story as parquet (predicate +
+    * column pruning reach the ORC reader); schema carried by the file,
+    * read back explicitly anyway — schema-on-read, no inference pass.
+    */
+  def sourceOrc(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_orc_source").toString
+    Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(out)
+    s.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .orc(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val sourceOrcSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_orc" -> (sourceOrc _),
     "bucket_join" -> (bucketJoin _),
     "source_kv" -> (sourceKv _),
     "source_seqfile" -> (sourceSeqfile _),
@@ -239,6 +266,7 @@ object SourceQueries {
     "source_jsonl" -> (sourceJsonl _))
 
   val oracleSql: Map[String, String] = Map(
+    "source_orc" -> sourceOrcSql,
     "bucket_join" -> bucketJoinSql,
     "source_kv" -> sourceKvSql,
     "source_seqfile" -> sourceSeqfileSql,

@@ -1,0 +1,125 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid — "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011): split each vector into
+  * `m` subvectors, k-means each subspace independently, store one byte
+  * (code) per subspace — 64 float32 dims become `m` bytes, a 32×
+  * memory cut that makes billion-vector ANN indexes fit in RAM. Search
+  * reconstructs approximate distances from per-subspace lookup tables
+  * (ADC); here we build the codebooks, encode, and account for exact
+  * reconstruction error per subspace.
+  *
+  * Scale shape mirrors IvfIndex: the DRIVER holds only the codebooks
+  * (m·ks·subDim floats — KBs), shipped back each Lloyd round as a
+  * broadcast literal table. The corpus-side work is one explode to
+  * (vector, subspace) rows, a broadcast join against the codebook, and
+  * a codegen'd distance argmin — no all-pairs anything, every round one
+  * distributed pass. Deterministic throughout: init = first `ks`
+  * vectors per subspace by id, ties in the argmin break on code id.
+  */
+object Pq {
+
+  /** codebooks(sub)(code) = centroid subvector. */
+  final case class Model(m: Int, subDim: Int,
+      codebooks: Array[Array[Array[Float]]])
+
+  /** (id, sub, svec) — corpus exploded into per-subspace rows. */
+  private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    corpus.select(col(idCol).as("pq_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col(vecCol).as("v"))
+      .withColumn("svec", expr(s"slice(v, sub * $subDim + 1, $subDim)"))
+      .drop("v")
+
+  /** Assign each (id, sub) row its nearest code under the current
+    * codebook: broadcast join + fused-loop distances, deterministic
+    * struct-min argmin. ‖a−c‖² = ‖a‖² + ‖c‖² − 2a·c, all three terms
+    * codegen'd natively.
+    */
+  private def assign(sub: DataFrame, books: DataFrame): DataFrame =
+    sub.join(broadcast(books), "sub")
+      .withColumn("dist",
+        Vectors.normD(col("svec")) * Vectors.normD(col("svec")) +
+          Vectors.normD(col("cvec")) * Vectors.normD(col("cvec")) -
+          lit(2.0) * Vectors.dotD(col("svec"), col("cvec")))
+      .groupBy(col("pq_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("pq_id"), col("sub"),
+        col("best.code").as("code"), col("best.dist").as("dist"))
+
+  private def booksDf(sub: DataFrame, model: Model): DataFrame = {
+    val s = sub.sparkSession
+    import s.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (codes, m) =>
+      codes.zipWithIndex.map { case (c, k) => (m, k, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+  }
+
+  /** Train codebooks with `iters` Lloyd rounds. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ks: Int = 16, iters: Int = 3): Model = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val sub = subvectors(corpus, idCol, vecCol, m, subDim)
+      .persist()
+    try {
+      // deterministic init: the first ks subvectors per subspace by id
+      val wInit = Window.partitionBy(col("sub")).orderBy(col("pq_id"))
+      val init = sub.withColumn("rn", row_number().over(wInit))
+        .filter(col("rn") <= ks)
+        .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+          col("svec"))
+        .collect()
+      var model = Model(m, subDim, toBooks(init, m, ks, subDim))
+      var it = 0
+      while (it < iters) {
+        // new centroid = mean of assigned subvectors, dim-wise; empty
+        // cells keep their previous centroid (posexplode never emits
+        // them, and toBooks backfills from the prior model)
+        val means = assign(sub, booksDf(sub, model))
+          .join(sub, Seq("pq_id", "sub"))
+          .select(col("sub"), col("code"),
+            posexplode(col("svec")).as(Seq("d", "x")))
+          .groupBy(col("sub"), col("code"), col("d"))
+          .agg(avg(col("x")).as("mx"))
+          .groupBy(col("sub"), col("code"))
+          .agg(array_sort(collect_list(struct(col("d"), col("mx"))))
+            .as("pairs"))
+          .select(col("sub"), col("code"),
+            expr("transform(pairs, p -> cast(p.mx as float))").as("svec"))
+          .collect()
+        model = Model(m, subDim, toBooks(means, m, ks, subDim,
+          prev = Some(model.codebooks)))
+        it += 1
+      }
+      model
+    } finally sub.unpersist()
+  }
+
+  private def toBooks(rows: Array[Row], m: Int, ks: Int, subDim: Int,
+      prev: Option[Array[Array[Array[Float]]]] = None)
+      : Array[Array[Array[Float]]] = {
+    val books = prev.map(_.map(_.map(_.clone())))
+      .getOrElse(Array.fill(m, ks, subDim)(0.0f))
+    rows.foreach { r =>
+      val s = r.getInt(0); val c = r.getInt(1)
+      books(s)(c) = r.getSeq[Float](2).toArray
+    }
+    books
+  }
+
+  /** Per-subspace accounting: rows carry each vector's nearest-code
+    * squared error; the caller aggregates. Columns: pq_id, sub, code,
+    * dist.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame =
+    assign(subvectors(corpus, idCol, vecCol, model.m, model.subDim),
+      booksDf(corpus, model))
+}

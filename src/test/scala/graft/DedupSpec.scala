@@ -226,4 +226,37 @@ class DedupSpec extends SparkSpec {
     assert(truth.subsetOf(candidates),
       s"prefilter dropped true matches: ${truth -- candidates}")
   }
+
+  test("Winnow guarantee: a shared w+k-1 token run yields a shared fingerprint") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    // docs 1 and 2 share exactly one 8-token run (= w+k-1) embedded in
+    // otherwise disjoint text; doc 3 shares nothing with either
+    val run = "q r s t u v w x"
+    val df = Seq(
+      (1L, s"a1 b1 c1 $run d1 e1 f1"),
+      (2L, s"a2 b2 $run c2 d2 e2 g2 h2"),
+      (3L, "m n o p aa bb cc dd ee ff gg hh")
+    ).toDF("doc_id", "text")
+      .withColumn("toks", graft.text.TextOps.tokens(col("text")))
+    val fps = graft.dedup.Winnow.fingerprints(df, "doc_id", "toks", k, w)
+    val pairs = graft.dedup.Winnow.pairs(fps, "doc_id", minShared = 1)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "shared run of w+k-1 tokens must produce a shared fingerprint")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "doc with no shared grams must not pair")
+  }
+
+  test("Winnow fingerprint density is below the full gram index") {
+    val docs = graft.util.Tables(spark, sf).documents
+      .withColumn("toks", graft.text.TextOps.tokens(col("text")))
+    val nGrams = docs
+      .select(greatest(size(col("toks")) - 4, lit(0)).as("g"))
+      .agg(sum(col("g"))).head().getLong(0)
+    val nFps = graft.dedup.Winnow.fingerprints(docs, "doc_id", "toks").count()
+    assert(nFps > 0 && nFps < nGrams,
+      s"winnowing must select a strict subset: $nFps vs $nGrams grams")
+  }
 }

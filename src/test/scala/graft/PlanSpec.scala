@@ -99,4 +99,27 @@ class PlanSpec extends SparkSpec {
     val n = "array_remove".r.findAllIn(plan).length
     assert(n === 1, s"expected 1 tokenization, found $n")
   }
+
+  test("q_skew_join: salted keys ride a non-broadcast join") {
+    val plan = planOf(graft.queries.EventQueries.qSkewJoin(spark, sf))
+    assert(plan.contains("SortMergeJoin"),
+      "merge hint must hold the salted join out of broadcast:\n" +
+        plan.take(400))
+    assert(plan.contains("salt"), "salt must be a join key")
+  }
+
+  test("q_funnel reuses one user_id exchange across all window stages") {
+    val plan = planOf(graft.queries.EventQueries.qFunnel(spark, sf))
+    val n = java.util.regex.Pattern.quote("Exchange hashpartitioning(user_id")
+      .r.findAllIn(plan).length
+    assert(n <= 1, s"funnel must shuffle on user_id once, found $n:\n" +
+      plan.take(600))
+  }
+
+  test("funnel counts are monotone down the steps") {
+    val r = graft.queries.EventQueries.qFunnel(spark, sf).head()
+    val (view, click, buy) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(view >= click && click >= buy,
+      s"funnel must narrow: $view >= $click >= $buy")
+  }
 }

@@ -125,4 +125,25 @@ class SimSpec extends SparkSpec {
       col("media_id") === col("doc_id"))
     assert(joined.filter(col("n_bytes") =!= length(col("text"))).count() === 0)
   }
+
+  test("Pq: Lloyd rounds improve on the init codebook; codes stay bounded") {
+    val emb = graft.util.Tables(spark, sf).embeddings
+    def mse(iters: Int): Double = {
+      val model = graft.sim.Pq.fit(emb, "vec_id", "embedding",
+        m = 8, ks = 16, iters = iters)
+      graft.sim.Pq.encode(emb, "vec_id", "embedding", model)
+        .agg(avg(col("dist"))).head().getDouble(0)
+    }
+    val init = mse(0)
+    val trained = mse(2)
+    assert(trained <= init,
+      s"training must not worsen reconstruction: $trained > $init")
+    assert(trained > 0.0, "nonzero corpus can't quantize losslessly to 16 codes")
+    val codes = graft.queries.SimQueries.embPq(spark, sf).collect()
+    assert(codes.length === 8)
+    codes.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 16L,
+        s"n_codes out of range: $r")
+    }
+  }
 }

@@ -54,6 +54,11 @@ def main():
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            # a partial Verify dump (dev iteration with explicit names)
+            # has no directory at all for unselected queries: skip those;
+            # an EMPTY directory means the query ran and wrote nothing
+            if not os.path.isdir(f"{out_dir}/{name}"):
+                continue
             print(f"MISSING  {name}: no spark result"); n_bad += 1; continue
         t = pq.read_table(files[0])
         got_rows = [tuple(r) for r in zip(*[c.to_pylist() for c in t.columns])] if t.num_columns else []
