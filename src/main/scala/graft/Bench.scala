@@ -27,9 +27,14 @@ object Bench {
       val two = Seq(once(fn), once(fn)).flatten
       // co-tenant CPU steal can inflate a single run several-fold; when
       // the two timings disagree wildly both are suspect, so spend one
-      // more run on exactly those queries before taking the min
+      // more run on exactly those queries before taking the min. The
+      // slow tail (> 2 s) gets a third run unconditionally: those are
+      // the queries whose round-over-round deltas are read as signal,
+      // and one stolen run among two still skews their min
       val runs =
-        if (two.size == 2 && two.max > 2 * two.min) two ++ once(fn) else two
+        if (two.size == 2 && (two.max > 2 * two.min || two.min > 2.0))
+          two ++ once(fn)
+        else two
       // a failed query must NOT read as a fast timing: -1 sentinel per
       // query, and it is EXCLUDED from the total (a sentinel summed in
       // would make the headline metric improve as correctness degrades)
@@ -51,10 +56,14 @@ object Bench {
       // Locale.ROOT: a comma decimal separator would corrupt the JSON
       def f(v: Double) =
         String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-      val (slow, fast) = results.partition { case (_, v) => v >= floorSec }
+      // failures are reported ONLY via the failed array: a -1 sentinel
+      // in either bucket would show up as a (negative) timing or inflate
+      // n_other_fast, so they are excluded from the buckets entirely
+      val (slow, fast) = results.filter(_._2 >= 0)
+        .partition { case (_, v) => v >= floorSec }
       val entries = slow.map { case (k, v) => "\"" + k + "\":" + f(v) } ++
         (if (fast.nonEmpty)
-          Seq("\"other_fast\":" + f(fast.values.filter(_ >= 0).sum),
+          Seq("\"other_fast\":" + f(fast.values.sum),
             "\"n_other_fast\":" + fast.size)
         else Nil)
       val qs = entries.mkString("{", ",", "}")

@@ -15,6 +15,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // create the output dir BEFORE running: a query that crashes mid-
+      // plan then leaves an EMPTY dir, which the oracle compare reports
+      // as MISSING — without this, a crash is indistinguishable from a
+      // query deliberately excluded from a partial dev dump (no dir at
+      // all) and would be silently skipped by the gate
+      new java.io.File(s"$outDir/$name").mkdirs()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -43,8 +43,11 @@ object BloomMembership {
       .filter(call_function("graft_bloom_contains",
         col("graft_bloom"), xxhash64(probeKey)))
       .drop("graft_bloom")
+    // no distinct() on the seen side: left_semi already emits each
+    // candidate at most once, and a pre-dedup would shuffle+aggregate
+    // the corpus-scale seen side — the cost the bloom prefilter saves
     candidates.join(
-      seen.select(seenKey.as("graft_seen_k")).distinct(),
+      seen.select(seenKey.as("graft_seen_k")),
       probeKey === col("graft_seen_k"), "left_semi")
   }
 }

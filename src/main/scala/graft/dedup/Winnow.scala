@@ -62,18 +62,29 @@ object Winnow {
   }
 
   /** Candidate near-dup pairs: documents sharing at least `minShared`
-    * winnowing fingerprints. Join keys are the fingerprints themselves —
-    * cap runaway stop-gram buckets with `maxDf` at corpus scale (same
-    * Σdf² argument as the n-gram inverted index).
+    * winnowing fingerprints. Join keys are the fingerprints themselves,
+    * so a stop-gram fingerprint shared by df documents emits df² join
+    * rows — the same Σdf² blowup the n-gram inverted index caps. The
+    * cap is therefore ON by default: fingerprints with df > maxDf are
+    * dropped from the join (a pair glued ONLY by ultra-common grams can
+    * be missed — conservative for near-dup mining, where true near-dups
+    * share rare grams). `maxDf` ≥ the corpus's max fingerprint df gives
+    * the complete output; the default 1000 is far above the test
+    * corpora's max (4 at sf0.1) while bounding any single bucket's
+    * contribution to 10⁶ rows at 100 TB.
     */
   def pairs(fps: DataFrame, idCol: String, minShared: Int = 2,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = 1000): DataFrame = {
     val pruned =
       if (maxDf == Int.MaxValue) fps
       else {
+        // the df table is one row per DISTINCT fingerprint — small on a
+        // clean corpus but corpus-scale in the worst case, so no forced
+        // broadcast: the join keys on fp like everything downstream, and
+        // AQE promotes it to broadcast at runtime when it actually fits
         val dfs = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf)
-        fps.join(pruned_hint(dfs.select(col("fp"))), "fp")
+        fps.join(dfs.select(col("fp")), "fp")
       }
     val a = pruned.select(col(idCol).as("doc_a"), col("fp"))
     val b = pruned.select(col(idCol).as("doc_b"), col("fp"))
@@ -83,9 +94,4 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
-
-  /** The df table is orders of magnitude smaller than the fingerprint
-    * table (one row per distinct fp) — broadcast it when it fits.
-    */
-  private def pruned_hint(dfs: DataFrame): DataFrame = dfs.hint("broadcast")
 }

@@ -90,7 +90,10 @@ object BloomUtil {
     require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1; got n=$n fpp=$fpp")
     val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val words = math.max(1L, (m + 63L) / 64L)
-    require(words <= (Int.MaxValue / 8).toLong,
+    // numBits is an Int: words*64 must not wrap (n ≈ 2·10⁸ at fpp=0.01
+    // is the ceiling) — beyond that the filter would silently build ~10×
+    // smaller than requested and blow the advertised fpp
+    require(words <= (Int.MaxValue / 64).toLong,
       s"filter for n=$n fpp=$fpp needs ${words * 8L} bytes — shard the key space")
     (words * 64L).toInt
   }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Front end for the reference's `-multiple "outputDir|mapper|reducer"`
   * job specs (README example; parsed at MapStreamJob.java:266-278 and
@@ -66,9 +66,15 @@ object MultiSpec {
   private val Cut = """cut\s+(?:-d\s*(\S+)\s+)?-f\s*([\d,]+)""".r
   private val Sed = """sed\s+s/([^/]+)/([^/]*)/g""".r
 
-  /** Resolve one command string to a stage over text column `c`. */
+  /** Resolve one command string to a stage over text column `c`.
+    * `partitionKey`/`ship` apply only to exec'd children — the
+    * `-partitioner` and `-file` surfaces, meaningless for native stages
+    * (Catalyst owns their partitioning; nothing to ship).
+    */
   def resolve(cmd: String, c: String, registry: Registry,
-      asReducer: Boolean, env: Map[String, String] = Map.empty): Pipes.Pipe =
+      asReducer: Boolean, env: Map[String, String] = Map.empty,
+      partitionKey: Option[Column] = None,
+      ship: Seq[String] = Nil): Pipes.Pipe =
     registry.get(cmd).getOrElse {
       val base = cmd.split("/").last // "/bin/cat" and "cat" are one idiom
       (base, cmd) match {
@@ -88,20 +94,31 @@ object MultiSpec {
           // so spec strings with arguments/pipes work as they did under
           // `-mapper`. Reducers get the keyed+sorted stream contract.
           val sh = Seq("/bin/sh", "-c", cmd)
-          if (asReducer) Pipes.execReduce(c, "\t", 1, sh, env)
-          else Pipes.exec(c, sh, env)
+          if (asReducer)
+            Pipes.execReduce(c, "\t", 1, sh, env,
+              partitionKey = partitionKey, ship = ship)
+          else Pipes.exec(c, sh, env, ship = ship)
       }
     }
 
   /** Build the fan-out pipeline from `-multiple` spec strings; `env` is
-    * the `-cmdenv` surface, applied to every exec'd child.
+    * the `-cmdenv` surface, applied to every exec'd child;
+    * `partitionKey` is the `-partitioner` surface (MapStreamJob.java:
+    * 863-871) — a custom key expression deciding which reduce partition
+    * each record of an exec'd reducer lands in (must be a function of
+    * `key`); `ship` is the `-file` surface, distributing local scripts
+    * to every executor for the exec'd children.
     */
   def pipeline(input: DataFrame, c: String, specs: Seq[String],
       registry: Registry = Map.empty, share: Boolean = false,
-      env: Map[String, String] = Map.empty): MultiPipeline =
+      env: Map[String, String] = Map.empty,
+      partitionKey: Option[Column] = None,
+      ship: Seq[String] = Nil): MultiPipeline =
     specs.map(parse).foldLeft(MultiPipeline(input, share)) { (mp, sp) =>
       mp.branch(sp.dirKey)(
-        resolve(sp.mapper, c, registry, asReducer = false, env)
-          .andThen(resolve(sp.reducer, c, registry, asReducer = true, env)))
+        resolve(sp.mapper, c, registry, asReducer = false, env,
+            partitionKey, ship)
+          .andThen(resolve(sp.reducer, c, registry, asReducer = true, env,
+            partitionKey, ship)))
     }
 }

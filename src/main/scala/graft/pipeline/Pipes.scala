@@ -119,14 +119,19 @@ object Pipes {
     * keep joinability.
     *
     * `env` is the `-cmdenv NAME=VALUE` surface (MultiPipeMapRed.java:203
-    * addEnvironment): vars are set in each child's environment. For the
-    * reference's `-file` shipping, distribute with
-    * `spark.sparkContext.addFile(path)` and resolve per-executor inside
-    * a shell wrapper, or inline small scripts via env:
-    * `exec(c, Seq("/bin/sh", "-c", "python3 -c \"\$GRAFT_SRC\""),
-    *       Map("GRAFT_SRC" -> src))`.
+    * addEnvironment): vars are set in each child's environment.
     *
-    * The child must exit 0: Spark's PipedRDD fails the task otherwise.
+    * `ship` is the `-file` surface (MapStreamJob.java:282-287
+    * packageFiles_): each local path is distributed to every executor
+    * (`SparkContext.addFile`), and a command token EQUAL to a shipped
+    * file's basename resolves to the executor-local copy at task time —
+    * the reference rewrites the command to the basename and relies on
+    * the unjarred task working dir the same way (MapStreamJob.java:232).
+    * A mapper script that only exists on the submitting machine thus
+    * runs unchanged on a 1000-executor cluster:
+    * `exec("line", Seq("score.py"), ship = Seq("/home/me/score.py"))`.
+    *
+    * The child must exit 0: a nonzero exit fails the task.
     * Tools with grep-style "no match" exit codes need a
     * `sh -c '... || true'` wrapper.
     *
@@ -134,8 +139,9 @@ object Pipes {
     * with each other and with every native stage.
     */
   def exec(c: String, command: Seq[String],
-      env: Map[String, String] = Map.empty): Pipe = { df =>
-    linesToDf(df, c, df.select(col(c).cast("string")))(command, env)
+      env: Map[String, String] = Map.empty,
+      ship: Seq[String] = Nil): Pipe = { df =>
+    linesToDf(df, c, df.select(col(c).cast("string")))(command, env, ship)
   }
 
   /** The external REDUCER contract, exactly as Hadoop Streaming frames
@@ -146,22 +152,66 @@ object Pipes {
     * watching the key change between lines, the way every streaming
     * reducer script is written. One shuffle, then one child per
     * partition; key groups never straddle children.
+    *
+    * `combiner` is the `-combiner` surface (MapStreamJob.java:779-784
+    * comCmd_; the reference only accepts a Java class, so a migrating
+    * exec pipeline LOST its combiner — here it runs as a child binary
+    * with the same contract as the reducer, per input partition, BEFORE
+    * the shuffle): each pre-shuffle partition is key-sorted locally (no
+    * exchange — the map-side spill sort), piped through the combiner,
+    * and the combiner's output lines are re-keyed for the shuffle. At
+    * 100 TB this is the difference between shuffling every mapper
+    * output line and shuffling one line per (partition, key).
+    *
+    * `partitionKey` is the `-partitioner` surface (MapStreamJob.java:
+    * 863-871 partitionerSpec_, default KeyFieldBasedPartitioner /
+    * PartitionByKeyField.java): any Column over the keyed frame
+    * (`key`, `value`, and the line column) decides which reduce
+    * partition a record lands in. It must be a pure function of `key`
+    * — otherwise one key's records straddle children and the reducer
+    * contract breaks (same rule a Hadoop partitioner lives under).
+    *
+    * `numPartitions` is the `-numReduceTasks` surface (MapStreamJob
+    * .java:873-876): left None, AQE sizes (and may coalesce) the
+    * reduce side — the right default; set it when the child count
+    * itself is the contract (e.g. one output file per reducer).
     */
   def execReduce(c: String, sep: String, numKeyFields: Int,
-      command: Seq[String], env: Map[String, String] = Map.empty): Pipe = { df =>
+      command: Seq[String], env: Map[String, String] = Map.empty,
+      combiner: Seq[String] = Nil,
+      partitionKey: Option[Column] = None,
+      numPartitions: Option[Int] = None,
+      ship: Seq[String] = Nil): Pipe = { df =>
     val keyed = keyBy(c, sep, numKeyFields)(df)
-      .repartition(col("key"))
+    val preShuffle =
+      if (combiner.isEmpty) keyed
+      else keyBy(c, sep, numKeyFields)(linesToDf(df, c,
+        keyed.sortWithinPartitions(col("key")).select(col(c).cast("string")))(
+        combiner, env, ship))
+    val part = partitionKey.getOrElse(col("key"))
+    val shuffled = numPartitions match {
+      case Some(n) => preShuffle.repartition(n, part)
+      case None => preShuffle.repartition(part)
+    }
+    val lines = shuffled
       .sortWithinPartitions(col("key"))
       .select(col(c).cast("string"))
-    linesToDf(df, c, keyed)(command, env)
+    linesToDf(df, c, lines)(command, env, ship)
   }
 
-  private def linesToDf(src: DataFrame, c: String,
-      lines: DataFrame)(command: Seq[String], env: Map[String, String]): DataFrame =
+  private def linesToDf(src: DataFrame, c: String, lines: DataFrame)(
+      command: Seq[String], env: Map[String, String],
+      ship: Seq[String] = Nil): DataFrame = {
+    val sc = src.sparkSession.sparkContext
+    ship.foreach(sc.addFile(_))
+    val piped =
+      if (ship.isEmpty) lines.rdd.map(_.getString(0)).pipe(command, env)
+      else ShippedPipe.pipe(lines.rdd.map(_.getString(0)), command, env,
+        ship.map(p => new java.io.File(p).getName))
     src.sparkSession.createDataFrame(
-      lines.rdd.map(_.getString(0)).pipe(command, env)
-        .map(org.apache.spark.sql.Row(_)),
+      piped.map(org.apache.spark.sql.Row(_)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(
           c, org.apache.spark.sql.types.StringType, nullable = false))))
+  }
 }

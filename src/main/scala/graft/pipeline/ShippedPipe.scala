@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import java.io.{BufferedReader, File, InputStreamReader, PrintWriter}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.SparkFiles
+import org.apache.spark.rdd.RDD
+
+/** `RDD.pipe` with `-file` semantics (reference MapStreamJob.java:282-287
+  * ships files in the job jar; :232 rewrites the command to the
+  * basename, resolved in the task's unjarred working dir).
+  *
+  * Plain `RDD.pipe` can't express this: its command tokens are fixed
+  * driver-side strings, but the executor-local path of a file shipped
+  * with `SparkContext.addFile` (`SparkFiles.get`) is only known INSIDE
+  * the task — at local[32] driver and executor happen to share one
+  * files root, which is exactly the trap: a driver-resolved path works
+  * in every test and breaks on the first real cluster. So this is the
+  * same child-process contract as PipedRDD (feeder thread for stdin,
+  * stderr drained, nonzero exit fails the task), with command tokens
+  * matching a shipped basename resolved per-task and marked executable.
+  */
+object ShippedPipe {
+
+  def pipe(lines: RDD[String], command: Seq[String],
+      env: Map[String, String], shippedNames: Seq[String]): RDD[String] = {
+    val names = shippedNames.toSet
+    lines.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val resolved = command.map { tok =>
+          if (names(tok)) {
+            val f = new File(SparkFiles.get(tok))
+            f.setExecutable(true)
+            f.getAbsolutePath
+          } else tok
+        }
+        run(it, resolved, env)
+      }
+    }
+  }
+
+  private def run(input: Iterator[String], command: Seq[String],
+      env: Map[String, String]): Iterator[String] = {
+    val pb = new ProcessBuilder(command: _*)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val proc = pb.start()
+    val cmdStr = command.mkString(" ")
+
+    // drain stderr so a chatty child can't fill its pipe and deadlock
+    val err = new Thread(() => {
+      val r = new BufferedReader(
+        new InputStreamReader(proc.getErrorStream, StandardCharsets.UTF_8))
+      var line = r.readLine()
+      while (line != null) {
+        System.err.println(s"[graft.pipe $cmdStr] $line"); line = r.readLine()
+      }
+    }, "graft-pipe-stderr")
+    err.setDaemon(true)
+    err.start()
+
+    // feed stdin off-thread: the task thread reads stdout concurrently,
+    // so neither pipe buffer can stall the other (PipedRDD's design)
+    @volatile var feedErr: Throwable = null
+    val feeder = new Thread(() => {
+      val w = new PrintWriter(new java.io.OutputStreamWriter(
+        proc.getOutputStream, StandardCharsets.UTF_8))
+      try { input.foreach(w.println); w.flush() }
+      catch { case t: Throwable => feedErr = t }
+      finally w.close()
+    }, "graft-pipe-stdin")
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val out = new BufferedReader(
+      new InputStreamReader(proc.getInputStream, StandardCharsets.UTF_8))
+    new Iterator[String] {
+      private var nextLine: String = null
+      private var done = false
+      private def advance(): Unit = if (nextLine == null && !done) {
+        nextLine = out.readLine()
+        if (nextLine == null) {
+          done = true
+          val code = proc.waitFor()
+          if (feedErr != null)
+            throw new RuntimeException(s"pipe stdin feeder failed for: $cmdStr", feedErr)
+          if (code != 0)
+            throw new RuntimeException(s"pipe child exited $code: $cmdStr")
+        }
+      }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): String = {
+        advance()
+        if (done) throw new NoSuchElementException("pipe output exhausted")
+        val l = nextLine; nextLine = null; l
+      }
+    }
+  }
+}

@@ -91,11 +91,13 @@ object DedupQueries {
     * structural (df-capped candidate generation), not probabilistic.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    // maxDf effectively off: the exact-pair SQL oracle requires the
-    // uncapped regime (a capped run lower-bounds J for pairs sharing
-    // high-df shingles). Capped maxDf is the >>test-scale knob.
+    // finite cap ON, as production would run it: candidates can only be
+    // missed for pairs glued solely by shingles with df > maxDf, and the
+    // test corpora top out at trigram df 25 (sf0.1) — so 1000 keeps the
+    // output byte-identical to the uncapped exact-pair oracle while
+    // bounding any single shingle's join fan-out at real corpus scale
     NgramJaccard.pairs(Tables(s, dir).documents, "doc_id", "text",
-        n = 3, tau = 0.7, maxDf = Int.MaxValue)
+        n = 3, tau = 0.7, maxDf = 1000)
       .orderBy(col("id_a"), col("id_b"))
 
   val dedupNgramJaccardSql: String = jaccardPairsSql(0.7)

@@ -97,6 +97,37 @@ object PipeQueries {
       |ORDER BY cnt DESC, word
       |LIMIT 50""".stripMargin
 
+  /** The full legacy-streaming wordcount, every stage a REAL child
+    * process: a `tr`-pipeline mapper emits `word\t1` lines, an awk
+    * COMBINER partially sums per input partition before the shuffle
+    * (the reference's `-combiner`, MapStreamJob.java:779-784 — which
+    * only accepted Java classes, so a migrating script pipeline lost
+    * its combiner; here the binary itself runs map-side), and the same
+    * awk runs as the reducer on the keyed+sorted stream. What crosses
+    * the shuffle is one line per (partition, word) instead of one line
+    * per word OCCURRENCE — at 100 TB that partial-sum is the job.
+    * Matches the native pipe_wordcount oracle exactly.
+    */
+  def pipeExecCombine(s: SparkSession, dir: String): DataFrame = {
+    // mapper: lowercase, one token per line (corpus is ASCII; tr's
+    // [:space:] squeeze = the oracle's \s+ split), tag count 1
+    val mapper = Seq("/bin/sh", "-c",
+      "tr '[:upper:]' '[:lower:]' | tr -s '[:space:]' '\\n' | sed 's/$/\t1/'")
+    // combiner == reducer: sum counts per key (classic streaming idiom)
+    val sum = Seq("/bin/sh", "-c",
+      "awk -F'\\t' '{c[$1] += $2} END {for (k in c) print k \"\\t\" c[k]}'")
+    val mapped = Pipes.exec("text", mapper)(
+      Tables(s, dir).documents.select(col("text")))
+    val reduced = Pipes.execReduce("text", "\t", 1, sum, combiner = sum)(mapped)
+    Pipes.cut("text", "\t", Seq(1, 2))(reduced)
+      .select(col("f1").as("word"), col("f2").cast("long").as("cnt"))
+      .filter(col("word") =!= "")
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)
+  }
+
+  val pipeExecCombineSql: String = pipeWordcountSql
+
   /** Key = first 2 tab-separated fields (stream.num.map.output.key.fields=2,
     * MultiPipeMapper.java:118-125), then a keyed reduce — the reference's
     * KeyFieldBasedPartitioner + reducer shape.
@@ -187,11 +218,14 @@ object PipeQueries {
   /** Exact tail percentiles per group — the ground-truth twin of
     * aggSketches' GK estimates. Spark's `percentile` (linear
     * interpolation, same definition as DuckDB `quantile_cont`) is a
-    * TypedImperativeAggregate that buffers the GROUP'S values: fine
-    * when groups are few and bounded (here: 3 return flags), the wrong
-    * tool for high-cardinality keys at 100 TB — that's what the
-    * constant-state agg_sketches path is for. Both exist because a
-    * pipeline needs the exact one to VALIDATE the sketch's error.
+    * TypedImperativeAggregate that buffers the GROUP'S values as a
+    * value→count map. The scale hazard is NOT key cardinality — it is
+    * group SIZE: a LOW-cardinality key (here: 3 return flags) over a
+    * 100 TB column funnels the whole column's distinct values into
+    * 3 final-task buffers, which OOMs long before it is slow. Use the
+    * constant-state GK path (agg_sketches / `approx_percentile`) in
+    * production; this exact variant exists to VALIDATE the sketch's
+    * error on bounded inputs.
     */
   def aggPercentiles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).lineitem
@@ -213,21 +247,31 @@ object PipeQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  /** Equi-depth histogram: quartile BOUNDARIES from one exact-percentile
-    * pass (small: 3 doubles), bucket assignment + per-bucket stats from a
+  /** Equi-depth histogram: quartile BOUNDARIES from ONE percentile pass
+    * (small: 3 doubles), bucket assignment + per-bucket stats from a
     * second scan with the boundaries broadcast — no global sort, no
     * single-partition ntile. Boundaries are rounded to 4 decimals on
     * BOTH sides before comparing, so a last-ulp interpolation difference
-    * between engines can't flip a row across a bucket edge. At high key
-    * cardinality swap the exact percentile for the GK sketch
-    * (agg_sketches) — the plan shape is identical.
+    * between engines can't flip a row across a bucket edge.
+    *
+    * `exactBounds = false` is the PRODUCTION default at scale: GK
+    * `approx_percentile` keeps constant state per partition, where the
+    * exact `percentile` buffer holds the column's full value-count map
+    * and merges it in a single final task — OOM territory at 100 TB.
+    * The exact variant exists to VALIDATE the sketch against the DuckDB
+    * oracle on bounded inputs (same split as agg_sketches vs
+    * agg_percentiles). Either way the three quartiles come from one
+    * aggregate buffer (`percentile(p, array(…))`), not three.
     */
-  def aggEquidepth(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir).lineitem.select(col("l_extendedprice").as("p"))
-    val bounds = li.agg(
-      round(expr("percentile(p, 0.25)"), 4).as("q1"),
-      round(expr("percentile(p, 0.5)"), 4).as("q2"),
-      round(expr("percentile(p, 0.75)"), 4).as("q3"))
+  def equidepthHistogram(li: DataFrame, exactBounds: Boolean): DataFrame = {
+    val fractions = "array(0.25D, 0.5D, 0.75D)"
+    val qs =
+      if (exactBounds) expr(s"percentile(p, $fractions)")
+      else expr(s"approx_percentile(p, $fractions, 10000)")
+    val bounds = li.agg(qs.as("qs")).select(
+      round(element_at(col("qs"), 1), 4).as("q1"),
+      round(element_at(col("qs"), 2), 4).as("q2"),
+      round(element_at(col("qs"), 3), 4).as("q3"))
     li.crossJoin(broadcast(bounds))
       .select(col("p"),
         when(col("p") > col("q3"), 3).when(col("p") > col("q2"), 2)
@@ -239,6 +283,12 @@ object PipeQueries {
         round(sum(col("p")), 2).as("sum_p"))
       .orderBy(col("bucket"))
   }
+
+  /** Oracle validator: exact boundaries, bounded inputs only. */
+  def aggEquidepth(s: SparkSession, dir: String): DataFrame =
+    equidepthHistogram(
+      Tables(s, dir).lineitem.select(col("l_extendedprice").as("p")),
+      exactBounds = true)
 
   val aggEquidepthSql: String =
     """WITH b AS (
@@ -458,6 +508,7 @@ object PipeQueries {
     "pipe_cat" -> (pipeCat _),
     "pipe_grep" -> (pipeGrep _),
     "pipe_exec_grep" -> (pipeExecGrep _),
+    "pipe_exec_combine" -> (pipeExecCombine _),
     "pipe_cut" -> (pipeCut _),
     "pipe_wc" -> (pipeWc _),
     "pipe_wordcount" -> (pipeWordcount _),
@@ -479,6 +530,7 @@ object PipeQueries {
     "pipe_cat" -> pipeCatSql,
     "pipe_grep" -> pipeGrepSql,
     "pipe_exec_grep" -> pipeExecGrepSql,
+    "pipe_exec_combine" -> pipeExecCombineSql,
     "pipe_cut" -> pipeCutSql,
     "pipe_wc" -> pipeWcSql,
     "pipe_wordcount" -> pipeWordcountSql,

@@ -68,7 +68,13 @@ object SimQueries {
     * being invisible behind `no_oracle`; the spec asserts the floors.
     */
   def knnRecall(s: SparkSession, dir: String): DataFrame = {
-    val (q, c) = split(s, dir)
+    // three pipelines, one materialization: brute, LSH, and IVF (whose
+    // Lloyd fit alone scans the corpus once per iteration) each embed
+    // their own scan subtree, so without a persist the evaluator reads
+    // the parquet ~6×. A recall evaluator runs on a bounded SAMPLE at
+    // corpus scale, so pinning that sample in memory is bounded too.
+    val c = Tables(s, dir).embeddings.persist()
+    val q = c.filter(col("vec_id") < NQueries)
     val exact = Knn.brute(q, c, "vec_id", "embedding", K)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     val methods =

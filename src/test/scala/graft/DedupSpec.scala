@@ -249,6 +249,20 @@ class DedupSpec extends SparkSpec {
       "doc with no shared grams must not pair")
   }
 
+  test("Winnow.pairs drops stop-fingerprint fan-out by default (maxDf cap on)") {
+    import spark.implicits._
+    // 1100 docs all sharing the same two fingerprints: df = 1100 exceeds
+    // the default cap, so the ~1.2M-row uncapped self-join must not run —
+    // while a rare fingerprint pair in the same table still comes through
+    val stop = (0L until 1100L).flatMap(i => Seq((i, "stop_a"), (i, "stop_b")))
+    val rare = Seq((1L, "rare_1"), (2L, "rare_1"), (1L, "rare_2"), (2L, "rare_2"))
+    val fps = (stop ++ rare).toDF("doc_id", "fp")
+    val out = graft.dedup.Winnow.pairs(fps, "doc_id", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 2L)),
+      "capped run must keep only the rare-fingerprint pair")
+  }
+
   test("Winnow fingerprint density is below the full gram index") {
     val docs = graft.util.Tables(spark, sf).documents
       .withColumn("toks", graft.text.TextOps.tokens(col("text")))

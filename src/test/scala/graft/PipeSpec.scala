@@ -156,6 +156,31 @@ class PipeSpec extends SparkSpec {
     }
   }
 
+  test("equidepth GK production path partitions the column into 4 buckets") {
+    import org.apache.spark.sql.functions._
+    val li = graft.util.Tables(spark, sf).lineitem
+      .select(col("l_extendedprice").as("p"))
+    val n = li.count()
+    // exactBounds = false is the production default at scale: constant
+    // GK state instead of a whole-column exact-percentile buffer
+    val rows = PipeQueries.equidepthHistogram(li, exactBounds = false)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    assert(rows.map(_.getLong(1)).sum === n, "buckets must partition the column")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(3) <= b.getDouble(2),
+          s"bucket ranges must not overlap: ${a.getDouble(3)} vs ${b.getDouble(2)}")
+      case _ => ()
+    }
+    // GK at accuracy 10000 on this corpus is near-exact: buckets are
+    // roughly equi-depth (each within [15%, 35%] of the rows)
+    rows.foreach { r =>
+      val share = r.getLong(1).toDouble / n
+      assert(share > 0.15 && share < 0.35, s"bucket ${r.getInt(0)} share $share")
+    }
+  }
+
   test("Pipes.counted records reporter-counter metrics in the same pass") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -207,5 +232,90 @@ class PipeSpec extends SparkSpec {
     val exec = PipeQueries.pipeExecGrep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(native.nonEmpty && exec === native)
+  }
+
+  test("pipe_exec_combine equals native wordcount (combiner parity)") {
+    // the full exec mapper + awk combiner + awk reducer pipeline must
+    // produce exactly what the codegen'd native wordcount produces —
+    // the combiner changes WHAT crosses the shuffle, never the answer
+    val native = PipeQueries.pipeWordcount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exec = PipeQueries.pipeExecCombine(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(native.nonEmpty && exec === native)
+  }
+
+  test("execReduce combiner partially aggregates before the shuffle") {
+    import spark.implicits._
+    // 4 partitions × the same 2 keys: the reducer's awk would sum
+    // whatever reaches it, so prove the combiner ran by COUNTING the
+    // lines each reducer child receives via a pass-through reducer that
+    // tags lines. With the combiner, each reduce key sees at most one
+    // line per input partition (≤ 4), not one per record (25).
+    val rows = (0 until 100).map(i => s"k${i % 2}\t1")
+    val df = rows.toDF("line").repartition(4)
+    val sum = Seq("/bin/sh", "-c",
+      "awk -F'\\t' '{c[$1] += $2} END {for (k in c) print k \"\\t\" c[k]}'")
+    val counting = Seq("/bin/sh", "-c",
+      "awk -F'\\t' '{c[$1] += $2; n[$1] += 1} END {for (k in c) print k \"\\t\" c[k] \"\\t\" n[k]}'")
+    val out = Pipes.execReduce("line", "\t", 1, counting, combiner = sum)(df)
+      .collect().map(_.getString(0).split("\t")).map(a => (a(0), a(1).toLong, a(2).toLong))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq(("k0", 50L), ("k1", 50L)),
+      "combined totals must equal the uncombined sum")
+    out.foreach { case (k, _, linesSeen) =>
+      assert(linesSeen <= 4, s"key $k reached the reducer as $linesSeen lines — combiner did not run map-side")
+    }
+  }
+
+  test("Pipes.exec ships a local script to executors (-file semantics)") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val native = Pipes.grep("text", "spark")(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the script exists ONLY at this driver-local path; executors get
+    // it via addFile and the bare basename in the command resolves to
+    // the executor-local copy at task time
+    val dir = java.nio.file.Files.createTempDirectory("graft_ship")
+    val script = dir.resolve("graft_grep_spark.sh")
+    java.nio.file.Files.write(script,
+      "#!/bin/sh\ngrep spark || true\n".getBytes("UTF-8"))
+    val line = Pipes.toLine("\t", Seq("doc_id", "text"))(docs)
+    val exec = Pipes.exec("line", Seq("graft_grep_spark.sh"),
+      ship = Seq(script.toString))(line)
+    val ids = Pipes.cut("line", "\t", Seq(1))(exec)
+      .collect().map(_.getString(0).toLong).toSet
+    assert(native.nonEmpty && ids === native)
+  }
+
+  test("execReduce honors a custom partitioner expression (-partitioner)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // partition by a custom function of the key (its numeric suffix mod
+    // 2) and have the child report its partition's key set: every key
+    // group must stay whole (reducer contract) AND co-partitioned keys
+    // must share a child exactly as the custom expression dictates
+    val rows = (0 until 40).map(i => s"k${i % 4}\t1")
+    val df = rows.toDF("line").repartition(4)
+    val reporter = Seq("/bin/sh", "-c",
+      "awk -F'\\t' '{c[$1] += $2} END {for (k in c) print k \"\\t\" c[k] \"\\t\" NR}'")
+    // +1: repartition HASH-partitions the expression value, and
+    // murmur3(0) ≡ murmur3(1) (mod 4) — values 1 and 2 land apart.
+    // numPartitions pinned (the -numReduceTasks surface): without it
+    // AQE coalesces the two small reduce partitions into one child,
+    // which is exactly what it should do in production but would make
+    // this co-partitioning assertion vacuous
+    val out = Pipes.execReduce("line", "\t", 1, reporter,
+        partitionKey = Some(pmod(substring(col("key"), 2, 1).cast("int"), lit(2)) + lit(1)),
+        numPartitions = Some(4))(df)
+      .collect().map(_.getString(0).split("\t")).map(a => (a(0), a(1).toLong, a(2).toLong))
+    // every key fully aggregated by exactly one child
+    assert(out.map(t => (t._1, t._2)).sortBy(_._1).toSeq ===
+      Seq(("k0", 10L), ("k1", 10L), ("k2", 10L), ("k3", 10L)))
+    // the child that saw k0 saw 20 input lines (k0 + k2 co-partitioned
+    // by the custom expression), same for k1/k3 — proving the partition
+    // expression, not the default key hash, routed the records
+    out.foreach { case (k, _, nrAtEnd) =>
+      assert(nrAtEnd === 20L, s"child owning $k saw $nrAtEnd lines, want 20 (its two co-partitioned keys)")
+    }
   }
 }

@@ -89,6 +89,18 @@ class PlanSpec extends SparkSpec {
       "bucket layout must feed the join without re-shuffling either side")
   }
 
+  test("agg_equidepth boundaries come from ONE percentile buffer") {
+    // three separate percentile aggregates = three whole-column value
+    // maps through one final task — the 100×-scale killer this pins
+    // against. One array-fraction buffer shows up as one partial +
+    // one final percentile in the plan. (Production at scale swaps in
+    // the GK approx_percentile path — equidepthHistogram(exactBounds =
+    // false), spec'd in PipeSpec — with the identical plan shape.)
+    val plan = planOf(graft.queries.PipeQueries.aggEquidepth(spark, sf))
+    val n = "percentile".r.findAllIn(plan).size
+    assert(n <= 2, s"expected a single percentile buffer, saw $n:\n${plan.take(800)}")
+  }
+
   test("stream_topk rank stage compiles to WindowGroupLimit") {
     val plan = planOf(StreamQueries.streamTopk(spark, sf))
     assert(plan.contains("WindowGroupLimit"), plan.take(800))

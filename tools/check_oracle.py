@@ -55,8 +55,10 @@ def main():
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             # a partial Verify dump (dev iteration with explicit names)
-            # has no directory at all for unselected queries: skip those;
-            # an EMPTY directory means the query ran and wrote nothing
+            # has no directory at all for unselected queries: skip those.
+            # Verify pre-creates each SELECTED query's dir before running
+            # it, so an EMPTY directory means the query ran and crashed
+            # (or wrote nothing) — that must surface as MISSING
             if not os.path.isdir(f"{out_dir}/{name}"):
                 continue
             print(f"MISSING  {name}: no spark result"); n_bad += 1; continue
