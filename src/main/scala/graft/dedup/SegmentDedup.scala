@@ -1,0 +1,80 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Paragraph-level exact deduplication (CCNet / RefinedWeb style): split
+  * each document into segments, keep only the globally-first occurrence
+  * of every distinct segment, and reassemble what is left of each
+  * document. Boilerplate that repeats across a crawl (nav bars, license
+  * footers, quoted headers) disappears from every copy but the first,
+  * while the unique prose survives — finer-grained than whole-document
+  * dedup (Dedup.exact) and complementary to near-dup pair detection
+  * (MinHashLSH).
+  *
+  * The reference engine's unit of work is the line
+  * (hadoop-multiple-streaming streams line records through child
+  * processes — PipeMapper line loop, MapStreamJob.java input splits);
+  * this operator is the same line/segment granularity applied to corpus
+  * hygiene. "Globally first" is deterministic: occurrence order is
+  * (doc id, segment position), so reruns and retries keep the same copy.
+  *
+  * Segmentation: documents with real structure split on a delimiter
+  * (`splitRegex`, e.g. "\n{2,}" for paragraphs); the synthetic corpus is
+  * single-line, so the fixed-window variant stands in — every run of
+  * `segWords` consecutive normalized tokens is one segment. Both feed
+  * the same keep/reassemble pipeline.
+  *
+  * Scale (100 TB): two hash exchanges, both on bounded keys — one on the
+  * segment for the first-occurrence window (at production scale group on
+  * `xxhash64(segment)` to ship 8-byte keys; kept raw here so the DuckDB
+  * oracle is byte-identical), one on the doc id to reassemble. The
+  * first-occurrence rule is a row_number window, NOT a groupBy +
+  * self-join — one shuffle instead of two and no re-scan of the corpus.
+  * No driver state, no broadcast of anything corpus-sized.
+  */
+object SegmentDedup {
+
+  /** Fixed-window segments: normalized tokens in runs of `segWords`
+    * (last run may be short). Empty-token docs yield zero segments.
+    */
+  def windowSegments(text: Column, segWords: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val nSegs = floor((size(toks) - 1) / segWords).cast("int")
+    when(size(toks) >= 1,
+      transform(sequence(lit(0), nSegs),
+        i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Delimiter segments for corpora with real paragraph breaks. */
+  def delimiterSegments(text: Column, splitRegex: String): Column =
+    array_remove(split(text, splitRegex), "")
+
+  /** Per-document result of global first-occurrence segment dedup:
+    * (id, n_segs, n_kept, sig) where sig = md5 of the reassembled
+    * kept text (segments in original order). A fully-duplicated doc
+    * keeps 0 segments and carries md5("").
+    */
+  def dedupSegments(docs: DataFrame, idCol: String, segsCol: Column): DataFrame = {
+    val id = col(idCol)
+    val base = docs.select(id, segsCol.as("segs"))
+    val exploded = base.select(id, posexplode(col("segs")).as(Seq("pos", "seg")))
+    val firstSeen = Window.partitionBy(col("seg")).orderBy(id, col("pos"))
+    val kept = exploded
+      .withColumn("rn", row_number().over(firstSeen))
+      .where(col("rn") === 1)
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            p => p.getField("seg")), " ")).as("sig"))
+    base.select(id, size(col("segs")).cast("long").as("n_segs"))
+      .join(kept, Seq(idCol), "left")
+      .select(id, col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sig"), md5(lit(""))).as("sig"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weighted source mixing: replicate each document according to its
+  * source's target weight (epochs) so the mixed corpus matches a recipe
+  * like "wiki ×2.5, web ×1, forums ×0.25". Fractional weights resolve
+  * per document, deterministically: every doc gets floor(w) copies, plus
+  * one more iff its seeded uniform hash (ShuffleShard.hashKey / 2^32)
+  * falls below frac(w) — the realized mix converges to the recipe with
+  * zero RNG state and identical output on rerun. Weight 0 drops the
+  * source entirely.
+  *
+  * The weights table is a dozen rows of config — it joins in as a
+  * BROADCAST join (never a shuffle), the same shape as any
+  * dimension-table enrichment. Replication is a map-side
+  * `explode(array_repeat(...))`: no shuffle, output flows straight to
+  * the sink. Downstream, compose with ShuffleShard so copies of a doc
+  * land in different shards.
+  *
+  * Scale (100 TB): map-only except the final stats aggregation;
+  * upweighting multiplies bytes written, not bytes shuffled.
+  */
+object SourceMixture {
+
+  /** floor(w) + 1 more iff u(id) < frac(w); sources missing from the
+    * recipe default to weight 1.
+    */
+  private def copies(idCol: String, seed: Long): Column = {
+    val u = ShuffleShard.hashKey(col(idCol), seed) /
+      lit(4294967296.0) // 2^32 → u uniform in [0,1)
+    val w = coalesce(col("weight"), lit(1.0))
+    (floor(w) + when(u < w - floor(w), 1).otherwise(0)).cast("int")
+  }
+
+  private def withCopies(docs: DataFrame, sourceCol: String, idCol: String,
+                         weights: Map[String, Double], seed: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(weights.toSeq.toDF(sourceCol, "weight"))
+    docs.join(w, Seq(sourceCol), "left")
+      .withColumn("n_copies", copies(idCol, seed))
+      .drop("weight")
+  }
+
+  /** Replicated corpus: one row per output copy, `copy` in [0, n_copies).
+    * Zero-copy docs are dropped.
+    */
+  def mix(docs: DataFrame, sourceCol: String, idCol: String,
+          weights: Map[String, Double], seed: Long): DataFrame =
+    withCopies(docs, sourceCol, idCol, weights, seed)
+      .select(col("*"),
+        posexplode(array_repeat(lit(1), col("n_copies"))).as(Seq("copy", "one")))
+      .drop("one")
+
+  /** Per-source recipe audit over the REPLICATED stream (explode_outer
+    * keeps dropped-source rows visible with n_out = 0): input docs,
+    * output copies, output chars.
+    */
+  def mixStats(docs: DataFrame, sourceCol: String, idCol: String,
+               charsCol: String, weights: Map[String, Double],
+               seed: Long): DataFrame =
+    withCopies(docs, sourceCol, idCol, weights, seed)
+      .select(col(sourceCol), col(idCol), col(charsCol),
+        explode_outer(array_repeat(lit(1), col("n_copies"))).as("one"))
+      .groupBy(col(sourceCol))
+      .agg(countDistinct(col(idCol)).as("n_in"),
+        count(col("one")).as("n_out"),
+        coalesce(sum(when(col("one").isNotNull, col(charsCol))), lit(0L))
+          .as("chars_out"))
+      .orderBy(col(sourceCol))
+}

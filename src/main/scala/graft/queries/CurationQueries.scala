@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Decontaminate
+import graft.ops.{ShuffleShard, SourceMixture}
 import graft.text.TextOps
 import graft.util.Tables
 
@@ -276,7 +277,74 @@ object CurationQueries {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  private val ShardSeed = 42L
+  private val NShards = 16
+
+  /** Deterministic training-data shuffle + shard audit: seeded md5-prefix
+    * key → order-by-hash shuffle, key mod N → shard. The query reports
+    * per-shard membership stats (count / chars / key range / key sum) so
+    * the oracle pins BOTH the hash function and the shard routing; the
+    * physical export (repartition + sortWithinPartitions + partitionBy)
+    * is spec-tested on real files.
+    */
+  def sampleShard(s: SparkSession, dir: String): DataFrame =
+    ShuffleShard.assign(Tables(s, dir).documents, "doc_id", ShardSeed, NShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("shuffle_key")).as("min_key"),
+        max(col("shuffle_key")).as("max_key"),
+        sum(col("shuffle_key")).as("sum_key"))
+      .orderBy(col("shard"))
+
+  val sampleShardSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
+       |      AS k
+       |  FROM documents)
+       |SELECT k % $NShards AS shard, count(*) AS n_docs,
+       |  sum(n_chars)::BIGINT AS sum_chars,
+       |  min(k) AS min_key, max(k) AS max_key, sum(k)::BIGINT AS sum_key
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val MixSeed = 7L
+  private val MixWeights = Map(
+    "src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0, "src3" -> 1.75)
+
+  /** Weighted source mixing audit: per-source in/out doc and char counts
+    * after deterministic fractional-epoch replication (src0 ×2.5,
+    * src1 ×0.25, src2 dropped, src3 ×1.75, everything else ×1). The
+    * Spark side MATERIALIZES the copies (explode) and counts them; the
+    * oracle computes the arithmetic twin.
+    */
+  def mixSources(s: SparkSession, dir: String): DataFrame =
+    SourceMixture.mixStats(Tables(s, dir).documents, "source", "doc_id",
+      "n_chars", MixWeights, MixSeed)
+
+  val mixSourcesSql: String = {
+    val values = MixWeights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"('$k', ${v}::DOUBLE)" }.mkString(", ")
+    s"""WITH w(source, weight) AS (VALUES $values),
+       |d AS (
+       |  SELECT source, doc_id, n_chars,
+       |    coalesce(weight, 1.0) AS wt,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$MixSeed'), 1, 8))::BIGINT
+       |      / 4294967296.0 AS u
+       |  FROM documents LEFT JOIN w USING (source)),
+       |m AS (
+       |  SELECT source, doc_id, n_chars,
+       |    (floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_copies
+       |  FROM d)
+       |SELECT source, count(*) AS n_in, sum(n_copies)::BIGINT AS n_out,
+       |  sum(n_chars * n_copies)::BIGINT AS chars_out
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_shard" -> (sampleShard _),
+    "mix_sources" -> (mixSources _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_quality_rules" -> (textQualityRules _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
@@ -285,6 +353,8 @@ object CurationQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
+    "sample_shard" -> sampleShardSql,
+    "mix_sources" -> mixSourcesSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_quality_rules" -> textQualityRulesSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,

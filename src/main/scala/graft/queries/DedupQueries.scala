@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.dedup.{BloomMembership, ConnectedComponents, Dedup, EmbeddingDedup, MinHashLSH, NgramJaccard, SimHash, Winnow}
+import graft.dedup.{BloomMembership, ConnectedComponents, Dedup, EmbeddingDedup, MinHashLSH, NgramJaccard, SegmentDedup, SimHash, Winnow}
 import graft.text.TextOps
 import graft.util.Tables
 
@@ -283,7 +283,56 @@ object DedupQueries {
        |HAVING count(*) >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val ParaSegWords = 15
+
+  /** Paragraph-level (segment) exact dedup: the corpus is single-line,
+    * so 15-token windows stand in for paragraphs — see SegmentDedup.
+    * One row per doc: segments before/after global first-occurrence
+    * dedup plus an md5 of the reassembled text, so the oracle checks
+    * keep/drop AND reassembly order.
+    */
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    SegmentDedup.dedupSegments(Tables(s, dir).documents, "doc_id",
+        SegmentDedup.windowSegments(col("text"), ParaSegWords))
+      .orderBy(col("doc_id"))
+
+  val dedupParagraphSql: String = {
+    val w = ParaSegWords
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    [array_to_string(toks[i:i+${w - 1}], ' ')
+       |     FOR i IN range(1, len(toks) + 1, $w)] AS segs
+       |  FROM t WHERE len(toks) >= 1),
+       |e AS (
+       |  SELECT doc_id, unnest(segs) AS seg,
+       |    unnest(range(len(segs))) AS pos
+       |  FROM c),
+       |k AS (
+       |  SELECT doc_id, seg, pos FROM (
+       |    SELECT doc_id, seg, pos,
+       |      row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+       |    FROM e)
+       |  WHERE rn = 1),
+       |r AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    md5(string_agg(seg, ' ' ORDER BY pos)) AS sig
+       |  FROM k GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(len(c.segs), 0) AS n_segs,
+       |  coalesce(r.n_kept, 0) AS n_kept,
+       |  coalesce(r.sig, md5('')) AS sig
+       |FROM documents d
+       |LEFT JOIN c USING (doc_id)
+       |LEFT JOIN r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> (dedupParagraph _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_bloom" -> (dedupBloom _),
@@ -296,6 +345,7 @@ object DedupQueries {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_paragraph" -> dedupParagraphSql,
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_bloom" -> dedupBloomSql,

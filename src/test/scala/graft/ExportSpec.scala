@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.dedup.SegmentDedup
+import graft.ops.{ShuffleShard, SourceMixture}
+
+/** Segment dedup + training-export ops (shuffle-shard, source mixing). */
+class ExportSpec extends SparkSpec {
+
+  test("SegmentDedup keeps first occurrence, preserves order, empties full dups") {
+    import spark.implicits._
+    // doc 1: unique a + shared X; doc 2 repeats X then unique b;
+    // doc 3 is segment-for-segment a copy of doc 1 → keeps nothing
+    val df = Seq(
+      (1L, "alpha beta X X"), (2L, "X X gamma delta"), (3L, "alpha beta X X"))
+      .toDF("doc_id", "text")
+    val out = SegmentDedup.dedupSegments(df, "doc_id",
+        SegmentDedup.windowSegments(col("text"), 2))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0) === ((1L, 2L, 2L, md5("alpha beta x x"))))
+    assert(out(1) === ((2L, 2L, 1L, md5("gamma delta")))) // "x x" already seen
+    assert(out(2) === ((3L, 2L, 0L, md5("")))) // full duplicate of doc 1
+  }
+
+  test("SegmentDedup delimiter variant drops a repeated paragraph") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "intro text\n\nshared footer"), (2L, "other text\n\nshared footer"))
+      .toDF("doc_id", "text")
+    val out = SegmentDedup.dedupSegments(df, "doc_id",
+        SegmentDedup.delimiterSegments(col("text"), "\\n{2,}"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L)) // n_kept
+  }
+
+  test("ShuffleShard.writeShards: files partition the corpus, sorted by key") {
+    val docs = util.Tables(spark, sf).documents
+    val assigned = ShuffleShard.assign(docs, "doc_id", seed = 42L, nShards = 4)
+    val dir = Files.createTempDirectory("graft-shards").toString
+    ShuffleShard.writeShards(assigned, 4, dir)
+    val back = spark.read.parquet(dir)
+    // partition of the input: same doc_ids exactly once
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").except(docs.select("doc_id")).isEmpty)
+    // routing: every row's shard matches key mod N
+    assert(back.where(pmod(col("shuffle_key"), lit(4L)) =!= col("shard"))
+      .isEmpty)
+    // in-file order: shuffle_key non-decreasing within each parquet file
+    val disorder = back
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag(col("shuffle_key"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+          .orderBy(monotonically_increasing_id())))
+      .where(col("prev") > col("shuffle_key"))
+    assert(disorder.isEmpty, "rows out of shuffle_key order inside a shard file")
+  }
+
+  test("SourceMixture.mix materializes exactly mixStats' copy counts") {
+    val docs = util.Tables(spark, sf).documents
+    val weights = Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 0.25)
+    val stats = SourceMixture.mixStats(docs, "source", "doc_id", "n_chars",
+        weights, seed = 7L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val mixed = SourceMixture.mix(docs, "source", "doc_id", weights, seed = 7L)
+    val bySource = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dropped source appears in stats with n_out 0 and not at all in mix
+    assert(stats("src1")._2 === 0L && !bySource.contains("src1"))
+    stats.foreach { case (src, (_, nOut)) =>
+      assert(bySource.getOrElse(src, 0L) === nOut, s"copies mismatch for $src")
+    }
+    // x2.5 source lands within [2x, 3x] of its input; copy index is dense
+    val (n0In, n0Out) = stats("src0")
+    assert(n0Out >= 2 * n0In && n0Out <= 3 * n0In)
+    val maxCopy = mixed.where(col("source") === "src0")
+      .agg(max("copy")).head().getInt(0)
+    assert(maxCopy >= 1 && maxCopy <= 2) // floor(2.5)=2 copies, maybe a 3rd
+  }
+}
