@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** `graft_cms_estimate(sketch, item)` — point-query a Count-Min sketch
+  * built by Spark's `count_min_sketch(...)` aggregate (Cormode &
+  * Muthukrishnan, J. Algorithms '05). Spark ships the builder but no SQL
+  * reader; this closes the loop so frequency estimation stays entirely
+  * in-plan: aggregate a constant-size sketch (merges through the shuffle
+  * like the other graft sketches), broadcast the one row, estimate per
+  * key. Guarantee: estimate ≥ true count, ≤ true + ε·N w.p. the
+  * sketch's confidence.
+  *
+  * String items are estimated on their UTF-8 bytes — the same encoding
+  * `CountMinSketchAgg` used on the add side, so add/estimate hash
+  * identically.
+  *
+  * Deliberately NOT codegen (CodegenFallback): the sketch argument is a
+  * kilobyte-scale blob that must be deserialized, so this expression
+  * belongs on a handful of (key, sketch) rows after aggregation, never
+  * in a per-corpus-row hot path. The deserialized sketch is memoized by
+  * buffer identity, so the per-row cost on those rows is one reference
+  * compare.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedSketch: CountMinSketch = _
+
+  override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
+    val bytes = sketchBytes.asInstanceOf[Array[Byte]]
+    if (!(bytes eq cachedBytes)) {
+      cachedSketch = CountMinSketch.readFrom(bytes)
+      cachedBytes = bytes
+    }
+    val key = item match {
+      case s: UTF8String => s.getBytes
+      case other => other
+    }
+    cachedSketch.estimateCount(key)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}

@@ -22,7 +22,9 @@ object GraftFunctions {
     "graft_bloom_agg" -> { case Seq(a, m, k) =>
       BloomFilterAgg(a, foldableInt("graft_bloom_agg numBits", m),
         foldableInt("graft_bloom_agg numHashes", k)).toAggregateExpression() },
-    "graft_bloom_contains" -> { case Seq(f, v) => BloomMightContain(f, v) })
+    "graft_bloom_contains" -> { case Seq(f, v) => BloomMightContain(f, v) },
+    "graft_nfc" -> { case Seq(a) => NfcNormalize(a) },
+    "graft_cms_estimate" -> { case Seq(s, v) => CmsEstimate(s, v) })
 
   /** Plan-time integral arg: must be a foldable integral expression —
     * a clear error beats the ClassCastException/NPE a bare

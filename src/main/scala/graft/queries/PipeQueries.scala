@@ -215,6 +215,34 @@ object PipeQueries {
             lit(10000)), 2), 2).as("p95_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Count-Min frequency estimation closing the sketch family: Spark
+    * ships the `count_min_sketch` builder aggregate (constant-size
+    * state, merges through the shuffle) but no SQL-side reader — the
+    * native `graft_cms_estimate` point-queries the broadcast one-row
+    * sketch per key. At this width (ε=1e-4 → w=20000) against 5 distinct
+    * event types the estimate is provably-whp exact, so the oracle
+    * pins est == exact; the ε·N overestimate bound under forced
+    * collisions (tiny width) is gated in FunctionsSpec.
+    */
+  def aggCountmin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables(s, dir).events
+    val sketch = ev.agg(
+      expr("count_min_sketch(event_type, 0.0001d, 0.999d, 42)").as("cms"))
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("event_type"), col("n_exact"),
+        call_function("graft_cms_estimate", col("cms"), col("event_type"))
+          .as("n_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggCountminSql: String =
+    """SELECT event_type, count(*) AS n_exact, count(*) AS n_est
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Exact tail percentiles per group — the ground-truth twin of
     * aggSketches' GK estimates. Spark's `percentile` (linear
     * interpolation, same definition as DuckDB `quantile_cont`) is a
@@ -516,6 +544,7 @@ object PipeQueries {
     "agg_package" -> (aggPackage _),
     "agg_distinct_twophase" -> (aggDistinctTwophase _),
     "agg_sketches" -> (aggSketches _),
+    "agg_countmin" -> (aggCountmin _),
     "agg_percentiles" -> (aggPercentiles _),
     "agg_equidepth" -> (aggEquidepth _),
     "agg_histogram" -> (aggHistogram _),
@@ -537,6 +566,7 @@ object PipeQueries {
     "pipe_keyfield_agg" -> pipeKeyfieldAggSql,
     "agg_package" -> aggPackageSql,
     "agg_distinct_twophase" -> aggDistinctTwophaseSql,
+    "agg_countmin" -> aggCountminSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_equidepth" -> aggEquidepthSql,
     "agg_histogram" -> aggHistogramSql,

@@ -318,7 +318,27 @@ object StreamQueries {
       |WHERE rank <= 3
       |ORDER BY ws, rank""".stripMargin
 
+  /** CDC-style upsert materialization: latest event per user by
+    * (event time, event_id). Batch twin of Streams.latestStream (the
+    * mapGroupsWithState Update-mode upsert); multi-batch streaming
+    * parity is spec-gated in StreamSpec.
+    */
+  def streamLatest(s: SparkSession, dir: String): DataFrame =
+    Streams.latestBatch(Tables(s, dir).events)
+      .orderBy(col("user_id"))
+
+  val streamLatestSql: String =
+    """SELECT user_id, event_type AS last_type, value AS last_value,
+      |  floor(epoch(ts))::BIGINT AS last_ts_s
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_latest" -> (streamLatest _),
     "stream_topk" -> (streamTopk _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -331,6 +351,7 @@ object StreamQueries {
     "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_latest" -> streamLatestSql,
     "stream_topk" -> streamTopkSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_agg" -> streamWindowAggSql,

@@ -256,7 +256,32 @@ object TextQueries {
        |WHERE rank <= $TfidfK
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Canonicalization pass (NFC + casefold + whitespace collapse) every
+    * key-producing operator should sit behind: per-doc md5 + length of
+    * the canonical text. The corpus is ASCII (NFC = identity there), so
+    * the oracle pins the lower/trim/collapse pipeline and the md5
+    * framing; the actual composed-vs-decomposed behavior is spec-gated
+    * with real accents in FunctionsSpec.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = TextOps.normalized(col("text"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), md5(norm).as("norm_sig"),
+        length(norm).as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(nfc_normalize(lower(text))), '\s+', ' ', 'g'))
+      |    AS norm_sig,
+      |  length(regexp_replace(trim(nfc_normalize(lower(text))), '\s+', ' ', 'g'))
+      |    AS norm_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (textNormalize _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -266,6 +291,7 @@ object TextQueries {
     "tfidf_topterms" -> (tfidfTopterms _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

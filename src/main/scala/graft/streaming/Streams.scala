@@ -170,6 +170,59 @@ object Streams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(keys)
 
+  // ---- CDC-style latest-per-key upsert ---------------------------------
+
+  /** Materialized latest state per key. */
+  final case class Latest(user_id: Long, last_type: String,
+      last_value: Double, last_ts_s: Long)
+
+  /** Per-key champion (public: state encoder needs constructor access). */
+  final case class LatestState(tsMs: Long, eventId: Long, typ: String,
+      value: Double)
+
+  /** Batch twin of the upsert materialization: the latest event per key
+    * by (event time, event_id) — the table a CDC consumer keeps. One
+    * row_number window on the key exchange; at 100 TB this compiles to
+    * WindowGroupLimit (rank pushed before the exchange), so each map
+    * task forwards one candidate row per key it sees, not its whole
+    * partition.
+    */
+  def latestBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        unix_timestamp(col("ts")).as("last_ts_s"))
+  }
+
+  /** Streaming upsert via mapGroupsWithState (Update mode): state is one
+    * champion record per key; each micro-batch folds its events in by
+    * the same (ts, event_id) order as `latestBatch` — a stale or
+    * out-of-order arrival can never regress the state — and re-emits the
+    * key's current latest. No timeout: latest-value state is the product
+    * (size = O(keys)), not a window to expire; specs assert parity with
+    * the batch twin across multi-batch replays.
+    */
+  def latestStream(events: Dataset[Ev]): Dataset[Latest] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, Latest](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[LatestState]) =>
+          var best = state.getOption.orNull
+          it.foreach { e =>
+            val t = e.ts.getTime
+            if (best == null || t > best.tsMs ||
+                (t == best.tsMs && e.event_id > best.eventId))
+              best = LatestState(t, e.event_id, e.event_type, e.value)
+          }
+          state.update(best)
+          Latest(uid, best.typ, best.value, Math.floorDiv(best.tsMs, 1000L))
+      }
+  }
+
   // ---- stream-stream interval join ------------------------------------
 
   /** Stream-stream (or batch-batch — same plan API) interval join: each

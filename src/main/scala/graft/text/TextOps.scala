@@ -194,4 +194,16 @@ object TextOps {
     val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
     call_function("graft_fingerprint", norm)
   }
+
+  /** Canonical text: Unicode NFC (native codegen expression — composed
+    * and decomposed spellings of the same glyph otherwise split every
+    * downstream dedup/shingle key) + casefold + whitespace collapse.
+    * Matches DuckDB's
+    * `regexp_replace(trim(nfc_normalize(lower(t))), '\s+', ' ', 'g')`.
+    */
+  def normalized(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    regexp_replace(trim(call_function("graft_nfc", lower(text))), "\\s+", " ")
+  }
 }

@@ -123,4 +123,45 @@ class FunctionsSpec extends SparkSpec {
     assert(lanes(1L) === lanes(2L), "min over a set ignores order")
     assert(lanes(1L) !== lanes(3L))
   }
+
+  test("graft_nfc folds decomposed and composed spellings together") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301" // e + combining acute
+    val ascii = "plain ascii"
+    val out = Seq(composed, decomposed, ascii).toDF("t")
+      .select(call_function("graft_nfc", col("t")).as("n"),
+        length(col("t")).as("raw_len"))
+      .collect()
+    assert(out(0).getString(0) === composed)
+    assert(out(1).getString(0) === composed, "NFC must compose e+U+0301")
+    assert(out(1).getAs[Int]("raw_len") === 5) // inputs really differed
+    assert(out(2).getString(0) === ascii)
+  }
+
+  test("count-min estimate: exact at ample width, bounded under collisions") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // zipfish counts over 60 keys
+    val rows = (0 until 60).flatMap(k => Seq.fill(1 + 600 / (k + 1))(s"k$k"))
+    val df = rows.toDF("k")
+    val n = rows.size.toLong
+    def estimates(eps: Double) = {
+      val sk = df.agg(expr(s"count_min_sketch(k, ${eps}d, 0.99d, 7)").as("cms"))
+      df.groupBy("k").agg(count(lit(1)).as("exact"))
+        .crossJoin(broadcast(sk))
+        .select(col("k"), col("exact"),
+          call_function("graft_cms_estimate", col("cms"), col("k")).as("est"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    }
+    // wide sketch: exact on every key
+    estimates(0.0001).foreach { case (exact, est) => assert(est === exact) }
+    // forced collisions (w = ceil(2/eps) = 4 cells): never underestimates,
+    // stays within the eps*N overestimate bound
+    estimates(0.5).foreach { case (exact, est) =>
+      assert(est >= exact, "CMS must never underestimate")
+      assert(est <= exact + (0.5 * n).toLong, s"est $est exceeds eps*N bound")
+    }
+  }
 }

@@ -265,4 +265,36 @@ class StreamSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSeq === Seq("by_user", "clicks", "errors"))
     assert(out.forall(_.getLong(1) > 0))
   }
+
+  test("latestStream: multi-batch upsert matches batch twin, no regression") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val b1 = Seq(ev(1, 10, 1, "click", 1.0), ev(2, 5, 1, "view", 2.0))
+    // e3 advances user 1; e5 is a STALE arrival (t15 < t20) that must
+    // not regress the state; e4 introduces user 2
+    val b2 = Seq(ev(3, 20, 1, "purchase", 9.0), ev(5, 15, 1, "view", 4.0),
+      ev(4, 1, 2, "error", 0.5))
+    val ms = MemoryStream[Ev]
+    val q = Streams.latestStream(ms.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode("update").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("latest")
+      .select("user_id", "last_type", "last_value", "last_ts_s").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // per-batch running latest: u1 = e1 after b1, e3 after b2; u2 = e4
+    val t = (m: Long) => (1700000000000L + m * 60000L) / 1000L
+    assert(emitted === Set(
+      (1L, "click", 1.0, t(10)), (1L, "purchase", 9.0, t(20)),
+      (2L, "error", 0.5, t(1))))
+    // final state equals the batch twin over the full replay
+    val batch = Streams.latestBatch((b1 ++ b2).toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(batch === Set((1L, "purchase", 9.0, t(20)), (2L, "error", 0.5, t(1))))
+  }
 }
