@@ -15,6 +15,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
+  test("mix_sources joins the recipe by broadcast, never a shuffle") {
+    val plan = planOf(CurationQueries.mixSources(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "a 4-row recipe must not repartition the corpus")
+  }
+
+  test("sample_shard plans one aggregation exchange over map-side hashing") {
+    val plan = planOf(CurationQueries.sampleShard(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly one exchange:\n${plan.take(800)}")
+  }
+
+  test("stream_latest rank compiles to WindowGroupLimit") {
+    val plan = planOf(StreamQueries.streamLatest(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
   test("q_window rank filter compiles to WindowGroupLimit before the cumsum") {
     val plan = planOf(Relational.qWindow(spark, sf))
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
