@@ -280,7 +280,54 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  private val ChunkTokens = 30
+  private val ChunkStride = 20
+
+  /** Overlapping chunking for the embedding pipeline: 30-token windows,
+    * stride 20 (10-token overlap). One row per chunk with its token
+    * count and content md5 — the frame a downstream encoder consumes.
+    * The oracle replays the same window arithmetic in DuckDB, pinning
+    * coverage (last chunk reaches the end) and overlap.
+    */
+  def textChunk(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables(s, dir).documents
+      .where(size(toks) >= 1)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunked(toks, ChunkTokens, ChunkStride))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_toks"),
+        md5(col("chunk")).as("sig"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val textChunkSql: String = {
+    val (c, st) = (ChunkTokens, ChunkStride)
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks,
+       |    1 + greatest(0, (len(toks) - $c + $st - 1) // $st) AS n_chunks
+       |  FROM t WHERE len(toks) >= 1),
+       |e AS (
+       |  SELECT doc_id,
+       |    unnest(range(n_chunks)) AS chunk_id,
+       |    unnest([array_to_string(toks[1 + i * $st : i * $st + $c], ' ')
+       |            FOR i IN range(n_chunks)]) AS chunk
+       |  FROM n)
+       |SELECT doc_id, chunk_id,
+       |  len(string_split(chunk, ' ')) AS n_toks,
+       |  md5(chunk) AS sig
+       |FROM e
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> (textChunk _),
     "text_normalize" -> (textNormalize _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -291,6 +338,7 @@ object TextQueries {
     "tfidf_topterms" -> (tfidfTopterms _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunk" -> textChunkSql,
     "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

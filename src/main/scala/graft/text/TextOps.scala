@@ -26,6 +26,25 @@ object TextOps {
   def tokens(text: Column): Column =
     array_remove(split(lower(text), "\\s+"), "")
 
+  /** Overlapping token-window chunks (embedding/RAG prep): windows of
+    * `chunkTokens` tokens advancing by `stride` (< chunkTokens ⇒
+    * overlap), the HF `return_overflowing_tokens` convention — the last
+    * chunk starts at the final stride step that still adds tokens, so
+    * the doc is fully covered and every chunk is ≤ chunkTokens long.
+    * Chunk count per doc: 1 + max(0, ⌈(len − chunkTokens)/stride⌉).
+    *
+    * A per-row expression over the token array — no explode until the
+    * caller asks for chunk rows, so the corpus pass stays map-only.
+    */
+  def chunked(toks: Column, chunkTokens: Int, stride: Int): Column = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens; got chunk=$chunkTokens stride=$stride")
+    val nExtra = greatest(lit(0),
+      floor((size(toks) - chunkTokens + stride - 1) / stride).cast("int"))
+    transform(sequence(lit(0), nExtra),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " "))
+  }
+
   /** Word n-grams (each gram = n tokens joined by one space), distinct.
     *
     * Built by zipping the token array with its own k-shifted slices and

@@ -117,4 +117,23 @@ class TextSpec extends SparkSpec {
       assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("chunked: coverage, overlap, and the short-doc single chunk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 12 tokens, chunk 5 / stride 3 → starts 0,3,6 and a final 9 (short)
+    val doc12 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val short = "a b c"
+    val out = Seq((1L, doc12), (2L, short)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(graft.text.TextOps.chunked(
+          graft.text.TextOps.tokens(col("text")), 5, 3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(c1 === Array(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10 w11", "w10 w11 w12"))
+    // consecutive chunks share chunk-stride tokens; last token is covered
+    assert(c1.last.endsWith("w12"))
+    assert(out.filter(_._1 == 2L).map(_._3) === Array("a b c"))
+  }
 }
