@@ -105,13 +105,21 @@ object Knn {
     val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn")
       .select(col("neighbor_id"), col("nv"), col("nn"),
         posexplode(bucketsCol(col("nv"), planes)).as(Seq("table_id", "bucket")))
-    val cand = broadcast(qs).join(cs, Seq("table_id", "bucket"))
+    // Score each candidate OCCURRENCE map-side, then dedupe on the id
+    // pair with max(cos) — a partial-aggregatable shuffle of
+    // (long, long, double) rows. The previous shape (distinct() on the
+    // pair WITH both vectors, score after) shipped 2×64 floats per row
+    // through the dedup exchange and compared whole arrays in the
+    // grouping key; re-scoring a pair per colliding table is cheap
+    // codegen'd CPU, shuffle bytes are the scarce resource. cos is
+    // identical across a pair's occurrences, so max() is just dedup.
+    val scored = broadcast(qs).join(cs, Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "qn", "neighbor_id", "nv", "nn")
-      .distinct()
-    val scored = cand.withColumn("cos", round(
-      Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
-        col("qn"), col("nn")), 6))
+      .select(col("query_id"), col("neighbor_id"), round(
+        Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
+          col("qn"), col("nn")), 6).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
     pairTopK(scored, k)
   }
 
