@@ -342,7 +342,108 @@ object CurationQueries {
        |FROM m GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** The whole curation pipeline as ONE declarative plan — quality gate
+    * (≥ 20 tokens) → exact dedup (first doc per normalization key, a
+    * WindowGroupLimit) → benchmark decontamination (trigram-overlap
+    * anti-join vs the %25 holdout) → weighted source mixing → shard
+    * assignment hashed on (doc, copy) so replicas spread across shards.
+    * Every stage is the library operator the standalone queries test;
+    * composing them costs no materialization barriers — Catalyst sees
+    * one tree. Output: per (source, shard) copy/doc/char accounting.
+    */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val gated = docs.where(size(TextOps.tokens(col("text"))) >= 20)
+    val firstPerKey = Window
+      .partitionBy(graft.dedup.Dedup.normKey(col("text")))
+      .orderBy(col("doc_id"))
+    val deduped = gated.withColumn("rn", row_number().over(firstPerKey))
+      .where(col("rn") === 1).drop("rn")
+    val corpus = deduped.where(pmod(col("doc_id"), lit(25)) =!= 0)
+    // minShared = 30 (vs dedup_decontaminate's 5): this corpus draws on
+    // a ~40-word vocabulary, so BACKGROUND trigram overlap with a
+    // holdout that covers ~18% of trigram space (sf0.1) has mean ≈ 10 —
+    // at 5 the stage would flag nearly everything. 30 keeps only docs
+    // sharing half their trigrams: real leaks, not vocabulary noise.
+    val flagged = Decontaminate.overlap(corpus,
+        docs.where(pmod(col("doc_id"), lit(25)) === 0),
+        "doc_id", "text", n = 3, minShared = 30)
+      .select(col("doc_id"))
+    val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
+    val mixed = SourceMixture.mix(clean, "source", "doc_id",
+      MixWeights, MixSeed)
+    val sharded = mixed.withColumn("shard",
+      pmod(ShuffleShard.hashKey(
+        concat(col("doc_id").cast("string"), lit("#"),
+          col("copy").cast("string")), ShardSeed), lit(8L)))
+    sharded.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  val pipelineE2eSql: String = {
+    val values = MixWeights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"('$k', ${v}::DOUBLE)" }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, n_chars, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |q AS (SELECT * FROM t WHERE len(toks) >= 20),
+       |d AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY array_to_string(list_sort(list_distinct(toks)), ' ')
+       |      ORDER BY doc_id) AS rn
+       |    FROM q)
+       |  WHERE rn = 1),
+       |corp AS (SELECT * FROM d WHERE doc_id % 25 <> 0),
+       |hold AS (
+       |  SELECT DISTINCT unnest(list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+       |  )) AS g
+       |  FROM t WHERE doc_id % 25 = 0 AND len(toks) >= 3),
+       |contaminated AS (
+       |  SELECT doc_id FROM (
+       |    SELECT c.doc_id, count(*) AS n FROM (
+       |      SELECT doc_id, unnest(list_distinct(
+       |        [array_to_string(toks[i:i+2], ' ')
+       |         FOR i IN range(1, len(toks) - 1)])) AS g
+       |      FROM corp WHERE len(toks) >= 3) c
+       |    JOIN hold USING (g) GROUP BY c.doc_id)
+       |  WHERE n >= 30),
+       |clean AS (
+       |  SELECT * FROM corp
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |w(source, weight) AS (VALUES $values),
+       |m AS (
+       |  SELECT source, doc_id, n_chars,
+       |    (floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_copies
+       |  FROM (
+       |    SELECT source, doc_id, n_chars, coalesce(weight, 1.0) AS wt,
+       |      ('0x' || substr(md5(doc_id::VARCHAR || ':$MixSeed'), 1, 8))::BIGINT
+       |        / 4294967296.0 AS u
+       |    FROM clean LEFT JOIN w USING (source))),
+       |c AS (
+       |  SELECT source, doc_id, n_chars, unnest(range(n_copies)) AS copy
+       |  FROM m),
+       |sh AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ('0x' || substr(md5(doc_id || '#' || copy || ':$ShardSeed'), 1, 8))
+       |      ::BIGINT % 8 AS shard
+       |  FROM c)
+       |SELECT source, shard, count(*) AS n_copies,
+       |  count(DISTINCT doc_id) AS n_docs, sum(n_chars)::BIGINT AS chars
+       |FROM sh
+       |GROUP BY source, shard
+       |ORDER BY source, shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> (pipelineE2e _),
     "sample_shard" -> (sampleShard _),
     "mix_sources" -> (mixSources _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -353,6 +454,7 @@ object CurationQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,
     "mix_sources" -> mixSourcesSql,
     "text_pii_scrub" -> textPiiScrubSql,

@@ -103,4 +103,23 @@ class CurationSpec extends SparkSpec {
       assert(hs.toSeq === hs.sorted.toSeq, "must follow hash order")
     }
   }
+
+  test("pipeline_e2e: stages compose — dropped source absent, shards sane") {
+    val out = CurationQueries.pipelineE2e(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    // src2 carries weight 0 → the mixing stage must drop it entirely
+    assert(!out.exists(_._1 == "src2"), "weight-0 source leaked through")
+    out.foreach { case (src, shard, nCopies, nDocs, chars) =>
+      assert(shard >= 0 && shard < 8)
+      assert(nCopies >= nDocs && nDocs >= 1, s"$src/$shard accounting")
+      assert(chars > 0)
+    }
+    // the ×2.5 source survives the pipeline and replicates into ≥ 2
+    // shard cells (a doc's floor(2.5) = 2 copies are shard-hashed on
+    // (doc, copy), so they spread); per-copy replication accounting is
+    // pinned by the mix_sources oracle and ExportSpec
+    assert(out.count(_._1 == "src0") >= 2, "upweighted source missing")
+  }
 }
