@@ -31,20 +31,27 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedSketch: CountMinSketch = _
+  // single reference so concurrent tasks sharing this instance can never
+  // observe a sketch paired with another buffer's bytes (reference
+  // assignment is atomic; worst case under a race is a redundant
+  // deserialization, never a wrong pairing)
+  @transient private var cache: (Array[Byte], CountMinSketch) = _
 
   override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes)) {
-      cachedSketch = CountMinSketch.readFrom(bytes)
-      cachedBytes = bytes
-    }
+    val c = cache
+    val sketch =
+      if (c != null && (c._1 eq bytes)) c._2
+      else {
+        val s = CountMinSketch.readFrom(bytes)
+        cache = (bytes, s)
+        s
+      }
     val key = item match {
       case s: UTF8String => s.getBytes
       case other => other
     }
-    cachedSketch.estimateCount(key)
+    sketch.estimateCount(key)
   }
 
   override protected def withNewChildrenInternal(
