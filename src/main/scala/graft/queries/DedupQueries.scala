@@ -331,7 +331,41 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-source duplication matrix: near-dup pair mass between every
+    * pair of sources — the "which crawls copy each other" report a
+    * corpus owner reads before setting mix weights. Composes the
+    * MinHash-LSH pair detector with two broadcast-able id→source
+    * lookups; the (lo, hi) canonicalization makes the matrix symmetric
+    * regardless of pair orientation. Scale: adds two joins keyed on doc
+    * id and a tiny groupBy on top of the bucketed LSH plan.
+    */
+  def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val src = docs.select(col("doc_id"), col("source"))
+    MinHashLSH.nearDuplicates(docs, "doc_id", "text", n = 3, tau = 0.7)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  val dedupSourceMatrixSql: String =
+    s"""WITH pairs AS (${jaccardPairsSql(0.7).replace("ORDER BY id_a, id_b", "")})
+       |SELECT least(a.source, b.source) AS src_lo,
+       |  greatest(a.source, b.source) AS src_hi,
+       |  count(*) AS n_pairs,
+       |  round(avg(jaccard), 4) AS avg_jaccard
+       |FROM pairs
+       |JOIN documents a ON pairs.id_a = a.doc_id
+       |JOIN documents b ON pairs.id_b = b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY src_lo, src_hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -345,6 +379,7 @@ object DedupQueries {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_source_matrix" -> dedupSourceMatrixSql,
     "dedup_paragraph" -> dedupParagraphSql,
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_keep_best" -> dedupKeepBestSql,

@@ -15,6 +15,15 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (3L, 2L)))
   }
 
+  test("source matrix: canonical symmetric cells, pair mass conserved") {
+    val pairs = DedupQueries.dedupMinhashLsh(spark, sf).count()
+    val cells = DedupQueries.dedupSourceMatrix(spark, sf).collect()
+    assert(cells.forall(r => r.getString(0) <= r.getString(1)),
+      "cells must be (lo, hi) canonical")
+    assert(cells.map(_.getLong(2)).sum === pairs,
+      "every near-dup pair lands in exactly one cell")
+  }
+
   test("MinHash LSH finds all planted near-dup pairs (recall vs exact)") {
     // exact word-trigram jaccard >= 0.7, brute force
     val docs = graft.util.Tables(spark, sf).documents
