@@ -38,14 +38,12 @@ import graft.text.TextOps
 object SegmentDedup {
 
   /** Fixed-window segments: normalized tokens in runs of `segWords`
-    * (last run may be short). Empty-token docs yield zero segments.
+    * (last run may be short) — TextOps.chunked at stride == window, i.e.
+    * zero overlap, plus an empty-doc guard (chunked assumes ≥ 1 token).
     */
   def windowSegments(text: Column, segWords: Int): Column = {
     val toks = TextOps.tokens(text)
-    val nSegs = floor((size(toks) - 1) / segWords).cast("int")
-    when(size(toks) >= 1,
-      transform(sequence(lit(0), nSegs),
-        i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+    when(size(toks) >= 1, TextOps.chunked(toks, segWords, segWords))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -34,14 +34,19 @@ case class CmsEstimate(left: Expression, right: Expression)
   // single reference so concurrent tasks sharing this instance can never
   // observe a sketch paired with another buffer's bytes (reference
   // assignment is atomic; worst case under a race is a redundant
-  // deserialization, never a wrong pairing)
+  // deserialization, never a wrong pairing). The content-equality
+  // fallback matters: UnsafeRow.getBinary allocates a FRESH copy per
+  // access, so an identity-only check would re-deserialize the KB-scale
+  // sketch on every row; Arrays.equals on equal-length buffers is a
+  // linear byte scan, ~100× cheaper than readFrom
   @transient private var cache: (Array[Byte], CountMinSketch) = _
 
   override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
     val c = cache
     val sketch =
-      if (c != null && (c._1 eq bytes)) c._2
+      if (c != null &&
+          ((c._1 eq bytes) || java.util.Arrays.equals(c._1, bytes))) c._2
       else {
         val s = CountMinSketch.readFrom(bytes)
         cache = (bytes, s)

@@ -177,7 +177,7 @@ object Streams {
       last_value: Double, last_ts_s: Long)
 
   /** Per-key champion (public: state encoder needs constructor access). */
-  final case class LatestState(tsMs: Long, eventId: Long, typ: String,
+  final case class LatestState(tsUs: Long, eventId: Long, typ: String,
       value: Double)
 
   /** Batch twin of the upsert materialization: the latest event per key
@@ -208,18 +208,24 @@ object Streams {
   def latestStream(events: Dataset[Ev]): Dataset[Latest] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // FULL microsecond precision for the ordering: Timestamp.getTime is
+    // millisecond-truncated, so two events within the same millisecond
+    // would falsely tie and the event_id tie-break could pick a
+    // DIFFERENT record than latestBatch's TimestampType (us) ordering
+    def micros(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     events.groupByKey(_.user_id)
       .mapGroupsWithState[LatestState, Latest](GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[Ev], state: GroupState[LatestState]) =>
           var best = state.getOption.orNull
           it.foreach { e =>
-            val t = e.ts.getTime
-            if (best == null || t > best.tsMs ||
-                (t == best.tsMs && e.event_id > best.eventId))
+            val t = micros(e.ts)
+            if (best == null || t > best.tsUs ||
+                (t == best.tsUs && e.event_id > best.eventId))
               best = LatestState(t, e.event_id, e.event_type, e.value)
           }
           state.update(best)
-          Latest(uid, best.typ, best.value, Math.floorDiv(best.tsMs, 1000L))
+          Latest(uid, best.typ, best.value, Math.floorDiv(best.tsUs, 1000000L))
       }
   }
 

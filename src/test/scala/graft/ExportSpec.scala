@@ -43,9 +43,12 @@ class ExportSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-shards").toString
     ShuffleShard.writeShards(assigned, 4, dir)
     val back = spark.read.parquet(dir)
-    // partition of the input: same doc_ids exactly once
+    // partition of the input: same doc_ids exactly once (both except
+    // directions — equal count + one-way subset would still pass if a
+    // doc were duplicated while another was dropped)
     assert(back.count() === docs.count())
     assert(back.select("doc_id").except(docs.select("doc_id")).isEmpty)
+    assert(docs.select("doc_id").except(back.select("doc_id")).isEmpty)
     // routing: every row's shard matches key mod N
     assert(back.where(pmod(col("shuffle_key"), lit(4L)) =!= col("shard"))
       .isEmpty)
