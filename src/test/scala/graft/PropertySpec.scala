@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative invariants for the pure-expression operators: the example
+  * specs pin known answers; these pin the ALGEBRA across arbitrary
+  * token counts and parameters, where off-by-ones live. Driven through
+  * scalacheck's own runner (scalatestplus isn't in the offline cache);
+  * each generated case list evaluates as one local DataFrame pass.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  private def checkProp(p: Prop, tests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(tests)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def chunksOf(cases: List[(Int, Int, Int)]): Seq[(Int, Int, Int, Seq[String])] = {
+    import spark.implicits._
+    val rows = cases.zipWithIndex.map { case ((len, c, st), i) =>
+      (i, (1 to len).map("t" + _).mkString(" "), c, st)
+    }
+    // one job: group params share a (chunk, stride) pair per row, so the
+    // expression is built per distinct (c, st) and unioned
+    rows.groupBy(r => (r._3, r._4)).toSeq.flatMap { case ((c, st), group) =>
+      val df = group.toDF("i", "text", "c", "st")
+        .select(col("i"), graft.text.TextOps.chunked(
+          graft.text.TextOps.tokens(col("text")), c, st).as("chunks"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      group.map { case (i, _, _, _) =>
+        val (len, cc, sst) = cases(i)
+        (len, cc, sst, df(i))
+      }
+    }
+  }
+
+  test("chunked: count, content, coverage for arbitrary shapes") {
+    val gen = Gen.listOfN(6, for {
+      len <- Gen.choose(1, 120)
+      chunk <- Gen.choose(1, 40)
+      stride <- Gen.choose(1, chunk)
+    } yield (len, chunk, stride))
+    checkProp(forAll(gen) { cases =>
+      Prop.all(chunksOf(cases).map { case (len, c, st, chunks) =>
+        val toks = (1 to len).map("t" + _)
+        val expectedN = 1 + math.max(0, math.ceil((len - c).toDouble / st).toInt)
+        val contentOk = chunks.zipWithIndex.forall { case (ch, i) =>
+          ch == toks.slice(i * st, i * st + c).mkString(" ")
+        }
+        Prop(chunks.length == expectedN && contentOk &&
+          chunks.last.split(" ").last == s"t$len" &&
+          chunks.forall(_.split(" ").length <= c)) :| s"len=$len c=$c st=$st"
+      }: _*)
+    }, tests = 10)
+  }
+
+  test("shard hash: deterministic, all shards hit, no gross skew") {
+    import spark.implicits._
+    val ids = (0L until 4000L).toDF("id")
+    val assigned = graft.ops.ShuffleShard.assign(ids, "id", seed = 9L, nShards = 16)
+    val once = assigned.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val twice = assigned.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(once === twice, "hash must be pure")
+    val byShard = once.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byShard.keySet === (0L until 16L).toSet)
+    // 4000/16 = 250 expected, binomial sd ≈ 15 — generous ±100 bounds
+    byShard.values.foreach(n => assert(n > 150 && n < 350, s"skewed shard: $n"))
+  }
+}
