@@ -122,4 +122,31 @@ object Pq {
       model: Model): DataFrame =
     assign(subvectors(corpus, idCol, vecCol, model.m, model.subDim),
       booksDf(corpus, model))
+
+  /** Persist the KB-scale codebooks as one parquet table — same
+    * train-once / encode-many lifecycle as IvfIndex.save: the nightly
+    * pipeline fits, every downstream encode loads.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (c, k) => (s, k, model.subDim, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "sub_dim", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val rows = spark.read.parquet(dir)
+      .select(col("sub"), col("code"), col("sub_dim"), col("cvec"))
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val subDim = rows.head.getInt(2)
+    val books = Array.fill(m, ks, subDim)(0.0f)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](3).toArray
+    }
+    Model(m, subDim, books)
+  }
 }

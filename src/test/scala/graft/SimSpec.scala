@@ -146,4 +146,19 @@ class SimSpec extends SparkSpec {
         s"n_codes out of range: $r")
     }
   }
+
+  test("Pq save/load round-trip: loaded model encodes identically") {
+    val emb = graft.util.Tables(spark, sf).embeddings
+    val model = graft.sim.Pq.fit(emb, "vec_id", "embedding",
+      m = 8, ks = 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    graft.sim.Pq.save(spark, model, dir)
+    val loaded = graft.sim.Pq.load(spark, dir)
+    assert(loaded.m === model.m && loaded.subDim === model.subDim)
+    val a = graft.sim.Pq.encode(emb, "vec_id", "embedding", model)
+      .orderBy("pq_id", "sub").collect().map(_.toSeq)
+    val b = graft.sim.Pq.encode(emb, "vec_id", "embedding", loaded)
+      .orderBy("pq_id", "sub").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq, "loaded codebooks must encode identically")
+  }
 }
