@@ -16,7 +16,7 @@ import graft.text.TextOps
   *
   * The reference engine's unit of work is the line
   * (hadoop-multiple-streaming streams line records through child
-  * processes — PipeMapper line loop, MapStreamJob.java input splits);
+  * processes — the LineReader loop at MultiPipeMapRed.java:456-458);
   * this operator is the same line/segment granularity applied to corpus
   * hygiene. "Globally first" is deterministic: occurrence order is
   * (doc id, segment position), so reruns and retries keep the same copy.
