@@ -31,6 +31,8 @@ object MultiStream {
     val specs = scala.collection.mutable.ListBuffer.empty[String]
     val env = scala.collection.mutable.Map.empty[String, String]
     val jobconf = scala.collection.mutable.Map.empty[String, String]
+    val ship = scala.collection.mutable.ListBuffer.empty[String]
+    var partitioner = ""
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -46,9 +48,18 @@ object MultiStream {
         case "-jobconf" | "-D" =>
           val Array(k, v) = args(i + 1).split("=", 2)
           jobconf(k) = v; i += 2
+        // the reference's -file/-files (MapStreamJob.java:318): ship a
+        // local script with the job; exec'd children reference it by
+        // basename (ShippedPipe resolves executor-side)
+        case "-file" | "-files" => ship += args(i + 1); i += 2
+        // the reference's -partitioner (MapStreamJob.java:869): here a
+        // SQL expression over `key` deciding the reduce partition of
+        // exec'd reducers
+        case "-partitioner" => partitioner = args(i + 1); i += 2
         case other =>
           sys.error(s"unknown option '$other' (want -input -output " +
-            "-column -format -multiple -cmdenv -numReduceTasks -jobconf/-D)")
+            "-column -format -multiple -cmdenv -numReduceTasks " +
+            "-jobconf/-D -file/-files -partitioner)")
       }
     }
     require(input.nonEmpty, "-input is required")
@@ -72,7 +83,11 @@ object MultiStream {
         else spark.read.text(input)
       val c = if (column.nonEmpty) column
         else if (input.contains(".parquet")) df.columns.head else "value"
-      MultiSpec.pipeline(df, c, specs.toSeq, env = env.toMap)
+      val partKey =
+        if (partitioner.isEmpty) None
+        else Some(org.apache.spark.sql.functions.expr(partitioner))
+      MultiSpec.pipeline(df, c, specs.toSeq, env = env.toMap,
+          partitionKey = partKey, ship = ship.toSeq)
         .write(output, format)
       println(s"[multistream] ${specs.size} branch(es) written under $output")
     } finally if (!hadActive) spark.stop()

@@ -35,14 +35,26 @@ object ShippedPipe {
             f.getAbsolutePath
           } else tok
         }
-        run(it, resolved, env)
+        // run shipped pipes from the SparkFiles root, the analog of
+        // Hadoop's unjarred task working dir: a basename buried inside
+        // a `sh -c "...script.sh..."` string (the MultiSpec fall-through
+        // shape) can't be token-substituted, but resolves against the
+        // cwd exactly as it did under the reference
+        val cwd =
+          if (names.isEmpty) None
+          else {
+            names.foreach(n => new File(SparkFiles.get(n)).setExecutable(true))
+            Some(new File(SparkFiles.getRootDirectory()))
+          }
+        run(it, resolved, env, cwd)
       }
     }
   }
 
   private def run(input: Iterator[String], command: Seq[String],
-      env: Map[String, String]): Iterator[String] = {
+      env: Map[String, String], cwd: Option[File] = None): Iterator[String] = {
     val pb = new ProcessBuilder(command: _*)
+    cwd.foreach(pb.directory)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     val proc = pb.start()
     val cmdStr = command.mkString(" ")

@@ -77,4 +77,26 @@ class MultiSpecSpec extends SparkSpec {
     assert(hits.count() > 0)
     assert(counts.head().getLong(0) === 500L)
   }
+
+  test("MultiStream CLI ships -file scripts and honors -partitioner") {
+    import org.apache.spark.sql.functions._
+    // a legacy mapper script that must travel with the job
+    val script = java.nio.file.Files.createTempFile("graft_cli_map", ".sh")
+    java.nio.file.Files.writeString(script,
+      "#!/bin/sh\ngrep spark || true\n")
+    script.toFile.setExecutable(true)
+    val out = java.nio.file.Files.createTempDirectory("graft_ms_file").toString
+    MultiStream.main(Array(
+      "-input", s"$sf/documents.parquet", "-column", "text",
+      "-output", out,
+      "-file", script.toString,
+      "-partitioner", "pmod(xxhash64(key), 3)",
+      "-multiple", s"hits|sh ${script.getFileName}|NONE",
+      "-multiple", "agg|/bin/cat|/bin/sort"))
+    val hits = spark.read.parquet(s"$out/hits")
+    val native = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("text").contains("spark")).count()
+    assert(hits.count() === native, "shipped-script grep must match native")
+    assert(spark.read.parquet(s"$out/agg").count() === 500L)
+  }
 }
