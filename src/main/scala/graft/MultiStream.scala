@@ -28,6 +28,7 @@ object MultiStream {
   def main(args: Array[String]): Unit = {
     var input = ""; var output = ""; var column = ""
     var format = "parquet"; var numReduceTasks = -1
+    var inputFormat = ""
     val specs = scala.collection.mutable.ListBuffer.empty[String]
     val env = scala.collection.mutable.Map.empty[String, String]
     val jobconf = scala.collection.mutable.Map.empty[String, String]
@@ -56,6 +57,8 @@ object MultiStream {
         // SQL expression over `key` deciding the reduce partition of
         // exec'd reducers
         case "-partitioner" => partitioner = args(i + 1); i += 2
+        case "-inputformat" | "-inputreader" =>
+          inputFormat = args(i + 1); i += 2
         case other =>
           sys.error(s"unknown option '$other' (want -input -output " +
             "-column -format -multiple -cmdenv -numReduceTasks " +
@@ -78,11 +81,28 @@ object MultiStream {
       // -jobconf/-D key=value → session conf, the same passthrough the
       // reference gives its JobConf
       jobconf.foreach { case (k, v) => spark.conf.set(k, v) }
-      val df =
-        if (input.contains(".parquet")) spark.read.parquet(input)
-        else spark.read.text(input)
-      val c = if (column.nonEmpty) column
-        else if (input.contains(".parquet")) df.columns.head else "value"
+      // -inputformat (MapStreamJob.java:298): route through the legacy
+      // readers; default preserves the parquet-or-text autodetect
+      val df = inputFormat match {
+        case "" =>
+          if (input.contains(".parquet")) spark.read.parquet(input)
+          else spark.read.text(input)
+        case "parquet" => spark.read.parquet(input)
+        case "text" => graft.sources.Readers.text(spark, input)
+        case "kv" => graft.sources.Readers.kvText(spark, input)
+        case "seqfile" => graft.sources.Readers.sequenceText(spark, input)
+        case xml if xml.startsWith("xml,") =>
+          // -inputformat "xml,begin=<rec>,end=</rec>" (the reference's
+          // -inputreader StreamXmlRecordReader,begin=…,end=… shape)
+          val opts = xml.drop(4).split(",").map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+          graft.sources.Readers.xmlRecords(spark, input,
+            opts("begin"), opts("end"))
+        case other => sys.error(s"unknown -inputformat '$other' " +
+          "(want parquet|text|kv|seqfile|xml,begin=…,end=…)")
+      }
+      val c = if (column.nonEmpty) column else df.columns.head
       val partKey =
         if (partitioner.isEmpty) None
         else Some(org.apache.spark.sql.functions.expr(partitioner))

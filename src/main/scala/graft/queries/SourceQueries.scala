@@ -27,10 +27,7 @@ object SourceQueries {
       .select(concat_ws("\t", col("o_orderstatus"),
         col("o_totalprice").cast("string")).as("value"))
       .write.mode("overwrite").text(out)
-    val kv = s.read.text(out)
-      .select(split(col("value"), "\t", 2).as("parts"))
-      .select(col("parts").getItem(0).as("k"),
-        col("parts").getItem(1).as("v"))
+    val kv = graft.sources.Readers.kvText(s, out)
     kv.groupBy(col("k"))
       .agg(count(lit(1)).as("n_rows"),
         round(sum(col("v").cast("double")), 2).as("total"))
@@ -60,8 +57,7 @@ object SourceQueries {
       .select(col("o_orderstatus"), col("o_orderkey").cast("string"))
       .rdd.map(r => (r.getString(0), r.getString(1)))
       .saveAsSequenceFile(out)
-    import s.implicits._
-    s.sparkContext.sequenceFile[String, String](out).toDF("k", "v")
+    graft.sources.Readers.sequenceText(s, out)
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("v").cast("long")).as("sum_orderkey"))
@@ -90,17 +86,7 @@ object SourceQueries {
       .select(concat(lit("<doc id=\""), col("doc_id"), lit("\">\n"),
         col("text"), lit("\n</doc>")).as("value"))
       .write.mode("overwrite").text(out)
-    val conf = new org.apache.hadoop.conf.Configuration(
-      s.sparkContext.hadoopConfiguration)
-    conf.set("textinputformat.record.delimiter", "</doc>")
-    val records = s.sparkContext.newAPIHadoopFile(out,
-        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
-        classOf[org.apache.hadoop.io.LongWritable],
-        classOf[org.apache.hadoop.io.Text], conf)
-      .map(_._2.toString)
-    import s.implicits._
-    records.toDF("rec")
-      .filter(col("rec").contains("<doc id=\""))
+    graft.sources.Readers.xmlRecords(s, out, "<doc id=\"", "</doc>")
       .select(
         regexp_extract(col("rec"), "(?s)<doc id=\"([0-9]+)\">", 1)
           .cast("long").as("doc_id"),

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Legacy input formats as reusable DataFrame readers — the reference's
+  * `-inputformat` / `-inputreader` surface (MapStreamJob.java:298
+  * inputFormatSpec_, :823-838 StreamXmlRecordReader) lifted to one call
+  * each. The SourceQueries round-trips prove each reader's semantics
+  * against the DuckDB oracle; MultiStream's `-inputformat` flag routes
+  * a CLI job through these, so a reference invocation ports untouched.
+  */
+object Readers {
+
+  /** Plain text lines → one `value` column (TextInputFormat). */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** KeyValueTextInputFormat: key = text before the FIRST tab, value =
+    * the rest (limit-2 split, so tabs inside the value survive).
+    */
+  def kvText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(col("value"), "\t", 2).as("parts"))
+      .select(col("parts").getItem(0).as("k"),
+        col("parts").getItem(1).as("v"))
+
+  /** SequenceFile[Text, Text] via the Hadoop RDD bridge — the one
+    * legacy surface where RDDs are the honest carrier (no DataFrame
+    * SequenceFile source exists).
+    */
+  def sequenceText(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[String, String](path).toDF("k", "v")
+  }
+
+  /** StreamXmlRecordReader analog: tag-delimited records that may span
+    * lines, carried by TextInputFormat with the record delimiter set to
+    * the END tag — splits land on record boundaries, records never
+    * straddle splits. Returns one `rec` column containing everything up
+    * to (not including) each end tag; rows not containing the begin tag
+    * (trailing whitespace chunks) are dropped.
+    */
+  def xmlRecords(spark: SparkSession, path: String, beginTag: String,
+      endTag: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", endTag)
+    spark.sparkContext.newAPIHadoopFile(path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text], conf)
+      .map(_._2.toString)
+      .toDF("rec")
+      .filter(col("rec").contains(beginTag))
+  }
+}

@@ -99,4 +99,22 @@ class MultiSpecSpec extends SparkSpec {
     assert(hits.count() === native, "shipped-script grep must match native")
     assert(spark.read.parquet(s"$out/agg").count() === 500L)
   }
+
+  test("MultiStream CLI -inputformat kv reads key/value text lines") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graft_kv_in").toString
+    spark.range(0, 100)
+      .select(concat(pmod(col("id"), lit(3)), lit("\t"),
+        col("id"), lit("\tkeep\ttabs")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_out").toString
+    MultiStream.main(Array(
+      "-input", in, "-inputformat", "kv", "-column", "v",
+      "-output", out,
+      "-multiple", "vals|/bin/cat|NONE"))
+    val vals = spark.read.parquet(s"$out/vals")
+    assert(vals.count() === 100L)
+    // limit-2 split: tabs INSIDE the value survive
+    assert(vals.where(col("v").contains("keep\ttabs")).count() === 100L)
+  }
 }
