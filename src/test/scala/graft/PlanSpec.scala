@@ -28,6 +28,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected exactly one exchange:\n${plan.take(800)}")
   }
 
+  test("agg_bitmap_distinct shuffles (group, segment) bitmaps, not value rows") {
+    val plan = planOf(graft.queries.PipeQueries.aggBitmapDistinct(spark, sf))
+    // partial bitmap_construct_agg must run before its exchange: the
+    // wire carries <=4KB segment bitmaps, not one row per distinct value
+    val i = plan.indexOf("partial_bitmap_construct_agg")
+    val j = plan.indexOf("Exchange hashpartitioning")
+    assert(i >= 0 && j >= 0 && i > j, // plan prints top-down: partial BELOW exchange
+      plan.take(1200))
+    assert(!plan.contains("expand"), "no distinct expansion")
+  }
+
   test("stream_latest rank compiles to WindowGroupLimit") {
     val plan = planOf(StreamQueries.streamLatest(spark, sf))
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
