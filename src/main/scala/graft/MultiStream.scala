@@ -34,6 +34,7 @@ object MultiStream {
     val jobconf = scala.collection.mutable.Map.empty[String, String]
     val ship = scala.collection.mutable.ListBuffer.empty[String]
     var partitioner = ""
+    var mapper = ""; var reducer = "NONE"; var combiner = ""
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -59,6 +60,11 @@ object MultiStream {
         case "-partitioner" => partitioner = args(i + 1); i += 2
         case "-inputformat" | "-inputreader" =>
           inputFormat = args(i + 1); i += 2
+        // the classic single-pipeline form (no -multiple): the base
+        // Hadoop Streaming surface the reference extends
+        case "-mapper" => mapper = args(i + 1); i += 2
+        case "-reducer" => reducer = args(i + 1); i += 2
+        case "-combiner" => combiner = args(i + 1); i += 2
         case other =>
           sys.error(s"unknown option '$other' (want -input -output " +
             "-column -format -multiple -cmdenv -numReduceTasks " +
@@ -67,7 +73,10 @@ object MultiStream {
     }
     require(input.nonEmpty, "-input is required")
     require(output.nonEmpty, "-output is required")
-    require(specs.nonEmpty, "at least one -multiple spec is required")
+    require(specs.nonEmpty || mapper.nonEmpty,
+      "need -multiple spec(s) or the classic -mapper [-combiner] [-reducer] form")
+    require(specs.isEmpty || mapper.isEmpty,
+      "-multiple and -mapper are mutually exclusive")
 
     // only stop a session this main created: under tests (or a notebook
     // calling main directly) getOrCreate returns the caller's session
@@ -106,10 +115,34 @@ object MultiStream {
       val partKey =
         if (partitioner.isEmpty) None
         else Some(org.apache.spark.sql.functions.expr(partitioner))
-      MultiSpec.pipeline(df, c, specs.toSeq, env = env.toMap,
-          partitionKey = partKey, ship = ship.toSeq)
-        .write(output, format)
-      println(s"[multistream] ${specs.size} branch(es) written under $output")
+      if (specs.nonEmpty) {
+        MultiSpec.pipeline(df, c, specs.toSeq, env = env.toMap,
+            partitionKey = partKey, ship = ship.toSeq)
+          .write(output, format)
+        println(s"[multistream] ${specs.size} branch(es) written under $output")
+      } else {
+        // classic single-pipeline form: mapper → (combiner) → reducer,
+        // result written straight to -output (the Hadoop part-file dir)
+        val mapped = MultiSpec.resolve(mapper, c, Map.empty,
+          asReducer = false, env.toMap, partKey, ship.toSeq)(df)
+        val reduced =
+          if (reducer.isEmpty || reducer == "NONE") mapped
+          else if (combiner.isEmpty)
+            MultiSpec.resolve(reducer, c, Map.empty, asReducer = true,
+              env.toMap, partKey, ship.toSeq)(mapped)
+          else
+            // a binary combiner forces the exec path: it runs per input
+            // partition BEFORE the shuffle (the -combiner contract)
+            graft.pipeline.Pipes.execReduce(c, "\t", 1,
+              Seq("/bin/sh", "-c", reducer), env.toMap,
+              combiner = Seq("/bin/sh", "-c", combiner),
+              partitionKey = partKey,
+              numPartitions = if (numReduceTasks > 0) Some(numReduceTasks)
+                else None,
+              ship = ship.toSeq)(mapped)
+        reduced.write.mode("overwrite").format(format).save(output)
+        println(s"[multistream] single pipeline written to $output")
+      }
     } finally if (!hadActive) spark.stop()
   }
 }

@@ -100,6 +100,28 @@ class MultiSpecSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/agg").count() === 500L)
   }
 
+  test("MultiStream CLI classic -mapper/-combiner/-reducer equals native wordcount") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_classic").toString
+    MultiStream.main(Array(
+      "-input", s"$sf/documents.parquet", "-column", "text",
+      "-output", out, "-numReduceTasks", "3",
+      "-mapper",
+      "tr '[:upper:]' '[:lower:]' | tr -s '[:space:]' '\\n' | sed 's/$/\t1/'",
+      "-combiner", "awk -F'\\t' '{c[$1] += $2} END {for (k in c) print k \"\\t\" c[k]}'",
+      "-reducer", "awk -F'\\t' '{c[$1] += $2} END {for (k in c) print k \"\\t\" c[k]}'"))
+    val got = spark.read.parquet(out)
+      .select(split(col("text"), "\t").as("p"))
+      .select(col("p").getItem(0).as("word"),
+        col("p").getItem(1).cast("long").as("cnt"))
+      .where(col("word") =!= "")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val native = graft.pipeline.Pipes.wordcount("text")(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === native, "classic CLI pipeline must equal native wordcount")
+  }
+
   test("MultiStream CLI -inputformat kv reads key/value text lines") {
     import org.apache.spark.sql.functions._
     val in = java.nio.file.Files.createTempDirectory("graft_kv_in").toString
