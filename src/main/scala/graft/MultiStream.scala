@@ -77,6 +77,8 @@ object MultiStream {
       "need -multiple spec(s) or the classic -mapper [-combiner] [-reducer] form")
     require(specs.isEmpty || mapper.isEmpty,
       "-multiple and -mapper are mutually exclusive")
+    require(combiner.isEmpty || (reducer.nonEmpty && reducer != "NONE"),
+      "-combiner requires a -reducer (map-side combining feeds a reduce)")
 
     // only stop a session this main created: under tests (or a notebook
     // calling main directly) getOrCreate returns the caller's session
@@ -102,12 +104,16 @@ object MultiStream {
         case "seqfile" => graft.sources.Readers.sequenceText(spark, input)
         case xml if xml.startsWith("xml,") =>
           // -inputformat "xml,begin=<rec>,end=</rec>" (the reference's
-          // -inputreader StreamXmlRecordReader,begin=…,end=… shape)
-          val opts = xml.drop(4).split(",").map { kv =>
-            val Array(k, v) = kv.split("=", 2); k -> v
-          }.toMap
+          // -inputreader StreamXmlRecordReader,begin=…,end=… shape).
+          // Parsed positionally on the LAST ",end=" so commas inside the
+          // begin tag survive
+          val body = xml.drop(4)
+          val sep = body.lastIndexOf(",end=")
+          if (!body.startsWith("begin=") || sep < 6)
+            sys.error(s"bad -inputformat '$xml': want xml,begin=<tag>,end=</tag>")
           graft.sources.Readers.xmlRecords(spark, input,
-            opts("begin"), opts("end"))
+            body.substring("begin=".length, sep),
+            body.substring(sep + ",end=".length))
         case other => sys.error(s"unknown -inputformat '$other' " +
           "(want parquet|text|kv|seqfile|xml,begin=…,end=…)")
       }
@@ -115,9 +121,13 @@ object MultiStream {
       val partKey =
         if (partitioner.isEmpty) None
         else Some(org.apache.spark.sql.functions.expr(partitioner))
+      // the reference's -numReduceTasks pins exec'd reducers' partition
+      // count exactly (Hadoop contract: reducer count = task count);
+      // native stages take it as the shuffle-partition hint set above
+      val nRed = if (numReduceTasks > 0) Some(numReduceTasks) else None
       if (specs.nonEmpty) {
         MultiSpec.pipeline(df, c, specs.toSeq, env = env.toMap,
-            partitionKey = partKey, ship = ship.toSeq)
+            partitionKey = partKey, ship = ship.toSeq, numPartitions = nRed)
           .write(output, format)
         println(s"[multistream] ${specs.size} branch(es) written under $output")
       } else {
@@ -129,7 +139,7 @@ object MultiStream {
           if (reducer.isEmpty || reducer == "NONE") mapped
           else if (combiner.isEmpty)
             MultiSpec.resolve(reducer, c, Map.empty, asReducer = true,
-              env.toMap, partKey, ship.toSeq)(mapped)
+              env.toMap, partKey, ship.toSeq, nRed)(mapped)
           else
             // a binary combiner forces the exec path: it runs per input
             // partition BEFORE the shuffle (the -combiner contract)
@@ -137,8 +147,7 @@ object MultiStream {
               Seq("/bin/sh", "-c", reducer), env.toMap,
               combiner = Seq("/bin/sh", "-c", combiner),
               partitionKey = partKey,
-              numPartitions = if (numReduceTasks > 0) Some(numReduceTasks)
-                else None,
+              numPartitions = nRed,
               ship = ship.toSeq)(mapped)
         reduced.write.mode("overwrite").format(format).save(output)
         println(s"[multistream] single pipeline written to $output")

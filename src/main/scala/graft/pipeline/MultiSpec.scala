@@ -74,7 +74,8 @@ object MultiSpec {
   def resolve(cmd: String, c: String, registry: Registry,
       asReducer: Boolean, env: Map[String, String] = Map.empty,
       partitionKey: Option[Column] = None,
-      ship: Seq[String] = Nil): Pipes.Pipe =
+      ship: Seq[String] = Nil,
+      numPartitions: Option[Int] = None): Pipes.Pipe =
     registry.get(cmd).getOrElse {
       val base = cmd.split("/").last // "/bin/cat" and "cat" are one idiom
       (base, cmd) match {
@@ -96,7 +97,8 @@ object MultiSpec {
           val sh = Seq("/bin/sh", "-c", cmd)
           if (asReducer)
             Pipes.execReduce(c, "\t", 1, sh, env,
-              partitionKey = partitionKey, ship = ship)
+              partitionKey = partitionKey, numPartitions = numPartitions,
+              ship = ship)
           else Pipes.exec(c, sh, env, ship = ship)
       }
     }
@@ -113,12 +115,13 @@ object MultiSpec {
       registry: Registry = Map.empty, share: Boolean = false,
       env: Map[String, String] = Map.empty,
       partitionKey: Option[Column] = None,
-      ship: Seq[String] = Nil): MultiPipeline =
+      ship: Seq[String] = Nil,
+      numPartitions: Option[Int] = None): MultiPipeline =
     specs.map(parse).foldLeft(MultiPipeline(input, share)) { (mp, sp) =>
       mp.branch(sp.dirKey)(
         resolve(sp.mapper, c, registry, asReducer = false, env,
             partitionKey, ship)
           .andThen(resolve(sp.reducer, c, registry, asReducer = true, env,
-            partitionKey, ship)))
+            partitionKey, ship, numPartitions)))
     }
 }

@@ -29,17 +29,15 @@ object ShippedPipe {
       if (it.isEmpty) Iterator.empty
       else {
         val resolved = command.map { tok =>
-          if (names(tok)) {
-            val f = new File(SparkFiles.get(tok))
-            f.setExecutable(true)
-            f.getAbsolutePath
-          } else tok
+          if (names(tok)) new File(SparkFiles.get(tok)).getAbsolutePath
+          else tok
         }
-        // run shipped pipes from the SparkFiles root, the analog of
-        // Hadoop's unjarred task working dir: a basename buried inside
-        // a `sh -c "...script.sh..."` string (the MultiSpec fall-through
-        // shape) can't be token-substituted, but resolves against the
-        // cwd exactly as it did under the reference
+        // mark every shipped file executable, and run shipped pipes from
+        // the SparkFiles root — the analog of Hadoop's unjarred task
+        // working dir: a basename buried inside a `sh -c "...script.sh"`
+        // string (the MultiSpec fall-through shape) can't be
+        // token-substituted, but resolves against the cwd exactly as it
+        // did under the reference
         val cwd =
           if (names.isEmpty) None
           else {

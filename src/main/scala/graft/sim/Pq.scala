@@ -129,10 +129,11 @@ object Pq {
     */
   def save(spark: org.apache.spark.sql.SparkSession, model: Model,
       dir: String): Unit = {
-    import spark.implicits._
-    model.codebooks.zipWithIndex.flatMap { case (codes, s) =>
-      codes.zipWithIndex.map { case (c, k) => (s, k, model.subDim, c.toSeq) }
-    }.toSeq.toDF("sub", "code", "sub_dim", "cvec")
+    // reuse booksDf's flatten — ONE definition of the codebook row
+    // layout keeps save/load and encode in lockstep
+    val sub = spark.range(0).toDF() // session carrier only
+    booksDf(sub, model)
+      .withColumn("sub_dim", org.apache.spark.sql.functions.lit(model.subDim))
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 

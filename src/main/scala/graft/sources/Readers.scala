@@ -23,7 +23,10 @@ object Readers {
     spark.read.text(path)
       .select(split(col("value"), "\t", 2).as("parts"))
       .select(col("parts").getItem(0).as("k"),
-        col("parts").getItem(1).as("v"))
+        // tab-less lines: value = "" (Hadoop's KeyValueTextInputFormat
+        // semantic), not NULL — a NULL would reach exec'd children as
+        // the literal string "null"
+        coalesce(col("parts").getItem(1), lit("")).as("v"))
 
   /** SequenceFile[Text, Text] via the Hadoop RDD bridge — the one
     * legacy surface where RDDs are the honest carrier (no DataFrame

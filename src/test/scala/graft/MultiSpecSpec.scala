@@ -102,14 +102,18 @@ class MultiSpecSpec extends SparkSpec {
 
   test("MultiStream CLI classic -mapper/-combiner/-reducer equals native wordcount") {
     import org.apache.spark.sql.functions._
+    // -numReduceTasks sets shuffle.partitions on the shared test
+    // session; restore it so later suites aren't order-dependent
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val out = java.nio.file.Files.createTempDirectory("graft_classic").toString
-    MultiStream.main(Array(
+    try MultiStream.main(Array(
       "-input", s"$sf/documents.parquet", "-column", "text",
       "-output", out, "-numReduceTasks", "3",
       "-mapper",
       "tr '[:upper:]' '[:lower:]' | tr -s '[:space:]' '\\n' | sed 's/$/\t1/'",
       "-combiner", "awk -F'\\t' '{c[$1] += $2} END {for (k in c) print k \"\\t\" c[k]}'",
       "-reducer", "awk -F'\\t' '{c[$1] += $2} END {for (k in c) print k \"\\t\" c[k]}'"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
     val got = spark.read.parquet(out)
       .select(split(col("text"), "\t").as("p"))
       .select(col("p").getItem(0).as("word"),

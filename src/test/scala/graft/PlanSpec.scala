@@ -36,7 +36,7 @@ class PlanSpec extends SparkSpec {
     val j = plan.indexOf("Exchange hashpartitioning")
     assert(i >= 0 && j >= 0 && i > j, // plan prints top-down: partial BELOW exchange
       plan.take(1200))
-    assert(!plan.contains("expand"), "no distinct expansion")
+    assert(!plan.contains("Expand"), "no distinct expansion")
   }
 
   test("stream_latest rank compiles to WindowGroupLimit") {
