@@ -24,7 +24,12 @@ object GraftFunctions {
         foldableInt("graft_bloom_agg numHashes", k)).toAggregateExpression() },
     "graft_bloom_contains" -> { case Seq(f, v) => BloomMightContain(f, v) },
     "graft_nfc" -> { case Seq(a) => NfcNormalize(a) },
-    "graft_cms_estimate" -> { case Seq(s, v) => CmsEstimate(s, v) })
+    "graft_cms_estimate" -> { case Seq(s, v) => CmsEstimate(s, v) },
+    "graft_lsh_buckets" -> { case Seq(v, t, b, s, d) =>
+      LshBuckets(v, foldableInt("graft_lsh_buckets tables", t),
+        foldableInt("graft_lsh_buckets bits", b),
+        foldableLong("graft_lsh_buckets seed", s),
+        foldableInt("graft_lsh_buckets dim", d)) })
 
   /** Plan-time integral arg: must be a foldable integral expression —
     * a clear error beats the ClassCastException/NPE a bare
@@ -36,6 +41,17 @@ object GraftFunctions {
         s"$what must be a literal, got a non-foldable expression: ${k.sql}")
     k.eval() match {
       case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be integral, got $other")
+    }
+  }
+
+  private[graft] def foldableLong(what: String, k: Expression): Long = {
+    if (!k.foldable)
+      throw new IllegalArgumentException(
+        s"$what must be a literal, got a non-foldable expression: ${k.sql}")
+    k.eval() match {
+      case n: java.lang.Number => n.longValue()
       case other => throw new IllegalArgumentException(
         s"$what must be integral, got $other")
     }

@@ -19,6 +19,22 @@ object SimQueries {
     (e.filter(col("vec_id") < NQueries), e)
   }
 
+  /** IVF centroids memoized per corpus directory — the IvfIndex "fit
+    * once, search many" contract applied to the query layer: the Lloyd
+    * fit is deterministic (fixed init, fixed iteration count), so every
+    * query over the same immutable corpus dir gets the IDENTICAL
+    * KB-scale centroid table without re-running the `iters` corpus
+    * scans. Driver-held floats only; no cache-manager entries.
+    */
+  private val IvfC = 16
+  private val IvfIters = 3
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
+
+  private def centroidsFor(dir: String, corpus: DataFrame): Array[(Int, Array[Float])] =
+    centroidCache.computeIfAbsent(dir,
+      _ => Knn.fitCentroids(corpus, "vec_id", "embedding", IvfC, IvfIters))
+
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = split(s, dir)
     Knn.brute(q, c, "vec_id", "embedding", K)
@@ -55,7 +71,7 @@ object SimQueries {
   /** Approximate: rows-only oracle; recall vs brute is spec-asserted. */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = split(s, dir)
-    Knn.ivf(q, c, "vec_id", "embedding", K)
+    Knn.ivfWith(centroidsFor(dir, c), q, c, "vec_id", "embedding", K)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -68,20 +84,28 @@ object SimQueries {
     * being invisible behind `no_oracle`; the spec asserts the floors.
     */
   def knnRecall(s: SparkSession, dir: String): DataFrame = {
-    // three pipelines, one materialization: brute, LSH, and IVF (whose
-    // Lloyd fit alone scans the corpus once per iteration) each embed
-    // their own scan subtree, so without a persist the evaluator reads
-    // the parquet ~6×. A recall evaluator runs on a bounded SAMPLE at
-    // corpus scale, so pinning that sample in memory is bounded too.
-    val c = Tables(s, dir).embeddings.persist()
+    // three pipelines, one materialization: brute, LSH, and IVF each
+    // embed their own scan subtree, so without sharing the evaluator
+    // reads the parquet ~6×. The share rides a lazy localCheckpoint,
+    // NOT Dataset.persist: blocks materialize at the first action, are
+    // shared by every subtree referencing the RDD, and are reclaimed by
+    // the ContextCleaner once the result is dropped — a CacheManager
+    // entry would pin them for the session lifetime (the r4 leak). A
+    // recall evaluator runs on a bounded SAMPLE at corpus scale, so the
+    // pinned-while-referenced sample is bounded too. The IVF centroids
+    // come from the per-dir fit cache (identical values; the fit's
+    // corpus scans are the price knn_recall was over-paying per call).
+    val c = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(false)
     val q = c.filter(col("vec_id") < NQueries)
     val exact = Knn.brute(q, c, "vec_id", "embedding", K)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     val methods =
       Knn.lsh(q, c, "vec_id", "embedding", K, dim = 64)
         .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
-        .unionByName(Knn.ivf(q, c, "vec_id", "embedding", K)
-          .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
+        .unionByName(
+          Knn.ivfWith(centroidsFor(dir, c), q, c, "vec_id", "embedding", K)
+            .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
     methods
       .join(exact, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))

@@ -63,24 +63,22 @@ object Knn {
 
   // ---- random-hyperplane LSH ------------------------------------------
 
-  /** Deterministic Rademacher (±1) hyperplanes: L tables × b planes. */
-  private def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long): Array[Array[Array[Float]]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(tables, bits, dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
-  }
-
-  /** One bucket value per table (array of `tables` ints). Kept to ONE
-    * dot-product subtree per hyperplane — flips for multiprobe are
-    * derived later by XOR on the materialized VALUE, never by
-    * re-embedding this expression (re-embedding made the query-side
-    * tree 9× bigger and codegen pathological).
+  /** One bucket value per table (array of `tables` ints), computed by
+    * the native [[graft.functions.LshBuckets]] expression — one plan
+    * node holding the plane matrix as a reference object. The previous
+    * literal formulation (a `when(dot ≥ 0, …)` chain per plane, each
+    * against a 64-element array literal) put 2×16384 literal leaves
+    * through analysis/optimization/codegen per query construction,
+    * which dominated the LSH path's wall clock at sf0.1. Bucket values
+    * are bit-identical (SimSpec pins the parity), so multiprobe XOR
+    * flips on the materialized value are unchanged.
     */
-  private def bucketsCol(vec: Column, planes: Array[Array[Array[Float]]]): Column =
-    array(planes.map { tbl =>
-      tbl.zipWithIndex.map { case (plane, i) =>
-        when(Vectors.dotD(vec, typedlit(plane.toSeq)) >= 0, 1 << i).otherwise(0)
-      }.reduce(_ + _)
-    }: _*)
+  private def bucketsCol(vec: Column, dim: Int, tables: Int, bits: Int,
+      seed: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LshBuckets(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+        tables, bits, seed, dim))
 
   /** Approximate top-k via sign-LSH with query-side multiprobe: the
     * query also probes every bucket within Hamming `probeRadius` of its
@@ -93,18 +91,18 @@ object Knn {
       probeRadius: Int = 1): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1,
       s"only Hamming radius 0 or 1 probing is implemented, got $probeRadius")
-    val planes = hyperplanes(dim, tables, bits, seed)
+    val buckets = bucketsCol(_: Column, dim, tables, bits, seed)
     val probes = (b: Column) => array((b +:
       (if (probeRadius >= 1) (0 until bits).map(i => b.bitwiseXOR(lit(1 << i)))
        else Seq.empty)): _*)
     val qs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
-        posexplode(bucketsCol(col("qv"), planes)).as(Seq("table_id", "bucket0")))
+        posexplode(buckets(col("qv"))).as(Seq("table_id", "bucket0")))
       .select(col("query_id"), col("qv"), col("qn"), col("table_id"),
         explode(probes(col("bucket0"))).as("bucket"))
     val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn")
       .select(col("neighbor_id"), col("nv"), col("nn"),
-        posexplode(bucketsCol(col("nv"), planes)).as(Seq("table_id", "bucket")))
+        posexplode(buckets(col("nv"))).as(Seq("table_id", "bucket")))
     // Score each candidate OCCURRENCE map-side, then dedupe on the id
     // pair with max(cos) — a partial-aggregatable shuffle of
     // (long, long, double) rows. The previous shape (distinct() on the
@@ -207,10 +205,20 @@ object Knn {
     * search in one call; for a long-lived corpus use [[IvfIndex]].
     */
   def ivf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, c: Int = 16, iters: Int = 3, nProbe: Int = 4): DataFrame = {
-    val centroids = fitCentroids(corpus, idCol, vecCol, c, iters)
+      k: Int, c: Int = 16, iters: Int = 3, nProbe: Int = 4): DataFrame =
+    ivfWith(fitCentroids(corpus, idCol, vecCol, c, iters),
+      queries, corpus, idCol, vecCol, k, nProbe)
+
+  /** IVF search against ALREADY-FITTED centroids — the entry point for
+    * callers that hold a corpus's centroid table across queries (the
+    * Lloyd fit is the expensive, corpus-only half; re-running it per
+    * query re-scans the corpus `iters` times for an identical KB-scale
+    * result).
+    */
+  def ivfWith(centroids: Array[(Int, Array[Float])], queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame =
     searchIndex(
       IvfIndex(centroids, assignCorpus(corpus, idCol, vecCol, centroids)),
       queries, idCol, vecCol, k, nProbe)
-  }
 }

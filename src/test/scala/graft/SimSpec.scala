@@ -82,6 +82,32 @@ class SimSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("LshBuckets matches the literal hyperplane formulation bit for bit") {
+    // the native expression replaced a tree of 16×8 when(dot≥0) chains
+    // against 64-element array literals; recall floors only stay
+    // meaningful if bucket values are IDENTICAL, so re-derive the
+    // literal twin here (same PRNG consumption order, same double
+    // accumulation via graft_dot) and compare on real vectors
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.util.Tables(spark, sf).embeddings.limit(64)
+    val native = e.select(col("vec_id"),
+        call_function("graft_lsh_buckets", col("embedding"),
+          lit(16), lit(8), lit(42L), lit(64)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rng = new scala.util.Random(42L)
+    val planes = Array.fill(16, 8, 64)(if (rng.nextBoolean()) 1.0f else -1.0f)
+    val literal = e.select(col("vec_id"),
+        array(planes.map { tbl =>
+          tbl.zipWithIndex.map { case (plane, i) =>
+            when(call_function("graft_dot", col("embedding"),
+              typedlit(plane.toSeq)) >= 0, 1 << i).otherwise(0)
+          }.reduce(_ + _)
+        }: _*).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.size === 64)
+    assert(native === literal, "native LSH buckets diverge from literal planes")
+  }
+
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
     // every (q, n, cos) from LSH must agree with brute-force cos when present
     val brute = SimQueries.knnBrute(spark, sf).collect()
