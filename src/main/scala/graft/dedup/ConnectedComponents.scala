@@ -115,8 +115,5 @@ object ConnectedComponents {
     * the frame (and anything derived from it) has run: a localCheckpoint
     * truncates lineage, so unpersisted blocks cannot be recomputed.
     */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+  def release(df: DataFrame): Unit = graft.util.Caches.release(df)
 }

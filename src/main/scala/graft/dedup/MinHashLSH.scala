@@ -89,14 +89,16 @@ object MinHashLSH {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
-    // persist the BAND table, not the shingle table: the bands are 16
+    // share the BAND table, not the shingle table: the bands are 16
     // narrow (doc, band, hash) rows per doc, but each side of the
     // candidates self-join otherwise re-runs the whole tokenize →
     // shingle → minhash derivation. The shingle table itself stays
-    // unpersisted — measured in r2: the wide distinct-ngram arrays cost
+    // unshared — measured in r2: the wide distinct-ngram arrays cost
     // more to cache than to recompute for the two verify-side joins.
-    val bandDf = bands(signatures(sh))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The share is a lazy localCheckpoint, not Dataset.persist: same
+    // in-plan block reuse, but no CacheManager entry pinning the blocks
+    // for the session lifetime (graft.util.Caches has the lifecycle).
+    val bandDf = bands(signatures(sh)).localCheckpoint(false)
     val cand = candidates(bandDf)
     val shA = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))

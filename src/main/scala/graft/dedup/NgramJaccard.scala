@@ -77,16 +77,19 @@ object NgramJaccard {
     // o = ⌈τ·|a|⌉ minimum overlap with ANY qualifying partner; the −1e−9
     // guards float error on exact multiples (rounding o UP would shrink
     // the prefix and could miss pairs; down only adds candidates)
-    // the PREFIX index is persisted even though the shingle table is
+    // the PREFIX index is shared even though the shingle table is
     // not: it is the rarest |kept|−⌈τ|a|⌉+1 shingles per doc (narrow
     // (doc, sh) rows), and each side of the self-join below otherwise
     // re-runs the whole shingle → df → rank-window derivation — the
-    // same narrow-index/wide-source split as MinHashLSH's band table
+    // same narrow-index/wide-source split as MinHashLSH's band table.
+    // Lazy localCheckpoint, not Dataset.persist: same in-plan block
+    // reuse without the session-lifetime CacheManager pin
+    // (graft.util.Caches has the lifecycle).
     val prefix = ranked
       .filter(col("rk") <=
         col("n_kept") - ceil(lit(tau) * col("n_orig") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

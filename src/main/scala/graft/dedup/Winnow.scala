@@ -76,13 +76,14 @@ object Winnow {
   def pairs(fpsRaw: DataFrame, idCol: String, minShared: Int = 2,
       maxDf: Int = 1000): DataFrame = {
     // the fingerprint index feeds THREE plan subtrees (both self-join
-    // sides + the df counts); unpersisted, each re-runs the full
+    // sides + the df counts); unshared, each re-runs the full
     // explode → two-window → distinct derivation over the corpus —
     // judge-probed at 3× the pipeline's most expensive stage. The index
     // is ~2/(w+1) of gram volume (the winnowing density), the natural
-    // thing to materialize; cache-manager dedup makes repeat calls
-    // reuse one copy.
-    val fps = fpsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // thing to materialize. Lazy localCheckpoint, not Dataset.persist:
+    // same in-plan block reuse without the session-lifetime
+    // CacheManager pin (graft.util.Caches has the lifecycle).
+    val fps = fpsRaw.localCheckpoint(false)
     val pruned =
       if (maxDf == Int.MaxValue) fps
       else {

@@ -272,6 +272,54 @@ class DedupSpec extends SparkSpec {
       "capped run must keep only the rare-fingerprint pair")
   }
 
+  test("NgramJaccard.pairs maxDf cap drops stop-shingle fan-out") {
+    import spark.implicits._
+    // 150 docs glued ONLY by one shingle with df = 150 > default cap
+    // 100: the Σdf² fan-out (11 175 candidate pairs) must not enter the
+    // index, while a rare df = 2 shingle in the same corpus still pairs
+    val stop = (0L until 150L).map(i => (i, "alpha beta gamma"))
+    val rare = Seq((1000L, "zebra lion tiger"), (1001L, "zebra lion tiger"))
+    val docs = (stop ++ rare).toDF("doc_id", "text")
+    val capped = graft.dedup.NgramJaccard
+      .pairs(docs, "doc_id", "text", n = 3, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((1000L, 1001L)),
+      "capped run must keep only the rare-shingle pair")
+    // maxDf >= corpus size = the complete exact output (the oracle regime)
+    val uncapped = graft.dedup.NgramJaccard
+      .pairs(docs, "doc_id", "text", n = 3, tau = 0.7, maxDf = Int.MaxValue)
+      .count()
+    assert(uncapped === 150L * 149L / 2L + 1L)
+  }
+
+  test("narrow-index shares leave the CacheManager empty; release() frees blocks") {
+    // the r4 leak: MinHashLSH/NgramJaccard/Winnow/knn_recall registered
+    // a Dataset.persist per call that nothing ever unpersisted — pinned
+    // by the CacheManager for the session lifetime. The shares now ride
+    // lazy localCheckpoints: CacheManager untouched, blocks reclaimed on
+    // GC or deterministically via Caches.release.
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    cm.clearCache()
+    val runs = Seq(
+      DedupQueries.dedupMinhashLsh(spark, sf),
+      DedupQueries.dedupNgramJaccard(spark, sf),
+      DedupQueries.dedupWinnow(spark, sf),
+      graft.queries.SimQueries.knnRecall(spark, sf))
+    runs.foreach(_.count())
+    assert(cm.isEmpty,
+      "index sharing must not register session-lifetime CacheManager entries")
+    runs.foreach { df =>
+      val ids = df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+      assert(ids.nonEmpty, "pipeline should be checkpoint-backed")
+      graft.util.Caches.release(df)
+      assert(!ids.exists(spark.sparkContext.getPersistentRDDs.contains),
+        "release() must drop the shared index blocks")
+    }
+  }
+
   test("Winnow fingerprint density is below the full gram index") {
     val docs = graft.util.Tables(spark, sf).documents
       .withColumn("toks", graft.text.TextOps.tokens(col("text")))
