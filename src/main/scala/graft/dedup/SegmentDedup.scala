@@ -28,9 +28,10 @@ import graft.text.TextOps
   * the same keep/reassemble pipeline.
   *
   * Scale (100 TB): two hash exchanges, both on bounded keys — one on the
-  * segment for the first-occurrence window (at production scale group on
-  * `xxhash64(segment)` to ship 8-byte keys; kept raw here so the DuckDB
-  * oracle is byte-identical), one on the doc id to reassemble. The
+  * segment for the first-occurrence window (keyed on `xxhash64(segment)`
+  * by default — the `hashKeys` knob on [[dedupSegments]]; the raw-text
+  * key remains for byte-exact/oracle runs), one on the doc id to
+  * reassemble. The
   * first-occurrence rule is a row_number window, NOT a groupBy +
   * self-join — one shuffle instead of two and no re-scan of the corpus.
   * No driver state, no broadcast of anything corpus-sized.
@@ -55,12 +56,25 @@ object SegmentDedup {
     * (id, n_segs, n_kept, sig) where sig = md5 of the reassembled
     * kept text (segments in original order). A fully-duplicated doc
     * keeps 0 segments and carries md5("").
+    *
+    * `hashKeys` (production default ON) keys the first-occurrence
+    * window on `xxhash64(segment)` instead of the raw text: the
+    * map-side WindowGroupLimit then groups and the exchange sorts on
+    * 8-byte longs rather than full paragraph strings. The trade is the
+    * generic 64-bit-fingerprint one — a hash collision merges two
+    * distinct segments and drops one of them (expected collisions
+    * ≈ n²/2⁶⁵; at 10¹⁰ distinct segments that is ~3 segments corpus-
+    * wide, the accepted exact-dedup-by-fingerprint regime). Pass
+    * `hashKeys = false` for byte-exact semantics — the DuckDB oracle
+    * path; DedupSpec pins hashed ≡ raw on the test corpus.
     */
-  def dedupSegments(docs: DataFrame, idCol: String, segsCol: Column): DataFrame = {
+  def dedupSegments(docs: DataFrame, idCol: String, segsCol: Column,
+      hashKeys: Boolean = true): DataFrame = {
     val id = col(idCol)
     val base = docs.select(id, segsCol.as("segs"))
     val exploded = base.select(id, posexplode(col("segs")).as(Seq("pos", "seg")))
-    val firstSeen = Window.partitionBy(col("seg")).orderBy(id, col("pos"))
+    val segKey = if (hashKeys) xxhash64(col("seg")) else col("seg")
+    val firstSeen = Window.partitionBy(segKey).orderBy(id, col("pos"))
     val kept = exploded
       .withColumn("rn", row_number().over(firstSeen))
       .where(col("rn") === 1)

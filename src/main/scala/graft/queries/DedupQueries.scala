@@ -292,8 +292,12 @@ object DedupQueries {
     * keep/drop AND reassembly order.
     */
   def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    // hashKeys = false: the oracle's window partitions by raw segment
+    // text, so the checked path must be byte-exact; the hashed-key
+    // production default is parity-pinned against this in DedupSpec
     SegmentDedup.dedupSegments(Tables(s, dir).documents, "doc_id",
-        SegmentDedup.windowSegments(col("text"), ParaSegWords))
+        SegmentDedup.windowSegments(col("text"), ParaSegWords),
+        hashKeys = false)
       .orderBy(col("doc_id"))
 
   val dedupParagraphSql: String = {

@@ -26,6 +26,21 @@ class ExportSpec extends SparkSpec {
     assert(out(2) === ((3L, 2L, 0L, md5("")))) // full duplicate of doc 1
   }
 
+  test("SegmentDedup hashed keys ≡ raw keys on the real corpus") {
+    // the production default windows on xxhash64(segment) (8-byte
+    // exchange keys); absent a 64-bit collision the keep/drop decisions
+    // — and so every output row — must match the byte-exact raw path
+    // the DuckDB oracle checks
+    val docs = util.Tables(spark, sf).documents
+    val segs = SegmentDedup.windowSegments(col("text"), 15)
+    val raw = SegmentDedup.dedupSegments(docs, "doc_id", segs,
+        hashKeys = false)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val hashed = SegmentDedup.dedupSegments(docs, "doc_id", segs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(hashed === raw)
+  }
+
   test("SegmentDedup delimiter variant drops a repeated paragraph") {
     import spark.implicits._
     val df = Seq(
