@@ -28,7 +28,7 @@ object MultiStream {
   def main(args: Array[String]): Unit = {
     var input = ""; var output = ""; var column = ""
     var format = "parquet"; var numReduceTasks = -1
-    var inputFormat = ""
+    var inputFormat = ""; var inputTagged = false
     val specs = scala.collection.mutable.ListBuffer.empty[String]
     val env = scala.collection.mutable.Map.empty[String, String]
     val jobconf = scala.collection.mutable.Map.empty[String, String]
@@ -60,6 +60,12 @@ object MultiStream {
         case "-partitioner" => partitioner = args(i + 1); i += 2
         case "-inputformat" | "-inputreader" =>
           inputFormat = args(i + 1); i += 2
+        // the reference's -inputtagged bool flag (MapStreamJob.java:431;
+        // declared for its mappers' multi-input runs): each record is
+        // prefixed with its source file, so a child script can tell
+        // which input a line came from — Spark-native tag source is
+        // input_file_name(), evaluated at the scan before any fan-out
+        case "-inputtagged" => inputTagged = true; i += 1
         // the classic single-pipeline form (no -multiple): the base
         // Hadoop Streaming surface the reference extends
         case "-mapper" => mapper = args(i + 1); i += 2
@@ -68,7 +74,8 @@ object MultiStream {
         case other =>
           sys.error(s"unknown option '$other' (want -input -output " +
             "-column -format -multiple -cmdenv -numReduceTasks " +
-            "-jobconf/-D -file/-files -partitioner)")
+            "-jobconf/-D -file/-files -partitioner -inputformat " +
+            "-inputtagged)")
       }
     }
     require(input.nonEmpty, "-input is required")
@@ -117,7 +124,28 @@ object MultiStream {
         case other => sys.error(s"unknown -inputformat '$other' " +
           "(want parquet|text|kv|seqfile|xml,begin=…,end=…)")
       }
-      val c = if (column.nonEmpty) column else df.columns.head
+      // default piped column: for the 2-column legacy readers (kv,
+      // seqfile) Hadoop Streaming feeds mappers "key\tvalue" lines
+      // (KeyValueTextInputFormat contract), so defaulting to the first
+      // column alone would silently drop every value — synthesize the
+      // tab-joined line instead; -column still overrides
+      val (lineDf, c) =
+        if (column.nonEmpty) (df, column)
+        else if (inputFormat == "kv" || inputFormat == "seqfile")
+          (df.withColumn("line",
+            org.apache.spark.sql.functions.concat_ws("\t",
+              org.apache.spark.sql.functions.col("k"),
+              org.apache.spark.sql.functions.col("v"))), "line")
+        else (df, df.columns.head)
+      // -inputtagged: prefix each record with its source file so child
+      // scripts can branch on provenance (the input_tagged query is the
+      // native-pipeline twin of the same shape)
+      val taggedDf =
+        if (!inputTagged) lineDf
+        else lineDf.withColumn(c,
+          org.apache.spark.sql.functions.concat_ws("\t",
+            org.apache.spark.sql.functions.input_file_name(),
+            org.apache.spark.sql.functions.col(c)))
       val partKey =
         if (partitioner.isEmpty) None
         else Some(org.apache.spark.sql.functions.expr(partitioner))
@@ -126,7 +154,7 @@ object MultiStream {
       // native stages take it as the shuffle-partition hint set above
       val nRed = if (numReduceTasks > 0) Some(numReduceTasks) else None
       if (specs.nonEmpty) {
-        MultiSpec.pipeline(df, c, specs.toSeq, env = env.toMap,
+        MultiSpec.pipeline(taggedDf, c, specs.toSeq, env = env.toMap,
             partitionKey = partKey, ship = ship.toSeq, numPartitions = nRed)
           .write(output, format)
         println(s"[multistream] ${specs.size} branch(es) written under $output")
@@ -134,7 +162,7 @@ object MultiStream {
         // classic single-pipeline form: mapper → (combiner) → reducer,
         // result written straight to -output (the Hadoop part-file dir)
         val mapped = MultiSpec.resolve(mapper, c, Map.empty,
-          asReducer = false, env.toMap, partKey, ship.toSeq)(df)
+          asReducer = false, env.toMap, partKey, ship.toSeq)(taggedDf)
         val reduced =
           if (reducer.isEmpty || reducer == "NONE") mapped
           else if (combiner.isEmpty)

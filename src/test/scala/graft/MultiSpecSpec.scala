@@ -143,4 +143,50 @@ class MultiSpecSpec extends SparkSpec {
     // limit-2 split: tabs INSIDE the value survive
     assert(vals.where(col("v").contains("keep\ttabs")).count() === 100L)
   }
+
+  test("MultiStream CLI -inputformat kv without -column pipes key\\tvalue lines") {
+    // the Hadoop Streaming mapper-input contract for
+    // KeyValueTextInputFormat is the full "key\tvalue" line; defaulting
+    // the piped column to just the key would silently drop every value
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graft_kvd_in").toString
+    spark.range(0, 10)
+      .select(concat(col("id"), lit("\tv"), col("id")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_kvd_out").toString
+    MultiStream.main(Array(
+      "-input", in, "-inputformat", "kv",
+      "-output", out,
+      "-multiple", "lines|/bin/cat|NONE"))
+    val lines = spark.read.parquet(s"$out/lines")
+      .select("line").collect().map(_.getString(0)).toSet
+    assert(lines === (0 until 10).map(i => s"$i\tv$i").toSet)
+  }
+
+  test("MultiStream CLI -inputtagged prefixes records with their source file") {
+    import spark.implicits._
+    // two input dirs under one glob — the multi-input shape the
+    // reference's -inputtagged flag exists for
+    val base = java.nio.file.Files.createTempDirectory("graft_tag_in")
+    val dirA = base.resolve("orders").toString
+    val dirB = base.resolve("lineitem").toString
+    Seq("o1", "o2").toDF("value").coalesce(1).write.mode("overwrite").text(dirA)
+    Seq("l1").toDF("value").coalesce(1).write.mode("overwrite").text(dirB)
+    val out = java.nio.file.Files.createTempDirectory("graft_tag_out").toString
+    MultiStream.main(Array(
+      "-input", s"$base/*", "-inputtagged",
+      "-output", out,
+      "-multiple", "tagged|/bin/cat|NONE"))
+    val rows = spark.read.parquet(s"$out/tagged").collect()
+      .map(_.getString(0))
+    assert(rows.length === 3)
+    // every line carries "<source-file>\t<record>"; grouping by the tag
+    // reproduces the input_tagged oracle shape (src → records)
+    val bySrc = rows.map { l =>
+      val Array(tag, rec) = l.split("\t", 2)
+      (if (tag.contains("orders")) "orders" else "lineitem", rec)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc("orders") === Set("o1", "o2"))
+    assert(bySrc("lineitem") === Set("l1"))
+  }
 }
