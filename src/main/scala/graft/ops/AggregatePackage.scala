@@ -38,6 +38,39 @@ object AggregatePackage {
       .groupBy(col(key))
       .agg(count(lit(1)).as(s"uniq_$value"))
 
+  /** Exact distinct count via segment BITMAPS (Spark 4
+    * `bitmap_bucket_number` / `bitmap_construct_agg` / `bitmap_count`):
+    * values bucket into 32768-bit segments, each (key, segment)
+    * partial-aggregates into a ≤ 4 KB bitmap, and the key's distinct
+    * count is the sum of segment popcounts. The shuffle key shape is
+    * the same skew-proof (key, segment) as [[uniqValueCountTwoPhase]],
+    * but the wire carries CONSTANT-size bitmaps instead of one row per
+    * distinct value — the cheapest exact-distinct at 100 TB for DENSE
+    * INTEGER key domains (1-based, the builtins' convention).
+    *
+    * Guarded: a non-integral value column fails HERE with the right
+    * alternative named, not at runtime inside `bitmap_bit_position` —
+    * a migrating user can't silently mis-apply the dense-int plan to
+    * strings or decimals.
+    */
+  def bitmapDistinct(df: DataFrame, key: String, value: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(value).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"bitmapDistinct requires an integral value column " +
+          s"(bitmap_bit_position is defined on 1-based integer domains); " +
+          s"'$value' is ${other.simpleString}. Use uniqValueCountTwoPhase " +
+          s"(exact, any type) or approxUniqValueCount (HLL) instead.")
+    }
+    df.groupBy(col(key),
+        call_function("bitmap_bucket_number", col(value)).as("seg"))
+      .agg(call_function("bitmap_construct_agg",
+        call_function("bitmap_bit_position", col(value))).as("w"))
+      .groupBy(col(key))
+      .agg(sum(call_function("bitmap_count", col("w"))).as(s"uniq_$value"))
+  }
+
   /** ValueHistogram semantics (hadoop's ValueHistogram reducer): for each
     * key, over the multiset of values, report statistics of the per-unique-
     * value frequencies: #unique, min/median/max/avg/stddev of counts.

@@ -204,10 +204,18 @@ object Pipes {
       ship: Seq[String] = Nil): DataFrame = {
     val sc = src.sparkSession.sparkContext
     ship.foreach(sc.addFile(_))
-    val piped =
-      if (ship.isEmpty) lines.rdd.map(_.getString(0)).pipe(command, env)
-      else ShippedPipe.pipe(lines.rdd.map(_.getString(0)), command, env,
-        ship.map(p => new java.io.File(p).getName))
+    // a NULL record would reach the child as the literal string "null"
+    // (PrintWriter.println(null: String) semantics); Hadoop's line world
+    // has no nulls, so feed the empty line instead — the same semantic
+    // kvText gives tab-less lines (PipeSpec pins it)
+    val safe = lines.select(
+      coalesce(col(lines.columns.head), lit("")).as(lines.columns.head))
+    // always ShippedPipe.run, even with nothing shipped: RDD.pipe reads
+    // and writes the child with the PLATFORM default charset, which
+    // mangles multibyte UTF-8 under a non-UTF-8 JVM default; the
+    // streaming contract is UTF-8 bytes (PipeSpec pins the round-trip)
+    val piped = ShippedPipe.pipe(safe.rdd.map(_.getString(0)), command, env,
+      ship.map(p => new java.io.File(p).getName))
     src.sparkSession.createDataFrame(
       piped.map(org.apache.spark.sql.Row(_)),
       org.apache.spark.sql.types.StructType(Seq(

@@ -225,15 +225,13 @@ object PipeQueries {
     * value: for dense integer keys this is the cheapest exact-distinct
     * at 100 TB (HLL when ±2% is tolerable, bitmaps when it isn't).
     * Requires a 1-based key domain (the builtins' convention; TPC-H
-    * keys are).
+    * keys are). Non-integral value columns are rejected at build time
+    * by AggregatePackage.bitmapDistinct with the right alternative
+    * named (spec-gated).
     */
   def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).lineitem
-      .groupBy(col("l_returnflag"),
-        expr("bitmap_bucket_number(l_suppkey)").as("seg"))
-      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").as("w"))
-      .groupBy(col("l_returnflag"))
-      .agg(sum(expr("bitmap_count(w)")).as("uniq_l_suppkey"))
+    AggregatePackage.bitmapDistinct(
+        Tables(s, dir).lineitem, "l_returnflag", "l_suppkey")
       .orderBy(col("l_returnflag"))
 
   val aggBitmapDistinctSql: String =

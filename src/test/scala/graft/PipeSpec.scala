@@ -195,6 +195,26 @@ class PipeSpec extends SparkSpec {
     assert(obs.get("chars") === (10L + 10L))
   }
 
+  test("bitmapDistinct rejects non-integral value columns, matches exact on integral") {
+    val docs = graft.util.Tables(spark, sf).documents
+    // misuse fails at BUILD time with the alternatives named, not at
+    // runtime inside bitmap_bit_position
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.AggregatePackage.bitmapDistinct(docs, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral"))
+    assert(e.getMessage.contains("uniqValueCountTwoPhase"))
+    // the integral path equals the skew-proof two-phase exact count
+    val ev = graft.util.Tables(spark, sf).events
+    val viaBitmap = graft.ops.AggregatePackage
+      .bitmapDistinct(ev, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.ops.AggregatePackage
+      .uniqValueCountTwoPhase(ev, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBitmap === exact)
+  }
+
   test("Pipes.exec runs a real child process and matches the native stage") {
     val docs = graft.util.Tables(spark, sf).documents
     val native = Pipes.grep("text", "spark")(docs)
@@ -224,6 +244,42 @@ class PipeSpec extends SparkSpec {
         env = Map("GRAFT_TAG" -> "tagged"))(df)
       .collect().map(_.getString(0)).toSet
     assert(out === Set("a-tagged", "b-tagged"))
+  }
+
+  test("exec feeds NULL records as empty lines, never the string \"null\"") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("b")).toDF("line")
+    val out = Pipes.exec("line", Seq("/bin/cat"))(df)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out === Seq("", "a", "b"),
+      "NULL must cross the pipe as an empty line")
+    // and through the reducer path (keyBy + shuffle + sorted child)
+    val red = Pipes.execReduce("line", "\t", 1, Seq("/bin/cat"))(df)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(red === Seq("", "a", "b"))
+  }
+
+  test("exec round-trips multibyte UTF-8 through plain, shipped, and combiner paths") {
+    import spark.implicits._
+    val text = Seq("héllo wörld", "中文 テキスト", "emoji 🚀 done")
+    val df = text.toDF("line")
+    // plain RDD.pipe path
+    val plain = Pipes.exec("line", Seq("/bin/cat"))(df)
+      .collect().map(_.getString(0)).toSet
+    assert(plain === text.toSet)
+    // ShippedPipe path (explicit UTF-8 writer/reader on the child pipes)
+    val script = java.nio.file.Files.createTempFile("graft_utf8", ".sh")
+    java.nio.file.Files.write(script,
+      "#!/bin/sh\nexec /bin/cat\n".getBytes("UTF-8"))
+    val shipped = Pipes.exec("line", Seq(script.getFileName.toString),
+        ship = Seq(script.toString))(df)
+      .collect().map(_.getString(0)).toSet
+    assert(shipped === text.toSet)
+    // combiner path: per-partition child before the shuffle, then reducer
+    val viaCombiner = Pipes.execReduce("line", "\t", 1,
+        Seq("/bin/cat"), combiner = Seq("/bin/cat"))(df)
+      .collect().map(_.getString(0)).toSet
+    assert(viaCombiner === text.toSet)
   }
 
   test("pipe_exec_grep equals pipe_grep (exec-vs-native parity)") {
