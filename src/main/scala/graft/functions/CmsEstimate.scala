@@ -31,6 +31,28 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // analysis-time misuse guard: a non-binary sketch or an item type the
+  // CountMinSketch add side never hashed (float, array, …) otherwise
+  // dies at runtime in readFrom/estimateCount (ExpectsInputTypes is
+  // private[sql], so the check is hand-rolled)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types._
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_cms_estimate sketch argument must be BINARY " +
+          s"(a count_min_sketch(...) result), got ${left.dataType.simpleString}")
+    else right.dataType match {
+      case StringType | BinaryType | ByteType | ShortType | IntegerType |
+          LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "graft_cms_estimate item must be a string, binary, or integral " +
+          s"column (the count_min_sketch add-side domain), got " +
+          other.simpleString)
+    }
+  }
+
   // single reference so concurrent tasks sharing this instance can never
   // observe a sketch paired with another buffer's bytes (reference
   // assignment is atomic; worst case under a race is a redundant

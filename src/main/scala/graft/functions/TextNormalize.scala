@@ -26,6 +26,19 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
+  // reject misuse during analysis — without this a non-string argument
+  // surfaces as a janino compile error or ClassCastException at runtime
+  // (ExpectsInputTypes is private[sql], so the check is hand-rolled)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nfc expects a STRING argument, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(s: Any): Any =
     NfcNormalize.nfc(s.asInstanceOf[UTF8String])
 

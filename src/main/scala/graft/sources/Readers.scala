@@ -39,23 +39,32 @@ object Readers {
 
   /** StreamXmlRecordReader analog: tag-delimited records that may span
     * lines, carried by TextInputFormat with the record delimiter set to
-    * the END tag — splits land on record boundaries, records never
-    * straddle splits. Returns one `rec` column containing everything up
-    * to (not including) each end tag; rows not containing the begin tag
-    * (trailing whitespace chunks) are dropped.
+    * the BEGIN tag — splits land on record starts, records never
+    * straddle splits. Each emitted `rec` is exactly one begin..end
+    * span: the begin tag followed by the body up to (not including) its
+    * end tag. Delimiting on the begin tag (rather than the end tag)
+    * makes the spans exact the way the reference's StreamXmlRecordReader
+    * is: inter-record junk lands BEFORE the next begin delimiter (cut
+    * by `substring_index` on the end tag), and a trailing unterminated
+    * record — begin tag but no end tag — has no end tag in its chunk
+    * and is dropped, not emitted as a phantom record.
     */
   def xmlRecords(spark: SparkSession, path: String, beginTag: String,
       endTag: String): DataFrame = {
     import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
-    conf.set("textinputformat.record.delimiter", endTag)
+    conf.set("textinputformat.record.delimiter", beginTag)
     spark.sparkContext.newAPIHadoopFile(path,
         classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
         classOf[org.apache.hadoop.io.LongWritable],
         classOf[org.apache.hadoop.io.Text], conf)
       .map(_._2.toString)
-      .toDF("rec")
-      .filter(col("rec").contains(beginTag))
+      .toDF("chunk")
+      // the pre-record prologue (before the first begin tag) carries no
+      // end tag and is dropped by the same filter as unterminated tails
+      .filter(col("chunk").contains(endTag))
+      .select(concat(lit(beginTag),
+        substring_index(col("chunk"), endTag, 1)).as("rec"))
   }
 }

@@ -203,15 +203,17 @@ object TextOps {
     * One native codegen'd pass (see [[graft.functions.PolyFingerprint]])
     * — the previous `aggregate(transform(split(...)))` chain re-split
     * the text per character (HOFs re-evaluate non-attribute arguments
-    * per lambda call, the SURVEY §8 50× pitfall). Self-registers on the
-    * active session; plan-building happens on the driver, so the active
-    * session is the one about to analyze this expression.
+    * per lambda call, the SURVEY §8 50× pitfall). The expression is
+    * wrapped directly into the Column (ColumnBridge), so there is no
+    * function-registry round-trip and no dependency on which session —
+    * if any — is active when the Column is BUILT; the SQL-callable
+    * `graft_fingerprint` registration remains for SQL users.
     */
   def fingerprint(text: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.GraftFunctions.register)
     val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
-    call_function("graft_fingerprint", norm)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PolyFingerprint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(norm)))
   }
 
   /** Canonical text: Unicode NFC (native codegen expression — composed
@@ -220,9 +222,13 @@ object TextOps {
     * Matches DuckDB's
     * `regexp_replace(trim(nfc_normalize(lower(t))), '\s+', ' ', 'g')`.
     */
-  def normalized(text: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.GraftFunctions.register)
-    regexp_replace(trim(call_function("graft_nfc", lower(text))), "\\s+", " ")
-  }
+  def normalized(text: Column): Column =
+    // expression wrapped directly (no registry, no active-session
+    // dependency — the advisor's finding: building this Column under no
+    // or a foreign active session failed analysis as unresolved)
+    regexp_replace(trim(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.NfcNormalize(
+          org.apache.spark.sql.graft.ColumnBridge.expression(lower(text))))),
+      "\\s+", " ")
 }

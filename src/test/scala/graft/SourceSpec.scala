@@ -31,6 +31,23 @@ class SourceSpec extends SparkSpec {
     assert(r.getLong(2) === want.getLong(2))
   }
 
+  test("xmlRecords yields exact begin..end spans, drops junk and unterminated tails") {
+    // inter-record junk, a comment prologue, and a trailing record with
+    // no end tag — the reader must emit ONLY the two proper spans, with
+    // nothing outside begin..end (the advisor's r4 finding: the end-tag
+    // delimiter emitted junk prefixes and a phantom trailing record)
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_spans")
+    java.nio.file.Files.write(dir.resolve("part-0.txt"),
+      ("<!-- prologue junk -->\n" +
+        "<rec>alpha\nbody</rec>\ninter-record junk\n" +
+        "<rec>beta</rec>\n" +
+        "<rec>unterminated tail").getBytes("UTF-8"))
+    val recs = graft.sources.Readers
+      .xmlRecords(spark, dir.toString, "<rec>", "</rec>")
+      .collect().map(_.getString(0)).toSet
+    assert(recs === Set("<rec>alpha\nbody", "<rec>beta"))
+  }
+
   test("source_seqfile round-trips (Text,Text) pairs losslessly") {
     val got = SourceQueries.sourceSeqfile(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
