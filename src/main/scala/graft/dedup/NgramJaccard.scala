@@ -82,30 +82,39 @@ object NgramJaccard {
     // (doc, sh) rows), and each side of the self-join below otherwise
     // re-runs the whole shingle → df → rank-window derivation — the
     // same narrow-index/wide-source split as MinHashLSH's band table.
-    // Lazy localCheckpoint, not Dataset.persist: same in-plan block
-    // reuse without the session-lifetime CacheManager pin
-    // (graft.util.Caches has the lifecycle).
+    // Unlike the band table (map-only derivation → lazy localCheckpoint
+    // is free), the prefix plan carries a join + two windows whose AQE
+    // runtime re-planning a checkpoint boundary defeats — measured at
+    // sf0.1: localCheckpoint ~8 s, Dataset.persist ~2.3 s per call. So:
+    // persist for the derivation, EAGERLY materialize the (tiny,
+    // near-dup-density-bounded) verified pair table, and unpersist in
+    // finally — the CacheManager entry never outlives the call (the r4
+    // leak), and the returned frame is a materialized localCheckpoint
+    // (Caches.release / ContextCleaner own its blocks).
     val prefix = ranked
       .filter(col("rk") <=
         col("n_kept") - ceil(lit(tau) * col("n_orig") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("sh"))
-      .localCheckpoint(false)
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")),
-        "id_a")
-      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
-        "id_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(
-        col("n_common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"),
-        4))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")),
+          "id_a")
+        .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
+          "id_b")
+        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", round(
+          col("n_common").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"),
+          4))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint()
+    } finally prefix.unpersist(false)
   }
 }
