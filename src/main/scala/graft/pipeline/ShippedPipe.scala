@@ -6,19 +6,23 @@ import java.nio.charset.StandardCharsets
 import org.apache.spark.SparkFiles
 import org.apache.spark.rdd.RDD
 
-/** `RDD.pipe` with `-file` semantics (reference MapStreamJob.java:282-287
-  * ships files in the job jar; :232 rewrites the command to the
-  * basename, resolved in the task's unjarred working dir).
+/** The child-process runner behind every exec pipe — `RDD.pipe`'s
+  * contract (feeder thread for stdin, stderr drained, nonzero exit
+  * fails the task) plus two things PipedRDD can't give:
   *
-  * Plain `RDD.pipe` can't express this: its command tokens are fixed
-  * driver-side strings, but the executor-local path of a file shipped
-  * with `SparkContext.addFile` (`SparkFiles.get`) is only known INSIDE
-  * the task — at local[32] driver and executor happen to share one
-  * files root, which is exactly the trap: a driver-resolved path works
-  * in every test and breaks on the first real cluster. So this is the
-  * same child-process contract as PipedRDD (feeder thread for stdin,
-  * stderr drained, nonzero exit fails the task), with command tokens
-  * matching a shipped basename resolved per-task and marked executable.
+  *  - **`-file` semantics** (reference MapStreamJob.java:282-287 ships
+  *    files in the job jar; :232 rewrites the command to the basename,
+  *    resolved in the task's unjarred working dir): PipedRDD's command
+  *    tokens are fixed driver-side strings, but the executor-local path
+  *    of a `SparkContext.addFile` file (`SparkFiles.get`) is only known
+  *    INSIDE the task — at local[32] driver and executor share one
+  *    files root, which is exactly the trap: a driver-resolved path
+  *    works in every test and breaks on the first real cluster.
+  *  - **Explicit UTF-8 on both child pipes**: PipedRDD reads and writes
+  *    the child with the PLATFORM default charset, silently mangling
+  *    multibyte text under a non-UTF-8 JVM default; the streaming
+  *    contract is UTF-8 bytes, so Pipes routes ALL exec stages through
+  *    here even with nothing shipped (PipeSpec pins the round-trip).
   */
 object ShippedPipe {
 
