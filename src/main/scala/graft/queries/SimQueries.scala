@@ -30,6 +30,8 @@ object SimQueries {
   private val IvfIters = 3
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Pq.Model]()
 
   private def centroidsFor(dir: String, corpus: DataFrame): Array[(Int, Array[Float])] =
     centroidCache.computeIfAbsent(dir,
@@ -125,7 +127,11 @@ object SimQueries {
     */
   def embPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir).embeddings
-    val model = Pq.fit(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2)
+    // same per-dir fit memoization as the IVF centroids: the Lloyd fit
+    // is deterministic, its output is KB-scale driver state, and the
+    // corpus dirs are immutable — "train once, encode many"
+    val model = pqModelCache.computeIfAbsent(dir,
+      _ => Pq.fit(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2))
     Pq.encode(emb, "vec_id", "embedding", model)
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n_vecs"),
