@@ -70,5 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       info("graft_cms_estimate", "graft_cms_estimate(sketch, item) - Count-Min frequency estimate"),
       arity("graft_cms_estimate", 2)(es => CmsEstimate(es(0), es(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"),
+      info("graft_lsh_buckets",
+        "graft_lsh_buckets(vec, tables, bits, seed, dim) - sign-LSH bucket per table"),
+      arity("graft_lsh_buckets", 5)(es =>
+        graft.functions.LshBuckets(es.head,
+          GraftFunctions.foldableInt("graft_lsh_buckets tables", es(1)),
+          GraftFunctions.foldableInt("graft_lsh_buckets bits", es(2)),
+          GraftFunctions.foldableLong("graft_lsh_buckets seed", es(3)),
+          GraftFunctions.foldableInt("graft_lsh_buckets dim", es(4))))))
   }
 }

@@ -39,13 +39,14 @@ case class CmsEstimate(left: Expression, right: Expression)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     import org.apache.spark.sql.types._
-    if (left.dataType != BinaryType)
+    if (left.dataType != BinaryType && left.dataType != NullType)
       TypeCheckResult.TypeCheckFailure(
         "graft_cms_estimate sketch argument must be BINARY " +
           s"(a count_min_sketch(...) result), got ${left.dataType.simpleString}")
     else right.dataType match {
+      // NullType folds to NULL (null-intolerant eval), like builtins
       case StringType | BinaryType | ByteType | ShortType | IntegerType |
-          LongType => TypeCheckResult.TypeCheckSuccess
+          LongType | NullType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         "graft_cms_estimate item must be a string, binary, or integral " +
           s"column (the count_min_sketch add-side domain), got " +

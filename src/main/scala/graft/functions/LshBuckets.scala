@@ -29,6 +29,23 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int, seed: Long,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // analysis-time misuse guard (same discipline as CmsEstimate): an
+  // array<double> argument would read misaligned 4-byte halves through
+  // getFloat and compute garbage buckets with no error; anything else
+  // dies in codegen. NullType folds to NULL like every null-intolerant
+  // expression.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{FloatType, NullType}
+    child.dataType match {
+      case ArrayType(FloatType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lsh_buckets expects ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+  }
+
   @transient private lazy val planes: Array[Float] =
     LshBuckets.planes(tables, bits, seed, dim)
 
@@ -86,7 +103,10 @@ object LshBuckets {
           acc += vec.getFloat(j).toDouble * planes(base + j).toDouble
           j += 1
         }
-        if (acc >= 0) bucket |= 1 << b
+        // !(acc < 0), not acc >= 0: Spark's comparison operators order
+        // NaN above every double, so the literal when(dot >= 0, ...)
+        // formulation set the bit for NaN dots — Java's >= would not
+        if (!(acc < 0)) bucket |= 1 << b
         b += 1
       }
       out(t) = bucket

@@ -32,7 +32,9 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType =>
+      // NullType folds to NULL (null-intolerant eval), matching how
+      // Spark's own string functions accept a bare NULL literal
+      case StringType | org.apache.spark.sql.types.NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -29,27 +29,30 @@ object ShippedPipe {
   def pipe(lines: RDD[String], command: Seq[String],
       env: Map[String, String], shippedNames: Seq[String]): RDD[String] = {
     val names = shippedNames.toSet
+    // the child runs on EVERY partition, including empty ones — the
+    // Hadoop contract RDD.pipe also honors: a reducer with no input
+    // still executes (headers, "0" counts, side effects), and when
+    // numPartitions pins the reducer count, the child count IS the
+    // contract. Skipping empty partitions silently dropped those
+    // children's output.
     lines.mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val resolved = command.map { tok =>
-          if (names(tok)) new File(SparkFiles.get(tok)).getAbsolutePath
-          else tok
-        }
-        // mark every shipped file executable, and run shipped pipes from
-        // the SparkFiles root — the analog of Hadoop's unjarred task
-        // working dir: a basename buried inside a `sh -c "...script.sh"`
-        // string (the MultiSpec fall-through shape) can't be
-        // token-substituted, but resolves against the cwd exactly as it
-        // did under the reference
-        val cwd =
-          if (names.isEmpty) None
-          else {
-            names.foreach(n => new File(SparkFiles.get(n)).setExecutable(true))
-            Some(new File(SparkFiles.getRootDirectory()))
-          }
-        run(it, resolved, env, cwd)
+      val resolved = command.map { tok =>
+        if (names(tok)) new File(SparkFiles.get(tok)).getAbsolutePath
+        else tok
       }
+      // mark every shipped file executable, and run shipped pipes from
+      // the SparkFiles root — the analog of Hadoop's unjarred task
+      // working dir: a basename buried inside a `sh -c "...script.sh"`
+      // string (the MultiSpec fall-through shape) can't be
+      // token-substituted, but resolves against the cwd exactly as it
+      // did under the reference
+      val cwd =
+        if (names.isEmpty) None
+        else {
+          names.foreach(n => new File(SparkFiles.get(n)).setExecutable(true))
+          Some(new File(SparkFiles.getRootDirectory()))
+        }
+      run(it, resolved, env, cwd)
     }
   }
 

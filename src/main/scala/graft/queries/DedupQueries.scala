@@ -351,8 +351,15 @@ object DedupQueries {
       .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
       .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
         greatest(col("src_a"), col("src_b")).as("src_hi"))
+      // pair jaccards are exact multiples of 1e-4 (round(.,4) upstream),
+      // so the mean is computed over integer ten-thousandths: a plain
+      // avg(double) depends on accumulation order, and at sf0.1 the
+      // last ulp flipped round(.,4) across engines (0.939 vs 0.9391 —
+      // caught by the sf0.1 sweep); the integer sum is exact and the
+      // single final division is IEEE-identical on both sides
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+        round(sum(round(col("jaccard") * 10000).cast("long")).cast("double") /
+          (count(lit(1)) * lit(10000.0)), 4).as("avg_jaccard"))
       .orderBy(col("src_lo"), col("src_hi"))
   }
 
@@ -361,7 +368,8 @@ object DedupQueries {
        |SELECT least(a.source, b.source) AS src_lo,
        |  greatest(a.source, b.source) AS src_hi,
        |  count(*) AS n_pairs,
-       |  round(avg(jaccard), 4) AS avg_jaccard
+       |  round(sum(round(jaccard * 10000)::BIGINT)::DOUBLE
+       |        / (count(*) * 10000.0), 4) AS avg_jaccard
        |FROM pairs
        |JOIN documents a ON pairs.id_a = a.doc_id
        |JOIN documents b ON pairs.id_b = b.doc_id

@@ -59,10 +59,17 @@ object Readers {
         classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
         classOf[org.apache.hadoop.io.LongWritable],
         classOf[org.apache.hadoop.io.Text], conf)
+      // offset 0 = each file's pre-first-delimiter chunk: the prologue
+      // before the first begin tag (or "" when the file opens with
+      // one). Dropping it by OFFSET — not by content — means a
+      // prologue that happens to mention the end tag (a comment, a
+      // stray closer) cannot fabricate a phantom record; every real
+      // record chunk starts after a begin delimiter at offset > 0.
+      .filter(_._1.get() > 0)
       .map(_._2.toString)
       .toDF("chunk")
-      // the pre-record prologue (before the first begin tag) carries no
-      // end tag and is dropped by the same filter as unterminated tails
+      // unterminated trailing record (begin tag, no end tag): no end
+      // tag in its chunk → dropped, not emitted as a phantom record
       .filter(col("chunk").contains(endTag))
       .select(concat(lit(beginTag),
         substring_index(col("chunk"), endTag, 1)).as("rec"))

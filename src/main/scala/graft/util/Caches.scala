@@ -27,6 +27,13 @@ object Caches {
   /** Eagerly drop the checkpoint blocks behind every localCheckpoint in
     * `df`'s plan. Call ONLY after every action on `df` (and anything
     * derived from it) has run: truncated lineage cannot recompute.
+    *
+    * Loops that call an index-backed pipeline many times over the same
+    * session (a warm benchmark, a notebook cell rerun) should release
+    * each result when done with it: unlike the old CacheManager entry —
+    * which at least deduplicated repeat calls while it leaked — each
+    * call now materializes its own blocks, and they stay pinned until
+    * the dropped DataFrame is garbage-collected.
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {

@@ -259,6 +259,19 @@ class PipeSpec extends SparkSpec {
     assert(red === Seq("", "a", "b"))
   }
 
+  test("exec children run on empty partitions (pinned reducer-count contract)") {
+    import spark.implicits._
+    // one key, four pinned reducers: three children get empty stdin.
+    // Hadoop runs every reducer regardless (headers, "0" counts are
+    // real output); a skipped child would silently drop those lines
+    val df = Seq("k1\t1").toDF("line")
+    val out = Pipes.execReduce("line", "\t", 1,
+        Seq("/bin/sh", "-c", "wc -l"), numPartitions = Some(4))(df)
+      .collect().map(_.getString(0).trim).toSeq
+    assert(out.length === 4, s"one line per pinned reducer child, got $out")
+    assert(out.sorted === Seq("0", "0", "0", "1"))
+  }
+
   test("exec round-trips multibyte UTF-8 through plain, shipped, and combiner paths") {
     import spark.implicits._
     val text = Seq("héllo wörld", "中文 テキスト", "emoji 🚀 done")

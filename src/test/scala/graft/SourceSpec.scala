@@ -38,7 +38,10 @@ class SourceSpec extends SparkSpec {
     // delimiter emitted junk prefixes and a phantom trailing record)
     val dir = java.nio.file.Files.createTempDirectory("graft_xml_spans")
     java.nio.file.Files.write(dir.resolve("part-0.txt"),
-      ("<!-- prologue junk -->\n" +
+      // the prologue MENTIONS the end tag — a content-based filter
+      // would fabricate a phantom record from it; the offset-0 drop
+      // must not
+      ("<!-- schema note: records close with </rec> -->\n" +
         "<rec>alpha\nbody</rec>\ninter-record junk\n" +
         "<rec>beta</rec>\n" +
         "<rec>unterminated tail").getBytes("UTF-8"))

@@ -13,5 +13,11 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
 # graph's transitive closure with a RECURSIVE CTE — fine at sf0.01,
 # intractable at sf0.1 (the sweep hung >15 min there). Both stay fully
 # checked at sf0.01 by the driver gate; every other oracle runs here.
+# no tee: piping would make the pipeline status tee's 0 and swallow the
+# checker's failure exit under set -e — write, then show, then exit
+# with the checker's own status so CI sees a mismatch as a failure
+st=0
 python3 tools/check_oracle.py /root/testdata/sf0.1 "$OUT" \
-  --skip dedup_clusters,dedup_keep_best | tee CORRECTNESS_SF01.txt
+  --skip dedup_clusters,dedup_keep_best > CORRECTNESS_SF01.txt || st=$?
+cat CORRECTNESS_SF01.txt
+exit $st
