@@ -61,6 +61,50 @@ class PropertySpec extends AnyFunSuite {
     }, tests = 10)
   }
 
+  test("LshBuckets: native buckets equal driver-side reference on arbitrary vectors") {
+    import spark.implicits._
+    // reference semantics: planes from Random(seed) in fill order, dot
+    // in double over min(|v|, dim), bit set unless acc < 0 (Spark's
+    // NaN-above-everything comparison). Generated vectors include
+    // NaN/Inf entries and short/overlong lengths — the edges the
+    // example spec's clean corpus never hits.
+    val (tables, bits, dim, seed) = (4, 6, 8, 7L)
+    val planes = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(tables * bits * dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+    }
+    def reference(v: Seq[Float]): Seq[Int] = {
+      val n = math.min(v.length, dim)
+      (0 until tables).map { t =>
+        (0 until bits).foldLeft(0) { (bucket, b) =>
+          val base = (t * bits + b) * dim
+          var acc = 0.0
+          var j = 0
+          while (j < n) { acc += v(j).toDouble * planes(base + j).toDouble; j += 1 }
+          if (!(acc < 0)) bucket | (1 << b) else bucket
+        }
+      }
+    }
+    val genFloat = Gen.frequency(
+      8 -> Gen.choose(-10.0f, 10.0f),
+      1 -> Gen.oneOf(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+        0.0f, -0.0f))
+    val gen = Gen.listOfN(12, for {
+      len <- Gen.choose(0, dim + 4)
+      vec <- Gen.listOfN(len, genFloat)
+    } yield vec)
+    graft.functions.GraftFunctions.register(spark)
+    checkProp(forAll(gen) { vecs =>
+      val got = vecs.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("i", "v")
+        .select(col("i"), call_function("graft_lsh_buckets",
+          col("v").cast("array<float>"), lit(tables), lit(bits), lit(seed),
+          lit(dim)).as("b"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toSeq).toMap
+      vecs.zipWithIndex.forall { case (v, i) => got(i) == reference(v) }
+    }, tests = 10)
+  }
+
   test("shard hash: deterministic, all shards hit, no gross skew") {
     import spark.implicits._
     val ids = (0L until 4000L).toDF("id")
