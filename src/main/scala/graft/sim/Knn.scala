@@ -80,29 +80,32 @@ object Knn {
         org.apache.spark.sql.graft.ColumnBridge.expression(vec),
         tables, bits, seed, dim))
 
-  /** Approximate top-k via sign-LSH with query-side multiprobe: the
-    * query also probes every bucket within Hamming `probeRadius` of its
-    * own (cheap XORs on the bucket value), the corpus stays
-    * single-bucketed — so multiprobe cost scales with the QUERY side
-    * only.
+  /** (neighbor_id, nv, nn, table_id, bucket) — the corpus bucketed into
+    * every table, the materialized half of an [[LshIndex]].
     */
-  def lsh(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, tables: Int = 16, bits: Int = 8, seed: Long = 42L,
-      probeRadius: Int = 1): DataFrame = {
+  private[sim] def bucketCorpus(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, tables: Int, bits: Int, seed: Long): DataFrame =
+    withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn")
+      .select(col("neighbor_id"), col("nv"), col("nn"),
+        posexplode(bucketsCol(col("nv"), dim, tables, bits, seed))
+          .as(Seq("table_id", "bucket")))
+
+  /** Probe-and-score against an already-bucketed corpus table. */
+  private[sim] def searchBuckets(buckets: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, tables: Int, bits: Int,
+      seed: Long, probeRadius: Int): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1,
       s"only Hamming radius 0 or 1 probing is implemented, got $probeRadius")
-    val buckets = bucketsCol(_: Column, dim, tables, bits, seed)
     val probes = (b: Column) => array((b +:
       (if (probeRadius >= 1) (0 until bits).map(i => b.bitwiseXOR(lit(1 << i)))
        else Seq.empty)): _*)
     val qs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
-        posexplode(buckets(col("qv"))).as(Seq("table_id", "bucket0")))
+        posexplode(bucketsCol(col("qv"), dim, tables, bits, seed))
+          .as(Seq("table_id", "bucket0")))
       .select(col("query_id"), col("qv"), col("qn"), col("table_id"),
         explode(probes(col("bucket0"))).as("bucket"))
-    val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn")
-      .select(col("neighbor_id"), col("nv"), col("nn"),
-        posexplode(buckets(col("nv"))).as(Seq("table_id", "bucket")))
+    val cs = buckets
     // Score each candidate OCCURRENCE map-side, then dedupe on the id
     // pair with max(cos) — a partial-aggregatable shuffle of
     // (long, long, double) rows. The previous shape (distinct() on the
@@ -120,6 +123,20 @@ object Knn {
       .agg(max(col("cos")).as("cos"))
     pairTopK(scored, k)
   }
+
+  /** Approximate top-k via sign-LSH with query-side multiprobe: the
+    * query also probes every bucket within Hamming `probeRadius` of its
+    * own (cheap XORs on the bucket value), the corpus stays
+    * single-bucketed — so multiprobe cost scales with the QUERY side
+    * only. Bucket + search in one call; for a long-lived corpus use
+    * [[LshIndex]].
+    */
+  def lsh(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, tables: Int = 16, bits: Int = 8, seed: Long = 42L,
+      probeRadius: Int = 1): DataFrame =
+    searchBuckets(
+      bucketCorpus(corpus, idCol, vecCol, dim, tables, bits, seed),
+      queries, idCol, vecCol, k, dim, tables, bits, seed, probeRadius)
 
   // ---- IVF -------------------------------------------------------------
 

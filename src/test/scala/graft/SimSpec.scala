@@ -108,6 +108,30 @@ class SimSpec extends SparkSpec {
     assert(native === literal, "native LSH buckets diverge from literal planes")
   }
 
+  test("LshIndex: build-once search-many equals one-shot lsh; disk round-trip prunes") {
+    import org.apache.spark.sql.functions._
+    val e = graft.util.Tables(spark, sf).embeddings
+    val (q, c) = (e.filter(col("vec_id") < 10), e)
+    val oneShot = SimQueries.knnLsh(spark, sf).collect().map(_.toSeq).toSeq
+    val index = graft.sim.LshIndex.build(c, "vec_id", "embedding", dim = 64)
+    val viaIndex = index.search(q, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(viaIndex === oneShot, "build/search split must not change results")
+    // disk round-trip: same results, and probing the bucket-partitioned
+    // table plans a dynamic partition-pruning subquery on the buckets
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    index.save(dir)
+    val loaded = graft.sim.LshIndex.load(spark, dir)
+    assert((loaded.tables, loaded.bits, loaded.seed, loaded.dim) ===
+      ((index.tables, index.bits, index.seed, index.dim)))
+    val fromDisk = loaded.search(q, "vec_id", "embedding", k = 10)
+    assert(fromDisk.orderBy(col("query_id"), col("rank"))
+      .collect().map(_.toSeq).toSeq === oneShot)
+    val plan = planOf(fromDisk)
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      plan.take(600))
+  }
+
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
     // every (q, n, cos) from LSH must agree with brute-force cos when present
     val brute = SimQueries.knnBrute(spark, sf).collect()
