@@ -54,6 +54,34 @@ object SourceMixture {
         posexplode(array_repeat(lit(1), col("n_copies"))).as(Seq("copy", "one")))
       .drop("one")
 
+  /** Temperature-based sampling weights (the multilingual α-sampling
+    * scheme of XLM-R / mT5: sources drawn ∝ p_i^α, α < 1 upweighting
+    * the rare ones): with p_i = n_i / N, the per-document replication
+    * weight that realizes q_i = p_i^α / Σ_j p_j^α while preserving the
+    * corpus size is w_i = p_i^(α−1) / Σ_j p_j^α. α = 1 is the identity
+    * recipe (every weight 1); α → 0 flattens all sources to equal
+    * output mass. Feed the result to [[mix]]/[[mixStats]].
+    *
+    * Driver-side by design: the input is the per-source COUNT table
+    * (one row per source — config-scale, the same KB regime as the
+    * recipe it produces), and weights are rounded to `scale` decimals
+    * so the arithmetic is reproducible across engines (the DuckDB
+    * oracle recomputes the same pow/sum to 6 decimals).
+    */
+  def temperatureWeights(docs: DataFrame, sourceCol: String, alpha: Double,
+      scale: Int = 6): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val z = counts.map { case (_, n) => math.pow(n / total, alpha) }.sum
+    counts.map { case (s, n) =>
+      s -> BigDecimal(math.pow(n / total, alpha - 1.0) / z)
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
   /** Per-source recipe audit over the REPLICATED stream (explode_outer
     * keeps dropped-source rows visible with n_out = 0): input docs,
     * output copies, output chars.

@@ -342,6 +342,44 @@ object CurationQueries {
        |FROM m GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Temperature-based source mixing (SourceMixture.temperatureWeights,
+    * the XLM-R / mT5 multilingual α-sampling scheme): weights derived
+    * from the per-source counts at α = 0.5, upweighting rare sources
+    * toward equal output mass while preserving total size in
+    * expectation, then the same deterministic-hash replication audit as
+    * mix_sources. The oracle recomputes the weight arithmetic — counts,
+    * pow, normalization, round(6) — entirely in SQL.
+    */
+  private val TempAlpha = 0.5
+
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    SourceMixture.mixStats(docs, "source", "doc_id", "n_chars",
+      SourceMixture.temperatureWeights(docs, "source", TempAlpha), MixSeed)
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+       |t AS (SELECT sum(n) AS total FROM c),
+       |z AS (SELECT sum(pow(n / total, $TempAlpha)) AS z FROM c, t),
+       |w AS (
+       |  SELECT source, round(pow(n / total, $TempAlpha - 1.0) / z, 6) AS wt
+       |  FROM c, t, z),
+       |d AS (
+       |  SELECT d.source, doc_id, n_chars, wt,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$MixSeed'), 1, 8))::BIGINT
+       |      / 4294967296.0 AS u
+       |  FROM documents d JOIN w USING (source)),
+       |m AS (
+       |  SELECT source, doc_id, n_chars,
+       |    (floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_copies
+       |  FROM d)
+       |SELECT source, count(*) AS n_in, sum(n_copies)::BIGINT AS n_out,
+       |  sum(n_chars * n_copies)::BIGINT AS chars_out
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   /** The whole curation pipeline as ONE declarative plan — quality gate
     * (≥ 20 tokens) → exact dedup (first doc per normalization key, a
     * WindowGroupLimit) → benchmark decontamination (trigram-overlap
@@ -446,6 +484,7 @@ object CurationQueries {
     "pipeline_e2e" -> (pipelineE2e _),
     "sample_shard" -> (sampleShard _),
     "mix_sources" -> (mixSources _),
+    "mix_temperature" -> (mixTemperature _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_quality_rules" -> (textQualityRules _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
@@ -457,6 +496,7 @@ object CurationQueries {
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,
     "mix_sources" -> mixSourcesSql,
+    "mix_temperature" -> mixTemperatureSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_quality_rules" -> textQualityRulesSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,

@@ -52,6 +52,26 @@ class ExportSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L)) // n_kept
   }
 
+  test("temperatureWeights: identity at alpha=1, flattens rare sources below") {
+    val docs = util.Tables(spark, sf).documents
+    val counts = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val identity = SourceMixture.temperatureWeights(docs, "source", alpha = 1.0)
+    assert(identity.keySet === counts.keySet)
+    identity.values.foreach(w => assert(math.abs(w - 1.0) < 1e-9,
+      s"alpha=1 must be the identity recipe, got $w"))
+    val flat = SourceMixture.temperatureWeights(docs, "source", alpha = 0.5)
+    // rarer source → larger replication weight (monotone in 1/n at α<1)
+    val bySize = counts.toSeq.sortBy(_._2).map(_._1)
+    val ws = bySize.map(flat)
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"weights must not increase with source size: ${bySize.zip(ws)}")
+    // total output mass ≈ preserved: Σ n_i·w_i ≈ N
+    val n = counts.values.sum.toDouble
+    val out = counts.map { case (s, c) => c * flat(s) }.sum
+    assert(math.abs(out - n) / n < 0.01, s"size drift: $out vs $n")
+  }
+
   test("ShuffleShard.writeShards: files partition the corpus, sorted by key") {
     val docs = util.Tables(spark, sf).documents
     val assigned = ShuffleShard.assign(docs, "doc_id", seed = 42L, nShards = 4)
