@@ -20,7 +20,8 @@ import graft.functions.{BloomFilterAgg, BloomMightContain, CmsEstimate, DotProdu
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** Arity-checked builder: wrong argument counts surface as a clear
     * error instead of an IndexOutOfBounds from inside resolution.

@@ -50,7 +50,8 @@ object AsofJoin {
       if (df.columns.contains(f.name)) df
       else df.withColumn(f.name, lit(null).cast(f.dataType))
     }.drop(rightKey, rightTs)
-    val unioned = lWithNulls.unionByName(rAligned.select(lWithNulls.columns.map(col): _*))
+    val unioned = lWithNulls.unionByName(
+      rAligned.select(lWithNulls.columns.toIndexedSeq.map(col): _*))
     // right (isl=0) sorts before left (isl=1) at equal ts → a left row's
     // inclusive window sees same-timestamp right rows: the ≤ semantics
     val w = Window.partitionBy(col("graft_k"))

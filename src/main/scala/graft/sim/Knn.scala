@@ -180,7 +180,7 @@ object Knn {
     */
   private def assignCells(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Float])], nProbe: Int): DataFrame = {
-    val scored = array(centroids.map { case (cid, cv) =>
+    val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
       struct(
         (-Vectors.cosine(col(vecCol), typedlit(cv.toSeq))).as("negcos"),
         lit(cid).as("cell"))

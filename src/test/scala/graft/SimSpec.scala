@@ -97,7 +97,7 @@ class SimSpec extends SparkSpec {
     val rng = new scala.util.Random(42L)
     val planes = Array.fill(16, 8, 64)(if (rng.nextBoolean()) 1.0f else -1.0f)
     val literal = e.select(col("vec_id"),
-        array(planes.map { tbl =>
+        array(planes.toIndexedSeq.map { tbl =>
           tbl.zipWithIndex.map { case (plane, i) =>
             when(call_function("graft_dot", col("embedding"),
               typedlit(plane.toSeq)) >= 0, 1 << i).otherwise(0)
