@@ -71,8 +71,13 @@ object SourceMixture {
   def temperatureWeights(docs: DataFrame, sourceCol: String, alpha: Double,
       scale: Int = 6): Map[String, Double] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    // NULL sources are excluded from the derivation (a Map[String, _]
+    // cannot carry them); downstream mix/mixStats already defaults
+    // recipe-less sources to weight 1 via coalesce, so null-source docs
+    // pass through unscaled instead of crashing the driver sort
     val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1).toDouble)
       .sortBy(_._1)
     val total = counts.map(_._2).sum
     val z = counts.map { case (_, n) => math.pow(n / total, alpha) }.sum

@@ -358,6 +358,14 @@ object CurationQueries {
       SourceMixture.temperatureWeights(docs, "source", TempAlpha), MixSeed)
   }
 
+  // parity note: both engines round the derived weight to 6 decimals,
+  // but the unrounded value comes from each engine's own pow/sum — an
+  // ulp-level libm divergence could in principle flip the 6th decimal
+  // at a .5e-6 boundary (the same accumulation-order class the
+  // sf0.1 sweep caught in dedup_source_matrix). Accepted: green at both
+  // test scales, and the weight values sit far from boundaries; if a
+  // future scale factor trips it, inject the Scala-derived weights as
+  // VALUES (the mix_sources oracle shape) instead of re-deriving in SQL.
   val mixTemperatureSql: String =
     s"""WITH c AS (
        |  SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),

@@ -105,7 +105,6 @@ object Knn {
           .as(Seq("table_id", "bucket0")))
       .select(col("query_id"), col("qv"), col("qn"), col("table_id"),
         explode(probes(col("bucket0"))).as("bucket"))
-    val cs = buckets
     // Score each candidate OCCURRENCE map-side, then dedupe on the id
     // pair with max(cos) — a partial-aggregatable shuffle of
     // (long, long, double) rows. The previous shape (distinct() on the
@@ -114,7 +113,7 @@ object Knn {
     // grouping key; re-scoring a pair per colliding table is cheap
     // codegen'd CPU, shuffle bytes are the scarce resource. cos is
     // identical across a pair's occurrences, so max() is just dedup.
-    val scored = broadcast(qs).join(cs, Seq("table_id", "bucket"))
+    val scored = broadcast(qs).join(buckets, Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), round(
         Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
