@@ -175,17 +175,22 @@ object Knn {
   }
 
   /** Attach the `nProbe` nearest cell ids (by cosine to each centroid)
-    * to every row — pure map against literal centroids.
+    * to every row — pure map via the native
+    * [[graft.functions.NearestCells]] expression, whose centroid matrix
+    * rides as ONE codegen reference object. The literal formulation
+    * (array_sort over C `struct(-cosine(v, lit(c)), id)` entries) put
+    * C×dim literal leaves into the plan per assignment site — and the
+    * Lloyd fit builds a fresh site per iteration; at a production cell
+    * count the plan tree itself becomes the bottleneck, the same class
+    * LshBuckets removed from the LSH path. SimSpec pins bit-parity
+    * against the literal twin.
     */
   private def assignCells(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Float])], nProbe: Int): DataFrame = {
-    val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
-      struct(
-        (-Vectors.cosine(col(vecCol), typedlit(cv.toSeq))).as("negcos"),
-        lit(cid).as("cell"))
-    }: _*)
-    val probes = transform(
-      slice(array_sort(scored), 1, nProbe), s => s.getField("cell"))
+    val probes = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NearestCells(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol)),
+        centroids.map(_._1), centroids.map(_._2), nProbe))
     if (nProbe == 1)
       df.withColumn("cell", probes.getItem(0))
     else

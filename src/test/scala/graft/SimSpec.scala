@@ -108,6 +108,37 @@ class SimSpec extends SparkSpec {
     assert(native === literal, "native LSH buckets diverge from literal planes")
   }
 
+  test("NearestCells matches the literal struct-sort formulation") {
+    // the native expression replaced array_sort over C struct literals;
+    // IVF probe sets only stay meaningful if the selected cells are
+    // IDENTICAL, so re-derive the literal twin here (same cosine
+    // arithmetic, same (negcos, cell) ordering) on real centroids
+    import org.apache.spark.sql.graft.ColumnBridge
+    val e = graft.util.Tables(spark, sf).embeddings
+    val centroids = graft.sim.Knn.fitCentroids(e, "vec_id", "embedding",
+      c = 16, iters = 1)
+    val nProbe = 4
+    val native = e.select(col("vec_id"), ColumnBridge.column(
+        graft.functions.NearestCells(
+          ColumnBridge.expression(col("embedding")),
+          centroids.map(_._1), centroids.map(_._2), nProbe)).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    graft.functions.GraftFunctions.register(spark)
+    val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
+      struct(
+        (-(call_function("graft_dot", col("embedding"), typedlit(cv.toSeq)) /
+          (call_function("graft_l2norm", col("embedding")) *
+            call_function("graft_l2norm", typedlit(cv.toSeq))))).as("negcos"),
+        lit(cid).as("cell"))
+    }: _*)
+    val literal = e.select(col("vec_id"),
+        transform(slice(array_sort(scored), 1, nProbe),
+          s => s.getField("cell")).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(native.nonEmpty)
+    assert(native === literal, "native cell probes diverge from literal sort")
+  }
+
   test("LshIndex: build-once search-many equals one-shot lsh; disk round-trip prunes") {
     import org.apache.spark.sql.functions._
     val e = graft.util.Tables(spark, sf).embeddings
