@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   * min(|v|, dim(c)); ordering = ascending (−cos, cell) with Spark's
   * double semantics — NaN sorts last, −0.0 == 0.0 (normalized before
   * compare).
+  *
+  * One deliberate divergence (PropertySpec pins it): a zero-norm or
+  * empty vector makes the literal formulation fail the whole job
+  * under ANSI mode (DIVIDE_BY_ZERO from `cos`'s division); here the
+  * Java division yields NaN cosines, which sort last uniformly, so
+  * the row deterministically probes the smallest `nProbe` cell ids
+  * instead of killing a 100 TB job over one garbage embedding.
   */
 case class NearestCells(child: Expression, cellIds: Array[Int],
     centroids: Array[Array[Float]], nProbe: Int) extends UnaryExpression {

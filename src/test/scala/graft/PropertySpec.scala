@@ -105,6 +105,64 @@ class PropertySpec extends AnyFunSuite {
     }, tests = 10)
   }
 
+  test("NearestCells: native probes equal the literal Spark twin on edge vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    // compare against the literal struct-sort formulation THROUGH SPARK
+    // (not a Scala reference): that pins the native expression to
+    // Spark's own double ordering — NaN-last (zero vectors give NaN
+    // cosines), -0.0 == 0.0 — on vectors the clean corpus never has
+    val dim = 6
+    val rng = new scala.util.Random(11L)
+    val centroids: Array[(Int, Array[Float])] = Array.tabulate(5) { i =>
+      (i * 3, Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    }
+    // nonzero-norm vectors only for the twin comparison: the literal
+    // formulation ANSI-fails (DIVIDE_BY_ZERO) on zero-norm input — the
+    // documented divergence asserted separately below
+    val genFloat = Gen.frequency(
+      6 -> Gen.choose(-5.0f, 5.0f).suchThat(_ != 0.0f),
+      1 -> Gen.oneOf(1.0f, -1.0f, 0.5f))
+    val gen = Gen.listOfN(10, for {
+      len <- Gen.choose(1, dim + 2)
+      vec <- Gen.listOfN(len, genFloat)
+    } yield vec)
+    graft.functions.GraftFunctions.register(spark)
+    checkProp(forAll(gen) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+        .select(col("i"), col("v").cast("array<float>").as("v"))
+      val native = df.select(col("i"), ColumnBridge.column(
+          graft.functions.NearestCells(ColumnBridge.expression(col("v")),
+            centroids.map(_._1), centroids.map(_._2), 3)).as("cells"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toSeq).toMap
+      val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
+        struct(
+          (-(call_function("graft_dot", col("v"), typedlit(cv.toSeq)) /
+            (call_function("graft_l2norm", col("v")) *
+              call_function("graft_l2norm", typedlit(cv.toSeq))))).as("negcos"),
+          lit(cid).as("cell"))
+      }: _*)
+      val literal = df.select(col("i"),
+          transform(slice(array_sort(scored), 1, 3),
+            s => s.getField("cell")).as("cells"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toSeq).toMap
+      vecs.indices.forall(i => native(i) == literal(i))
+    }, tests = 8)
+    // the documented divergence: zero-norm / empty vectors do NOT fail
+    // the job (the literal twin ANSI-errors); NaN cosines sort last
+    // uniformly → deterministic smallest-id probes
+    val degenerate = Seq((0, Seq.empty[Float]), (1, Seq(0.0f, -0.0f, 0.0f)))
+      .toDF("i", "v")
+      .select(col("i"), col("v").cast("array<float>").as("v"))
+    val cells = degenerate.select(col("i"), ColumnBridge.column(
+        graft.functions.NearestCells(ColumnBridge.expression(col("v")),
+          centroids.map(_._1), centroids.map(_._2), 3)).as("cells"))
+      .collect().map(r => r.getSeq[Int](1).toSeq)
+    val smallest = centroids.map(_._1).sorted.take(3).toSeq
+    assert(cells.forall(_ == smallest),
+      s"degenerate vectors must probe the smallest cell ids, got ${cells.toSeq}")
+  }
+
   test("shard hash: deterministic, all shards hit, no gross skew") {
     import spark.implicits._
     val ids = (0L until 4000L).toDF("id")
