@@ -189,4 +189,23 @@ class MultiSpecSpec extends SparkSpec {
     assert(bySrc("orders") === Set("o1", "o2"))
     assert(bySrc("lineitem") === Set("l1"))
   }
+
+  test("MultiStream CLI classic -mapper form honors -inputtagged") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_tagc_in").toString
+    Seq("r1", "r2").toDF("value").coalesce(1).write.mode("overwrite").text(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_tagc_out").toString
+    MultiStream.main(Array(
+      "-input", in, "-inputtagged",
+      "-output", out,
+      "-mapper", "/bin/cat"))
+    val rows = spark.read.parquet(out).collect().map(_.getString(0))
+    assert(rows.length === 2)
+    rows.foreach { l =>
+      val Array(tag, rec) = l.split("\t", 2)
+      assert(tag.contains(in.substring(in.lastIndexOf('/') + 1)),
+        s"tag must carry the source file: $l")
+      assert(Set("r1", "r2")(rec))
+    }
+  }
 }
