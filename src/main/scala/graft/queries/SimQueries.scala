@@ -37,6 +37,21 @@ object SimQueries {
     centroidCache.computeIfAbsent(dir,
       _ => Knn.fitCentroids(corpus, "vec_id", "embedding", IvfC, IvfIters))
 
+  private def pqModelFor(dir: String, corpus: DataFrame): Pq.Model =
+    pqModelCache.computeIfAbsent(dir,
+      _ => Pq.fit(corpus, "vec_id", "embedding", m = 8, ks = 16, iters = 2))
+
+  /** Search-grade geometry: 16 subspaces × 64 codes (96-bit codes,
+    * 12 bytes — still a 21× cut vs 64 float32). emb_pq's 8×16 is the
+    * reconstruction-accounting oracle geometry and ranks too coarsely
+    * for a usable shortlist (measured recall@10 0.75 at sf0.1 even
+    * with a 10·K re-rank); 16×64 measures 0.97/1.0 at sf0.1/sf0.01.
+    * Same per-dir fit memoization — distinct cache key, distinct model.
+    */
+  private def pqSearchModelFor(dir: String, corpus: DataFrame): Pq.Model =
+    pqModelCache.computeIfAbsent(dir + "#search",
+      _ => Pq.fit(corpus, "vec_id", "embedding", m = 16, ks = 64, iters = 2))
+
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = split(s, dir)
     Knn.brute(q, c, "vec_id", "embedding", K)
@@ -77,8 +92,24 @@ object SimQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Approximate: ADC over 12-byte PQ codes (16×64 geometry) with
+    * exact re-rank of a 10·K shortlist (graft.sim.Pq.search — the
+    * memory-bound ANN path). The shortlist is deeper than the LSH/IVF
+    * probe sets (ADC ranks from quantized vectors) but fixed per
+    * query: 100 rows re-ranked regardless of corpus size — 5% of the
+    * corpus at sf0.1, 0.0001% at 10⁸ vectors. Rows-only oracle;
+    * recall vs brute is spec-asserted, and the returned cos is exact
+    * by construction (re-rank scores the real vectors).
+    */
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(s, dir)
+    Pq.search(q, c, "vec_id", "embedding", K, pqSearchModelFor(dir, c),
+      rerankFactor = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Numeric quality gate for the approximate ANN paths: recall@K of
-    * LSH and IVF against the exact brute-force top-k, macro-averaged
+    * LSH, IVF, and PQ against the exact brute-force top-k, macro-averaged
     * over queries, computed entirely in Spark (one plan: union the
     * method outputs, left-join the exact set, two aggregations).
     * Rows-only for the driver (the approx methods have no SQL twin),
@@ -108,6 +139,10 @@ object SimQueries {
         .unionByName(
           Knn.ivfWith(centroidsFor(dir, c), q, c, "vec_id", "embedding", K)
             .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
+        .unionByName(
+          Pq.search(q, c, "vec_id", "embedding", K, pqSearchModelFor(dir, c),
+              rerankFactor = 10)
+            .select(lit("pq").as("method"), col("query_id"), col("neighbor_id")))
     methods
       .join(exact, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))
@@ -217,6 +252,7 @@ object SimQueries {
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
+    "knn_pq" -> (knnPq _),
     "knn_recall" -> (knnRecall _),
     "emb_pq" -> (embPq _),
     "emb_centroids" -> (embCentroids _),

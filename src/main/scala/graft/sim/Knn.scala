@@ -32,7 +32,7 @@ import graft.functions.GraftFunctions
   */
 object Knn {
 
-  private def pairTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[sim] def pairTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -40,7 +40,7 @@ object Knn {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+  private[sim] def withNorm(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String, nAs: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),

@@ -137,6 +137,85 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
+  // ---- ADC search (the memory-bound ANN path) --------------------------
+
+  private def bridge(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+
+  /** Map-only native encoder: (neighbor_id, codes) in ONE scan — zero
+    * exchanges, the plan holds the codebooks as a single reference
+    * object. `encode` (explode → broadcast join → min-struct groupBy)
+    * stays the distributed oracle; SimSpec pins code-for-code parity.
+    */
+  def codes(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+      asCol(graft.functions.PqCodes(bridge(col(vecCol)), model.codebooks))
+        .as("codes"))
+
+  /** Approximate top-k by asymmetric distance computation with exact
+    * re-ranking — the ANN path you run when the corpus no longer fits
+    * as floats: the scored table carries m code bytes per vector (32×
+    * smaller than float32 at the default 8×16 geometry on 64 dims).
+    *
+    * Plan shape (and why it scales):
+    *  1. query side: ONE map pass attaches the m×ks inner-product
+    *     table (KBs per query) and the exact query norm;
+    *  2. ADC pass: broadcast queries × codes table, per pair m array
+    *     loads — narrow (query_id, neighbor_id, adc) rows into a
+    *     WindowGroupLimit top-(rerank·k) per query. No vector bytes in
+    *     the scan, no vector bytes through the shuffle;
+    *  3. re-rank: ONLY the rerank·k shortlisted ids join back to the
+    *     float vectors (equi-join on neighbor_id) for exact cosine —
+    *     so the returned `cos` is EXACT, never the ADC estimate (the
+    *     "no fabricated cos" contract shared with the LSH path), and
+    *     decoded vectors never meet a non-equi join.
+    *
+    * Output: (query_id, rank, neighbor_id, cos) — the Knn contract.
+    */
+  def search(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: Model, rerankFactor: Int = 5): DataFrame =
+    searchEncoded(model, codes(corpus, idCol, vecCol, model),
+      queries, corpus, idCol, vecCol, k, rerankFactor)
+
+  /** ADC search against an ALREADY-ENCODED codes table — the
+    * encode-once / search-many entry point ([[PqIndex]] wraps it).
+    * `corpus` supplies the float vectors for the exact re-rank of the
+    * shortlist only (the caller's vector store; at scale the codes
+    * table is the thing that fits in memory, the vectors are cold
+    * storage read k·rerank rows at a time).
+    */
+  def searchEncoded(model: Model, codesDf: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      rerankFactor: Int = 5): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val ks = model.codebooks.headOption.map(_.length).getOrElse(0)
+    val qs = Knn.withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .withColumn("qtab",
+        asCol(graft.functions.PqIpTable(bridge(col("qv")), model.codebooks, ks)))
+    val cs = codesDf.select(col("neighbor_id"), col("codes"),
+      asCol(graft.functions.PqReconNorm(bridge(col("codes")), model.codebooks))
+        .as("rnorm"))
+    val adc = broadcast(qs.select(col("query_id"), col("qtab"), col("qn")))
+      .join(cs, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (asCol(graft.functions.PqAdcSum(bridge(col("qtab")),
+            bridge(col("codes")), ks)) / (col("qn") * col("rnorm"))).as("cos"))
+    val shortlist = Knn.pairTopK(adc, k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = shortlist
+      .join(broadcast(qs.select(col("query_id"), col("qv"), col("qn"))),
+        "query_id")
+      .join(Knn.withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn"),
+        "neighbor_id")
+      .withColumn("cos", round(
+        Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
+          col("qn"), col("nn")), 6))
+    Knn.pairTopK(exact, k)
+  }
+
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
     val rows = spark.read.parquet(dir)
       .select(col("sub"), col("code"), col("sub_dim"), col("cvec"))

@@ -66,6 +66,22 @@ class PlanSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("knn_pq: ADC pass scores codes; float vectors only behind equi-joins") {
+    val plan = planOf(SimQueries.knnPq(spark, sf))
+    // exactly ONE non-equi join — the broadcast-queries × codes ADC
+    // pass (narrow rows: id + m ints + the gather sum). The re-rank
+    // joins are equi (query_id / neighbor_id), so a second
+    // BroadcastNestedLoopJoin would mean decoded vectors met a
+    // cartesian-class join — the scale-killer this spec pins against
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj === 1, s"expected exactly 1 non-equi (ADC) join, got $bnlj:\n" +
+      plan.take(800))
+    assert(plan.toLowerCase.contains("pqadcsum"),
+      "ADC gather kernel missing from the plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "shortlist top-k must push a partial group limit before its exchange")
+  }
+
   test("source_partitioned prunes to the single matching partition") {
     val plan = planOf(graft.queries.SourceQueries.sourcePartitioned(spark, sf))
     assert(plan.contains("PartitionFilters: ["), plan.take(800))

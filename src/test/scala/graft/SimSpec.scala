@@ -44,7 +44,7 @@ class SimSpec extends SparkSpec {
   test("knn_recall query agrees with the driver-side recall computation") {
     val rows = SimQueries.knnRecall(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(rows.keySet === Set("ivf", "lsh"))
+    assert(rows.keySet === Set("ivf", "lsh", "pq"))
     rows.foreach { case (m, (nq, rec)) =>
       assert(nq === 10L, s"$m covered $nq queries")
       assert(rec >= 0.7, s"$m recall@10 $rec below floor")
@@ -161,6 +161,76 @@ class SimSpec extends SparkSpec {
     val plan = planOf(fromDisk)
     assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
       plan.take(600))
+  }
+
+  test("knn_pq recall vs brute is usable; returned cos is exact") {
+    val brute = neighborSets(SimQueries.knnBrute(spark, sf))
+    val pqOut = SimQueries.knnPq(spark, sf).collect()
+    val pq = pqOut.groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recalls = brute.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean PQ recall@10 $mean")
+    // contract: k ranked rows per query, and every returned cos agrees
+    // with brute-force exact scoring when the pair is in the exact
+    // top-k — the re-rank must score real vectors, never the ADC
+    // estimate
+    val byQ = pqOut.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.values.foreach(rows => assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 10)))
+    val exactCos = SimQueries.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pqOut.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9, "PQ cos must be exact")
+      }
+    }
+  }
+
+  test("PqCodes native encoder matches the distributed encode argmin") {
+    // the map-only native encoder is the scale path; the
+    // explode/join/groupBy formulation stays the oracle — codes must
+    // agree code-for-code (same distance arithmetic, same tie-break)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val emb = graft.util.Tables(spark, sf).embeddings
+    val model = graft.sim.Pq.fit(emb, "vec_id", "embedding",
+      m = 8, ks = 16, iters = 1)
+    val native = graft.sim.Pq.codes(emb, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val oracle = graft.sim.Pq.encode(emb, "vec_id", "embedding", model)
+      .groupBy(col("pq_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("pq_id"), transform(col("sc"), s => s.getField("code")).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(native.size === oracle.size)
+    assert(native === oracle, "native PQ codes diverge from distributed encode")
+  }
+
+  test("PqIndex: encode-once search-many equals one-shot; disk round-trip") {
+    import org.apache.spark.sql.functions._
+    val e = graft.util.Tables(spark, sf).embeddings
+    val (q, c) = (e.filter(col("vec_id") < 10), e)
+    val model = graft.sim.Pq.fit(e, "vec_id", "embedding",
+      m = 16, ks = 64, iters = 2)
+    val oneShot = graft.sim.Pq.search(q, c, "vec_id", "embedding", 10, model,
+        rerankFactor = 10)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    val index = graft.sim.PqIndex(model,
+      graft.sim.Pq.codes(c, "vec_id", "embedding", model))
+    val viaIndex = index.search(q, c, "vec_id", "embedding", 10,
+        rerankFactor = 10)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(viaIndex === oneShot, "encode/search split must not change results")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    index.save(dir)
+    val loaded = graft.sim.PqIndex.load(spark, dir)
+    assert(loaded.model.m === model.m && loaded.model.subDim === model.subDim)
+    val fromDisk = loaded.search(q, c, "vec_id", "embedding", 10,
+        rerankFactor = 10)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(fromDisk === oneShot)
   }
 
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
