@@ -47,8 +47,72 @@ import graft.text.TextOps
   */
 object NgramJaccard {
 
-  /** Jaccard ≥ tau pairs over word n-grams.
+  /** (doc_id, shingles) — one codegen'd shingling pass. */
+  private[dedup] def shingle(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.withColumn("graft_toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        TextOps.wordNgrams(col("graft_toks"), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** The narrow prefix index (doc_id, sh): the rarest
+    * |kept|−⌈τ·|orig|⌉+1 shingles per doc in (df, shingle) order, df=1
+    * and df>maxDf dropped. The −1e−9 guards float error on exact
+    * multiples of τ·|a| (rounding o UP would shrink the prefix and
+    * could miss pairs; down only adds candidates).
+    */
+  private[dedup] def prefixIndex(shingled: DataFrame, tau: Double,
+      maxDf: Int): DataFrame = {
+    val ex = shingled.select(col("doc_id"),
+      size(col("shingles")).as("n_orig"), explode(col("shingles")).as("sh"))
+    val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+    val kept = ex.join(dfs, "sh")
+    // canonical rank within each doc; both windows share one exchange
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = kept.select(col("doc_id"), col("n_orig"), col("sh"),
+      row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rk"),
+      count(lit(1)).over(byDoc).as("n_kept"))
+    ranked
+      .filter(col("rk") <=
+        col("n_kept") - ceil(lit(tau) * col("n_orig") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sh"))
+  }
+
+  /** Distinct candidate pairs from the prefix self-join, verified with
+    * one `array_intersect` on the full shingle arrays — exact J,
+    * rounded to 4. Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  private[dedup] def verifiedPairs(prefix: DataFrame, shingled: DataFrame,
+      tau: Double): DataFrame = {
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"),
+        4))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Jaccard ≥ tau pairs over word n-grams, self-managed lifecycle —
+    * derivation + search + cleanup in one call (for an index reused
+    * across calls, [[NgramIndex]] pays the derivation once instead).
     * Output: (id_a, id_b, jaccard rounded to 4), id_a < id_b.
+    *
+    * NOTE the call is EAGER: the verified pair table is materialized
+    * (a localCheckpoint job runs) before this returns, because the
+    * shared prefix index below must not outlive the call. Lifecycle of
+    * the returned frame's blocks: Caches.release / ContextCleaner.
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxDf: Int = 100): DataFrame = {
@@ -60,61 +124,24 @@ object NgramJaccard {
     // materialization cost cancels the recomputation saving while
     // pinning executor storage for the whole shingle table. At extreme
     // corpus scale, materialize to parquet once instead.
-    val shingled = docs.withColumn("graft_toks", TextOps.tokens(col(textCol)))
-      .select(col(idCol).as("doc_id"),
-        TextOps.wordNgrams(col("graft_toks"), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val ex = shingled.select(col("doc_id"),
-      size(col("shingles")).as("n_orig"), explode(col("shingles")).as("sh"))
-    val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1 && col("df") <= maxDf)
-    val kept = ex.join(dfs, "sh")
-    // canonical rank within each doc; both windows share one exchange
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val ranked = kept.select(col("doc_id"), col("n_orig"), col("sh"),
-      row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rk"),
-      count(lit(1)).over(byDoc).as("n_kept"))
-    // o = ⌈τ·|a|⌉ minimum overlap with ANY qualifying partner; the −1e−9
-    // guards float error on exact multiples (rounding o UP would shrink
-    // the prefix and could miss pairs; down only adds candidates)
+    val shingled = shingle(docs, idCol, textCol, n)
     // the PREFIX index is shared even though the shingle table is
-    // not: it is the rarest |kept|−⌈τ|a|⌉+1 shingles per doc (narrow
-    // (doc, sh) rows), and each side of the self-join below otherwise
-    // re-runs the whole shingle → df → rank-window derivation — the
-    // same narrow-index/wide-source split as MinHashLSH's band table.
-    // Unlike the band table (map-only derivation → lazy localCheckpoint
-    // is free), the prefix plan carries a join + two windows whose AQE
-    // runtime re-planning a checkpoint boundary defeats — measured at
-    // sf0.1: localCheckpoint ~8 s, Dataset.persist ~2.3 s per call. So:
+    // not: it is narrow (doc, sh) rows, and each side of the self-join
+    // otherwise re-runs the whole shingle → df → rank-window
+    // derivation — the same narrow-index/wide-source split as
+    // MinHashLSH's band table. Unlike the band table (map-only
+    // derivation → lazy localCheckpoint is free), the prefix plan
+    // carries a join + two windows whose AQE runtime re-planning a
+    // checkpoint boundary defeats — measured at sf0.1: lazy
+    // localCheckpoint ~8 s, Dataset.persist ~2.3 s per call. So:
     // persist for the derivation, EAGERLY materialize the (tiny,
     // near-dup-density-bounded) verified pair table, and unpersist in
     // finally — the CacheManager entry never outlives the call (the r4
     // leak), and the returned frame is a materialized localCheckpoint
     // (Caches.release / ContextCleaner own its blocks).
-    val prefix = ranked
-      .filter(col("rk") <=
-        col("n_kept") - ceil(lit(tau) * col("n_orig") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("sh"))
+    val prefix = prefixIndex(shingled, tau, maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      cand
-        .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")),
-          "id_a")
-        .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
-          "id_b")
-        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard", round(
-          col("n_common").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"),
-          4))
-        .filter(col("jaccard") >= tau)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .localCheckpoint()
-    } finally prefix.unpersist(false)
+    try verifiedPairs(prefix, shingled, tau).localCheckpoint()
+    finally prefix.unpersist(false)
   }
 }

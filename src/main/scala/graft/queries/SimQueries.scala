@@ -33,7 +33,7 @@ object SimQueries {
   private val pqModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Pq.Model]()
 
-  private def centroidsFor(dir: String, corpus: DataFrame): Array[(Int, Array[Float])] =
+  private[queries] def centroidsFor(dir: String, corpus: DataFrame): Array[(Int, Array[Float])] =
     centroidCache.computeIfAbsent(dir,
       _ => Knn.fitCentroids(corpus, "vec_id", "embedding", IvfC, IvfIters))
 

@@ -185,7 +185,7 @@ object Knn {
     * LshBuckets removed from the LSH path. SimSpec pins bit-parity
     * against the literal twin.
     */
-  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def assignCells(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Float])], nProbe: Int): DataFrame = {
     val probes = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.NearestCells(

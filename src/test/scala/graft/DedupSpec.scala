@@ -320,6 +320,60 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cellPairs: subset of exact at any nProbe, complete at the registered depth") {
+    val emb = graft.util.Tables(spark, sf).embeddings
+    val exact = graft.dedup.EmbeddingDedup
+      .pairs(emb, "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cents = graft.sim.Knn.fitCentroids(emb, "vec_id", "embedding", 16, 3)
+    def celled(nProbe: Int) = graft.dedup.EmbeddingDedup
+      .cellPairs(emb, "vec_id", "embedding", tau = 0.4,
+        nProbe = nProbe, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // shallow probes: sound (every reported pair is in the exact set
+    // WITH the exact cos — verification is never the estimate), maybe
+    // incomplete
+    val shallow = celled(2)
+    assert(shallow.nonEmpty)
+    shallow.foreach { case (ids, cos) =>
+      assert(exact.get(ids).contains(cos),
+        s"pair $ids not in exact set or cos differs")
+    }
+    // the registered depth (nProbe = 8) is exact on the planted corpus
+    // — the property the shared DuckDB oracle relies on
+    val deep = celled(8)
+    assert(deep === exact, "registered nProbe must recover every pair")
+    // recall is monotone in nProbe
+    assert(shallow.size <= celled(4).size && celled(4).size <= deep.size)
+  }
+
+  test("NgramIndex: fit-once search-many parity; release frees index blocks") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val oneShot = graft.dedup.NgramJaccard
+      .pairs(docs, "doc_id", "text", n = 3, tau = 0.7, maxDf = 1000)
+      .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    cm.clearCache()
+    val idx = graft.dedup.NgramIndex
+      .fit(docs, "doc_id", "text", n = 3, tau = 0.7, maxDf = 1000)
+    val first = idx.pairs()
+    val r1 = first.orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    val r2 = idx.pairs().orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    assert(r1 === oneShot, "indexed search must equal the one-shot result")
+    assert(r2 === oneShot, "repeat searches must be stable")
+    // handle lifecycle: nothing in the CacheManager (the r4 leak
+    // class), and release() drops the materialized index blocks
+    assert(cm.isEmpty, "NgramIndex must not register CacheManager entries")
+    val ids = first.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    assert(ids.nonEmpty, "search plan should reference the checkpointed index")
+    idx.release()
+    assert(!ids.exists(spark.sparkContext.getPersistentRDDs.contains),
+      "release() must drop the index blocks")
+  }
+
   test("Winnow fingerprint density is below the full gram index") {
     val docs = graft.util.Tables(spark, sf).documents
       .withColumn("toks", graft.text.TextOps.tokens(col("text")))

@@ -82,6 +82,13 @@ class PlanSpec extends SparkSpec {
       "shortlist top-k must push a partial group limit before its exchange")
   }
 
+  test("dedup_embedding_cell: candidates ride an equi-join on cell, no cartesian") {
+    val plan = planOf(graft.queries.DedupQueries.dedupEmbeddingCell(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "cell blocking must never plan a cartesian-class join:\n" + plan.take(800))
+  }
+
   test("source_partitioned prunes to the single matching partition") {
     val plan = planOf(graft.queries.SourceQueries.sourcePartitioned(spark, sf))
     assert(plan.contains("PartitionFilters: ["), plan.take(800))
