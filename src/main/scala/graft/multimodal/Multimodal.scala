@@ -10,12 +10,19 @@ import org.apache.spark.sql.functions._
   * carries an image/audio/video blob and a metadata struct, and decode /
   * feature-extraction runs as a partition-local batch loop (the Scala
   * analogue of `mapInPandas`: iterate the partition in fixed-size
-  * batches so a vectorized decoder amortizes per-batch setup). The
-  * actual media decoding is STUBBED — `decodeStub` below is a
-  * deterministic fake (this container has no image/audio libs); the
-  * schema, Dataset encoders, batch shape, and partition-parallelism are
-  * real and tested. Swap `decodeStub` for a JNI/FFI decoder without
-  * touching anything else.
+  * batches so a vectorized decoder amortizes per-batch setup).
+  *
+  * The image path is REAL: `png` rows carry genuine PNG payloads
+  * (synthesized deterministically per doc — [[PngCodec.synthesize]])
+  * and the decode stage runs the JDK's `javax.imageio` decoder on
+  * them, so width/height/pixel-checksum come from decoded pixels, and
+  * the spec verifies the round-trip against codec-independent pattern
+  * arithmetic. Formats the JDK cannot decode (jpeg payloads here are
+  * not real jpegs; webp/mp4 have no JDK codec) take the byte-path
+  * FALLBACK in `decodeBatch` — the same degrade-gracefully branch a
+  * production pipeline keeps for corrupt or unknown media. Swap the
+  * [[PngCodec.decode]] call for a JNI/FFI decoder to widen the real
+  * set without touching the schema, batching, or parallelism.
   */
 object Multimodal {
 
@@ -24,10 +31,14 @@ object Multimodal {
       media_id: Long, bytes: Array[Byte],
       format: String, width: Int, height: Int)
 
-  /** Output of the (stubbed) decode/feature stage. */
+  /** Output of the decode/feature stage. For decoded images the
+    * checksum is the full pixel sum and the thumb dims derive from the
+    * DECODED geometry; for fallback rows the checksum is the
+    * first-16-bytes sum and the dims come from metadata.
+    */
   final case class MediaFeatures(
       media_id: Long, format: String, n_bytes: Long,
-      checksum16: Long, thumb_w: Int, thumb_h: Int)
+      checksum: Long, thumb_w: Int, thumb_h: Int, decoded: Boolean)
 
   /** How many records one decode batch holds — the knob a vectorized
     * decoder would care about (batch too small: per-call overhead;
@@ -37,9 +48,14 @@ object Multimodal {
 
   private val Formats = Seq("png", "jpeg", "webp", "mp4")
 
-  /** Derive a deterministic media table from the documents corpus: the
-    * text bytes stand in for the blob; format/width/height are arithmetic
-    * on n_chars so the DuckDB oracle can reproduce them exactly.
+  /** Derive a deterministic media table from the documents corpus.
+    * Formats rotate on n_chars; `png` rows carry a REAL PNG payload
+    * (deterministic pixel pattern keyed by media_id, dims 16–47 px
+    * from n_chars arithmetic — thumbnail-scale so synthesis is a map
+    * pass, encoded executor-side in the same batch loop the decoder
+    * uses); other formats carry the raw text bytes as their opaque
+    * blob. Metadata width/height always state the true geometry for
+    * png and the declared one otherwise.
     */
   def mediaTable(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
@@ -49,21 +65,40 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("bytes"),
         element_at(typedlit(Formats), (pmod(col("n_chars"), lit(4)) + 1).cast("int"))
           .as("format"),
-        (lit(64) + pmod(col("n_chars"), lit(512))).cast("int").as("width"),
-        (lit(64) + pmod(col("n_chars") * 7, lit(512))).cast("int").as("height"))
+        when(pmod(col("n_chars"), lit(4)) === 0,
+            lit(16) + pmod(col("n_chars"), lit(32)))
+          .otherwise(lit(64) + pmod(col("n_chars"), lit(512)))
+          .cast("int").as("width"),
+        when(pmod(col("n_chars"), lit(4)) === 0,
+            lit(16) + pmod(col("n_chars") * 7, lit(32)))
+          .otherwise(lit(64) + pmod(col("n_chars") * 7, lit(512)))
+          .cast("int").as("height"))
       .as[MediaRecord]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { m =>
+        if (m.format == "png")
+          m.copy(bytes = PngCodec.synthesize(m.media_id, m.width, m.height))
+        else m
+      }))
   }
 
-  /** STUB decoder — deterministic fake standing in for a real media
-    * decode: "checksum" = sum of the first 16 payload bytes, "thumbnail"
-    * = metadata dims / 8. Replace with the real library call; the batch
-    * loop and signature stay.
+  /** One decode batch: REAL ImageIO decode where the payload is a
+    * decodable image (png rows), byte-path fallback otherwise —
+    * checksum = sum of the first 16 payload bytes, thumbnail = metadata
+    * dims / 8 (the degrade-gracefully branch for undecodable media;
+    * `decoded` records which branch ran).
     */
-  private def decodeStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
-      val checksum = m.bytes.iterator.take(16).map(b => (b & 0xff).toLong).sum
-      MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
-        checksum, m.width / 8, m.height / 8)
+      val img = if (m.format == "png") PngCodec.decode(m.bytes) else None
+      img match {
+        case Some((w, h, pixelSum)) =>
+          MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
+            pixelSum, w / 8, h / 8, decoded = true)
+        case None =>
+          val checksum = m.bytes.iterator.take(16).map(b => (b & 0xff).toLong).sum
+          MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
+            checksum, m.width / 8, m.height / 8, decoded = false)
+      }
     }
 
   /** Partition-local batched decode: the Scala `mapInPandas`. Each task
@@ -74,7 +109,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.grouped(DecodeBatchSize).flatMap(batch => decodeStub(batch))
+      it.grouped(DecodeBatchSize).flatMap(batch => decodeBatch(batch))
     }
   }
 

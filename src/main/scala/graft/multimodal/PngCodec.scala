@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** REAL image synthesis + decode on the JDK's own codec
+  * (`javax.imageio` — no external libs). The pixel pattern is pure
+  * arithmetic on (doc id, x, y), so a verifier can compute the
+  * expected pixel sum INDEPENDENTLY of the codec and assert the
+  * decode round-trip recovered every pixel — the property that proves
+  * real bytes flowed through a real decoder rather than an arithmetic
+  * echo.
+  *
+  * This is the image half of the multimodal boundary: PNG is the one
+  * format the JDK encodes AND decodes losslessly. jpeg decoding exists
+  * in the JDK too but lossy round-trips have no independent oracle,
+  * and webp/mp4 have no JDK codec at all — those formats keep the
+  * byte-path fallback in [[Multimodal.decodeFeatures]] (exactly the
+  * fallback a production pipeline runs for undecodable media). Swap
+  * [[decode]] for a JNI/FFI decoder to widen the real set.
+  */
+object PngCodec {
+
+  /** Gray value of pixel (x, y) for document `id` — independent
+    * arithmetic, the spec's oracle. All terms nonnegative.
+    */
+  def pixel(id: Long, x: Int, y: Int): Int =
+    ((x * 31L + y * 17L + id * 13L) % 256L).toInt
+
+  /** Expected pixel sum of a synthesized w×h image — computable
+    * without touching the codec.
+    */
+  def patternSum(id: Long, w: Int, h: Int): Long = {
+    var acc = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { acc += pixel(id, x, y); x += 1 }
+      y += 1
+    }
+    acc
+  }
+
+  /** A real PNG: the deterministic gray pattern encoded through
+    * ImageIO. Byte length depends on the JDK's zlib settings — stable
+    * within a JVM, not promised across JDK majors (why the consumers
+    * are rows-only rather than SQL-oracled).
+    */
+  def synthesize(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pixel(id, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-readable payload: (width, height, pixel sum of
+    * the blue channel — the gray value for synthesized frames). None
+    * if the bytes are not a decodable image.
+    */
+  def decode(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var acc = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { acc += img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      (w, h, acc)
+    }
+}

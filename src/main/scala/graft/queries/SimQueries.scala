@@ -176,57 +176,35 @@ object SimQueries {
   }
 
   /** Multimodal: per-format stats over the batch-decoded features. The
-    * decode stub's arithmetic is mirrored exactly in the oracle (the
-    * corpus is pure ASCII, so byte k of the UTF-8 payload == codepoint
-    * of char k).
+    * png group's checksums are REAL decoded pixel sums (JDK ImageIO
+    * over genuinely synthesized PNGs); other formats take the
+    * documented byte-path fallback. Rows-only for the driver — a PNG
+    * payload's byte length is the JDK encoder's business, not SQL's —
+    * but SimSpec holds the png group to an INDEPENDENT oracle: the
+    * pixel-pattern arithmetic computed without touching the codec.
     */
   def mmMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(Multimodal.mediaTable(Tables(s, dir).documents))
       .groupBy(col("format"))
       .agg(
         count(lit(1)).as("n_items"),
+        sum(col("decoded").cast("long")).as("n_decoded"),
         sum(col("n_bytes")).as("total_bytes"),
-        sum(col("checksum16")).as("sum_checksum"),
+        sum(col("checksum")).as("sum_checksum"),
         sum(col("thumb_w").cast("long")).as("sum_thumb_w"),
         sum(col("thumb_h").cast("long")).as("sum_thumb_h"))
       .orderBy(col("format"))
 
-  val mmMetaSql: String =
-    // ::BIGINT on every integer sum — DuckDB sum(INTEGER) is HUGEINT →
-    // Arrow decimal128, which hash-mismatches Spark's int64.
-    """SELECT format, count(*) AS n_items,
-      |  sum(length(text))::BIGINT AS total_bytes,
-      |  sum(cs)::BIGINT AS sum_checksum,
-      |  sum((64 + n_chars % 512) // 8)::BIGINT AS sum_thumb_w,
-      |  sum((64 + (n_chars * 7) % 512) // 8)::BIGINT AS sum_thumb_h
-      |FROM (
-      |  SELECT text, n_chars,
-      |    (['png','jpeg','webp','mp4'])[(n_chars % 4) + 1] AS format,
-      |    list_sum([ascii(text[i]) FOR i IN range(1, least(length(text), 16) + 1)]) AS cs
-      |  FROM documents)
-      |GROUP BY format
-      |ORDER BY format""".stripMargin
-
   /** Frame sampling over the first 20 payloads: 4 byte-window "frames"
-    * per item, per-frame size + checksum. Oracle replays the identical
-    * windowing arithmetic on the ASCII corpus.
+    * per item, per-frame size + checksum — png rows window REAL PNG
+    * bytes now, so the oracle is rows-only; the partition invariant
+    * (frames sum to the payload) is spec-asserted.
     */
   def mmFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
         Multimodal.mediaTable(Tables(s, dir).documents.filter(col("doc_id") < 20)))
       .toDF()
       .orderBy(col("media_id"), col("frame_id"))
-
-  val mmFramesSql: String =
-    """SELECT doc_id AS media_id, f AS frame_id,
-      |  (((f + 1) * L) // 4 - (f * L) // 4)::BIGINT AS n_bytes,
-      |  coalesce(list_sum([ascii(text[i])
-      |    FOR i IN range((f * L) // 4 + 1, ((f + 1) * L) // 4 + 1)]), 0)::BIGINT
-      |    AS checksum
-      |FROM (SELECT doc_id, text, length(text) AS L,
-      |        unnest([0, 1, 2, 3]) AS f
-      |      FROM documents WHERE doc_id < 20)
-      |ORDER BY media_id, frame_id""".stripMargin
 
   /** Per-label centroids as (label, dim, value) — the distributed
     * feature-aggregation shape: posexplode the vector, one partial-
@@ -261,7 +239,5 @@ object SimQueries {
 
   val oracleSql: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
-    "emb_centroids" -> embCentroidsSql,
-    "mm_meta" -> mmMetaSql,
-    "mm_frames" -> mmFramesSql)
+    "emb_centroids" -> embCentroidsSql)
 }

@@ -233,6 +233,17 @@ class SimSpec extends SparkSpec {
     assert(fromDisk === oneShot)
   }
 
+  test("Lloyd fit refuses a C×dim geometry the driver collect can't hold") {
+    val e = graft.util.Tables(spark, sf).embeddings
+    val err = intercept[IllegalArgumentException] {
+      // dim is 64 here, so C must push C×dim past the 16M ceiling
+      graft.sim.Knn.fitCentroids(e, "vec_id", "embedding",
+        c = (graft.sim.Knn.MaxDriverFitCells / 64 + 1).toInt, iters = 1)
+    }
+    assert(err.getMessage.contains("ceiling"),
+      s"guard must name the ceiling: ${err.getMessage}")
+  }
+
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
     // every (q, n, cos) from LSH must agree with brute-force cos when present
     val brute = SimQueries.knnBrute(spark, sf).collect()
@@ -245,23 +256,64 @@ class SimSpec extends SparkSpec {
     }
   }
 
-  test("mm_meta covers all docs across formats with sane stats") {
+  test("PNG round-trip: decoded pixels match codec-independent arithmetic") {
+    // the property that proves a REAL codec ran: synthesize → ImageIO
+    // decode must recover width/height and the exact pixel sum that
+    // pure pattern arithmetic predicts (patternSum never touches the
+    // codec), and the payload must carry the PNG signature
+    import graft.multimodal.PngCodec
+    Seq((7L, 16, 47), (123L, 33, 16), (0L, 20, 20)).foreach { case (id, w, h) =>
+      val bytes = PngCodec.synthesize(id, w, h)
+      assert((bytes(0) & 0xff) === 0x89 &&
+        new String(bytes.slice(1, 4), "US-ASCII") === "PNG",
+        "payload must be a real PNG stream")
+      val Some((dw, dh, sum)) = PngCodec.decode(bytes)
+      assert((dw, dh) === ((w, h)))
+      assert(sum === PngCodec.patternSum(id, w, h),
+        s"decoded pixel sum diverges for id=$id")
+    }
+    // undecodable bytes take the fallback branch, not an exception
+    assert(PngCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mm_meta: png group is fully decoded and matches the pattern oracle") {
     val out = SimQueries.mmMeta(spark, sf).collect()
     assert(out.map(_.getLong(1)).sum === 500L)
-    assert(out.forall(_.getLong(2) > 0))
+    assert(out.forall(_.getLong(3) > 0), "total_bytes must be positive")
     assert(out.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp", "mp4")))
+    val byFormat = out.map(r => r.getString(0) -> r).toMap
+    // png rows all decode; fallback formats never claim to
+    assert(byFormat("png").getLong(2) === byFormat("png").getLong(1),
+      "every png row must take the real-decode branch")
+    out.filter(_.getString(0) != "png").foreach(r =>
+      assert(r.getLong(2) === 0L, s"${r.getString(0)} must use the fallback"))
+    // INDEPENDENT oracle for the decoded pixel checksums: pattern
+    // arithmetic over (doc_id, n_chars), no codec involved
+    val expected = graft.util.Tables(spark, sf).documents
+      .select("doc_id", "n_chars").collect()
+      .filter(_.getLong(1) % 4 === 0L)
+      .map { r =>
+        val (id, nc) = (r.getLong(0), r.getLong(1))
+        graft.multimodal.PngCodec.patternSum(id,
+          (16 + nc % 32).toInt, (16 + (nc * 7) % 32).toInt)
+      }.sum
+    assert(byFormat("png").getLong(4) === expected,
+      "png checksum sum must equal the codec-independent pattern sum")
   }
 
   test("frame sampling partitions the payload exactly") {
     val frames = SimQueries.mmFrames(spark, sf).collect()
     assert(frames.length === 20 * 4)
     val byDoc = frames.groupBy(_.getLong(0))
-    val docs = graft.util.Tables(spark, sf).documents
-      .filter(col("doc_id") < 20)
-      .select("doc_id", "n_chars").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // png payloads are real PNG streams now, so the reference lengths
+    // come from the media table itself (frames must tile whatever the
+    // payload actually is)
+    val payloads = graft.multimodal.Multimodal.mediaTable(
+        graft.util.Tables(spark, sf).documents.filter(col("doc_id") < 20))
+      .collect().map(m => m.media_id -> m.bytes.length.toLong).toMap
     byDoc.foreach { case (id, fs) =>
-      assert(fs.map(_.getLong(2)).sum === docs(id), "frame bytes must sum to payload")
+      assert(fs.map(_.getLong(2)).sum === payloads(id),
+        "frame bytes must sum to payload")
     }
   }
 
@@ -271,10 +323,14 @@ class SimSpec extends SparkSpec {
     val feats = graft.multimodal.Multimodal.decodeFeatures(media)
     val n = graft.util.Tables(spark, sf).documents.count()
     assert(feats.count() === n)
+    // fallback rows pass the text bytes through unchanged; png rows
+    // carry an encoder-sized payload (non-empty, spec'd above)
     val joined = feats.toDF().join(
       graft.util.Tables(spark, sf).documents,
       col("media_id") === col("doc_id"))
-    assert(joined.filter(col("n_bytes") =!= length(col("text"))).count() === 0)
+    assert(joined.filter(col("format") =!= "png")
+      .filter(col("n_bytes") =!= length(col("text"))).count() === 0)
+    assert(joined.filter(col("n_bytes") <= 0).count() === 0)
   }
 
   test("Pq: Lloyd rounds improve on the init codebook; codes stay bounded") {
