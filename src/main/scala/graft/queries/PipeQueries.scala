@@ -268,27 +268,40 @@ object PipeQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** Exact tail percentiles per group — the ground-truth twin of
-    * aggSketches' GK estimates. Spark's `percentile` (linear
-    * interpolation, same definition as DuckDB `quantile_cont`) is a
-    * TypedImperativeAggregate that buffers the GROUP'S values as a
-    * value→count map. The scale hazard is NOT key cardinality — it is
-    * group SIZE: a LOW-cardinality key (here: 3 return flags) over a
-    * 100 TB column funnels the whole column's distinct values into
-    * 3 final-task buffers, which OOMs long before it is slow. Use the
-    * constant-state GK path (agg_sketches / `approx_percentile`) in
-    * production; this exact variant exists to VALIDATE the sketch's
-    * error on bounded inputs.
+  /** Tail percentiles (p50/p95/p99) per group — the library entry.
+    * The DEFAULT is the production-safe path: GK `approx_percentile`
+    * keeps constant state per partition. `exact = true` switches to
+    * Spark's `percentile` (linear interpolation, same definition as
+    * DuckDB `quantile_cont`) — a TypedImperativeAggregate that buffers
+    * the GROUP'S values as a value→count map. The scale hazard of the
+    * exact path is NOT key cardinality — it is group SIZE: a
+    * LOW-cardinality key (here: 3 return flags) over a 100 TB column
+    * funnels the whole column's distinct values into 3 final-task
+    * buffers, which OOMs long before it is slow. The exact variant
+    * exists to VALIDATE the sketch's error on bounded inputs, and a
+    * caller must now ASK for it — reaching for "percentiles" gets the
+    * sketch (accuracy knob: ±1/accuracy quantile error).
+    */
+  def tailPercentiles(df: DataFrame, valueCol: String, groupCol: String,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    def q(frac: Double): org.apache.spark.sql.Column =
+      if (exact) expr(s"percentile($valueCol, ${frac}D)")
+      else expr(s"approx_percentile($valueCol, ${frac}D, $accuracy)")
+    df.groupBy(col(groupCol))
+      .agg(
+        round(q(0.5), 4).as("p50"),
+        round(q(0.95), 4).as("p95"),
+        round(q(0.99), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Oracle validator: exact percentiles, bounded inputs only (the
+    * quantile_cont twin DuckDB can replay).
     */
   def aggPercentiles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
-        count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"))
+    tailPercentiles(Tables(s, dir).lineitem, "l_extendedprice",
+      "l_returnflag", exact = true)
 
   val aggPercentilesSql: String =
     """SELECT l_returnflag,
@@ -316,7 +329,7 @@ object PipeQueries {
     * agg_percentiles). Either way the three quartiles come from one
     * aggregate buffer (`percentile(p, array(…))`), not three.
     */
-  def equidepthHistogram(li: DataFrame, exactBounds: Boolean): DataFrame = {
+  def equidepthHistogram(li: DataFrame, exactBounds: Boolean = false): DataFrame = {
     val fractions = "array(0.25D, 0.5D, 0.75D)"
     val qs =
       if (exactBounds) expr(s"percentile(p, $fractions)")

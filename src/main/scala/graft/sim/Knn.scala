@@ -139,15 +139,34 @@ object Knn {
 
   // ---- IVF -------------------------------------------------------------
 
+  /** The largest C×dim this driver-mediated Lloyd fit supports: each
+    * iteration collects C×dim doubles of per-cell sums (plus row
+    * overhead) to the driver — 16M doubles ≈ 128 MB, comfortably
+    * inside a default driver heap while still admitting e.g. 16k cells
+    * × 1k dims. Past it the collect silently becomes the job's
+    * failure point, so the fit REFUSES loudly instead (spec-pinned):
+    * at that scale run the centroid update as a distributed table
+    * (keep (cell, dim, sum) rows partitioned; join instead of
+    * collect) — the assignment side of this module already scales,
+    * it is only the update hop that is driver-mediated here.
+    */
+  val MaxDriverFitCells: Long = 16L * 1024 * 1024
+
   /** Lloyd iterations with driver-held centroids (C×dim floats). Returns
     * the final centroids. Assignment/update are distributed; only the
-    * tiny centroid table moves through the driver.
+    * centroid table moves through the driver — which is why C×dim is
+    * guarded by [[MaxDriverFitCells]].
     */
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       c: Int, iters: Int): Array[(Int, Array[Float])] = {
     GraftFunctions.register(corpus.sparkSession)
     val dimRow = corpus.select(size(col(vecCol))).head()
     val dim = dimRow.getInt(0)
+    require(c.toLong * dim <= MaxDriverFitCells,
+      s"C×dim = ${c.toLong * dim} exceeds the driver-mediated Lloyd " +
+        s"ceiling $MaxDriverFitCells (each iteration collects C×dim " +
+        "doubles of cell sums to the driver); distribute the centroid " +
+        "update for this geometry")
     // deterministic init: first C vectors by id
     var centroids: Array[(Int, Array[Float])] = corpus
       .orderBy(col(idCol)).limit(c)

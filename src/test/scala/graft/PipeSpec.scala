@@ -156,6 +156,34 @@ class PipeSpec extends SparkSpec {
     }
   }
 
+  test("percentile library entries default to the GK sketch; exact is opt-in") {
+    import org.apache.spark.sql.functions._
+    val li = graft.util.Tables(spark, sf).lineitem
+    // the DEFAULT call must plan ApproximatePercentile (constant
+    // per-partition state) — the OOM-class exact buffer only appears
+    // when a caller passes exact/exactBounds = true
+    val defTail = planOf(PipeQueries.tailPercentiles(li,
+      "l_extendedprice", "l_returnflag"))
+    assert(defTail.contains("approx_percentile"), defTail.take(600))
+    val exactTail = planOf(PipeQueries.tailPercentiles(li,
+      "l_extendedprice", "l_returnflag", exact = true))
+    assert(!exactTail.contains("approx_percentile") &&
+      exactTail.contains("percentile"), exactTail.take(600))
+    val defEqui = planOf(PipeQueries.equidepthHistogram(
+      li.select(col("l_extendedprice").as("p"))))
+    assert(defEqui.contains("approx_percentile"), defEqui.take(600))
+    // the default sketch stays within tolerance of the exact answer
+    val ex = PipeQueries.tailPercentiles(li, "l_extendedprice",
+      "l_returnflag", exact = true).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    PipeQueries.tailPercentiles(li, "l_extendedprice", "l_returnflag")
+      .collect().foreach { r =>
+        val rel = math.abs(r.getDouble(2) - ex(r.getString(0))) /
+          math.max(ex(r.getString(0)), 1e-9)
+        assert(rel < 0.05, s"${r.getString(0)} p95 off by ${rel * 100}%")
+      }
+  }
+
   test("equidepth GK production path partitions the column into 4 buckets") {
     import org.apache.spark.sql.functions._
     val li = graft.util.Tables(spark, sf).lineitem
