@@ -54,6 +54,12 @@ object MultiStream {
         // local script with the job; exec'd children reference it by
         // basename (ShippedPipe resolves executor-side)
         case "-file" | "-files" => ship += args(i + 1); i += 2
+        // the reference's -archives/-cacheArchive (MapStreamJob.java:
+        // 307-311): ship a tar/zip bundle, unpacked executor-side into
+        // a directory named after the archive; children address members
+        // as <archive>/<member>. Hadoop accepts a comma list.
+        case "-archives" | "-cacheArchive" =>
+          ship ++= args(i + 1).split(",").filter(_.nonEmpty); i += 2
         // the reference's -partitioner (MapStreamJob.java:869): here a
         // SQL expression over `key` deciding the reduce partition of
         // exec'd reducers
@@ -74,8 +80,8 @@ object MultiStream {
         case other =>
           sys.error(s"unknown option '$other' (want -input -output " +
             "-column -format -multiple -cmdenv -numReduceTasks " +
-            "-jobconf/-D -file/-files -partitioner -inputformat " +
-            "-inputtagged)")
+            "-jobconf/-D -file/-files -archives/-cacheArchive " +
+            "-partitioner -inputformat -inputtagged)")
       }
     }
     require(input.nonEmpty, "-input is required")
@@ -139,13 +145,18 @@ object MultiStream {
         else (df, df.columns.head)
       // -inputtagged: prefix each record with its source file so child
       // scripts can branch on provenance (the input_tagged query is the
-      // native-pipeline twin of the same shape)
+      // native-pipeline twin of the same shape). The record column is
+      // coalesced to "" first: concat_ws SKIPS nulls, so a NULL record
+      // would otherwise emit just the file name with no tab and a
+      // downstream split("\t", 2) would lose the tag/record boundary
       val taggedDf =
         if (!inputTagged) lineDf
         else lineDf.withColumn(c,
           org.apache.spark.sql.functions.concat_ws("\t",
             org.apache.spark.sql.functions.input_file_name(),
-            org.apache.spark.sql.functions.col(c)))
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.col(c),
+              org.apache.spark.sql.functions.lit(""))))
       val partKey =
         if (partitioner.isEmpty) None
         else Some(org.apache.spark.sql.functions.expr(partitioner))

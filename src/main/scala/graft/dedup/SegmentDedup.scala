@@ -57,19 +57,21 @@ object SegmentDedup {
     * kept text (segments in original order). A fully-duplicated doc
     * keeps 0 segments and carries md5("").
     *
-    * `hashKeys` (production default ON) keys the first-occurrence
-    * window on `xxhash64(segment)` instead of the raw text: the
-    * map-side WindowGroupLimit then groups and the exchange sorts on
-    * 8-byte longs rather than full paragraph strings. The trade is the
-    * generic 64-bit-fingerprint one — a hash collision merges two
-    * distinct segments and drops one of them (expected collisions
+    * `hashKeys = true` (OPT-IN) keys the first-occurrence window on
+    * `xxhash64(segment)` instead of the raw text: the map-side
+    * WindowGroupLimit then groups and the exchange sorts on 8-byte
+    * longs rather than full paragraph strings — the right trade for a
+    * 100 TB shuffle. It is opt-in, not the default, because the trade
+    * is the generic 64-bit-fingerprint one: a hash collision merges
+    * two distinct segments and SILENTLY drops one (expected collisions
     * ≈ n²/2⁶⁵; at 10¹⁰ distinct segments that is ~3 segments corpus-
-    * wide, the accepted exact-dedup-by-fingerprint regime). Pass
-    * `hashKeys = false` for byte-exact semantics — the DuckDB oracle
-    * path; DedupSpec pins hashed ≡ raw on the test corpus.
+    * wide) — the default stays byte-exact, matching the reference's
+    * semantics and the DuckDB oracle, and a caller accepts the
+    * fingerprint regime explicitly at the call site. ExportSpec pins
+    * hashed ≡ raw on the test corpus.
     */
   def dedupSegments(docs: DataFrame, idCol: String, segsCol: Column,
-      hashKeys: Boolean = true): DataFrame = {
+      hashKeys: Boolean = false): DataFrame = {
     val id = col(idCol)
     val base = docs.select(id, segsCol.as("segs"))
     val exploded = base.select(id, posexplode(col("segs")).as(Seq("pos", "seg")))

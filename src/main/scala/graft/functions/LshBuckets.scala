@@ -23,6 +23,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * `Array.fill(tables, bits, dim)` order; each dot accumulates float
   * products in DOUBLE, sequentially, over `min(|vec|, dim)` elements —
   * exactly `DotProductD(vec, plane)`. SimSpec pins the parity.
+  *
+  * Null ELEMENTS (accepted — parquet list elements read back
+  * nullable): a null element contributes 0.0 to every dot product,
+  * i.e. the vector buckets exactly as if the null were 0.0f — the
+  * shared contract of all graft vector kernels (DotProductD, L2NormD,
+  * NearestCells, the PQ kernels), chosen over SQL null-propagation
+  * because one missing dimension must not null out a whole row's
+  * bucket set and silently drop it from every table. PropertySpec
+  * pins nulls ≡ zeros.
   */
 case class LshBuckets(child: Expression, tables: Int, bits: Int, seed: Long,
     dim: Int) extends UnaryExpression {

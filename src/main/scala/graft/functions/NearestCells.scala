@@ -32,6 +32,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   * Java division yields NaN cosines, which sort last uniformly, so
   * the row deterministically probes the smallest `nProbe` cell ids
   * instead of killing a 100 TB job over one garbage embedding.
+  *
+  * Null ELEMENTS read as 0.0f (the shared graft vector-kernel
+  * contract — see [[LshBuckets]]; PropertySpec pins nulls ≡ zeros):
+  * one missing dimension degrades that dimension's contribution, it
+  * does not null the row's probe set.
   */
 case class NearestCells(child: Expression, cellIds: Array[Int],
     centroids: Array[Array[Float]], nProbe: Int) extends UnaryExpression {

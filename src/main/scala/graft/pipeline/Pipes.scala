@@ -199,11 +199,24 @@ object Pipes {
     linesToDf(df, c, lines)(command, env, ship)
   }
 
+  /** The `-archives`/`-cacheArchive` surface rides the same `ship`
+    * list: paths with an archive extension are distributed via
+    * `SparkContext.addArchive` (unpacked executor-side into a
+    * directory named after the archive — Spark ≥ 3.1) and addressed
+    * in commands as `<archive>/<member>`; everything else is a
+    * `-file` (`addFile`, addressed by basename).
+    */
+  private val ArchiveExts = Seq(".tar.gz", ".tgz", ".tar", ".zip", ".jar")
+  private def isArchive(p: String): Boolean =
+    ArchiveExts.exists(p.toLowerCase(java.util.Locale.ROOT).endsWith)
+
   private def linesToDf(src: DataFrame, c: String, lines: DataFrame)(
       command: Seq[String], env: Map[String, String],
       ship: Seq[String] = Nil): DataFrame = {
     val sc = src.sparkSession.sparkContext
-    ship.foreach(sc.addFile(_))
+    val (archives, files) = ship.partition(isArchive)
+    files.foreach(sc.addFile(_))
+    archives.foreach(sc.addArchive(_))
     // a NULL record would reach the child as the literal string "null"
     // (PrintWriter.println(null: String) semantics); Hadoop's line world
     // has no nulls, so feed the empty line instead — the same semantic
@@ -215,7 +228,8 @@ object Pipes {
     // mangles multibyte UTF-8 under a non-UTF-8 JVM default; the
     // streaming contract is UTF-8 bytes (PipeSpec pins the round-trip)
     val piped = ShippedPipe.pipe(safe.rdd.map(_.getString(0)), command, env,
-      ship.map(p => new java.io.File(p).getName))
+      files.map(p => new java.io.File(p).getName),
+      archives.map(p => new java.io.File(p).getName))
     src.sparkSession.createDataFrame(
       piped.map(org.apache.spark.sql.Row(_)),
       org.apache.spark.sql.types.StructType(Seq(

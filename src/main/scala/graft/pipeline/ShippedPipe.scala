@@ -27,8 +27,10 @@ import org.apache.spark.rdd.RDD
 object ShippedPipe {
 
   def pipe(lines: RDD[String], command: Seq[String],
-      env: Map[String, String], shippedNames: Seq[String]): RDD[String] = {
+      env: Map[String, String], shippedNames: Seq[String],
+      archiveNames: Seq[String] = Nil): RDD[String] = {
     val names = shippedNames.toSet
+    val archives = archiveNames.toSet
     // the child runs on EVERY partition, including empty ones — the
     // Hadoop contract RDD.pipe also honors: a reducer with no input
     // still executes (headers, "0" counts, side effects), and when
@@ -36,8 +38,16 @@ object ShippedPipe {
     // contract. Skipping empty partitions silently dropped those
     // children's output.
     lines.mapPartitions { it =>
+      val root = new File(SparkFiles.getRootDirectory())
       val resolved = command.map { tok =>
         if (names(tok)) new File(SparkFiles.get(tok)).getAbsolutePath
+        // `-archives` contract (reference MapStreamJob.java:307-311
+        // cacheArchives: the archive is unpacked executor-side into a
+        // directory named after it, and commands address members as
+        // <archive>/<path>): SparkContext.addArchive unpacks under the
+        // SparkFiles root, so the token resolves against it
+        else if (archives.exists(a => tok.startsWith(a + "/")))
+          new File(root, tok).getAbsolutePath
         else tok
       }
       // mark every shipped file executable, and run shipped pipes from
@@ -47,13 +57,23 @@ object ShippedPipe {
       // token-substituted, but resolves against the cwd exactly as it
       // did under the reference
       val cwd =
-        if (names.isEmpty) None
+        if (names.isEmpty && archives.isEmpty) None
         else {
           names.foreach(n => new File(SparkFiles.get(n)).setExecutable(true))
-          Some(new File(SparkFiles.getRootDirectory()))
+          // zip/jar archives do not carry the exec bit; a script bundle
+          // is useless without it, so the whole (small, by contract)
+          // unpacked tree is marked — the same effect as Hadoop's
+          // unjarred working dir permissions
+          archives.foreach(a => setExecutableTree(new File(root, a)))
+          Some(root)
         }
       run(it, resolved, env, cwd)
     }
+  }
+
+  private def setExecutableTree(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(setExecutableTree))
+    else { f.setExecutable(true); () }
   }
 
   private def run(input: Iterator[String], command: Seq[String],

@@ -49,9 +49,11 @@ object IvfIndex {
   }
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
+    // by NAME, not ordinal — same self-describing on-disk contract as
+    // LshIndex.load (a column-order change must not scramble the model)
     val centroids = spark.read.parquet(s"$dir/centroids")
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Float]]("centroid").toArray))
       .sortBy(_._1)
     IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
   }

@@ -54,8 +54,13 @@ object LshIndex {
       Knn.bucketCorpus(corpus, idCol, vecCol, dim, tables, bits, seed))
 
   def load(spark: SparkSession, dir: String): LshIndex = {
+    // by NAME, not ordinal: a silent column-order change in the
+    // geometry table would otherwise swap parameters (wrong planes →
+    // garbage search results, no error) — the on-disk contract is
+    // self-describing
     val g = spark.read.parquet(s"$dir/geometry").head()
-    LshIndex(g.getInt(0), g.getInt(1), g.getLong(2), g.getInt(3),
+    LshIndex(g.getAs[Int]("tables"), g.getAs[Int]("bits"),
+      g.getAs[Long]("seed"), g.getAs[Int]("dim"),
       spark.read.parquet(s"$dir/buckets"))
   }
 }

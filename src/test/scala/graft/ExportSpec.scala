@@ -27,16 +27,16 @@ class ExportSpec extends SparkSpec {
   }
 
   test("SegmentDedup hashed keys ≡ raw keys on the real corpus") {
-    // the production default windows on xxhash64(segment) (8-byte
+    // the opt-in hashed mode windows on xxhash64(segment) (8-byte
     // exchange keys); absent a 64-bit collision the keep/drop decisions
-    // — and so every output row — must match the byte-exact raw path
+    // — and so every output row — must match the byte-exact default
     // the DuckDB oracle checks
     val docs = util.Tables(spark, sf).documents
     val segs = SegmentDedup.windowSegments(col("text"), 15)
-    val raw = SegmentDedup.dedupSegments(docs, "doc_id", segs,
-        hashKeys = false)
+    val raw = SegmentDedup.dedupSegments(docs, "doc_id", segs)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    val hashed = SegmentDedup.dedupSegments(docs, "doc_id", segs)
+    val hashed = SegmentDedup.dedupSegments(docs, "doc_id", segs,
+        hashKeys = true)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(hashed === raw)
   }

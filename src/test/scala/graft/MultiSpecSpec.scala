@@ -100,6 +100,34 @@ class MultiSpecSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/agg").count() === 500L)
   }
 
+  test("MultiStream CLI -archives unpacks a script bundle executor-side") {
+    import org.apache.spark.sql.functions._
+    // a two-file bundle: the entry script sources its helper by
+    // bundle-relative path — exactly the multi-file mapper shape
+    // -file can't ship (reference -cacheArchive, MapStreamJob.java:307)
+    val entry = "#!/bin/sh\n. ./graft_bundle.zip/lib.sh\nrun_filter\n"
+    val helper = "run_filter() { grep spark || true; }\n"
+    val zipPath = java.nio.file.Files.createTempDirectory("graft_arch")
+      .resolve("graft_bundle.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    Seq("run.sh" -> entry, "lib.sh" -> helper).foreach { case (name, body) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    val out = java.nio.file.Files.createTempDirectory("graft_ms_arch").toString
+    MultiStream.main(Array(
+      "-input", s"$sf/documents.parquet", "-column", "text",
+      "-output", out,
+      "-archives", zipPath.toString,
+      "-multiple", "hits|graft_bundle.zip/run.sh|NONE"))
+    val native = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("text").contains("spark")).count()
+    assert(spark.read.parquet(s"$out/hits").count() === native,
+      "bundled grep must match native")
+  }
+
   test("MultiStream CLI classic -mapper/-combiner/-reducer equals native wordcount") {
     import org.apache.spark.sql.functions._
     // -numReduceTasks sets shuffle.partitions on the shared test

@@ -105,6 +105,46 @@ class PropertySpec extends AnyFunSuite {
     }, tests = 10)
   }
 
+  test("vector kernels: null elements read as 0.0f (nulls ≡ zeros)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    // the shared contract of every graft vector kernel: a null ELEMENT
+    // contributes 0.0, so a vector with nulls computes exactly what its
+    // zero-filled twin computes — one missing dimension never nulls out
+    // a row's buckets/probes/score
+    val genEntry = Gen.frequency(
+      6 -> Gen.choose(-10.0f, 10.0f).map(Option(_)),
+      2 -> Gen.const(Option.empty[Float]))
+    val gen = Gen.listOfN(8, for {
+      len <- Gen.choose(1, 12)
+      vec <- Gen.listOfN(len, genEntry)
+    } yield vec)
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = Array(0 -> Array.fill(8)(1.0f), 1 -> Array.fill(8)(-0.5f),
+      2 -> Array.tabulate(8)(i => if (i % 2 == 0) 2.0f else -2.0f))
+    checkProp(forAll(gen) { vecs =>
+      val withNulls = vecs.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("i", "v")
+      val zeroFilled = vecs.zipWithIndex
+        .map { case (v, i) => (i, v.map(_.getOrElse(0.0f))) }
+        .toDF("i", "v")
+      def eval(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Any]] =
+        df.select(col("i"),
+            call_function("graft_lsh_buckets", col("v").cast("array<float>"),
+              lit(4), lit(6), lit(7L), lit(8)).as("buckets"),
+            ColumnBridge.column(graft.functions.NearestCells(
+              ColumnBridge.expression(col("v").cast("array<float>")),
+              centroids.map(_._1), centroids.map(_._2), 2)).as("cells"),
+            call_function("graft_l2norm", col("v").cast("array<float>"))
+              .as("nrm"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            Seq(r.getSeq[Int](1).toSeq, r.getSeq[Int](2).toSeq, r.getDouble(3)))
+          .toMap
+      eval(withNulls) == eval(zeroFilled)
+    }, tests = 10)
+  }
+
   test("NearestCells: native probes equal the literal Spark twin on edge vectors") {
     import spark.implicits._
     import org.apache.spark.sql.graft.ColumnBridge
