@@ -19,7 +19,11 @@ import graft.pipeline.MultiSpec
   * `-input` reads parquet when the path contains ".parquet", else text
   * lines (column `value`); `-column` names the text column piped into
   * every branch; each branch writes `<output>/<dirKey>` — the
-  * reference's output layout (MultiStreamJobRunner.java:53-59). Branch
+  * reference's output layout (MultiStreamJobRunner.java:53-59).
+  * `-format` names any registered Spark DataSource (parquet default;
+  * json/csv/orc/text all work) — the Spark-native stand-in for the
+  * reference's pluggable OutputFormat classes (MapStreamJob.java:402),
+  * whose realistic uses are exactly these serialization swaps. Branch
   * writes are submitted concurrently (MultiPipeline.write), where the
   * reference pays one sequential MR job per spec.
   */

@@ -20,7 +20,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *     Spark-first replacement for a rewritten script);
   *  2. a recognized common executable, re-expressed as the codegen'd
   *     native stage (`cat`, `wc`, `grep [-v] PAT`, `cut [-d SEP] -f LIST`,
-  *     `NONE`/empty = identity, the Hadoop `-reducer NONE` convention);
+  *     `NONE`/empty = identity, the Hadoop `-reducer NONE` convention) —
+  *     but ONLY when the command carries no shell metacharacters: a
+  *     command like `grep x || true` or `cat f > out` means something
+  *     the builtin can't express, so it execs (rule 3) instead;
   *  3. anything else runs as a REAL child process: mappers through
   *     [[Pipes.exec]], reducers through [[Pipes.execReduce]] (key =
   *     first tab field, the Hadoop Streaming default) — the unmodified
@@ -66,6 +69,18 @@ object MultiSpec {
   private val Cut = """cut\s+(?:-d\s*(\S+)\s+)?-f\s*([\d,]+)""".r
   private val Sed = """sed\s+s/([^/]+)/([^/]*)/g""".r
 
+  /** Shell metacharacters that change a command's meaning under
+    * `/bin/sh`. A command containing any of them must NOT resolve to a
+    * builtin: `grep spark || true` is not a grep for the pattern
+    * `spark || true` — as an rlike that empty alternation matches
+    * EVERY row — and `cat foo > out` is not `cat`. Such commands take
+    * the exec path, where the shell gives them their real semantics
+    * (the reference always execs, so this is exactly its behavior).
+    * Quotes count: a builtin would take them as literal pattern bytes,
+    * the shell strips them.
+    */
+  private val ShellMeta: Set[Char] = "|&;<>()$`\\\"'*?[]{}~".toSet
+
   /** Resolve one command string to a stage over text column `c`.
     * `partitionKey`/`ship` apply only to exec'd children — the
     * `-partitioner` and `-file` surfaces, meaningless for native stages
@@ -78,8 +93,21 @@ object MultiSpec {
       numPartitions: Option[Int] = None): Pipes.Pipe =
     registry.get(cmd).getOrElse {
       val base = cmd.split("/").last // "/bin/cat" and "cat" are one idiom
-      (base, cmd) match {
-        case _ if cmd.isEmpty || cmd == "NONE" => Pipes.cat
+      // a real child process through a shell, so spec strings with
+      // arguments/pipes work as they did under `-mapper`. Reducers get
+      // the keyed+sorted stream contract.
+      def exec: Pipes.Pipe = {
+        val sh = Seq("/bin/sh", "-c", cmd)
+        if (asReducer)
+          Pipes.execReduce(c, "\t", 1, sh, env,
+            partitionKey = partitionKey, numPartitions = numPartitions,
+            ship = ship)
+        else Pipes.exec(c, sh, env, ship = ship)
+      }
+      if (cmd.isEmpty || cmd == "NONE") Pipes.cat
+      // shell syntax present — only the exec path gets it right
+      else if (cmd.exists(ShellMeta)) exec
+      else (base, cmd) match {
         case ("cat", _) => Pipes.cat
         case ("wc", _) => Pipes.wc(c)
         case (GrepV(pat), _) => Pipes.grepV(c, pat)
@@ -90,16 +118,7 @@ object MultiSpec {
         // match on the FULL command: sed's s/…/…/g contains slashes, so
         // the path-stripped `base` is meaningless for it
         case (_, Sed(pat, rep)) => Pipes.sed(c, pat, rep)
-        case _ =>
-          // unknown command — run the real executable through a shell,
-          // so spec strings with arguments/pipes work as they did under
-          // `-mapper`. Reducers get the keyed+sorted stream contract.
-          val sh = Seq("/bin/sh", "-c", cmd)
-          if (asReducer)
-            Pipes.execReduce(c, "\t", 1, sh, env,
-              partitionKey = partitionKey, numPartitions = numPartitions,
-              ship = ship)
-          else Pipes.exec(c, sh, env, ship = ship)
+        case _ => exec
       }
     }
 

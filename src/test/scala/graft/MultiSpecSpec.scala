@@ -35,6 +35,14 @@ class MultiSpecSpec extends SparkSpec {
       Map.empty, asReducer = false)
     assert(sed(df).orderBy("line").collect().map(_.getString(0)).toSeq ===
       Seq("drop this", "keep this flink line"))
+    // shell metacharacters defeat builtin resolution: "grep spark || true"
+    // is NOT a grep for the pattern "spark || true" (whose empty regex
+    // alternation matches EVERYTHING) — it must exec through /bin/sh,
+    // where it filters exactly like plain grep
+    val shellGrep = MultiSpec.resolve("grep spark || true", "line",
+      Map.empty, asReducer = false)
+    assert(shellGrep(df).collect().map(_.getString(0)).toSeq ===
+      Seq("keep this spark line"))
   }
 
   test("spec pipeline with exec mapper and execReduce reducer = native wordcount") {
@@ -126,6 +134,28 @@ class MultiSpecSpec extends SparkSpec {
       .where(col("text").contains("spark")).count()
     assert(spark.read.parquet(s"$out/hits").count() === native,
       "bundled grep must match native")
+  }
+
+  test("MultiStream CLI -format routes writes through any Spark DataSource") {
+    import org.apache.spark.sql.functions._
+    // the reference accepts arbitrary OutputFormat classes
+    // (MapStreamJob.java:402); the Spark-native equivalent is the
+    // DataSource registry — -format names any registered format and
+    // both the -multiple and classic paths route df.write through it
+    val native = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("text").contains("spark")).count()
+    val outJson = java.nio.file.Files.createTempDirectory("graft_fmt_json").toString
+    MultiStream.main(Array(
+      "-input", s"$sf/documents.parquet", "-column", "text",
+      "-output", outJson, "-format", "json",
+      "-multiple", "hits|grep spark|NONE"))
+    assert(spark.read.json(s"$outJson/hits").count() === native)
+    val outCsv = java.nio.file.Files.createTempDirectory("graft_fmt_csv").toString
+    MultiStream.main(Array(
+      "-input", s"$sf/documents.parquet", "-column", "text",
+      "-output", outCsv, "-format", "csv",
+      "-mapper", "grep spark || true"))
+    assert(spark.read.csv(outCsv).count() === native)
   }
 
   test("MultiStream CLI classic -mapper/-combiner/-reducer equals native wordcount") {
