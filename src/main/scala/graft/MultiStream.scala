@@ -37,6 +37,7 @@ object MultiStream {
     val env = scala.collection.mutable.Map.empty[String, String]
     val jobconf = scala.collection.mutable.Map.empty[String, String]
     val ship = scala.collection.mutable.ListBuffer.empty[String]
+    val archives = scala.collection.mutable.ListBuffer.empty[String]
     var partitioner = ""
     var mapper = ""; var reducer = "NONE"; var combiner = ""
     var i = 0
@@ -61,9 +62,10 @@ object MultiStream {
         // the reference's -archives/-cacheArchive (MapStreamJob.java:
         // 307-311): ship a tar/zip bundle, unpacked executor-side into
         // a directory named after the archive; children address members
-        // as <archive>/<member>. Hadoop accepts a comma list.
+        // as <archive>/<member>. Hadoop accepts a comma list. Kept in
+        // its own list: a -file-shipped .zip/.jar must stay a flat file
         case "-archives" | "-cacheArchive" =>
-          ship ++= args(i + 1).split(",").filter(_.nonEmpty); i += 2
+          archives ++= args(i + 1).split(",").filter(_.nonEmpty); i += 2
         // the reference's -partitioner (MapStreamJob.java:869): here a
         // SQL expression over `key` deciding the reduce partition of
         // exec'd reducers
@@ -170,19 +172,21 @@ object MultiStream {
       val nRed = if (numReduceTasks > 0) Some(numReduceTasks) else None
       if (specs.nonEmpty) {
         MultiSpec.pipeline(taggedDf, c, specs.toSeq, env = env.toMap,
-            partitionKey = partKey, ship = ship.toSeq, numPartitions = nRed)
+            partitionKey = partKey, ship = ship.toSeq, numPartitions = nRed,
+            archives = archives.toSeq)
           .write(output, format)
         println(s"[multistream] ${specs.size} branch(es) written under $output")
       } else {
         // classic single-pipeline form: mapper → (combiner) → reducer,
         // result written straight to -output (the Hadoop part-file dir)
         val mapped = MultiSpec.resolve(mapper, c, Map.empty,
-          asReducer = false, env.toMap, partKey, ship.toSeq)(taggedDf)
+          asReducer = false, env.toMap, partKey, ship.toSeq,
+          archives = archives.toSeq)(taggedDf)
         val reduced =
           if (reducer.isEmpty || reducer == "NONE") mapped
           else if (combiner.isEmpty)
             MultiSpec.resolve(reducer, c, Map.empty, asReducer = true,
-              env.toMap, partKey, ship.toSeq, nRed)(mapped)
+              env.toMap, partKey, ship.toSeq, nRed, archives.toSeq)(mapped)
           else
             // a binary combiner forces the exec path: it runs per input
             // partition BEFORE the shuffle (the -combiner contract)
@@ -191,7 +195,8 @@ object MultiStream {
               combiner = Seq("/bin/sh", "-c", combiner),
               partitionKey = partKey,
               numPartitions = nRed,
-              ship = ship.toSeq)(mapped)
+              ship = ship.toSeq,
+              archives = archives.toSeq)(mapped)
         reduced.write.mode("overwrite").format(format).save(output)
         println(s"[multistream] single pipeline written to $output")
       }

@@ -28,10 +28,10 @@ import graft.text.TextOps
   * the same keep/reassemble pipeline.
   *
   * Scale (100 TB): two hash exchanges, both on bounded keys — one on the
-  * segment for the first-occurrence window (keyed on `xxhash64(segment)`
-  * by default — the `hashKeys` knob on [[dedupSegments]]; the raw-text
-  * key remains for byte-exact/oracle runs), one on the doc id to
-  * reassemble. The
+  * segment for the first-occurrence window (byte-exact raw-text key by
+  * default; the opt-in `hashKeys` knob on [[dedupSegments]] switches it
+  * to 8-byte `xxhash64(segment)` for shuffle-width at the fingerprint
+  * trade documented there), one on the doc id to reassemble. The
   * first-occurrence rule is a row_number window, NOT a groupBy +
   * self-join — one shuffle instead of two and no re-scan of the corpus.
   * No driver state, no broadcast of anything corpus-sized.

@@ -108,12 +108,29 @@ private[graft] object PqKernels {
     new GenericArrayData(out)
   }
 
+  // The geometry checks below exist for the encode-once/search-many
+  // path: a codes table read back from disk can meet a model it was
+  // NOT encoded under (codebooks refit at a different m×ks, a caller
+  // mixing artifacts). Without them the mismatch surfaces as a raw
+  // ArrayIndexOutOfBoundsException deep inside an executor's generated
+  // code — with them it's one compare per row and a message that names
+  // the actual problem.
+  private def badGeometry(detail: String): Nothing =
+    throw new IllegalArgumentException(
+      s"PQ geometry mismatch: $detail — the codes table was encoded " +
+        "under a different model than the one searching it")
+
   def reconNorm(codes: ArrayData, nsq: Array[Array[Double]]): Double = {
     var acc = 0.0
     var sub = 0
-    val m = math.min(codes.numElements(), nsq.length)
+    val m = codes.numElements()
+    if (m != nsq.length)
+      badGeometry(s"$m code bytes per row vs model m=${nsq.length}")
     while (sub < m) {
-      acc += nsq(sub)(codes.getInt(sub))
+      val c = codes.getInt(sub)
+      if (c < 0 || c >= nsq(sub).length)
+        badGeometry(s"code $c at subspace $sub vs model ks=${nsq(sub).length}")
+      acc += nsq(sub)(c)
       sub += 1
     }
     math.sqrt(acc)
@@ -123,8 +140,14 @@ private[graft] object PqKernels {
     var acc = 0.0
     var sub = 0
     val m = codes.numElements()
+    if (tab.numElements() != m * ks)
+      badGeometry(s"$m code bytes per row vs an m×ks = " +
+        s"${tab.numElements() / ks}×$ks inner-product table")
     while (sub < m) {
-      acc += tab.getDouble(sub * ks + codes.getInt(sub))
+      val c = codes.getInt(sub)
+      if (c < 0 || c >= ks)
+        badGeometry(s"code $c at subspace $sub vs model ks=$ks")
+      acc += tab.getDouble(sub * ks + c)
       sub += 1
     }
     acc

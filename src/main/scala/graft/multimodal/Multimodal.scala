@@ -74,11 +74,14 @@ object Multimodal {
           .otherwise(lit(64) + pmod(col("n_chars") * 7, lit(512)))
           .cast("int").as("height"))
       .as[MediaRecord]
-      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { m =>
+      // plain per-record map: synthesis has no batch-level work to
+      // amortize, so no .grouped buffering (that shape belongs to
+      // decodeFeatures, where a vectorized decoder earns the batch)
+      .mapPartitions(_.map { m =>
         if (m.format == "png")
           m.copy(bytes = PngCodec.synthesize(m.media_id, m.width, m.height))
         else m
-      }))
+      })
   }
 
   /** One decode batch: REAL ImageIO decode where the payload is a

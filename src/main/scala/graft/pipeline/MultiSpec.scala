@@ -82,17 +82,24 @@ object MultiSpec {
   private val ShellMeta: Set[Char] = "|&;<>()$`\\\"'*?[]{}~".toSet
 
   /** Resolve one command string to a stage over text column `c`.
-    * `partitionKey`/`ship` apply only to exec'd children — the
-    * `-partitioner` and `-file` surfaces, meaningless for native stages
-    * (Catalyst owns their partitioning; nothing to ship).
+    * `partitionKey`/`ship`/`archives` apply only to exec'd children —
+    * the `-partitioner`, `-file` and `-archives` surfaces, meaningless
+    * for native stages (Catalyst owns their partitioning; nothing to
+    * ship).
     */
   def resolve(cmd: String, c: String, registry: Registry,
       asReducer: Boolean, env: Map[String, String] = Map.empty,
       partitionKey: Option[Column] = None,
       ship: Seq[String] = Nil,
-      numPartitions: Option[Int] = None): Pipes.Pipe =
+      numPartitions: Option[Int] = None,
+      archives: Seq[String] = Nil): Pipes.Pipe =
     registry.get(cmd).getOrElse {
-      val base = cmd.split("/").last // "/bin/cat" and "cat" are one idiom
+      // "/bin/cat" and "cat" are one idiom — but strip the directory
+      // prefix ONLY for absolute paths: a RELATIVE path with a slash is
+      // archive-member addressing (`bundle.zip/grep PAT` runs the
+      // bundled program, never the grep builtin) or an explicit local
+      // script (`./score.py`), both of which must exec as-is
+      val base = if (cmd.startsWith("/")) cmd.split("/").last else cmd
       // a real child process through a shell, so spec strings with
       // arguments/pipes work as they did under `-mapper`. Reducers get
       // the keyed+sorted stream contract.
@@ -101,8 +108,8 @@ object MultiSpec {
         if (asReducer)
           Pipes.execReduce(c, "\t", 1, sh, env,
             partitionKey = partitionKey, numPartitions = numPartitions,
-            ship = ship)
-        else Pipes.exec(c, sh, env, ship = ship)
+            ship = ship, archives = archives)
+        else Pipes.exec(c, sh, env, ship = ship, archives = archives)
       }
       if (cmd.isEmpty || cmd == "NONE") Pipes.cat
       // shell syntax present — only the exec path gets it right
@@ -135,12 +142,13 @@ object MultiSpec {
       env: Map[String, String] = Map.empty,
       partitionKey: Option[Column] = None,
       ship: Seq[String] = Nil,
-      numPartitions: Option[Int] = None): MultiPipeline =
+      numPartitions: Option[Int] = None,
+      archives: Seq[String] = Nil): MultiPipeline =
     specs.map(parse).foldLeft(MultiPipeline(input, share)) { (mp, sp) =>
       mp.branch(sp.dirKey)(
         resolve(sp.mapper, c, registry, asReducer = false, env,
-            partitionKey, ship)
+            partitionKey, ship, archives = archives)
           .andThen(resolve(sp.reducer, c, registry, asReducer = true, env,
-            partitionKey, ship, numPartitions)))
+            partitionKey, ship, numPartitions, archives)))
     }
 }

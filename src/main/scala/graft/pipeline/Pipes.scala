@@ -131,6 +131,17 @@ object Pipes {
     * runs unchanged on a 1000-executor cluster:
     * `exec("line", Seq("score.py"), ship = Seq("/home/me/score.py"))`.
     *
+    * `archives` is the `-archives`/`-cacheArchive` surface
+    * (MapStreamJob.java:307-311): each local tar/zip is distributed via
+    * `SparkContext.addArchive` (unpacked executor-side into a directory
+    * named after the archive — Spark ≥ 3.1) and addressed in commands
+    * as `<archive>/<member>`. The two lists are deliberately separate:
+    * a `-file`-shipped `.zip`/`.jar` stays a FLAT file (a child reading
+    * `model.zip` as bytes, `java -jar tool.jar`), never silently
+    * unpacked — only the caller knows which semantics it wants, so the
+    * flag travels with the path instead of being inferred from the
+    * extension.
+    *
     * The child must exit 0: a nonzero exit fails the task.
     * Tools with grep-style "no match" exit codes need a
     * `sh -c '... || true'` wrapper.
@@ -140,8 +151,10 @@ object Pipes {
     */
   def exec(c: String, command: Seq[String],
       env: Map[String, String] = Map.empty,
-      ship: Seq[String] = Nil): Pipe = { df =>
-    linesToDf(df, c, df.select(col(c).cast("string")))(command, env, ship)
+      ship: Seq[String] = Nil,
+      archives: Seq[String] = Nil): Pipe = { df =>
+    linesToDf(df, c, df.select(col(c).cast("string")))(
+      command, env, ship, archives)
   }
 
   /** The external REDUCER contract, exactly as Hadoop Streaming frames
@@ -181,13 +194,14 @@ object Pipes {
       combiner: Seq[String] = Nil,
       partitionKey: Option[Column] = None,
       numPartitions: Option[Int] = None,
-      ship: Seq[String] = Nil): Pipe = { df =>
+      ship: Seq[String] = Nil,
+      archives: Seq[String] = Nil): Pipe = { df =>
     val keyed = keyBy(c, sep, numKeyFields)(df)
     val preShuffle =
       if (combiner.isEmpty) keyed
       else keyBy(c, sep, numKeyFields)(linesToDf(df, c,
         keyed.sortWithinPartitions(col("key")).select(col(c).cast("string")))(
-        combiner, env, ship))
+        combiner, env, ship, archives))
     val part = partitionKey.getOrElse(col("key"))
     val shuffled = numPartitions match {
       case Some(n) => preShuffle.repartition(n, part)
@@ -196,26 +210,14 @@ object Pipes {
     val lines = shuffled
       .sortWithinPartitions(col("key"))
       .select(col(c).cast("string"))
-    linesToDf(df, c, lines)(command, env, ship)
+    linesToDf(df, c, lines)(command, env, ship, archives)
   }
-
-  /** The `-archives`/`-cacheArchive` surface rides the same `ship`
-    * list: paths with an archive extension are distributed via
-    * `SparkContext.addArchive` (unpacked executor-side into a
-    * directory named after the archive — Spark ≥ 3.1) and addressed
-    * in commands as `<archive>/<member>`; everything else is a
-    * `-file` (`addFile`, addressed by basename).
-    */
-  private val ArchiveExts = Seq(".tar.gz", ".tgz", ".tar", ".zip", ".jar")
-  private def isArchive(p: String): Boolean =
-    ArchiveExts.exists(p.toLowerCase(java.util.Locale.ROOT).endsWith)
 
   private def linesToDf(src: DataFrame, c: String, lines: DataFrame)(
       command: Seq[String], env: Map[String, String],
-      ship: Seq[String] = Nil): DataFrame = {
+      ship: Seq[String] = Nil, archives: Seq[String] = Nil): DataFrame = {
     val sc = src.sparkSession.sparkContext
-    val (archives, files) = ship.partition(isArchive)
-    files.foreach(sc.addFile(_))
+    ship.foreach(sc.addFile(_))
     archives.foreach(sc.addArchive(_))
     // a NULL record would reach the child as the literal string "null"
     // (PrintWriter.println(null: String) semantics); Hadoop's line world
@@ -228,7 +230,7 @@ object Pipes {
     // mangles multibyte UTF-8 under a non-UTF-8 JVM default; the
     // streaming contract is UTF-8 bytes (PipeSpec pins the round-trip)
     val piped = ShippedPipe.pipe(safe.rdd.map(_.getString(0)), command, env,
-      files.map(p => new java.io.File(p).getName),
+      ship.map(p => new java.io.File(p).getName),
       archives.map(p => new java.io.File(p).getName))
     src.sparkSession.createDataFrame(
       piped.map(org.apache.spark.sql.Row(_)),

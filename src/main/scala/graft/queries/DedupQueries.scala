@@ -323,9 +323,10 @@ object DedupQueries {
     * keep/drop AND reassembly order.
     */
   def dedupParagraph(s: SparkSession, dir: String): DataFrame =
-    // hashKeys = false: the oracle's window partitions by raw segment
-    // text, so the checked path must be byte-exact; the hashed-key
-    // production default is parity-pinned against this in DedupSpec
+    // hashKeys = false (the default, stated for emphasis): the oracle's
+    // window partitions by raw segment text, so the checked path is
+    // byte-exact; the opt-in hashed-key variant is parity-pinned
+    // against this in ExportSpec
     SegmentDedup.dedupSegments(Tables(s, dir).documents, "doc_id",
         SegmentDedup.windowSegments(col("text"), ParaSegWords),
         hashKeys = false)

@@ -201,8 +201,13 @@ object Pq {
     val adc = broadcast(qs.select(col("query_id"), col("qtab"), col("qn")))
       .join(cs, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (asCol(graft.functions.PqAdcSum(bridge(col("qtab")),
-            bridge(col("codes")), ks)) / (col("qn") * col("rnorm"))).as("cos"))
+        // cosineWithNorms, not a raw division: a zero-norm query or
+        // reconstruction yields NULL (ranked last by pairTopK), never
+        // an ANSI DIVIDE_BY_ZERO or a shortlist-polluting garbage score
+        Vectors.cosineWithNorms(
+          asCol(graft.functions.PqAdcSum(bridge(col("qtab")),
+            bridge(col("codes")), ks)),
+          col("qn"), col("rnorm")).as("cos"))
     val shortlist = Knn.pairTopK(adc, k * rerankFactor)
       .select(col("query_id"), col("neighbor_id"))
     val exact = shortlist

@@ -25,9 +25,18 @@ object Vectors {
 
   /** Cosine similarity given precomputed norms (precompute per row before
     * a pair join so each norm is evaluated once, not once per pair).
+    *
+    * A zero norm makes the cosine undefined — and under Spark 4's
+    * default ANSI mode a plain division would throw DIVIDE_BY_ZERO and
+    * kill the whole job over one dead/failed embedding (a routine
+    * artifact in a 100 TB corpus). The undefined case yields NULL
+    * instead: `cos >= τ` filters drop it and `cos.desc` ranks it last
+    * (desc is NULLS LAST), so garbage rows can never crash a job, match
+    * a threshold, or displace real candidates — the same
+    * garbage-sorts-last contract NearestCells documents.
     */
   def cosineWithNorms(dot: Column, normA: Column, normB: Column): Column =
-    dot / (normA * normB)
+    when(normA * normB > 0, dot / (normA * normB))
 
   /** Cosine similarity of two raw vectors. */
   def cosine(a: Column, b: Column): Column =

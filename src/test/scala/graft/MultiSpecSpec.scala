@@ -136,6 +136,44 @@ class MultiSpecSpec extends SparkSpec {
       "bundled grep must match native")
   }
 
+  test("archive-member command with a builtin-colliding basename execs the bundle") {
+    import spark.implicits._
+    // bundle ships a program NAMED `grep` that is not grep — the
+    // <archive>/<member> prefix must defeat the "/bin/cat and cat are
+    // one idiom" basename strip, or the builtin silently replaces the
+    // user's binary with different semantics
+    val zipPath = java.nio.file.Files.createTempDirectory("graft_cb")
+      .resolve("graft_cb.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("grep"))
+    zos.write("#!/bin/sh\nwhile read l; do echo \"X:$l\"; done\n"
+      .getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val df = Seq("keep this spark line", "drop this").toDF("line")
+    val pipe = MultiSpec.resolve("graft_cb.zip/grep spark", "line",
+      Map.empty, asReducer = false, archives = Seq(zipPath.toString))
+    // the bundled "grep" echoes EVERY line X:-prefixed; the builtin
+    // would have filtered to the one matching line
+    assert(pipe(df).orderBy("line").collect().map(_.getString(0)).toSeq ===
+      Seq("X:drop this", "X:keep this spark line"))
+  }
+
+  test("-file-shipped .jar/.zip stays a flat file, never silently unpacked") {
+    import spark.implicits._
+    // a child reading an opaque shipped bundle as BYTES (java -jar, a
+    // model.zip the script parses itself): extension-based archive
+    // inference would hand it an unpacked directory instead
+    val f = java.nio.file.Files.createTempFile("graft_flat", ".jar")
+    java.nio.file.Files.writeString(f, "payload-line\n")
+    val df = Seq("stdin-line").toDF("line")
+    val out = Pipes.exec("line",
+      Seq("/bin/sh", "-c", s"cat - ${f.getFileName}"),
+      ship = Seq(f.toString))(df)
+    assert(out.collect().map(_.getString(0)).toSeq ===
+      Seq("stdin-line", "payload-line"))
+  }
+
   test("MultiStream CLI -format routes writes through any Spark DataSource") {
     import org.apache.spark.sql.functions._
     // the reference accepts arbitrary OutputFormat classes

@@ -244,6 +244,55 @@ class SimSpec extends SparkSpec {
       s"guard must name the ceiling: ${err.getMessage}")
   }
 
+  test("a codes/model geometry mismatch fails loudly, not as an index error") {
+    // encode-once/search-many hazard: a saved codes table meeting a
+    // refit model must name the problem, not AIOOBE inside codegen
+    val emb = graft.util.Tables(spark, sf).embeddings
+    val fitted = graft.sim.Pq.fit(emb, "vec_id", "embedding",
+      m = 4, ks = 4, iters = 1)
+    val codes = graft.sim.Pq.codes(emb, "vec_id", "embedding", fitted)
+    val refit = graft.sim.Pq.fit(emb, "vec_id", "embedding",
+      m = 2, ks = 2, iters = 1)
+    val ex = intercept[Throwable] {
+      graft.sim.Pq.searchEncoded(refit, codes, emb.limit(2), emb,
+        "vec_id", "embedding", k = 3).collect()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("PQ geometry mismatch"), messages.take(500))
+  }
+
+  test("zero-norm embeddings never throw and never outrank real neighbors") {
+    import spark.implicits._
+    // a dead/failed embedding is routine in a 100 TB corpus; a raw ANSI
+    // division would kill the whole job with DIVIDE_BY_ZERO, and a NaN
+    // score would sort FIRST under cos.desc — the contract is NULL cos,
+    // ranked last, never >= τ (Vectors.cosineWithNorms)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), // dead embedding
+      (3L, Array(-1.0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.sim.Knn.brute(vecs, vecs, "vec_id", "embedding", k = 3)
+      .filter(col("query_id") === 0L).orderBy("rank").collect()
+    assert(out.length === 3)
+    assert(out.last.getLong(2) === 2L && out.last.isNullAt(3),
+      "the zero vector must rank last with NULL cos")
+    assert(out.take(2).forall(!_.isNullAt(3)))
+    // PQ: a zero-norm corpus row in the ADC pass and re-rank
+    val model = graft.sim.Pq.fit(vecs, "vec_id", "embedding",
+      m = 2, ks = 2, iters = 1)
+    val pq = graft.sim.Pq.search(vecs, vecs, "vec_id", "embedding",
+      k = 3, model).collect()
+    assert(pq.nonEmpty)
+    // dedup: a zero vector is a near-dup of NOTHING (NULL fails >= τ)
+    val dd = graft.dedup.EmbeddingDedup.pairs(vecs, "vec_id", "embedding", 0.5)
+      .collect()
+    assert(dd.nonEmpty)
+    assert(dd.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L))
+  }
+
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
     // every (q, n, cos) from LSH must agree with brute-force cos when present
     val brute = SimQueries.knnBrute(spark, sf).collect()
