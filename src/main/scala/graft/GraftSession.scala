@@ -25,9 +25,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); set at build time so no
-      // read path has to flip session conf mid-flight (Tables.events
-      // still sets it defensively for sessions built elsewhere)
+      // some events.parquet generations carry TIMESTAMP(NANOS); set at
+      // build time so no read path has to flip session conf mid-flight
+      // (Tables.events still sets it defensively for sessions built
+      // elsewhere; a no-op for micros/millis parquet)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

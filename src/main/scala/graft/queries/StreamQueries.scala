@@ -52,13 +52,17 @@ object StreamQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
-  /** Schema of events.parquet for the file streaming source (ts read as
-    * raw nanos — the nanosAsLong conf — and normalized after).
+  /** Schema for the events file streaming source: probed from a batch
+    * read of the same file (readStream demands an explicit schema; the
+    * batch reader already resolves whatever time unit the parquet
+    * carries — nanos-as-long, micros NTZ, or tz-adjusted TIMESTAMP).
+    * `Tables.normalizeEventTs` then canonicalizes `ts` post-read, so
+    * the streaming time axis can never silently diverge from batch.
     */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private def probedEventsSchema(s: SparkSession, dir: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet").schema
+  }
 
   /** One readStream fanned to three sinks (the reference's `-multiple`
     * on a stream), then a summary of what landed — deterministic because
@@ -73,9 +77,8 @@ object StreamQueries {
     Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = s.readStream.schema(eventsRawSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+      s.readStream.schema(probedEventsSchema(s, dir)).parquet(srcDir.toString))
     val q = Streams.multiSink(stream, home, Seq(
       "clicks" -> (df => df.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("value"))),

@@ -21,21 +21,51 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = table("part")
   def orders: DataFrame    = table("orders")
   def lineitem: DataFrame  = table("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's converter
-    * rejects. Read nanos as long (legacy conf, runtime-settable) and
-    * normalize to a microsecond timestamp — identical to DuckDB's own
-    * ns→us truncation, so oracle parity holds.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+    * generations and TIMESTAMP(MICROS) in others, so the loader is
+    * schema-adaptive: read first, then normalize based on what actually
+    * surfaced. Every downstream consumer sees one canonical shape —
+    * `ts: TIMESTAMP` (session-tz, set to UTC by [[graft.GraftSession]])
+    * at microsecond precision.
     *
-    * NOTE: the conf is session-global and deliberately left set — the
-    * read plan's schema AND its execution both honor it, so restoring
-    * it eagerly could break this very frame's execution. Side effect:
-    * other TIMESTAMP(NANOS) parquet reads in the session also see raw
-    * longs (without the conf, Spark refuses to read them at all).
+    *  - NANOS: Spark's converter rejects nanos outright, so the
+    *    `nanosAsLong` legacy conf (set here AND at session build) makes
+    *    the column surface as raw LongType nanos; truncate ns→us —
+    *    identical to DuckDB's own conversion, so oracle parity holds.
+    *  - MICROS without tz annotation: surfaces as TIMESTAMP_NTZ; cast
+    *    to session-tz TIMESTAMP (a wall-clock identity under UTC,
+    *    matching DuckDB's `epoch()` of a naive timestamp).
+    *  - MICROS/MILLIS adjusted-to-UTC: already TIMESTAMP, use as-is.
+    *
+    * NOTE: the nanos conf is session-global and deliberately left set —
+    * a nanos read plan's schema AND its execution both honor it, so
+    * restoring it eagerly could break the frame it just enabled. It is
+    * a no-op for non-nanos parquet.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(table("events"))
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize an events frame's `ts` column to session-tz TIMESTAMP at
+    * microsecond precision, whatever physical type the parquet read
+    * produced (see [[Tables.events]] for the unit-by-unit contract).
+    * Shared by the batch loader and every `readStream` site so batch
+    * and streaming can never disagree on the time axis.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as raw nanos
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // naive micros: interpret in session tz (UTC)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already session-tz TIMESTAMP
+    }
 }
