@@ -20,7 +20,13 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] query failed: ${e.getMessage}"); None
+        // one SHORT line per failure: a multi-line analysis error times
+        // 16 queries times 3 runs floods the driver's ~2000-char stdout
+        // tail and crowds out the JSON line (observed round 6)
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(
+          s"[bench] query failed: ${msg.takeWhile(_ != '\n').take(200)}")
+        None
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -73,13 +79,15 @@ object Bench {
     val line = candidates.map((render _).tupled).find(_.length <= 1700)
       .getOrElse(render(2, 2.0))
     val fullLine = render(9, 0.0)
-    println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
     }
+    // stop BEFORE printing: Spark shutdown logs landing after the JSON
+    // line would push it out of the driver's bounded stdout capture
     spark.stop()
+    println(line)
   }
 }
