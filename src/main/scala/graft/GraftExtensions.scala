@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomFilterAgg, BloomMightContain, CmsEstimate, DotProductD, GraftFunctions, HeavyHitters, L2NormD, MinHashLanes, NfcNormalize, PolyFingerprint, SimHash64}
+import graft.functions.{BloomFilterAgg, BloomMightContain, CmsEstimate, DotProductD, GraftFunctions, HeavyHitters, L2NormD, LangMarkerBest, MinHashLanes, NfcNormalize, PolyFingerprint, SimHash64}
 
 /** Standard Spark extension packaging: enables graft's native functions
   * in ANY session via configuration —
@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization"),
       arity("graft_nfc", 1)(es => NfcNormalize(es.head))))
+    ext.injectFunction((FunctionIdentifier("graft_lang_best"),
+      info("graft_lang_best", "graft_lang_best(tokens) - marker-count language prediction"),
+      arity("graft_lang_best", 1)(es =>
+        LangMarkerBest(es.head, LangMarkerBest.DefaultMarkers))))
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       info("graft_cms_estimate", "graft_cms_estimate(sketch, item) - Count-Min frequency estimate"),
       arity("graft_cms_estimate", 2)(es => CmsEstimate(es(0), es(1)))))

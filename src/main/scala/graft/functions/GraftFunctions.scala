@@ -24,6 +24,8 @@ object GraftFunctions {
         foldableInt("graft_bloom_agg numHashes", k)).toAggregateExpression() },
     "graft_bloom_contains" -> { case Seq(f, v) => BloomMightContain(f, v) },
     "graft_nfc" -> { case Seq(a) => NfcNormalize(a) },
+    "graft_lang_best" -> { case Seq(a) =>
+      LangMarkerBest(a, LangMarkerBest.DefaultMarkers) },
     "graft_cms_estimate" -> { case Seq(s, v) => CmsEstimate(s, v) },
     "graft_lsh_buckets" -> { case Seq(v, t, b, s, d) =>
       LshBuckets(v, foldableInt("graft_lsh_buckets tables", t),

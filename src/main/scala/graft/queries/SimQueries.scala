@@ -108,6 +108,27 @@ object SimQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Approximate: IVFADC — knn_pq's ADC scoring pruned by knn_ivf's
+    * coarse quantizer (Jégou §V, graft.sim.Pq.searchEncodedCells).
+    * Per query the ADC pass touches ~nProbe/C of the code rows via a
+    * broadcast equi-join on `cell` instead of flat-scanning them all —
+    * the composition that carries PQ search to corpus scale (and, via
+    * IvfPqIndex's cell-partitioned persistence, to partition-pruned
+    * scans). Same memoized centroids as knn_ivf, same 16×64 search
+    * geometry as knn_pq; probes deepened to half the cells because the
+    * coarse quantizer must now catch what the flat scan saw anyway —
+    * recall floor and no-cartesian plan shape are spec-asserted.
+    */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(s, dir)
+    val model = pqSearchModelFor(dir, c)
+    val centroids = centroidsFor(dir, c)
+    Pq.searchEncodedCells(model, centroids,
+        Pq.cellCodes(c, "vec_id", "embedding", model, centroids),
+        q, c, "vec_id", "embedding", K, nProbe = 8, rerankFactor = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Numeric quality gate for the approximate ANN paths: recall@K of
     * LSH, IVF, and PQ against the exact brute-force top-k, macro-averaged
     * over queries, computed entirely in Spark (one plan: union the
@@ -231,6 +252,7 @@ object SimQueries {
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
+    "knn_ivfpq" -> (knnIvfPq _),
     "knn_recall" -> (knnRecall _),
     "emb_pq" -> (embPq _),
     "emb_centroids" -> (embCentroids _),

@@ -155,6 +155,21 @@ object Pq {
       asCol(graft.functions.PqCodes(bridge(col(vecCol)), model.codebooks))
         .as("codes"))
 
+  /** (neighbor_id, codes, cell): PQ-encode AND coarse-quantize each
+    * vector in the same map pass — the stored layout of IVFADC
+    * ([[searchEncodedCells]]). Both expressions ride the scan as
+    * reference objects; still no shuffle, no vector bytes retained.
+    */
+  def cellCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, centroids: Array[(Int, Array[Float])]): DataFrame =
+    Knn.assignCells(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
+        "neighbor_id", "v", centroids, 1)
+      .select(col("neighbor_id"),
+        asCol(graft.functions.PqCodes(bridge(col("v")), model.codebooks))
+          .as("codes"),
+        col("cell"))
+
   /** Approximate top-k by asymmetric distance computation with exact
     * re-ranking — the ANN path you run when the corpus no longer fits
     * as floats: the scored table carries m code bytes per vector (32×
@@ -191,26 +206,79 @@ object Pq {
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       rerankFactor: Int = 5): DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val qs = queriesWithTab(queries, idCol, vecCol, model)
+    val adc = broadcast(qs.select(col("query_id"), col("qtab"), col("qn")))
+      .join(codesWithRnorm(codesDf, model),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adcCos(model).as("cos"))
+    rerankExact(Knn.pairTopK(adc, k * rerankFactor), qs, corpus,
+      idCol, vecCol, k)
+  }
+
+  /** IVFADC (Jégou §V): ADC search pruned by an IVF coarse quantizer.
+    * Flat [[searchEncoded]] scans EVERY code row per query — inherent
+    * to flat ADC and fine while the codes table is small, but at 10⁹
+    * vectors the scan is the cost. Here each code row carries the IVF
+    * cell of its ORIGINAL vector (assigned at encode time,
+    * [[cellCodes]]); a query attaches its `nProbe` nearest cells and
+    * the ADC pass becomes a broadcast EQUI-join on `cell` — candidates
+    * shrink to ~nProbe/C of the corpus, and against a cell-partitioned
+    * on-disk index ([[IvfPqIndex]]) the scan itself prunes to the
+    * probed cells. Shortlist and exact re-rank are identical to the
+    * flat path, so the returned `cos` stays exact.
+    */
+  def searchEncodedCells(model: Model,
+      centroids: Array[(Int, Array[Float])], cellCodesDf: DataFrame,
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, rerankFactor: Int = 5): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val qs = queriesWithTab(queries, idCol, vecCol, model)
+    val probes = Knn.assignCells(qs, "query_id", "qv", centroids, nProbe)
+      .select(col("query_id"), col("qtab"), col("qn"),
+        explode(col("cells")).as("cell"))
+    val adc = broadcast(probes)
+      .join(codesWithRnorm(cellCodesDf, model), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adcCos(model).as("cos"))
+    rerankExact(Knn.pairTopK(adc, k * rerankFactor), qs, corpus,
+      idCol, vecCol, k)
+  }
+
+  /** Query side: inner-product table (m×ks doubles, KBs) + exact norm. */
+  private def queriesWithTab(queries: DataFrame, idCol: String,
+      vecCol: String, model: Model): DataFrame = {
     val ks = model.codebooks.headOption.map(_.length).getOrElse(0)
-    val qs = Knn.withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    Knn.withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
       .withColumn("qtab",
         asCol(graft.functions.PqIpTable(bridge(col("qv")), model.codebooks, ks)))
-    val cs = codesDf.select(col("neighbor_id"), col("codes"),
-      asCol(graft.functions.PqReconNorm(bridge(col("codes")), model.codebooks))
-        .as("rnorm"))
-    val adc = broadcast(qs.select(col("query_id"), col("qtab"), col("qn")))
-      .join(cs, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        // cosineWithNorms, not a raw division: a zero-norm query or
-        // reconstruction yields NULL (ranked last by pairTopK), never
-        // an ANSI DIVIDE_BY_ZERO or a shortlist-polluting garbage score
-        Vectors.cosineWithNorms(
-          asCol(graft.functions.PqAdcSum(bridge(col("qtab")),
-            bridge(col("codes")), ks)),
-          col("qn"), col("rnorm")).as("cos"))
-    val shortlist = Knn.pairTopK(adc, k * rerankFactor)
-      .select(col("query_id"), col("neighbor_id"))
-    val exact = shortlist
+  }
+
+  /** Codes side: attach the reconstruction norm, keep extra columns
+    * (e.g. `cell`) for the join that follows.
+    */
+  private def codesWithRnorm(codesDf: DataFrame, model: Model): DataFrame =
+    codesDf.withColumn("rnorm",
+      asCol(graft.functions.PqReconNorm(bridge(col("codes")), model.codebooks)))
+
+  /** cosineWithNorms, not a raw division: a zero-norm query or
+    * reconstruction yields NULL (ranked last by pairTopK), never an
+    * ANSI DIVIDE_BY_ZERO or a shortlist-polluting garbage score.
+    */
+  private def adcCos(model: Model): org.apache.spark.sql.Column = {
+    val ks = model.codebooks.headOption.map(_.length).getOrElse(0)
+    Vectors.cosineWithNorms(
+      asCol(graft.functions.PqAdcSum(bridge(col("qtab")),
+        bridge(col("codes")), ks)),
+      col("qn"), col("rnorm"))
+  }
+
+  /** Re-rank: ONLY the shortlisted ids join back to the float vectors
+    * (equi-joins only) for exact cosine.
+    */
+  private def rerankExact(shortlist: DataFrame, qs: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val exact = shortlist.select(col("query_id"), col("neighbor_id"))
       .join(broadcast(qs.select(col("query_id"), col("qv"), col("qn"))),
         "query_id")
       .join(Knn.withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn"),

@@ -143,27 +143,31 @@ object TextOps {
 
   // ---- language ID -----------------------------------------------------
 
-  /** Marker tokens per language, picked by frequency lift on the corpus.
-    * Deliberately data-derived-but-frozen: the scoring (count marker
-    * occurrences, argmax, ties broken by language code) is what's under
-    * test, and the oracle runs the identical scoring in SQL.
+  /** Marker tokens per language (count marker occurrences, argmax,
+    * ties broken by language code); canonical frozen table lives with
+    * the native expression, the oracle runs the identical scoring in
+    * SQL.
     */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("small", "table", "part", "key"),
-    "en" -> Seq("window", "big", "sort", "key"),
-    "es" -> Seq("line", "hash", "slow", "agg"),
-    "fr" -> Seq("query", "scan", "order", "stream"),
-    "zh" -> Seq("join", "fast", "the", "vector"))
+  val LangMarkers: Seq[(String, Seq[String])] =
+    graft.functions.LangMarkerBest.DefaultMarkers
 
   /** Marker-occurrence score for one language. */
   def langScore(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
 
   /** Predicted language: argmax of marker scores, ties → smallest
-    * language code. Implemented as sort of (−score, lang) structs so the
-    * whole decision is one codegen'd expression per row.
+    * language code — the `LangMarkerBest` native expression (one
+    * codegen'd token pass scoring all marker sets at once).
     */
-  def langPredict(toks: Column): Column = {
+  def langPredict(toks: Column): Column = call_function("graft_lang_best", toks)
+
+  /** The composable formulation langPredict replaced: one higher-order
+    * `filter()` per language (each an interpreted CodegenFallback array
+    * pass — ~5 passes/row, the round-6 bench's hot spot on the 10×
+    * documents table). Kept as the parity pin for the native
+    * expression; not used in any query path.
+    */
+  def langPredictComposable(toks: Column): Column = {
     val scored = array(LangMarkers.map { case (lang, ms) =>
       struct((-langScore(toks, ms)).as("neg"), lit(lang).as("lang"))
     }: _*)

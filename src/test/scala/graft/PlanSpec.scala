@@ -82,6 +82,20 @@ class PlanSpec extends SparkSpec {
       "shortlist top-k must push a partial group limit before its exchange")
   }
 
+  test("knn_ivfpq: ADC candidates ride an equi-join on cell, no cartesian") {
+    val plan = planOf(SimQueries.knnIvfPq(spark, sf))
+    // the whole point of IVFADC over flat ADC: the codes side is keyed
+    // by cell, so NO non-equi join survives anywhere in the plan — the
+    // probe join, shortlist, and re-rank are all equi/broadcast-hash
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "cell probing must never plan a cartesian-class join:\n" + plan.take(800))
+    assert(plan.toLowerCase.contains("pqadcsum"),
+      "ADC gather kernel missing from the plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "shortlist top-k must push a partial group limit before its exchange")
+  }
+
   test("dedup_embedding_cell: candidates ride an equi-join on cell, no cartesian") {
     val plan = planOf(graft.queries.DedupQueries.dedupEmbeddingCell(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

@@ -189,6 +189,61 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("knn_ivfpq recall vs brute is usable; returned cos is exact") {
+    val brute = neighborSets(SimQueries.knnBrute(spark, sf))
+    val out = SimQueries.knnIvfPq(spark, sf).collect()
+    val got = out.groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recalls = brute.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // coarse pruning on top of ADC: floor matches the other pruned
+    // paths (lsh/ivf), below flat PQ's 0.8 — the recall given up for
+    // scanning nProbe/C of the codes is the IVFADC trade by design
+    assert(mean >= 0.7, s"mean IVFADC recall@10 $mean")
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.values.foreach(rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length)))
+    val exactCos = SimQueries.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9, "IVFADC cos must be exact")
+      }
+    }
+  }
+
+  test("IvfPqIndex: fit-once search-many equals one-shot; disk round-trip prunes") {
+    val e = graft.util.Tables(spark, sf).embeddings
+    val (q, c) = (e.filter(col("vec_id") < 10), e)
+    val oneShot = SimQueries.knnIvfPq(spark, sf).collect().map(_.toSeq).toSeq
+    val model = graft.sim.Pq.fit(c, "vec_id", "embedding",
+      m = 16, ks = 64, iters = 2)
+    val centroids = graft.sim.Knn.fitCentroids(c, "vec_id", "embedding", 16, 3)
+    val index = graft.sim.IvfPqIndex.fitWith(c, "vec_id", "embedding",
+      centroids, model)
+    val viaIndex = index.search(q, c, "vec_id", "embedding", 10,
+        nProbe = 8, rerankFactor = 10)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(viaIndex === oneShot, "fit/search split must not change results")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    index.save(dir)
+    val loaded = graft.sim.IvfPqIndex.load(spark, dir)
+    assert(loaded.model.m === model.m && loaded.model.subDim === model.subDim)
+    assert(loaded.centroids.length === centroids.length)
+    val fromDisk = loaded.search(q, c, "vec_id", "embedding", 10,
+      nProbe = 8, rerankFactor = 10)
+    assert(fromDisk.orderBy(col("query_id"), col("rank"))
+      .collect().map(_.toSeq).toSeq === oneShot)
+    // probing the cell-partitioned codes table must plan a dynamic
+    // partition-pruning subquery — the scan reads ONLY probed cells
+    val plan = planOf(fromDisk)
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      plan.take(600))
+  }
+
   test("PqCodes native encoder matches the distributed encode argmin") {
     // the map-only native encoder is the scale path; the
     // explode/join/groupBy formulation stays the oracle — codes must

@@ -37,10 +37,28 @@ class TextSpec extends SparkSpec {
 
   test("langPredict breaks ties by language code") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     // no markers at all -> all scores 0 -> first lang code wins ("de")
     val df = Seq("xyzzy plugh").toDF("text")
     val out = df.select(TextOps.langPredict(TextOps.tokens(col("text")))).head()
     assert(out.getString(0) === "de")
+  }
+
+  test("native langPredict matches the composable formulation exactly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // crafted edges: empty text, marker-free, shared marker ("key" is in
+    // de AND en -> tie -> de), single-language dominance, repeats
+    val edges = Seq("", "xyzzy plugh", "key key", "join fast the vector",
+      "query scan order stream stream", "window big sort key small table")
+      .toDF("text")
+    val corpus = graft.util.Tables(spark, sf).documents.select(col("text"))
+    val df = edges.unionByName(corpus)
+    val toks = TextOps.tokens(col("text"))
+    val diff = df.select(TextOps.langPredict(toks).as("a"),
+        TextOps.langPredictComposable(toks).as("b"))
+      .filter(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull)
+    assert(diff.count() === 0L)
   }
 
   test("langid beats chance on the labeled corpus") {
