@@ -130,9 +130,9 @@ object SimQueries {
   }
 
   /** Numeric quality gate for the approximate ANN paths: recall@K of
-    * LSH, IVF, and PQ against the exact brute-force top-k, macro-averaged
-    * over queries, computed entirely in Spark (one plan: union the
-    * method outputs, left-join the exact set, two aggregations).
+    * LSH, IVF, PQ, and IVFADC against the exact brute-force top-k,
+    * macro-averaged over queries, computed entirely in Spark (one plan:
+    * union the method outputs, left-join the exact set, two aggregations).
     * Rows-only for the driver (the approx methods have no SQL twin),
     * but a recall regression now shows as a VALUE change instead of
     * being invisible behind `no_oracle`; the spec asserts the floors.
@@ -164,6 +164,12 @@ object SimQueries {
           Pq.search(q, c, "vec_id", "embedding", K, pqSearchModelFor(dir, c),
               rerankFactor = 10)
             .select(lit("pq").as("method"), col("query_id"), col("neighbor_id")))
+        .unionByName(
+          Pq.searchEncodedCells(pqSearchModelFor(dir, c), centroidsFor(dir, c),
+              Pq.cellCodes(c, "vec_id", "embedding", pqSearchModelFor(dir, c),
+                centroidsFor(dir, c)),
+              q, c, "vec_id", "embedding", K, nProbe = 8, rerankFactor = 10)
+            .select(lit("ivfpq").as("method"), col("query_id"), col("neighbor_id")))
     methods
       .join(exact, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))

@@ -203,6 +203,33 @@ class PropertySpec extends AnyFunSuite {
       s"degenerate vectors must probe the smallest cell ids, got ${cells.toSeq}")
   }
 
+  test("Bench marks-and-continues past a failing query; line stays parseable") {
+    // one broken table must never blank the whole artifact (round-6
+    // regression class): the failing query lands in `failed`, is
+    // excluded from the total, and the JSON line still parses
+    val good: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => { import s.implicits._; Seq(1, 2, 3).toDF("x") }
+    val bad: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (_, _) => throw new RuntimeException(
+        "simulated analysis error\nwith a multi-line\npayload")
+    val results = graft.Bench.measure(spark, "/nonexistent",
+      Map("q_ok" -> good, "q_broken" -> bad))
+    assert(results("q_ok") >= 0.0)
+    assert(results("q_broken") === -1.0)
+    val line = graft.Bench.shortLine(results, "/nonexistent")
+    val full = graft.Bench.renderLine(results, "/nonexistent", 9, 0.0)
+    Seq(line, full).foreach { l =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+      assert(node.get("n_failed").asInt() === 1)
+      assert(node.get("failed").get(0).asText() === "q_broken")
+      // total excludes the sentinel: never negative, equals q_ok's time
+      assert(node.get("value").asDouble() >= 0.0)
+      assert(math.abs(node.get("value").asDouble() - results("q_ok")) < 0.005)
+      assert(node.get("queries").has("q_broken") === false,
+        "failed queries must not appear as timings")
+    }
+  }
+
   test("shard hash: deterministic, all shards hit, no gross skew") {
     import spark.implicits._
     val ids = (0L until 4000L).toDF("id")
