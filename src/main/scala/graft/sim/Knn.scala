@@ -210,6 +210,14 @@ object Knn {
     * loop — same flop count, higher constant. Below the ceiling the
     * driver-mediated fit is faster; this is the shape that keeps
     * working above it. Returns (cell, cvec) rows.
+    *
+    * Input contract (where the two fits could diverge): `idCol` must be
+    * unique (the assignment groupBy keys on it — duplicate ids with
+    * identical vectors would collapse to one mean contribution) and
+    * vector elements non-null (the update's per-dim avg divides by the
+    * non-null count; fitCentroids divides by the cell's row count).
+    * Both hold for any sane embedding corpus and match the
+    * requirements the driver-mediated fit already has in practice.
     */
   def fitCentroidsDistributed(corpus: DataFrame, idCol: String,
       vecCol: String, c: Int, iters: Int): DataFrame = {

@@ -234,9 +234,12 @@ object Pq {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val qs = queriesWithTab(queries, idCol, vecCol, model)
-    val probes = Knn.assignCells(qs, "query_id", "qv", centroids, nProbe)
-      .select(col("query_id"), col("qtab"), col("qn"),
-        explode(col("cells")).as("cell"))
+    // assignCells returns a scalar `cell` at nProbe=1, an array `cells`
+    // otherwise — both admitted by the require above
+    val assigned = Knn.assignCells(qs, "query_id", "qv", centroids, nProbe)
+    val probes = (if (nProbe == 1) assigned
+      else assigned.withColumn("cell", explode(col("cells"))))
+      .select(col("query_id"), col("qtab"), col("qn"), col("cell"))
     val adc = broadcast(probes)
       .join(codesWithRnorm(cellCodesDf, model), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -157,9 +157,19 @@ object TextOps {
 
   /** Predicted language: argmax of marker scores, ties → smallest
     * language code — the `LangMarkerBest` native expression (one
-    * codegen'd token pass scoring all marker sets at once).
+    * codegen'd token pass scoring all marker sets at once), wrapped
+    * directly into the Column (ColumnBridge) so no session needs the
+    * function registered. A null token array scores all-zero in the
+    * composable formulation and falls to the smallest language code —
+    * the coalesce keeps that contract (the native expression, like any
+    * UnaryExpression, is null-intolerant on its own).
     */
-  def langPredict(toks: Column): Column = call_function("graft_lang_best", toks)
+  def langPredict(toks: Column): Column = coalesce(
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LangMarkerBest(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks),
+        graft.functions.LangMarkerBest.DefaultMarkers)),
+    lit(LangMarkers.head._1))
 
   /** The composable formulation langPredict replaced: one higher-order
     * `filter()` per language (each an interpreted CodegenFallback array

@@ -45,20 +45,34 @@ class EventsLoaderSpec extends SparkSpec {
     writer.close()
   }
 
-  private def writeMicrosFixture(dir: String, ntz: Boolean): Unit = {
+  /** flavor: "ntz" = naive TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (what pyarrow writes for tz-less timestamps — the regen's shape);
+    * "ltz" = annotated TIMESTAMP(MICROS, isAdjustedToUTC=true) —
+    * Spark's default outputTimestampType is INT96, so it must be
+    * forced or this flavor silently tests INT96 twice; "int96" =
+    * legacy Impala/Hive physical int96.
+    */
+  private def writeMicrosFixture(dir: String, flavor: String): Unit = {
     val session = spark
     import session.implicits._
     val base = microsOfInstant.zipWithIndex
       .map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
     val df =
-      if (ntz) base.select(col("event_id"),
+      if (flavor == "ntz") base.select(col("event_id"),
         timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
       else base.select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+    val outType = if (flavor == "int96") "INT96" else "TIMESTAMP_MICROS"
+    val before = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", outType)
     // one file named exactly events.parquet, the shape Tables expects
     val tmp = Files.createTempDirectory("graft_events_stage").toString
-    df.coalesce(1).write
+    try df.coalesce(1).write
       .option("parquet.block.size", 1 << 20)
       .mode("overwrite").parquet(tmp)
+    finally before match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
     val part = new java.io.File(tmp).listFiles()
       .find(_.getName.endsWith(".parquet")).get
     Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -73,13 +87,12 @@ class EventsLoaderSpec extends SparkSpec {
     (rows, df.schema.treeString)
   }
 
-  test("nanos, micros-NTZ and micros-UTC events files load identical values") {
-    val dirs = Seq("nanos", "ntz", "ltz").map { tag =>
+  test("nanos, micros-NTZ, micros-UTC and int96 events files load identical values") {
+    val dirs = Seq("nanos", "ntz", "ltz", "int96").map { tag =>
       tag -> Files.createTempDirectory(s"graft_events_$tag").toString
     }.toMap
     writeNanosFixture(dirs("nanos"))
-    writeMicrosFixture(dirs("ntz"), ntz = true)
-    writeMicrosFixture(dirs("ltz"), ntz = false)
+    Seq("ntz", "ltz", "int96").foreach(f => writeMicrosFixture(dirs(f), f))
 
     val expected = microsOfInstant.zipWithIndex
       .map { case (us, i) => (i.toLong, us) }.sorted

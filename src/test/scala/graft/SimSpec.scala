@@ -242,6 +242,12 @@ class SimSpec extends SparkSpec {
     val plan = planOf(fromDisk)
     assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
       plan.take(600))
+    // nProbe=1 takes assignCells' scalar-cell shape — must run, not
+    // throw UNRESOLVED_COLUMN on `cells` (guard admits nProbe >= 1)
+    val single = index.search(q, c, "vec_id", "embedding", 3,
+      nProbe = 1, rerankFactor = 2).collect()
+    assert(single.nonEmpty)
+    assert(single.groupBy(_.getLong(0)).values.forall(_.length <= 3))
   }
 
   test("PqCodes native encoder matches the distributed encode argmin") {

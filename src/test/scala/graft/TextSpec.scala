@@ -47,9 +47,11 @@ class TextSpec extends SparkSpec {
   test("native langPredict matches the composable formulation exactly") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    // crafted edges: empty text, marker-free, shared marker ("key" is in
-    // de AND en -> tie -> de), single-language dominance, repeats
-    val edges = Seq("", "xyzzy plugh", "key key", "join fast the vector",
+    // crafted edges: NULL text (null token array -> all scores null ->
+    // smallest code on both paths), empty text, marker-free, shared
+    // marker ("key" is in de AND en -> tie -> de), single-language
+    // dominance, repeats
+    val edges = Seq(null, "", "xyzzy plugh", "key key", "join fast the vector",
       "query scan order stream stream", "window big sort key small table")
       .toDF("text")
     val corpus = graft.util.Tables(spark, sf).documents.select(col("text"))
