@@ -408,7 +408,39 @@ object DedupQueries {
        |GROUP BY 1, 2
        |ORDER BY src_lo, src_hi""".stripMargin
 
+  /** Exact substring-duplication coverage (Lee et al. arXiv:2107.06499
+    * re-expressed; graft.dedup.SubstringDedup): per document, the share
+    * of its stride-sampled 40-char grams that occur verbatim in at
+    * least one other document. Linear in corpus size (gram groupBy +
+    * join back), unlike the pairwise near-dup paths; raw grams so the
+    * oracle reproduces it exactly (hashGrams is the scale knob,
+    * parity spec-pinned).
+    */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SubstringDedup
+      .coverage(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val dedupSubstringSql: String =
+    """WITH raw AS (
+      |  -- the TABLE range() takes only constants in DuckDB; the scalar
+      |  -- LIST range() + unnest is the lateral-free spelling
+      |  SELECT doc_id,
+      |    unnest(list_transform(range((length(text) - 40) // 10 + 1),
+      |      i -> substr(text, i * 10 + 1, 40))) AS gram
+      |  FROM documents WHERE length(text) >= 40),
+      |g AS (SELECT DISTINCT doc_id, gram FROM raw),
+      |c AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+      |  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+      |    AS dup_ratio
+      |FROM g JOIN c USING (gram)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_winnow" -> (dedupWinnow _),
@@ -424,6 +456,7 @@ object DedupQueries {
     "dedup_embedding_cell" -> (dedupEmbeddingCell _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_source_matrix" -> dedupSourceMatrixSql,
     "dedup_paragraph" -> dedupParagraphSql,
     "dedup_winnow" -> dedupWinnowSql,

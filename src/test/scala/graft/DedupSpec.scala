@@ -374,6 +374,37 @@ class DedupSpec extends SparkSpec {
       "release() must drop the index blocks")
   }
 
+  test("SubstringDedup: planted verbatim span flags both carriers, unique prose stays clean") {
+    import spark.implicits._
+    val span = "A" * 60 // spans two stride-10 windows of the 40-gram
+    val docs = Seq(
+      (1L, s"unique left prose $span unique right prose xyz"),
+      (2L, s"totally different framing here $span and another tail"),
+      (3L, "this document shares nothing with the others at all - " +
+        "fully unique prose that no verbatim span can match qrs"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.SubstringDedup.coverage(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // both planted carriers see duplicated grams; the unique doc sees none
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0, s"planted span missed: $out")
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0.0, s"false positive: $out")
+    out.values.foreach { case (n, d, r) =>
+      assert(d <= n && r >= 0.0 && r <= 1.0)
+    }
+    // hashGrams (the 8-byte-shuffle-key scale knob) is value-identical
+    // at collision-free scale
+    val hashed = graft.dedup.SubstringDedup
+      .coverage(docs, "doc_id", "text", hashGrams = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(hashed === out, "hashed grams must not change coverage")
+    // docs shorter than the gram length carry no row (oracle's filter)
+    val short = graft.dedup.SubstringDedup
+      .coverage(Seq((9L, "tiny")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() === 0L)
+  }
+
   test("Winnow fingerprint density is below the full gram index") {
     val docs = graft.util.Tables(spark, sf).documents
       .withColumn("toks", graft.text.TextOps.tokens(col("text")))
