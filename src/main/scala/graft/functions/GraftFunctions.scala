@@ -24,6 +24,7 @@ object GraftFunctions {
         foldableInt("graft_bloom_agg numHashes", k)).toAggregateExpression() },
     "graft_bloom_contains" -> { case Seq(f, v) => BloomMightContain(f, v) },
     "graft_nfc" -> { case Seq(a) => NfcNormalize(a) },
+    "graft_entropy" -> { case Seq(a) => CharEntropy(a) },
     "graft_lang_best" -> { case Seq(a) =>
       LangMarkerBest(a, LangMarkerBest.DefaultMarkers) },
     "graft_cms_estimate" -> { case Seq(s, v) => CmsEstimate(s, v) },

@@ -184,6 +184,59 @@ object DedupQueries {
       |WHERE cos >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Semantic dedup keep/drop decisions (SemDeDup, Abbas et al.
+    * arXiv:2303.09540 re-expressed): a vector is DROPPED when some
+    * vector with a smaller id is cosine-similar at ≥ τ. The rule is the
+    * parallel, order-free variant of SemDeDup's per-cluster greedy keep
+    * ("drop if any earlier similar item" — exactly the batch twin of
+    * streaming dropDuplicates): every decision depends only on the
+    * pair set, so it distributes with no sequential pass and has an
+    * exact quadratic SQL twin. Candidates come from the SAME
+    * IVF-cell-blocked generator as dedup_embedding_cell (equi-join on
+    * cell, no cartesian; completeness at nProbe = 8 is measured exact
+    * on this corpus and DedupSpec pins the keep set against the
+    * in-Spark quadratic path), so the scale shape is Σ|cell|², not n².
+    * Output: per vector, how many smaller-id near-dups dominate it and
+    * the resulting keep flag — `keep = 1` rows ARE the deduplicated
+    * corpus (anti-join by construction).
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val pairs = EmbeddingDedup.cellPairs(emb, "vec_id", "embedding",
+      tau = 0.4, nProbe = 8, centroids = Some(SimQueries.centroidsFor(dir, emb)))
+    val prior = pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_prior_dups"))
+    emb.select(col("vec_id"))
+      .join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        when(coalesce(col("n_prior_dups"), lit(0L)) === 0, lit(1))
+          .otherwise(lit(0)).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupSemanticSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |      AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |          (a.nrm * b.nrm), 6) AS cos
+      |  FROM n a, n b
+      |  WHERE a.vec_id < b.vec_id),
+      |d AS (
+      |  SELECT id_b AS vec_id, count(*) AS n_prior_dups
+      |  FROM p WHERE cos >= 0.4 GROUP BY id_b)
+      |SELECT e.vec_id,
+      |  coalesce(d.n_prior_dups, 0) AS n_prior_dups,
+      |  CASE WHEN coalesce(d.n_prior_dups, 0) = 0 THEN 1 ELSE 0 END AS keep
+      |FROM embeddings e LEFT JOIN d USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+
   /** Bloom-prefiltered membership: probe docs (doc_id ≡ 4 mod 5) whose
     * normalization key already exists in the seen 80% — the scale shape
     * of "is this document already in the training set". The bloom
@@ -453,7 +506,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_embedding" -> (dedupEmbedding _),
-    "dedup_embedding_cell" -> (dedupEmbeddingCell _))
+    "dedup_embedding_cell" -> (dedupEmbeddingCell _),
+    "dedup_semantic" -> (dedupSemantic _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
@@ -468,5 +522,6 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "dedup_embedding_cell" -> dedupEmbeddingSql)
+    "dedup_embedding_cell" -> dedupEmbeddingSql,
+    "dedup_semantic" -> dedupSemanticSql)
 }

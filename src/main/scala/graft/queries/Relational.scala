@@ -375,6 +375,38 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** GROUPING SETS proper (the asymmetric sets ROLLUP/CUBE can't
+    * spell): detail, one single-column margin, and the grand total in
+    * ONE aggregation pass — Spark expands the sets with a single
+    * Expand + partial-aggregatable hash aggregate, vs one chained MR
+    * job per level in the reference's world. `grouping_id()` and
+    * DuckDB's `GROUPING(a, b)` use the same bitmask (first column =
+    * MSB — verified), which also disambiguates a margin row's NULL
+    * from a genuine NULL group key.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_linestatus), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+      |  l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Pivot: wide per-status totals per priority. Spark's pivot API
     * compiles to conditional aggregation — the oracle states the same
     * computation as explicit FILTER aggregates (engine-neutral form).
@@ -398,6 +430,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup" -> (qRollup _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
@@ -414,6 +447,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_rollup" -> qRollupSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot" -> qPivotSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopkSql,

@@ -129,6 +129,60 @@ object SimQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private val GraphK = 5
+
+  /** The exact all-pairs kNN graph (every corpus vector is a query,
+    * k = 5) — the building block under SemDeDup-style semantic dedup,
+    * diversity filtering, and graph clustering. This is the quadratic
+    * VALIDATOR (n² pairs by construction, full SQL oracle); the
+    * cell-blocked twin below is the scale shape.
+    */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    Knn.brute(e, e, "vec_id", "embedding", GraphK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+       |          (q.nrm * c.nrm), 6) AS cos
+       |  FROM n q, n c
+       |  WHERE c.vec_id <> q.vec_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM p)
+       |WHERE rank <= $GraphK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The scale path for the kNN graph (graft.sim.Knn.graphCells):
+    * candidates from one cell-keyed equi-join — n²·nProbe∕C pairs, no
+    * broadcast of either side, AQE re-splits skewed cells. Probe depth
+    * is honest about the regime, like dedup_embedding_cell: graph
+    * targets are top-5 REGARDLESS of cosine, and a vector's 5th
+    * neighbor routinely sits across a cluster boundary — nProbe = 4
+    * measured only 0.59 recall@5 on this corpus, so the registered
+    * query probes 8 of C = 16 (recall ≥ 0.7 spec floor). What scales
+    * is the SHAPE: candidates ride an equi-join and C grows with the
+    * corpus while nProbe tracks the recall target, not n. Rows-only
+    * (approximate); SimSpec gates per-vector top-5 recall vs the exact
+    * graph and PlanSpec pins the no-cartesian shape.
+    */
+  def knnGraphCell(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    Knn.graphCells(e, "vec_id", "embedding", GraphK,
+        centroidsFor(dir, e), nProbe = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Numeric quality gate for the approximate ANN paths: recall@K of
     * LSH, IVF, PQ, and IVFADC against the exact brute-force top-k,
     * macro-averaged over queries, computed entirely in Spark (one plan:
@@ -259,6 +313,8 @@ object SimQueries {
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
     "knn_ivfpq" -> (knnIvfPq _),
+    "knn_graph" -> (knnGraph _),
+    "knn_graph_cell" -> (knnGraphCell _),
     "knn_recall" -> (knnRecall _),
     "emb_pq" -> (embPq _),
     "emb_centroids" -> (embCentroids _),
@@ -267,5 +323,6 @@ object SimQueries {
 
   val oracleSql: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
+    "knn_graph" -> knnGraphSql,
     "emb_centroids" -> embCentroidsSql)
 }

@@ -326,7 +326,43 @@ object TextQueries {
        |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Per-doc character entropy (bits/char) — the low-quality-text
+    * signal (spam/binary ≈ 0–2, natural language ≈ 4+). One native
+    * map-side pass per row ([[TextOps.charEntropy]]); the milli-bit
+    * quantization inside the expression makes the double exact across
+    * engines, so the final floor-round is pure formatting.
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        (floor(TextOps.charEntropy(col("text")) * 10000 + 0.5)
+          .cast("double") / 10000).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  val textEntropySql: String =
+    """WITH e AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE length(text) > 0),
+      |c AS (
+      |  SELECT doc_id, ch, count(*) AS cnt FROM e GROUP BY doc_id, ch),
+      |nn AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY doc_id),
+      |t AS (
+      |  SELECT c.doc_id,
+      |    floor(cnt * log2(nn.n / cnt::DOUBLE) * 1000.0 + 0.5)::BIGINT
+      |      AS milli
+      |  FROM c JOIN nn USING (doc_id)),
+      |h AS (
+      |  SELECT t.doc_id,
+      |    sum(t.milli)::DOUBLE / (max(nn.n) * 1000.0) AS ent
+      |  FROM t JOIN nn USING (doc_id) GROUP BY t.doc_id)
+      |SELECT d.doc_id, length(d.text) AS n_chars,
+      |  floor(coalesce(h.ent, 0.0) * 10000 + 0.5) / 10000 AS entropy
+      |FROM documents d LEFT JOIN h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy _),
     "text_chunk" -> (textChunk _),
     "text_normalize" -> (textNormalize _),
     "text_tokens" -> (textTokens _),
@@ -338,6 +374,7 @@ object TextQueries {
     "tfidf_topterms" -> (tfidfTopterms _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_entropy" -> textEntropySql,
     "text_chunk" -> textChunkSql,
     "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,

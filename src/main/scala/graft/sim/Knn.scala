@@ -294,6 +294,38 @@ object Knn {
       df.withColumn("cells", probes)
   }
 
+  /** All-pairs k-nearest-neighbor GRAPH over the corpus, IVF-cell
+    * blocked — the SemDeDup/diversity-filter building block where every
+    * vector is simultaneously a query. Unlike [[searchIndex]], NOTHING
+    * broadcasts (both sides are the corpus): each vector probes its
+    * `nProbe` nearest cells, the corpus is indexed at its single
+    * nearest cell, and candidates ride one shuffle-hash EQUI-join on
+    * `cell` — candidate volume ≈ n²·nProbe∕C instead of n², and a
+    * skewed giant cell re-splits under AQE. The corpus side carries one
+    * cell per vector, so a (query, neighbor) pair can match at most
+    * once — no dedup pass. Exact cosine on candidates, per-query top-k
+    * via the row_number window (compiles to WindowGroupLimit: each map
+    * task forwards ≤ k candidates per query before the rank exchange).
+    * Recall vs the exact graph ([[brute]] with queries = corpus) is
+    * SimSpec-gated; rank quality degrades gracefully with nProbe like
+    * IVF search.
+    */
+  def graphCells(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroids: Array[(Int, Array[Float])], nProbe: Int): DataFrame = {
+    val indexed = assignCorpus(corpus, idCol, vecCol, centroids)
+    val qs = assignCells(
+        withNorm(corpus, idCol, vecCol, "query_id", "qv", "qn"),
+        "query_id", "qv", centroids, nProbe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("cells")).as("cell"))
+    val scored = qs.join(indexed, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
+          col("qn"), col("nn")), 6))
+    pairTopK(scored, k)
+  }
+
   /** Cell-assign the normalized corpus: (neighbor_id, nv, nn, cell) —
     * the materialized half of an [[IvfIndex]].
     */

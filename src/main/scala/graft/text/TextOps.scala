@@ -230,6 +230,16 @@ object TextOps {
         org.apache.spark.sql.graft.ColumnBridge.expression(norm)))
   }
 
+  /** Shannon entropy of the codepoint distribution, bits/char — the
+    * native one-pass [[graft.functions.CharEntropy]] (milli-bit
+    * quantized sum, so the value is accumulation-order-free and has an
+    * exact DuckDB twin). Session-free wrap like [[fingerprint]].
+    */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CharEntropy(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Canonical text: Unicode NFC (native codegen expression — composed
     * and decomposed spellings of the same glyph otherwise split every
     * downstream dedup/shingle key) + casefold + whitespace collapse.

@@ -405,6 +405,29 @@ class DedupSpec extends SparkSpec {
     assert(short.count() === 0L)
   }
 
+  test("dedup_semantic: keep rule matches the quadratic pair set exactly") {
+    val emb = graft.util.Tables(spark, sf).embeddings
+    val out = graft.queries.DedupQueries.dedupSemantic(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out.size === emb.count(), "one decision per vector")
+    // independent ground truth from the quadratic validator: a vector's
+    // prior-dup count is how often it appears as the LARGER id of a
+    // tau-pair; keep ⇔ that count is zero
+    val truth = graft.dedup.EmbeddingDedup
+      .pairs(emb, "vec_id", "embedding", tau = 0.4)
+      .collect().map(_.getLong(1))
+      .groupBy(identity).map { case (id, hits) => id -> hits.length.toLong }
+    out.foreach { case (id, (nPrior, keep)) =>
+      assert(nPrior === truth.getOrElse(id, 0L),
+        s"vector $id prior-dup count")
+      assert(keep === (if (nPrior == 0L) 1 else 0), s"vector $id keep flag")
+    }
+    // the rule actually bites on this corpus (planted near-dups exist)
+    assert(out.values.exists(_._2 == 0), "some vector must be dropped")
+    assert(out.values.count(_._2 == 1) > out.size / 2,
+      "most of the corpus must survive at tau = 0.4")
+  }
+
   test("Winnow fingerprint density is below the full gram index") {
     val docs = graft.util.Tables(spark, sf).documents
       .withColumn("toks", graft.text.TextOps.tokens(col("text")))

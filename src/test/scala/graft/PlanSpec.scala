@@ -103,6 +103,29 @@ class PlanSpec extends SparkSpec {
       "cell blocking must never plan a cartesian-class join:\n" + plan.take(800))
   }
 
+  test("knn_graph_cell: graph candidates ride an equi-join on cell, no cartesian") {
+    val plan = planOf(SimQueries.knnGraphCell(spark, sf))
+    // both sides are the corpus — nothing may broadcast-nest or go
+    // cartesian; the candidate join must key on cell, and the per-query
+    // top-k must push a partial group limit ahead of its exchange
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "graph blocking must never plan a cartesian-class join:\n" + plan.take(800))
+    assert(plan.contains("WindowGroupLimit"),
+      "graph top-k must compile to WindowGroupLimit")
+  }
+
+  test("text_entropy is one map-side pass — no aggregate, no join") {
+    val plan = planOf(graft.queries.TextQueries.textEntropy(spark, sf))
+    // the whole point of the native expression: per-doc entropy without
+    // exploding characters through an exchange (the only shuffle is the
+    // final presentation sort)
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      "entropy must not aggregate or join:\n" + plan.take(800))
+    assert(plan.toLowerCase.contains("charentropy"),
+      "native entropy kernel missing from the plan")
+  }
+
   test("source_partitioned prunes to the single matching partition") {
     val plan = planOf(graft.queries.SourceQueries.sourcePartitioned(spark, sf))
     assert(plan.contains("PartitionFilters: ["), plan.take(800))

@@ -499,4 +499,46 @@ class SimSpec extends SparkSpec {
       .orderBy("pq_id", "sub").collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq, "loaded codebooks must encode identically")
   }
+
+  test("knn_graph: exact all-pairs graph — 5 ranked rows per vector, agrees with brute") {
+    val g = SimQueries.knnGraph(spark, sf).collect()
+    val byQ = g.groupBy(_.getLong(0))
+    assert(byQ.size === 500, "one query group per corpus vector")
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5))
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cs === cs.sorted.reverse, "cos must not increase with rank")
+    }
+    // on the 10 shared queries, the graph's top-5 IS brute's top-5
+    val bruteTop5 = SimQueries.knnBrute(spark, sf).collect()
+      .filter(_.getInt(1) <= 5)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val graphQ = g.filter(_.getLong(0) < 10)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(graphQ === bruteTop5)
+  }
+
+  test("knn_graph_cell recall vs the exact graph is usable") {
+    def sets(rows: Array[org.apache.spark.sql.Row]) = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = sets(SimQueries.knnGraph(spark, sf).collect())
+    val celled = sets(SimQueries.knnGraphCell(spark, sf).collect())
+    val recalls = exact.map { case (q, truth) =>
+      celled.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // nProbe = 4 of C = 16 cells: same pruning regime as IVF search,
+    // so the floor matches the other pruned paths
+    assert(mean >= 0.7, s"mean graph recall@5 $mean")
+    // every returned cos is exact (candidates are scored on real
+    // vectors — never an estimate), so a reported edge can't disagree
+    // with the exact graph, only be missing
+    val exactCos = SimQueries.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    SimQueries.knnGraphCell(spark, sf).collect().foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9, "graph cos must be exact")
+      }
+    }
+  }
 }

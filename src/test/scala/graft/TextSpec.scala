@@ -156,4 +156,41 @@ class TextSpec extends SparkSpec {
     assert(c1.last.endsWith("w12"))
     assert(out.filter(_._1 == 2L).map(_._3) === Array("a b c"))
   }
+
+  test("charEntropy: known distributions, unicode codepoints, null/empty") {
+    import spark.implicits._
+    val df = Seq(
+      Some("aaaa"),          // single symbol → 0 bits
+      Some("abab"),          // uniform over 2 → exactly 1 bit
+      Some("abcdabcdabcd"),  // uniform over 4 → exactly 2 bits
+      // one ASTRAL codepoint repeated: per-codepoint counting sees a
+      // single symbol (0 bits); per-UTF-16-unit counting would see two
+      // alternating surrogates (1 bit) — this pins the codepoint loop
+      Some("𝕏𝕏𝕏"),
+      Some(""),              // empty → 0 by convention
+      None                   // null → null
+    ).toDF("text")
+    val out = df.select(TextOps.charEntropy(col("text")).as("h")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // uniform over 2^k symbols: every per-char term is cnt·k·1000
+    // milli-bits EXACTLY, so the quantized sum is the true entropy
+    assert(out(0) === Some(0.0))
+    assert(out(1) === Some(1.0))
+    assert(out(2) === Some(2.0))
+    assert(out(3) === Some(0.0))
+    assert(out(4) === Some(0.0))
+    assert(out(5) === None)
+    // non-dyadic distribution: matches an independently-written
+    // -Σ p·log2 p to well inside the milli-bit quantum
+    val s = "aab"
+    val expected = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2)
+    val got = Seq(s).toDF("text")
+      .select(TextOps.charEntropy(col("text"))).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-3, s"$got vs $expected")
+    // SQL registration evaluates identically (interpreted path included)
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = Seq(s).toDF("text").selectExpr("graft_entropy(text)")
+      .head().getDouble(0)
+    assert(viaSql === got)
+  }
 }
