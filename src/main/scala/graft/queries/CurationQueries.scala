@@ -488,7 +488,27 @@ object CurationQueries {
        |ORDER BY source, shard""".stripMargin
   }
 
+  /** First-fit-decreasing packing (graft.ops.BestFitPack): docs placed
+    * WHOLE into 512-token bins, 8 deterministic hash shards as the
+    * parallelism unit — the no-truncation twin of pack_sequences.
+    * Rows-only (FFD is sequential state per shard, not SQL); the
+    * CurationSpec fixture pins the exact FFD placement, the invariants
+    * (no bin over capacity absent an oversized doc; every doc packed
+    * exactly once), and the shard routing's parity with sample_shard's
+    * xxhash64 arithmetic. Determinism across partitionings rides the
+    * same sweep gate as every query (the in-group sort makes output a
+    * pure function of shard membership).
+    */
+  def packBestfit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.BestFitPack.pack(
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_toks")),
+      "doc_id", "n_toks", capacity = 512, shards = 8)
+      .orderBy(col("shard"), col("bin_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_bestfit" -> (packBestfit _),
     "pipeline_e2e" -> (pipelineE2e _),
     "sample_shard" -> (sampleShard _),
     "mix_sources" -> (mixSources _),

@@ -184,6 +184,37 @@ object DedupQueries {
       |WHERE cos >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Incremental dedup (graft.dedup.MinHashIndex): the seen 80% of the
+    * corpus (doc_id ≢ 4 mod 5, the dedup_bloom split) is indexed once;
+    * the new 20% is probed against it — shingle/sign/band map-only on
+    * the batch, ONE (band_id, band_hash) equi-join against the index,
+    * exact Jaccard verify on candidates. Output: new×seen near-dup
+    * pairs at τ = 0.7 (new×new pairs are out of scope by contract —
+    * dedupe the batch internally with dedup_minhash_lsh first). The
+    * oracle is the exact cross-split pair SQL — valid for the same
+    * S-curve reason as dedup_minhash_lsh; the disk round-trip and
+    * full-run-restriction parity are DedupSpec-gated.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val idx = graft.dedup.MinHashIndex.build(seen, "doc_id", "text", n = 3)
+    graft.dedup.MinHashIndex.probe(idx, fresh, "doc_id", "text",
+        n = 3, tau = 0.7)
+      .orderBy(col("new_id"), col("seen_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""SELECT new_id, seen_id, jaccard FROM (
+       |  SELECT n.doc_id AS new_id, s.doc_id AS seen_id,
+       |    round(len(list_intersect(n.sh, s.sh))::DOUBLE /
+       |          len(list_distinct(list_concat(n.sh, s.sh))), 4) AS jaccard
+       |  FROM ($shingleSql) n, ($shingleSql) s
+       |  WHERE n.doc_id % 5 = 4 AND s.doc_id % 5 < 4)
+       |WHERE jaccard >= 0.7
+       |ORDER BY new_id, seen_id""".stripMargin
+
   /** Semantic dedup keep/drop decisions (SemDeDup, Abbas et al.
     * arXiv:2303.09540 re-expressed): a vector is DROPPED when some
     * vector with a smaller id is cosine-similar at ≥ τ. The rule is the
@@ -507,7 +538,8 @@ object DedupQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_cell" -> (dedupEmbeddingCell _),
-    "dedup_semantic" -> (dedupSemantic _))
+    "dedup_semantic" -> (dedupSemantic _),
+    "dedup_incremental" -> (dedupIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
@@ -523,5 +555,6 @@ object DedupQueries {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_embedding_cell" -> dedupEmbeddingSql,
-    "dedup_semantic" -> dedupSemanticSql)
+    "dedup_semantic" -> dedupSemanticSql,
+    "dedup_incremental" -> dedupIncrementalSql)
 }

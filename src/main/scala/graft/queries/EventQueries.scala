@@ -157,13 +157,58 @@ object EventQueries {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** Event-type transition matrix (the first-order Markov view of user
+    * behavior): consecutive event pairs per user — one `lead` window
+    * over the (user_id)-partitioned, (ts, event_id)-ordered history
+    * (ties on ts broken by event_id, so the successor is total-order
+    * deterministic) — then a partial-aggregatable count per
+    * (from, to) and each row's share of its from-type's outgoing mass.
+    * Same single-exchange shape as q_funnel; the share window runs on
+    * the ~|types|² aggregate, not the fact table. floor-form rounding
+    * for the share (the round() half-case differs across engines).
+    */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("share",
+        floor(col("n_transitions") / sum(col("n_transitions")).over(wFrom)
+          * 10000 + 0.5).cast("double") / 10000)
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qTransitionsSql: String =
+    """SELECT from_type, to_type, n_transitions,
+      |  floor(n_transitions /
+      |        sum(n_transitions) OVER (PARTITION BY from_type)
+      |        * 10000 + 0.5) / 10000 AS share
+      |FROM (
+      |  SELECT event_type AS from_type, to_type,
+      |    count(*) AS n_transitions
+      |  FROM (
+      |    SELECT user_id, event_type,
+      |      lead(event_type) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id) AS to_type
+      |    FROM events)
+      |  WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
     "q_cohort" -> (qCohort _),
+    "q_transitions" -> (qTransitions _),
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,
+    "q_transitions" -> qTransitionsSql,
     "q_skew_join" -> qSkewJoinSql)
 }

@@ -361,7 +361,61 @@ object TextQueries {
       |FROM documents d LEFT JOIN h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained char-bigram LM model, memoized per corpus dir
+    * (deterministic fit over an immutable dir — the centroids/codebooks
+    * pattern).
+    */
+  private val lmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.text.BigramLm.Model]()
+
+  /** Statistical-LM quality score (the CCNet perplexity-filter shape):
+    * mean char-bigram log2-probability of each doc under the model
+    * trained on THIS corpus — spam/binary/repetitive text scores far
+    * from the corpus mode. Train = one distributed count pass (model
+    * is KB driver state, memoized); score = one native map pass
+    * (graft.functions.BigramLogProb). The milli-bit quantization
+    * inside the expression gives it an exact DuckDB twin.
+    */
+  def textLmscore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val model = lmCache.computeIfAbsent(dir,
+      _ => graft.text.BigramLm.fit(docs, "text"))
+    docs.select(col("doc_id"),
+        (floor(graft.text.BigramLm.score(col("text"), model) * 10000 + 0.5)
+          .cast("double") / 10000).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLmscoreSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, string_split(lower(text), '') AS a FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest([a[i] || a[i + 1] FOR i IN range(1, len(a))]) AS g
+      |  FROM ch WHERE len(a) >= 2),
+      |model AS (SELECT g, count(*) AS cg FROM occ GROUP BY g),
+      |pref AS (
+      |  SELECT substr(g, 1, 1) AS c1, sum(cg) AS cp
+      |  FROM model GROUP BY c1),
+      |dtab AS (SELECT doc_id, g, count(*) AS cd FROM occ GROUP BY doc_id, g),
+      |terms AS (
+      |  SELECT d.doc_id,
+      |    floor(d.cd * log2(m.cg::DOUBLE / p.cp) * 1000.0 + 0.5)::BIGINT
+      |      AS milli,
+      |    d.cd
+      |  FROM dtab d
+      |  JOIN model m USING (g)
+      |  JOIN pref p ON substr(d.g, 1, 1) = p.c1),
+      |h AS (
+      |  SELECT doc_id, sum(milli)::DOUBLE / (sum(cd) * 1000.0) AS score
+      |  FROM terms GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  floor(coalesce(h.score, 0.0) * 10000 + 0.5) / 10000 AS lm_score
+      |FROM documents d LEFT JOIN h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lmscore" -> (textLmscore _),
     "text_entropy" -> (textEntropy _),
     "text_chunk" -> (textChunk _),
     "text_normalize" -> (textNormalize _),
@@ -374,6 +428,7 @@ object TextQueries {
     "tfidf_topterms" -> (tfidfTopterms _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_lmscore" -> textLmscoreSql,
     "text_entropy" -> textEntropySql,
     "text_chunk" -> textChunkSql,
     "text_normalize" -> textNormalizeSql,

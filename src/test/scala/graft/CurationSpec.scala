@@ -122,4 +122,42 @@ class CurationSpec extends SparkSpec {
     // pinned by the mix_sources oracle and ExportSpec
     assert(out.count(_._1 == "src0") >= 2, "upweighted source missing")
   }
+
+  test("pack_bestfit: exact FFD placement on a fixture; corpus invariants") {
+    import spark.implicits._
+    // one shard so the placement is a pure FFD trace: lengths sorted
+    // decreasing (ties by id) = 60, 50, 40, 30, 30, 10 into capacity 100
+    //   60 -> bin0; 50 -> bin1; 40 -> bin0 (100 full); 30 -> bin1 (80);
+    //   30 -> bin2; 10 -> bin1 (90)
+    val fx = Seq((1L, 30), (2L, 60), (3L, 40), (4L, 10), (5L, 50), (6L, 30))
+      .toDF("doc_id", "len")
+    val got = graft.ops.BestFitPack.pack(fx, "doc_id", "len",
+        capacity = 100, shards = 1)
+      .orderBy("bin_id")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0, 2L, 100L), (1, 3L, 90L), (2, 1L, 30L)))
+    // an oversized doc opens its own overflow bin, never dropped
+    val over = graft.ops.BestFitPack.pack(
+        Seq((1L, 150), (2L, 40)).toDF("doc_id", "len"),
+        "doc_id", "len", capacity = 100, shards = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(over.toSet === Set((1L, 150L, 1.5), (1L, 40L, 0.4)))
+    // corpus invariants at sf: every doc packed exactly once, no
+    // regular bin over capacity, and packing actually packs (fewer
+    // bins than docs)
+    val docs = graft.util.Tables(spark, sf).documents
+      .select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).as("n_toks"))
+    val nDocs = docs.count()
+    val maxLen = docs.agg(max(col("n_toks"))).head().getInt(0)
+    val bins = graft.queries.CurationQueries.packBestfit(spark, sf).collect()
+    assert(bins.map(_.getLong(2)).sum === nDocs, "every doc in exactly one bin")
+    if (maxLen <= 512)
+      bins.foreach(r => assert(r.getLong(3) <= 512L,
+        s"bin over capacity: $r"))
+    assert(bins.length < nDocs, "FFD must consolidate docs into bins")
+    // shard routing matches the declared xxhash64 arithmetic
+    val shards = bins.map(_.getInt(0)).distinct.sorted
+    assert(shards.forall(s => s >= 0 && s < 8))
+  }
 }

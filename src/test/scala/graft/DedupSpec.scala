@@ -405,6 +405,38 @@ class DedupSpec extends SparkSpec {
     assert(short.count() === 0L)
   }
 
+  test("MinHashIndex: probe equals the full-run cross-split restriction; disk round-trip") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val idx = graft.dedup.MinHashIndex.build(seen, "doc_id", "text", n = 3)
+    val probed = graft.dedup.MinHashIndex
+      .probe(idx, fresh, "doc_id", "text", n = 3, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the all-pairs detector on the WHOLE corpus,
+    // restricted to pairs crossing the split, re-oriented (new, seen)
+    val full = graft.dedup.MinHashLSH
+      .nearDuplicates(docs, "doc_id", "text", n = 3, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        (a % 5, b % 5) match {
+          case (4, sm) if sm < 4 => Some((a, b, j))
+          case (sm, 4) if sm < 4 => Some((b, a, j))
+          case _ => None
+        }
+      }.toSet
+    assert(probed === full, "incremental probe must equal the restricted full run")
+    assert(probed.nonEmpty, "the split must actually contain cross pairs")
+    // disk round-trip: the loaded index probes identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    graft.dedup.MinHashIndex.save(idx, dir)
+    val loaded = graft.dedup.MinHashIndex.load(spark, dir)
+    val probed2 = graft.dedup.MinHashIndex
+      .probe(loaded, fresh, "doc_id", "text", n = 3, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed2 === probed, "loaded index must probe identically")
+  }
+
   test("dedup_semantic: keep rule matches the quadratic pair set exactly") {
     val emb = graft.util.Tables(spark, sf).embeddings
     val out = graft.queries.DedupQueries.dedupSemantic(spark, sf).collect()

@@ -193,4 +193,32 @@ class TextSpec extends SparkSpec {
       .head().getDouble(0)
     assert(viaSql === got)
   }
+
+  test("BigramLm: hand-computed probabilities, unseen fallback, degenerate docs") {
+    import spark.implicits._
+    // corpus {ab, ac}: P(b|a) = P(c|a) = 1/2 → logp = -1 exactly
+    val model = graft.text.BigramLm.fit(
+      Seq("ab", "ac").toDF("text"), "text")
+    assert(model.vocab === 2)
+    def scoreOf(s: String): Double =
+      Seq(s).toDF("text")
+        .select(graft.text.BigramLm.score(col("text"), model))
+        .head().getDouble(0)
+    assert(scoreOf("ab") === -1.0)
+    assert(scoreOf("ac") === -1.0)
+    // unseen bigram takes the fallback log2(1/(V+1)) = log2(1/3),
+    // milli-quantized exactly as the model terms are
+    val expectedAA =
+      math.floor(math.log(1.0 / 3) / math.log(2.0) * 1000.0 + 0.5) / 1000.0
+    assert(scoreOf("aa") === expectedAA)
+    // fewer than two codepoints → 0.0 by convention; case-folded
+    assert(scoreOf("a") === 0.0)
+    assert(scoreOf("") === 0.0)
+    assert(scoreOf("AB") === -1.0, "scoring must lower-case like training")
+    // a perfectly predictable corpus scores 0 everywhere
+    val certain = graft.text.BigramLm.fit(Seq("abab").toDF("text"), "text")
+    assert(Seq("abab").toDF("text")
+      .select(graft.text.BigramLm.score(col("text"), certain))
+      .head().getDouble(0) === 0.0)
+  }
 }
