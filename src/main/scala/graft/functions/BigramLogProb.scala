@@ -50,6 +50,14 @@ case class BigramLogProb(
       s"${ev.value} = graft.functions.BigramLogProb.compute($a, $modelRef, $fallback);"
     })
 
+  override def prettyName: String = "graft_bigram_logprob"
+
+  // the model is plan STATE, not syntax: eliding it keeps explain
+  // strings readable (a CJK-corpus model has ~10⁵ entries which the
+  // default case-class toString would inline into every plan dump)
+  override def toString: String =
+    s"graft_bigram_logprob($child, model[${logp.size()} bigrams])"
+
   override protected def withNewChildInternal(newChild: Expression): BigramLogProb =
     copy(child = newChild)
 }

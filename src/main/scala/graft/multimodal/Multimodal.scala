@@ -12,17 +12,18 @@ import org.apache.spark.sql.functions._
   * analogue of `mapInPandas`: iterate the partition in fixed-size
   * batches so a vectorized decoder amortizes per-batch setup).
   *
-  * The image path is REAL: `png` rows carry genuine PNG payloads
-  * (synthesized deterministically per doc — [[PngCodec.synthesize]])
-  * and the decode stage runs the JDK's `javax.imageio` decoder on
-  * them, so width/height/pixel-checksum come from decoded pixels, and
-  * the spec verifies the round-trip against codec-independent pattern
-  * arithmetic. Formats the JDK cannot decode (jpeg payloads here are
-  * not real jpegs; webp/mp4 have no JDK codec) take the byte-path
-  * FALLBACK in `decodeBatch` — the same degrade-gracefully branch a
-  * production pipeline keeps for corrupt or unknown media. Swap the
-  * [[PngCodec.decode]] call for a JNI/FFI decoder to widen the real
-  * set without touching the schema, batching, or parallelism.
+  * The image AND audio paths are REAL: `png` rows carry genuine PNG
+  * payloads decoded by the JDK's `javax.imageio`
+  * ([[PngCodec]]), and `wav` rows carry genuine PCM16 RIFF/WAVE
+  * payloads decoded by `javax.sound.sampled` ([[WavCodec]]) — both
+  * synthesized deterministically per doc so the specs verify each
+  * round-trip against codec-independent pattern arithmetic. Formats
+  * the JDK cannot decode (jpeg payloads here are not real jpegs;
+  * webp/mp4 have no JDK codec) take the byte-path FALLBACK in
+  * `decodeBatch` — the same degrade-gracefully branch a production
+  * pipeline keeps for corrupt or unknown media. Swap the codec calls
+  * for JNI/FFI decoders to widen the real set without touching the
+  * schema, batching, or parallelism.
   */
 object Multimodal {
 
@@ -46,31 +47,37 @@ object Multimodal {
     */
   val DecodeBatchSize = 64
 
-  private val Formats = Seq("png", "jpeg", "webp", "mp4")
+  private val Formats = Seq("png", "jpeg", "wav", "webp", "mp4")
+
+  /** Sample rate of synthesized wav rows (8 kHz — telephony PCM). */
+  val WavRate = 8000
 
   /** Derive a deterministic media table from the documents corpus.
     * Formats rotate on n_chars; `png` rows carry a REAL PNG payload
     * (deterministic pixel pattern keyed by media_id, dims 16–47 px
     * from n_chars arithmetic — thumbnail-scale so synthesis is a map
     * pass, encoded executor-side in the same batch loop the decoder
-    * uses); other formats carry the raw text bytes as their opaque
-    * blob. Metadata width/height always state the true geometry for
-    * png and the declared one otherwise.
+    * uses) and `wav` rows carry a REAL PCM16 WAV payload
+    * (deterministic sample pattern, 256–767 samples at [[WavRate]]);
+    * other formats carry the raw text bytes as their opaque blob.
+    * Metadata semantics per modality: images state (width, height);
+    * audio overloads the same typed slots as (n_samples, sample_rate)
+    * — the schema stays one struct, the format column disambiguates.
     */
   def mediaTable(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val m5 = pmod(col("n_chars"), lit(5))
     docs.select(
         col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("bytes"),
-        element_at(typedlit(Formats), (pmod(col("n_chars"), lit(4)) + 1).cast("int"))
-          .as("format"),
-        when(pmod(col("n_chars"), lit(4)) === 0,
-            lit(16) + pmod(col("n_chars"), lit(32)))
+        element_at(typedlit(Formats), (m5 + 1).cast("int")).as("format"),
+        when(m5 === 0, lit(16) + pmod(col("n_chars"), lit(32)))
+          .when(m5 === 2, lit(256) + pmod(col("n_chars") * 3, lit(512)))
           .otherwise(lit(64) + pmod(col("n_chars"), lit(512)))
           .cast("int").as("width"),
-        when(pmod(col("n_chars"), lit(4)) === 0,
-            lit(16) + pmod(col("n_chars") * 7, lit(32)))
+        when(m5 === 0, lit(16) + pmod(col("n_chars") * 7, lit(32)))
+          .when(m5 === 2, lit(WavRate))
           .otherwise(lit(64) + pmod(col("n_chars") * 7, lit(512)))
           .cast("int").as("height"))
       .as[MediaRecord]
@@ -78,29 +85,44 @@ object Multimodal {
       // amortize, so no .grouped buffering (that shape belongs to
       // decodeFeatures, where a vectorized decoder earns the batch)
       .mapPartitions(_.map { m =>
-        if (m.format == "png")
-          m.copy(bytes = PngCodec.synthesize(m.media_id, m.width, m.height))
-        else m
+        m.format match {
+          case "png" =>
+            m.copy(bytes = PngCodec.synthesize(m.media_id, m.width, m.height))
+          case "wav" =>
+            m.copy(bytes = WavCodec.synthesize(m.media_id, m.width, m.height))
+          case _ => m
+        }
       })
   }
 
-  /** One decode batch: REAL ImageIO decode where the payload is a
-    * decodable image (png rows), byte-path fallback otherwise —
-    * checksum = sum of the first 16 payload bytes, thumbnail = metadata
-    * dims / 8 (the degrade-gracefully branch for undecodable media;
-    * `decoded` records which branch ran).
+  /** One decode batch: REAL ImageIO decode for png rows (checksum =
+    * decoded pixel sum, thumb = decoded dims ∕ 8), REAL javax.sound
+    * decode for wav rows (checksum = Σ|sample|, thumb slots = (kHz,
+    * clip ms) — the audio reading of the thumbnail fields), byte-path
+    * fallback otherwise — checksum = sum of the first 16 payload
+    * bytes, thumb = metadata dims ∕ 8 (the degrade-gracefully branch
+    * for undecodable media; `decoded` records which branch ran).
     */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
-      val img = if (m.format == "png") PngCodec.decode(m.bytes) else None
-      img match {
-        case Some((w, h, pixelSum)) =>
-          MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
-            pixelSum, w / 8, h / 8, decoded = true)
-        case None =>
-          val checksum = m.bytes.iterator.take(16).map(b => (b & 0xff).toLong).sum
-          MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
-            checksum, m.width / 8, m.height / 8, decoded = false)
+      val real = m.format match {
+        case "png" =>
+          PngCodec.decode(m.bytes).map { case (w, h, pixelSum) =>
+            MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
+              pixelSum, w / 8, h / 8, decoded = true)
+          }
+        case "wav" =>
+          WavCodec.decode(m.bytes).map { case (n, rate, ampSum) =>
+            MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
+              ampSum, rate / 1000, (n.toLong * 1000 / rate).toInt,
+              decoded = true)
+          }
+        case _ => None
+      }
+      real.getOrElse {
+        val checksum = m.bytes.iterator.take(16).map(b => (b & 0xff).toLong).sum
+        MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
+          checksum, m.width / 8, m.height / 8, decoded = false)
       }
     }
 

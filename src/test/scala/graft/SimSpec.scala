@@ -411,25 +411,47 @@ class SimSpec extends SparkSpec {
     val out = SimQueries.mmMeta(spark, sf).collect()
     assert(out.map(_.getLong(1)).sum === 500L)
     assert(out.forall(_.getLong(3) > 0), "total_bytes must be positive")
-    assert(out.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp", "mp4")))
+    assert(out.map(_.getString(0)).toSet
+      .subsetOf(Set("png", "jpeg", "wav", "webp", "mp4")))
     val byFormat = out.map(r => r.getString(0) -> r).toMap
-    // png rows all decode; fallback formats never claim to
+    // png and wav rows all decode; fallback formats never claim to
     assert(byFormat("png").getLong(2) === byFormat("png").getLong(1),
       "every png row must take the real-decode branch")
-    out.filter(_.getString(0) != "png").foreach(r =>
-      assert(r.getLong(2) === 0L, s"${r.getString(0)} must use the fallback"))
-    // INDEPENDENT oracle for the decoded pixel checksums: pattern
-    // arithmetic over (doc_id, n_chars), no codec involved
-    val expected = graft.util.Tables(spark, sf).documents
+    assert(byFormat("wav").getLong(2) === byFormat("wav").getLong(1),
+      "every wav row must take the real-decode branch")
+    out.filter(r => r.getString(0) != "png" && r.getString(0) != "wav")
+      .foreach(r =>
+        assert(r.getLong(2) === 0L, s"${r.getString(0)} must use the fallback"))
+    // INDEPENDENT oracles for the decoded checksums: pattern arithmetic
+    // over (doc_id, n_chars), no codec involved
+    val docs = graft.util.Tables(spark, sf).documents
       .select("doc_id", "n_chars").collect()
-      .filter(_.getLong(1) % 4 === 0L)
+    val expectedPng = docs.filter(_.getLong(1) % 5 === 0L)
       .map { r =>
         val (id, nc) = (r.getLong(0), r.getLong(1))
         graft.multimodal.PngCodec.patternSum(id,
           (16 + nc % 32).toInt, (16 + (nc * 7) % 32).toInt)
       }.sum
-    assert(byFormat("png").getLong(4) === expected,
+    assert(byFormat("png").getLong(4) === expectedPng,
       "png checksum sum must equal the codec-independent pattern sum")
+    val expectedWav = docs.filter(_.getLong(1) % 5 === 2L)
+      .map { r =>
+        val (id, nc) = (r.getLong(0), r.getLong(1))
+        graft.multimodal.WavCodec.amplitudeSum(id, (256 + (nc * 3) % 512).toInt)
+      }.sum
+    assert(byFormat("wav").getLong(4) === expectedWav,
+      "wav checksum sum must equal the codec-independent amplitude sum")
+  }
+
+  test("WavCodec round-trip: real javax.sound decode recovers every sample") {
+    val bytes = graft.multimodal.WavCodec.synthesize(7L, 300, 8000)
+    assert(bytes.length === 44 + 600, "canonical PCM16 header + data")
+    val Some((n, rate, amp)) = graft.multimodal.WavCodec.decode(bytes)
+    assert(n === 300 && rate === 8000)
+    assert(amp === graft.multimodal.WavCodec.amplitudeSum(7L, 300),
+      "decoded amplitude sum must equal the codec-independent arithmetic")
+    // non-audio bytes take None (→ the byte-path fallback upstream)
+    assert(graft.multimodal.WavCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
   }
 
   test("frame sampling partitions the payload exactly") {
@@ -455,12 +477,17 @@ class SimSpec extends SparkSpec {
     val n = graft.util.Tables(spark, sf).documents.count()
     assert(feats.count() === n)
     // fallback rows pass the text bytes through unchanged; png rows
-    // carry an encoder-sized payload (non-empty, spec'd above)
+    // carry an encoder-sized payload (non-empty, spec'd above), wav
+    // rows exactly the canonical 44-byte header + 2 bytes per sample
     val joined = feats.toDF().join(
       graft.util.Tables(spark, sf).documents,
       col("media_id") === col("doc_id"))
-    assert(joined.filter(col("format") =!= "png")
+    assert(joined.filter(col("format") =!= "png" && col("format") =!= "wav")
       .filter(col("n_bytes") =!= length(col("text"))).count() === 0)
+    assert(joined.filter(col("format") === "wav")
+      .filter(col("n_bytes") =!=
+        lit(44) + (lit(256) + pmod(col("n_chars") * 3, lit(512))) * 2)
+      .count() === 0)
     assert(joined.filter(col("n_bytes") <= 0).count() === 0)
   }
 
