@@ -33,15 +33,21 @@ object MinHashIndex {
   final case class Index(bands: DataFrame, shingles: DataFrame)
 
   /** Index a corpus: shingle → sign → band, both tables returned.
-    * `checkpoint = true` pins the narrow band table via lazy
-    * localCheckpoint (the MinHashLSH share pattern) for a handle that
-    * will serve several probe batches in-session.
+    * `checkpoint = true` (the in-session default — [[save]]/[[load]]
+    * is the durable form) pins the SHINGLE table via lazy
+    * localCheckpoint and derives the bands from the pinned copy:
+    * a probe's plan otherwise re-runs the whole tokenize→shingle
+    * derivation of the OLD corpus twice per run (once under the band
+    * join, once under the verify join) — the opposite of "index
+    * once". The pin is corpus-shingle-sized, which is exactly what an
+    * index is; blocks are ContextCleaner-reclaimed when the handle is
+    * dropped (the MinHashLSH share pattern).
     */
   def build(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      checkpoint: Boolean = false): Index = {
-    val sh = MinHashLSH.shingled(docs, idCol, textCol, n)
-    val bands = MinHashLSH.bands(MinHashLSH.signatures(sh))
-    Index(if (checkpoint) bands.localCheckpoint(false) else bands, sh)
+      checkpoint: Boolean = true): Index = {
+    val sh0 = MinHashLSH.shingled(docs, idCol, textCol, n)
+    val sh = if (checkpoint) sh0.localCheckpoint(false) else sh0
+    Index(MinHashLSH.bands(MinHashLSH.signatures(sh)), sh)
   }
 
   /** Persist: bands partitioned by band_id, shingles plain. */
@@ -58,7 +64,8 @@ object MinHashIndex {
   /** Near-duplicate pairs between a NEW batch and the indexed corpus:
     * (new_id, seen_id, jaccard ≥ tau), exact Jaccard verified on true
     * shingle sets. The new batch is shingled/signed/banded map-side;
-    * nothing about the indexed corpus is recomputed.
+    * the indexed corpus comes from the handle's pinned (or loaded)
+    * tables, not recomputation — see [[build]]'s checkpoint note.
     */
   def probe(index: Index, newDocs: DataFrame, idCol: String,
       textCol: String, n: Int, tau: Double): DataFrame = {

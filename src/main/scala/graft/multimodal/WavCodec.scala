@@ -63,7 +63,11 @@ object WavCodec {
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      // rate <= 0 guards a corrupt header that parses but would divide
+      // downstream duration arithmetic by zero — corrupt media takes
+      // the byte-path fallback, never a task crash
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getSampleRate <= 0) None
       else {
         val raw = ais.readAllBytes()
         val n = raw.length / 2

@@ -488,16 +488,18 @@ object CurationQueries {
        |ORDER BY source, shard""".stripMargin
   }
 
-  /** First-fit-decreasing packing (graft.ops.BestFitPack): docs placed
-    * WHOLE into 512-token bins, 8 deterministic hash shards as the
-    * parallelism unit — the no-truncation twin of pack_sequences.
-    * Rows-only (FFD is sequential state per shard, not SQL); the
-    * CurationSpec fixture pins the exact FFD placement, the invariants
-    * (no bin over capacity absent an oversized doc; every doc packed
-    * exactly once), and the shard routing's parity with sample_shard's
-    * xxhash64 arithmetic. Determinism across partitionings rides the
-    * same sweep gate as every query (the in-group sort makes output a
-    * pure function of shard membership).
+  /** Best-fit-decreasing packing (graft.ops.BestFitPack): docs placed
+    * WHOLE into 512-token bins — fullest feasible bin wins — with 8
+    * deterministic xxhash64 shards as the parallelism unit; the
+    * no-truncation twin of pack_sequences. Rows-only (BFD is
+    * sequential state per shard, not SQL); the CurationSpec fixtures
+    * pin the exact BFD placement (including a case where best-fit and
+    * first-fit diverge), the invariants (no bin over capacity absent
+    * an oversized doc; every doc packed exactly once), and the
+    * pmod(xxhash64(id), 8) shard routing against an independent
+    * computation. Determinism across partitionings rides the same
+    * sweep gate as every query (the in-group sort makes output a pure
+    * function of shard membership).
     */
   def packBestfit(s: SparkSession, dir: String): DataFrame =
     graft.ops.BestFitPack.pack(

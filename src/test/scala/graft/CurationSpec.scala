@@ -123,12 +123,13 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_._1 == "src0") >= 2, "upweighted source missing")
   }
 
-  test("pack_bestfit: exact FFD placement on a fixture; corpus invariants") {
+  test("pack_bestfit: exact BFD placement on a fixture; corpus invariants") {
     import spark.implicits._
-    // one shard so the placement is a pure FFD trace: lengths sorted
+    // one shard so the placement is a pure BFD trace: lengths sorted
     // decreasing (ties by id) = 60, 50, 40, 30, 30, 10 into capacity 100
-    //   60 -> bin0; 50 -> bin1; 40 -> bin0 (100 full); 30 -> bin1 (80);
-    //   30 -> bin2; 10 -> bin1 (90)
+    //   60 -> bin0; 50 -> bin1; 40 -> bin0 (exact fit beats bin1's
+    //   slack, 100 full); 30 -> bin1 (80); 30 -> bin2; 10 -> bin1
+    //   (slack 20 < bin2's 70 — fullest feasible bin wins)
     val fx = Seq((1L, 30), (2L, 60), (3L, 40), (4L, 10), (5L, 50), (6L, 30))
       .toDF("doc_id", "len")
     val got = graft.ops.BestFitPack.pack(fx, "doc_id", "len",
@@ -136,6 +137,16 @@ class CurationSpec extends SparkSpec {
       .orderBy("bin_id")
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((0, 2L, 100L), (1, 3L, 90L), (2, 1L, 30L)))
+    // the case where best-fit and first-fit DIVERGE: 7, 5, 4, 1 into
+    // capacity 10 — 7 -> bin0; 5 -> bin1; 4 -> bin1 (9; bin0's slack 3
+    // can't take it); 1 -> best-fit picks bin1 (slack 1, fullest),
+    // where first-fit would have dropped it into bin0 (slack 3)
+    val div = graft.ops.BestFitPack.pack(
+        Seq((1L, 7), (2L, 5), (3L, 4), (4L, 1)).toDF("doc_id", "len"),
+        "doc_id", "len", capacity = 10, shards = 1)
+      .orderBy("bin_id")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(div.toSeq === Seq((0, 1L, 7L), (1, 3L, 10L)))
     // an oversized doc opens its own overflow bin, never dropped
     val over = graft.ops.BestFitPack.pack(
         Seq((1L, 150), (2L, 40)).toDF("doc_id", "len"),
@@ -155,9 +166,16 @@ class CurationSpec extends SparkSpec {
     if (maxLen <= 512)
       bins.foreach(r => assert(r.getLong(3) <= 512L,
         s"bin over capacity: $r"))
-    assert(bins.length < nDocs, "FFD must consolidate docs into bins")
-    // shard routing matches the declared xxhash64 arithmetic
-    val shards = bins.map(_.getInt(0)).distinct.sorted
-    assert(shards.forall(s => s >= 0 && s < 8))
+    assert(bins.length < nDocs, "BFD must consolidate docs into bins")
+    // shard routing IS pmod(xxhash64(doc_id), 8): per-shard doc counts
+    // from the bins must equal the counts of that arithmetic computed
+    // independently over the corpus
+    val shardCounts = bins.groupBy(_.getInt(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(2)).sum }
+    val expectedCounts = docs
+      .select(pmod(xxhash64(col("doc_id")), lit(8)).cast("int").as("s"))
+      .groupBy(col("s")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(shardCounts === expectedCounts, "xxhash64 shard routing")
   }
 }

@@ -548,21 +548,26 @@ class SimSpec extends SparkSpec {
   test("knn_graph_cell recall vs the exact graph is usable") {
     def sets(rows: Array[org.apache.spark.sql.Row]) = rows.groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
-    val exact = sets(SimQueries.knnGraph(spark, sf).collect())
-    val celled = sets(SimQueries.knnGraphCell(spark, sf).collect())
+    // ONE collect of the quadratic exact graph serves both the recall
+    // truth sets and the exact-cos lookup below
+    val exactRows = SimQueries.knnGraph(spark, sf).collect()
+    val celledRows = SimQueries.knnGraphCell(spark, sf).collect()
+    val exact = sets(exactRows)
+    val celled = sets(celledRows)
     val recalls = exact.map { case (q, truth) =>
       celled.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
-    // nProbe = 4 of C = 16 cells: same pruning regime as IVF search,
-    // so the floor matches the other pruned paths
+    // the registered query probes 8 of C = 16 cells (nProbe = 4
+    // measured 0.59 on this corpus — below the floor; see the
+    // SimQueries.knnGraphCell scaladoc for the regime discussion)
     assert(mean >= 0.7, s"mean graph recall@5 $mean")
     // every returned cos is exact (candidates are scored on real
     // vectors — never an estimate), so a reported edge can't disagree
     // with the exact graph, only be missing
-    val exactCos = SimQueries.knnGraph(spark, sf).collect()
+    val exactCos = exactRows
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    SimQueries.knnGraphCell(spark, sf).collect().foreach { r =>
+    celledRows.foreach { r =>
       exactCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
         assert(math.abs(c - r.getDouble(3)) < 1e-9, "graph cos must be exact")
       }
