@@ -200,13 +200,80 @@ object EventQueries {
       |  GROUP BY from_type, to_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** SCD2 / change-data-capture history build: collapse each user's
+    * event stream into validity intervals of UNCHANGED event_type —
+    * the classic gaps-and-islands run-length encoding that turns an
+    * event log into a slowly-changing-dimension table (valid_from /
+    * valid_to, open interval on the current state). Three stages, all
+    * riding ONE user_id-partitioned sort order: lag() flags run starts,
+    * a running sum numbers the runs, and a partial-aggregatable groupBy
+    * (user, run) collapses them; the final valid_to = next run's
+    * valid_from via one more lead() on the already-collapsed (small)
+    * interval table. Ties on ts broken by event_id so run membership is
+    * total-order deterministic; all outputs are exact integers.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("es"))
+    // order on the FULL-precision ts (es truncates to seconds — ordering
+    // on it could disagree with the oracle when two events share a second)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = e
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull
+          || lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = runs.groupBy(col("user_id"), col("run_id"))
+      .agg(max(col("event_type")).as("state"),
+        min(col("es")).as("valid_from_s"),
+        count(lit(1)).as("n_events"))
+    intervals
+      .withColumn("valid_to_s",
+        lead(col("valid_from_s"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("run_id"))))
+      .select(col("user_id"), col("run_id"), col("state"),
+        col("valid_from_s"), col("valid_to_s"), col("n_events"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
+  val qScd2Sql: String =
+    """SELECT user_id, run_id, state, valid_from_s,
+      |  lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY run_id)
+      |    AS valid_to_s,
+      |  n_events
+      |FROM (
+      |  SELECT user_id, run_id, max(event_type) AS state,
+      |    min(es) AS valid_from_s, count(*) AS n_events
+      |  FROM (
+      |    SELECT user_id, event_type, es,
+      |      sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id
+      |    FROM (
+      |      SELECT user_id, event_type, event_id, ts,
+      |        floor(epoch(ts))::BIGINT AS es,
+      |        CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+      |                                        ORDER BY ts, event_id) IS NULL
+      |               OR lag(event_type) OVER (PARTITION BY user_id
+      |                                        ORDER BY ts, event_id)
+      |                  <> event_type
+      |             THEN 1 ELSE 0 END AS chg
+      |      FROM events))
+      |  GROUP BY user_id, run_id)
+      |ORDER BY user_id, run_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (qScd2 _),
     "q_funnel" -> (qFunnel _),
     "q_cohort" -> (qCohort _),
     "q_transitions" -> (qTransitions _),
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_scd2" -> qScd2Sql,
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,
     "q_transitions" -> qTransitionsSql,

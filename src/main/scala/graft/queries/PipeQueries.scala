@@ -240,6 +240,83 @@ object PipeQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Exact audience-overlap matrix (|A|, |B|, |A∩B|, Jaccard for every
+    * event-type pair) via bitmap SET ALGEBRA — the segment-bitmap idea
+    * of agg_bitmap_distinct extended from counting to intersection.
+    * The naive exact form self-joins the (type, user) distinct table on
+    * user_id — shuffle rows ∝ Σ|audience| and a hot user fans
+    * quadratically. Here each (type, 32768-key segment) partial-
+    * aggregates into a ≤ 4 KB bitmap; intersections ride a seg-aligned
+    * equi-join (≤ |types| rows per seg, uniform by construction) and
+    * the native `graft_bitmap_and_count` folds AND + popcount without
+    * materializing an intermediate bitmap. Wire bytes are
+    * O(|types| · keyspace ∕ 8) CONSTANTS, independent of event count.
+    * Pairs whose audiences never share a segment still surface
+    * (users_both = 0) because the pair frame is built from the KB-scale
+    * totals table and the intersections are left-joined onto it. The
+    * seg table is shared by three consumers via lazy localCheckpoint
+    * (the narrow-index pattern; released in finally).
+    */
+  def aggBitmapOps(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables(s, dir).events.select(col("event_type"), col("user_id"))
+    val segs = ev
+      .groupBy(col("event_type"),
+        call_function("bitmap_bucket_number", col("user_id")).as("seg"))
+      .agg(call_function("bitmap_construct_agg",
+        call_function("bitmap_bit_position", col("user_id"))).as("bm"))
+      .localCheckpoint(false)
+    try {
+      val totals = segs.groupBy(col("event_type"))
+        .agg(sum(call_function("bitmap_count", col("bm"))).as("nu"))
+      val inter = segs.as("a")
+        .join(segs.as("b"), col("a.seg") === col("b.seg")
+          && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(sum(call_function("graft_bitmap_and_count",
+          col("a.bm"), col("b.bm"))).as("n_both"))
+      val pairs = totals.as("ta")
+        .join(totals.as("tb"), col("ta.event_type") < col("tb.event_type"))
+        .select(col("ta.event_type").as("type_a"),
+          col("tb.event_type").as("type_b"),
+          col("ta.nu").as("users_a"), col("tb.nu").as("users_b"))
+      pairs.join(inter, Seq("type_a", "type_b"), "left")
+        .withColumn("users_both", coalesce(col("n_both"), lit(0L)))
+        .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+          col("users_both"),
+          (floor(col("users_both")
+            / (col("users_a") + col("users_b") - col("users_both"))
+            * 10000 + 0.5).cast("double") / 10000).as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+        // the three consumers all feed this one result; materialize it
+        // so the checkpoint blocks can be released before returning
+        .localCheckpoint(true)
+    } finally graft.util.Caches.release(segs)
+  }
+
+  val aggBitmapOpsSql: String =
+    """WITH au AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |t AS (
+      |  SELECT event_type, count(*) AS nu FROM au GROUP BY event_type),
+      |i AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_both
+      |  FROM au a JOIN au b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY type_a, type_b)
+      |SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+      |  ta.nu AS users_a, tb.nu AS users_b,
+      |  coalesce(i.n_both, 0) AS users_both,
+      |  floor(coalesce(i.n_both, 0)::DOUBLE
+      |        / (ta.nu + tb.nu - coalesce(i.n_both, 0))
+      |        * 10000 + 0.5) / 10000 AS jaccard
+      |FROM t ta
+      |JOIN t tb ON ta.event_type < tb.event_type
+      |LEFT JOIN i ON i.type_a = ta.event_type AND i.type_b = tb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** Count-Min frequency estimation closing the sketch family: Spark
     * ships the `count_min_sketch` builder aggregate (constant-size
     * state, merges through the shuffle) but no SQL-side reader — the
@@ -584,6 +661,7 @@ object PipeQueries {
     "agg_sketches" -> (aggSketches _),
     "agg_countmin" -> (aggCountmin _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
+    "agg_bitmap_ops" -> (aggBitmapOps _),
     "agg_percentiles" -> (aggPercentiles _),
     "agg_equidepth" -> (aggEquidepth _),
     "agg_histogram" -> (aggHistogram _),
@@ -607,6 +685,7 @@ object PipeQueries {
     "agg_distinct_twophase" -> aggDistinctTwophaseSql,
     "agg_countmin" -> aggCountminSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
+    "agg_bitmap_ops" -> aggBitmapOpsSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_equidepth" -> aggEquidepthSql,
     "agg_histogram" -> aggHistogramSql,

@@ -27,6 +27,28 @@ object StreamQueries {
       |GROUP BY 1, 2
       |ORDER BY ws, event_type""".stripMargin
 
+  /** Hopping-window rollup (1 h windows every 15 min): the sliding
+    * trend view the tumbling stream_window_agg can't give (a spike at
+    * :59 splits across two tumbling hours but is whole in three of its
+    * four hops). The DuckDB twin enumerates each event's 4 = size∕slide
+    * epoch-aligned window starts with the same integer arithmetic
+    * Spark's `window(ts, size, slide)` uses, so the oracle is exact.
+    */
+  def streamHopping(s: SparkSession, dir: String): DataFrame =
+    Streams.hoppingAgg(Tables(s, dir).events)
+      .orderBy(col("ws"), col("event_type"))
+
+  val streamHoppingSql: String =
+    """SELECT ws, event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT e.*,
+      |    (floor(epoch(e.ts) / 900)::BIGINT - k.k) * 900 AS ws
+      |  FROM events e
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+      |GROUP BY ws, event_type
+      |ORDER BY ws, event_type""".stripMargin
+
   def streamSessionize(s: SparkSession, dir: String): DataFrame =
     Streams.sessionizeBatch(Tables(s, dir).events, gapMinutes = 30)
       .orderBy(col("user_id"), col("session_id"))
@@ -345,6 +367,7 @@ object StreamQueries {
     "stream_topk" -> (streamTopk _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_hopping" -> (streamHopping _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_multi_sink" -> (streamMultiSink _),
     "stream_enrich" -> (streamEnrich _),
@@ -358,6 +381,7 @@ object StreamQueries {
     "stream_topk" -> streamTopkSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_agg" -> streamWindowAggSql,
+    "stream_hopping" -> streamHoppingSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_multi_sink" -> streamMultiSinkSql,
     "stream_enrich" -> streamEnrichSql,

@@ -30,6 +30,25 @@ object Streams {
       .select(unix_timestamp(col("w.start")).as("ws"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Hopping (sliding) window aggregation: each event lands in
+    * size∕slide overlapping windows (Spark's `window(ts, size, slide)`
+    * expands map-side — the per-row fan-out multiplies aggregate INPUT
+    * rows, never shuffle bytes beyond the usual partial-agg state, so
+    * it scales exactly like the tumbling form). Window starts are
+    * epoch-aligned multiples of the slide, so the batch twin is pure
+    * integer arithmetic any engine can reproduce. Works unchanged as a
+    * streaming transform (watermark + append once the window closes);
+    * spec-gated on a MemoryStream in StreamSpec.
+    */
+  def hoppingAgg(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("ws"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   // ---- sessionization --------------------------------------------------
 
   /** Batch sessionization: sessions split on gaps > gapMinutes per user.

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.queries.{EventQueries, PipeQueries}
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+/** Fixture-level checks for the event-log analytics that the DuckDB
+  * oracle can only see in aggregate: SCD2 interval structure, hopping-
+  * window fan-out arithmetic, and bitmap-set-algebra overlap counts
+  * against their exact distinct-join twins.
+  */
+class EventSpec extends SparkSpec {
+
+  private def ev(id: Long, minute: Long, user: Long, typ: String): Ev =
+    Ev(id, new Timestamp(1700000000000L + minute * 60000L), user, typ, 1.0)
+
+  /** Write a canonical events.parquet under a temp dir so the query
+    * entry points (which read via Tables) can run on a fixture.
+    */
+  private def fixtureDir(events: Seq[Ev]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_eventspec").toString
+    events.toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_scd2: run-length intervals with closed/open validity and ties") {
+    val dir = fixtureDir(Seq(
+      // user 1: a a b a  → three intervals, last one open
+      ev(1, 0, 1, "a"), ev(2, 10, 1, "a"), ev(3, 20, 1, "b"),
+      ev(4, 30, 1, "a"),
+      // user 2: single state → one open interval
+      ev(5, 0, 2, "x"),
+      // user 3: same-ts tie → event_id breaks the order (6 before 7)
+      ev(6, 5, 3, "p"), ev(7, 5, 3, "q")))
+    val out = EventQueries.qScd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+    val t0 = 1700000000L
+    assert(out.toSeq === Seq(
+      (1L, 1L, "a", t0, t0 + 1200, 2L),
+      (1L, 2L, "b", t0 + 1200, t0 + 1800, 1L),
+      (1L, 3L, "a", t0 + 1800, -1L, 1L),
+      (2L, 1L, "x", t0, -1L, 1L),
+      (3L, 1L, "p", t0 + 300, t0 + 300, 1L),
+      (3L, 2L, "q", t0 + 300, -1L, 1L)))
+  }
+
+  test("q_scd2: intervals tile each user's history exactly") {
+    val df = EventQueries.qScd2(spark, sf)
+    // per user: run_ids are 1..n, interval event counts sum to the
+    // user's events, and every closed interval's end = next start
+    val byUser = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_id")).as("max_run"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("valid_to_s").isNull, 1).otherwise(0)).as("n_open"))
+      .collect()
+    byUser.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), "run ids must be dense 1..n")
+      assert(r.getLong(4) === 1L, "exactly one open (current) interval")
+    }
+    val totalEvents = graft.util.Tables(spark, sf).events.count()
+    assert(byUser.map(_.getLong(3)).sum === totalEvents)
+  }
+
+  test("hoppingAgg: one event lands in exactly size/slide epoch-aligned windows") {
+    import spark.implicits._
+    val t = 1700003123L // arbitrary, NOT hop-aligned
+    val one = Seq(Ev(1, new Timestamp(t * 1000L), 1, "click", 2.0)).toDF()
+    val rows = Streams.hoppingAgg(one).orderBy("ws").collect()
+    assert(rows.length === 4)
+    val starts = rows.map(_.getLong(0))
+    val expectedLast = t / 900 * 900
+    assert(starts.toSeq === Seq(expectedLast - 2700, expectedLast - 1800,
+      expectedLast - 900, expectedLast))
+    assert(rows.forall(r => r.getLong(2) === 1L))
+    // every window actually contains the event
+    starts.foreach(w => assert(w <= t && t < w + 3600))
+  }
+
+  test("hoppingAgg totals are size/slide times the tumbling totals") {
+    val hop = Streams.hoppingAgg(graft.util.Tables(spark, sf).events,
+      "1 hour", "15 minutes")
+    val n = hop.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val total = graft.util.Tables(spark, sf).events.count()
+    assert(n === 4 * total)
+  }
+
+  test("agg_bitmap_ops matches the exact distinct-join overlap") {
+    val got = PipeQueries.aggBitmapOps(spark, sf)
+      .select("type_a", "type_b", "users_a", "users_b", "users_both")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val au = graft.util.Tables(spark, sf).events
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(false)
+    val totals = au.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    val inter = au.as("a").join(au.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("nb"))
+    val expected = totals.as("x").join(totals.as("y"),
+        col("x.event_type") < col("y.event_type"))
+      .join(inter, col("x.event_type") === col("ta")
+        && col("y.event_type") === col("tb"), "left")
+      .select(col("x.event_type"), col("y.event_type"),
+        col("x.nu"), col("y.nu"), coalesce(col("nb"), lit(0L)))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      .sortBy(p => (p._1, p._2))
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall(p => p._5 <= math.min(p._3, p._4)))
+  }
+}

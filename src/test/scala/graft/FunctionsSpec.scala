@@ -164,4 +164,41 @@ class FunctionsSpec extends SparkSpec {
       assert(est <= exact + (0.5 * n).toLong, s"est $est exceeds eps*N bound")
     }
   }
+
+  test("bitmap and-count: popcount of the intersection, any lengths") {
+    import graft.functions.BitmapAndCount
+    // known bytes: 0b1111_0000 & 0b1010_1010 = 0b1010_0000 -> 2 bits
+    assert(BitmapAndCount.compute(
+      Array[Byte](0xF0.toByte), Array[Byte](0xAA.toByte)) === 2L)
+    // disjoint
+    assert(BitmapAndCount.compute(
+      Array[Byte](0x0F.toByte), Array[Byte](0xF0.toByte)) === 0L)
+    // mismatched lengths: bytes past the shorter operand hold no bits
+    assert(BitmapAndCount.compute(
+      Array[Byte](0xFF.toByte), Array[Byte](0xFF.toByte, 0xFF.toByte)) === 8L)
+    assert(BitmapAndCount.compute(Array.empty[Byte],
+      Array[Byte](0xFF.toByte)) === 0L)
+  }
+
+  test("bitmap and-count in-plan: self-AND = bitmap_count; exact vs distinct join") {
+    GraftFunctions.register(spark)
+    // two overlapping key sets built with the engine's own bitmap agg
+    val r = spark.sql(
+      """SELECT graft_bitmap_and_count(a.bm, a.bm) AS self_cnt,
+        |       bitmap_count(a.bm) AS ref_cnt,
+        |       graft_bitmap_and_count(a.bm, b.bm) AS inter_cnt
+        |FROM (SELECT bitmap_construct_agg(bitmap_bit_position(id)) AS bm
+        |      FROM range(1, 101)) a,
+        |     (SELECT bitmap_construct_agg(bitmap_bit_position(id)) AS bm
+        |      FROM range(60, 161)) b""".stripMargin).head()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(2) === 41L) // [60, 100] overlap
+    // wrong types rejected at analysis
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bitmap_and_count(1, 2)").head()
+    }
+    assert(err.getMessage.toLowerCase.contains("binary"),
+      s"expected a BINARY type error, got: ${err.getMessage}")
+  }
 }

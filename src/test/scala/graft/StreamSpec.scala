@@ -32,6 +32,26 @@ class StreamSpec extends SparkSpec {
     assert(batch.length === 5)
   }
 
+  test("hoppingAgg: streaming (complete mode) equals batch on same data") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 0, 1), ev(2, 10, 1, "view", 2.0), ev(3, 65, 2, "click", 3.5),
+      ev(4, 70, 2, "error", 0.5), ev(5, 130, 3))
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = Streams.hoppingAgg(ms.toDS().toDF())
+      .writeStream.format("memory").queryName("hopagg")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hopagg").orderBy("ws", "event_type").collect()
+    val batch = Streams.hoppingAgg(events.toDF())
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    // every event contributes to exactly 4 hops
+    assert(batch.map(_.getLong(2)).sum === 4L * events.size)
+  }
+
   test("sessionizeStream: closed sessions match batch sessionization") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
