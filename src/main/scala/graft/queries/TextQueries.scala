@@ -414,7 +414,48 @@ object TextQueries {
       |FROM documents d LEFT JOIN h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained BPE model, memoized per corpus dir (the
+    * centroids/codebooks/bigram-LM pattern).
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.text.Bpe.Model]()
+
+  /** Token accounting under a REAL trained tokenizer: fit BPE on this
+    * corpus (one distributed word-count pass + driver merge loop,
+    * graft.text.Bpe), then count each doc's BPE tokens with the native
+    * one-pass expression. `fertility_x100` (BPE tokens per pretoken
+    * word, integer per-cents) is the quality signal: noise/rare-script
+    * docs shatter into many pieces per word. No SQL twin — the merge
+    * loop is inherently iterative — so the row is declared rows-only;
+    * TextSpec pins the hand-traced merge sequence, encode round-trip,
+    * merge-count monotonicity and expression↔driver parity.
+    */
+  /** Merge budget for the registered query: the synthetic corpus has a
+    * ~31-word vocabulary that ~110 merges merge COMPLETELY (every word
+    * → 1 token, fertility pinned at 100 — a constant column proves
+    * nothing). 24 merges sits below saturation: Zipf-head words are
+    * single tokens, tail words still split, so per-doc fertility
+    * discriminates by word mix. A production corpus takes the library
+    * default (and real vocab sizes never saturate).
+    */
+  private val BpeQueryMerges = 24
+
+  def textBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val model = bpeCache.computeIfAbsent(s"$dir#$BpeQueryMerges",
+      _ => graft.text.Bpe.fit(docs, "text", numMerges = BpeQueryMerges))
+    docs.select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_pretok"),
+        graft.text.Bpe.tokenCount(col("text"), model).as("n_bpe_tok"))
+      .withColumn("fertility_x100",
+        when(col("n_pretok") > 0,
+          floor(col("n_bpe_tok") * lit(100L) / col("n_pretok")))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe" -> (textBpe _),
     "text_lmscore" -> (textLmscore _),
     "text_entropy" -> (textEntropy _),
     "text_chunk" -> (textChunk _),

@@ -221,4 +221,72 @@ class TextSpec extends SparkSpec {
       .select(graft.text.BigramLm.score(col("text"), certain))
       .head().getDouble(0) === 0.0)
   }
+
+  test("Bpe: hand-traced merge sequence on the classic corpus") {
+    import graft.text.Bpe
+    // HF-course corpus: hug x10, pug x5, pun x12, bun x4, hugs x5
+    val counts = Seq("hug" -> 10L, "pug" -> 5L, "pun" -> 12L,
+      "bun" -> 4L, "hugs" -> 5L)
+    val m = Bpe.trainOnCounts(counts, 3)
+    // pair mass: (u,g)=20 > (p,u)=17 > (u,n)=16 > (h,u)=15 ...
+    // after ug: (u,n)=16 > (h,ug)=15; after un: (h,ug)=15 wins
+    assert(m.merges === Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    assert(Bpe.encodeWord(m, "hugs") === Seq("hug", "s"))
+    assert(Bpe.encodeWord(m, "bug") === Seq("b", "ug"))
+    assert(Bpe.encodeWord(m, "pun") === Seq("p", "un"))
+    // unseen word decomposes into learned pieces + single chars
+    assert(Bpe.encodeWord(m, "mugging") ===
+      Seq("m", "ug", "g", "i", "n", "g"))
+    assert(m.vocab.contains("hug") && m.vocab.contains("un"))
+  }
+
+  test("Bpe: tie on pair count breaks lexicographically; count-1 pairs never merge") {
+    import graft.text.Bpe
+    // "ab" and "cd" both occur twice -> ("a","b") < ("c","d") merges first
+    val m = Bpe.trainOnCounts(Seq("ab" -> 2L, "cd" -> 2L), 2)
+    assert(m.merges === Seq(("a", "b"), ("c", "d")))
+    // singleton word: its pairs have count 1 -> no merge learned
+    val m1 = Bpe.trainOnCounts(Seq("xyz" -> 1L), 10)
+    assert(m1.merges.isEmpty)
+    assert(Bpe.encodeWord(m1, "xyz") === Seq("x", "y", "z"))
+  }
+
+  test("Bpe: encode round-trips and token totals shrink as merges grow") {
+    import graft.text.Bpe
+    val docs = graft.util.Tables(spark, sf).documents
+    val m0 = Bpe.fit(docs, "text", numMerges = 0)
+    val m50 = Bpe.fit(docs, "text", numMerges = 50)
+    val m200 = Bpe.fit(docs, "text", numMerges = 200)
+    // round-trip: concatenated pieces reproduce the word, for every
+    // distinct corpus word of a sample
+    val words = docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit(TextOps.BpePattern), lit(0))).as("w"))
+      .distinct().limit(300).collect().map(_.getString(0))
+    words.foreach { w =>
+      assert(Bpe.encodeWord(m200, w).mkString === w, s"round-trip of '$w'")
+    }
+    def total(m: Bpe.Model): Long =
+      docs.select(Bpe.tokenCount(col("text"), m).as("n"))
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+    val (t0, t50, t200) = (total(m0), total(m50), total(m200))
+    assert(t0 >= t50 && t50 >= t200,
+      s"token totals must be non-increasing in merges: $t0, $t50, $t200")
+    assert(t200 < t0, "200 merges must actually compress the corpus")
+  }
+
+  test("Bpe: native expression equals driver-side encode on real docs") {
+    import graft.text.Bpe
+    val docs = graft.util.Tables(spark, sf).documents
+    val m = Bpe.fit(docs, "text", numMerges = 120)
+    val rows = docs.select(col("text"),
+        Bpe.tokenCount(col("text"), m).as("n")).limit(50).collect()
+    val p = java.util.regex.Pattern.compile(TextOps.BpePattern)
+    rows.foreach { r =>
+      val matcher = p.matcher(
+        r.getString(0).toLowerCase(java.util.Locale.ROOT))
+      var n = 0
+      while (matcher.find()) n += Bpe.encodeWord(m, matcher.group()).size
+      assert(r.getInt(1) === n)
+    }
+  }
 }
