@@ -29,6 +29,8 @@ object GraftFunctions {
       LangMarkerBest(a, LangMarkerBest.DefaultMarkers) },
     "graft_cms_estimate" -> { case Seq(s, v) => CmsEstimate(s, v) },
     "graft_bitmap_and_count" -> { case Seq(a, b) => BitmapAndCount(a, b) },
+    "graft_gramian" -> { case Seq(a, d) =>
+      GramianAgg(a, foldableInt("graft_gramian dim", d)).toAggregateExpression() },
     "graft_lsh_buckets" -> { case Seq(v, t, b, s, d) =>
       LshBuckets(v, foldableInt("graft_lsh_buckets tables", t),
         foldableInt("graft_lsh_buckets bits", b),

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * ([[PngCodec]]), and `wav` rows carry genuine PCM16 RIFF/WAVE
   * payloads decoded by `javax.sound.sampled` ([[WavCodec]]) — both
   * synthesized deterministically per doc so the specs verify each
-  * round-trip against codec-independent pattern arithmetic. Formats
-  * the JDK cannot decode (jpeg payloads here are not real jpegs;
-  * webp/mp4 have no JDK codec) take the byte-path FALLBACK in
+  * round-trip against codec-independent pattern arithmetic, and `gif`
+  * rows carry genuine ANIMATED GIFs ([[GifCodec]]) whose temporal axis
+  * the frame sampler really decodes. Formats the JDK cannot decode
+  * (jpeg payloads here are not real jpegs; mp4 has no JDK codec) take
+  * the byte-path FALLBACK in
   * `decodeBatch` — the same degrade-gracefully branch a production
   * pipeline keeps for corrupt or unknown media. Swap the codec calls
   * for JNI/FFI decoders to widen the real set without touching the
@@ -47,7 +49,7 @@ object Multimodal {
     */
   val DecodeBatchSize = 64
 
-  private val Formats = Seq("png", "jpeg", "wav", "webp", "mp4")
+  private val Formats = Seq("png", "jpeg", "wav", "gif", "mp4")
 
   /** Sample rate of synthesized wav rows (8 kHz — telephony PCM). */
   val WavRate = 8000
@@ -74,10 +76,12 @@ object Multimodal {
         element_at(typedlit(Formats), (m5 + 1).cast("int")).as("format"),
         when(m5 === 0, lit(16) + pmod(col("n_chars"), lit(32)))
           .when(m5 === 2, lit(256) + pmod(col("n_chars") * 3, lit(512)))
+          .when(m5 === 3, lit(16) + pmod(col("n_chars"), lit(24)))
           .otherwise(lit(64) + pmod(col("n_chars"), lit(512)))
           .cast("int").as("width"),
         when(m5 === 0, lit(16) + pmod(col("n_chars") * 7, lit(32)))
           .when(m5 === 2, lit(WavRate))
+          .when(m5 === 3, lit(12) + pmod(col("n_chars") * 7, lit(24)))
           .otherwise(lit(64) + pmod(col("n_chars") * 7, lit(512)))
           .cast("int").as("height"))
       .as[MediaRecord]
@@ -90,6 +94,9 @@ object Multimodal {
             m.copy(bytes = PngCodec.synthesize(m.media_id, m.width, m.height))
           case "wav" =>
             m.copy(bytes = WavCodec.synthesize(m.media_id, m.width, m.height))
+          case "gif" =>
+            m.copy(bytes = GifCodec.synthesize(m.media_id, m.width, m.height,
+              GifCodec.frameCount(m.media_id)))
           case _ => m
         }
       })
@@ -117,6 +124,12 @@ object Multimodal {
               ampSum, rate / 1000, (n.toLong * 1000 / rate).toInt,
               decoded = true)
           }
+        case "gif" =>
+          GifCodec.decodeFrames(m.bytes).map { frames =>
+            MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
+              frames.iterator.map(_._3).sum,
+              frames.head._1 / 8, frames.head._2 / 8, decoded = true)
+          }
         case _ => None
       }
       real.getOrElse {
@@ -138,29 +151,50 @@ object Multimodal {
     }
   }
 
-  /** One sampled "frame" of a media payload. */
+  /** One sampled frame of a media payload. For REAL decoded frames
+    * (`decoded = true`) `n_units` is the frame's pixel count and
+    * `checksum` its pixel sum; for byte-window fallback frames
+    * `n_units` is the window's byte length and `checksum` the byte
+    * sum.
+    */
   final case class MediaFrame(
-      media_id: Long, frame_id: Int, n_bytes: Long, checksum: Long)
+      media_id: Long, frame_id: Int, n_units: Long, checksum: Long,
+      decoded: Boolean)
 
-  /** STUB frame sampler — the video-path analogue of decodeStub: split
-    * the payload into nFrames equal byte windows ("frames") and emit a
-    * per-frame stat. A real implementation would seek keyframes and
-    * decode; the windowing, fan-out shape (rows × frames), and batch
-    * loop are what's real here.
+  /** Frame sampler. The TEMPORAL axis is REAL for `gif` rows: the
+    * payload is a genuine animated GIF and each emitted row is one
+    * DECODED frame ([[GifCodec.decodeFrames]] through the JDK's
+    * multi-frame ImageReader) — frame count comes from the container,
+    * per-frame stats from decoded pixels. Formats without a JDK
+    * temporal decoder (mp4 and the undecodable blobs) keep the
+    * byte-window fallback: nFrames equal byte slices standing in for
+    * keyframe seeks, preserving the fan-out shape (rows × frames) and
+    * the batch loop. `decoded` records which branch each row took.
     */
   def sampleFrames(media: Dataset[MediaRecord], nFrames: Int = 4): Dataset[MediaFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
-        val len = m.bytes.length
-        (0 until nFrames).map { f =>
-          // long arithmetic: f * len overflows Int for GB-scale payloads
-          val lo = (f.toLong * len / nFrames).toInt
-          val hi = ((f + 1).toLong * len / nFrames).toInt
-          val window = m.bytes.slice(lo, hi)
-          MediaFrame(m.media_id, f, window.length.toLong,
-            window.iterator.map(b => (b & 0xff).toLong).sum)
+        val real =
+          if (m.format == "gif")
+            GifCodec.decodeFrames(m.bytes).map(_.zipWithIndex.map {
+              case ((w, h, pixelSum), f) =>
+                MediaFrame(m.media_id, f, w.toLong * h, pixelSum,
+                  decoded = true)
+            })
+          else None
+        real.getOrElse {
+          val len = m.bytes.length
+          (0 until nFrames).map { f =>
+            // long arithmetic: f * len overflows Int for GB-scale payloads
+            val lo = (f.toLong * len / nFrames).toInt
+            val hi = ((f + 1).toLong * len / nFrames).toInt
+            val window = m.bytes.slice(lo, hi)
+            MediaFrame(m.media_id, f, window.length.toLong,
+              window.iterator.map(b => (b & 0xff).toLong).sum,
+              decoded = false)
+          }
         }
       })
     }

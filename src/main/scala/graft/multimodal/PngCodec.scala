@@ -15,7 +15,7 @@ import javax.imageio.ImageIO
   * This is the image half of the multimodal boundary: PNG is the one
   * format the JDK encodes AND decodes losslessly. jpeg decoding exists
   * in the JDK too but lossy round-trips have no independent oracle,
-  * and webp/mp4 have no JDK codec at all — those formats keep the
+  * and mp4 has no JDK codec at all — those formats keep the
   * byte-path fallback in [[Multimodal.decodeFeatures]] (exactly the
   * fallback a production pipeline runs for undecodable media). Swap
   * [[decode]] for a JNI/FFI decoder to widen the real set.

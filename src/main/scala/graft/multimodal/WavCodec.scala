@@ -10,7 +10,7 @@ import javax.sound.sampled.AudioSystem
   * INDEPENDENTLY of the codec and assert the decode round-trip
   * recovered every sample — the same proves-real-bytes property
   * [[PngCodec]] gives the image path. This closes the audio half of
-  * the multimodal boundary; video (mp4) remains byte-path fallback
+  * the multimodal boundary; mp4 remains byte-path fallback (gif covers the real temporal axis)
   * (no JDK codec exists — swap [[decode]] for an FFI decoder to widen
   * the real set).
   */

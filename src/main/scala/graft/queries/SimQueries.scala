@@ -307,7 +307,36 @@ object SimQueries {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** PCA model memoized per corpus dir (deterministic fit — the
+    * centroids/codebooks pattern).
+    */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Pca.Model]()
+
+  /** PCA projection of the embedding corpus onto its top 4 principal
+    * components ([[graft.sim.Pca]]): one Gramian pass + driver Jacobi,
+    * then a native map-side projection. Output quantized to 1e-6
+    * integer units (the covariance is rounded before the eigensolve,
+    * so components are partitioning-invariant). Rows-only — an
+    * iterative eigendecomposition has no SQL twin; SimSpec pins
+    * orthonormality, eigenvalue order, variance capture and a planted
+    * dominant direction.
+    */
+  def embPca(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(s, dir).embeddings
+    val model = pcaCache.computeIfAbsent(dir,
+      _ => graft.sim.Pca.fit(corpus, "embedding", dim = 64, k = 4))
+    val proj = graft.sim.Pca.project(col("embedding"), model)
+    val pcs = (0 until 4).map(j =>
+      floor(element_at(col("y"), j + 1) * 1e6 + lit(0.5)).cast("long")
+        .as(s"pc${j + 1}_x6"))
+    corpus.select(col("vec_id"), proj.as("y"))
+      .select(col("vec_id") +: pcs: _*)
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca" -> (embPca _),
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),

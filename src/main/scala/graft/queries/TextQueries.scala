@@ -454,7 +454,59 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TextRank keyword ranks over the corpus word graph
+    * ([[graft.text.TextRank]]): integer-arithmetic PageRank, so the
+    * 10-round trajectory is exact and the DuckDB twin (the same rounds
+    * UNROLLED as chained CTEs — recursive CTEs can't aggregate) hashes
+    * identically.
+    */
+  def textPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextRank.ranks(Tables(s, dir).documents, "text")
+      .orderBy(col("node"))
+
+  val textPagerankSql: String = {
+    val rounds = (1 to graft.text.TextRank.Iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    (SELECT 150000 // count(*) FROM nodes)
+         |      + coalesce(sum((85 * r.rank * e.w) // (100 * wo.wout)), 0)
+         |        ::BIGINT AS rank
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  LEFT JOIN wout wo ON wo.src = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT regexp_extract_all(lower(text),
+       |    '${graft.text.TextOps.BpePattern}') AS a
+       |  FROM documents),
+       |occ AS (
+       |  SELECT string_split(p, ' ')[1] AS s, string_split(p, ' ')[2] AS d
+       |  FROM (
+       |    SELECT unnest([a[i] || ' ' || a[i + 1]
+       |                   FOR i IN range(1, len(a))]) AS p
+       |    FROM toks WHERE len(a) >= 2)
+       |  WHERE string_split(p, ' ')[1] <> string_split(p, ' ')[2]),
+       |edges AS (
+       |  SELECT src, dst, count(*) AS w FROM (
+       |    SELECT s AS src, d AS dst FROM occ
+       |    UNION ALL
+       |    SELECT d AS src, s AS dst FROM occ)
+       |  GROUP BY src, dst),
+       |wout AS (SELECT src, sum(w)::BIGINT AS wout FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT unnest(a) AS node FROM toks),
+       |r0 AS (
+       |  SELECT node, (SELECT 1000000 // count(*) FROM nodes)::BIGINT AS rank
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, rank AS rank_x6
+       |FROM r${graft.text.TextRank.Iterations}
+       |ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pagerank" -> (textPagerank _),
     "text_bpe" -> (textBpe _),
     "text_lmscore" -> (textLmscore _),
     "text_entropy" -> (textEntropy _),
@@ -469,6 +521,7 @@ object TextQueries {
     "tfidf_topterms" -> (tfidfTopterms _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_pagerank" -> textPagerankSql,
     "text_lmscore" -> textLmscoreSql,
     "text_entropy" -> textEntropySql,
     "text_chunk" -> textChunkSql,

@@ -412,14 +412,16 @@ class SimSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum === 500L)
     assert(out.forall(_.getLong(3) > 0), "total_bytes must be positive")
     assert(out.map(_.getString(0)).toSet
-      .subsetOf(Set("png", "jpeg", "wav", "webp", "mp4")))
+      .subsetOf(Set("png", "jpeg", "wav", "gif", "mp4")))
     val byFormat = out.map(r => r.getString(0) -> r).toMap
     // png and wav rows all decode; fallback formats never claim to
     assert(byFormat("png").getLong(2) === byFormat("png").getLong(1),
       "every png row must take the real-decode branch")
     assert(byFormat("wav").getLong(2) === byFormat("wav").getLong(1),
       "every wav row must take the real-decode branch")
-    out.filter(r => r.getString(0) != "png" && r.getString(0) != "wav")
+    assert(byFormat("gif").getLong(2) === byFormat("gif").getLong(1),
+      "every gif row must take the real-decode branch")
+    out.filter(r => !Set("png", "wav", "gif").contains(r.getString(0)))
       .foreach(r =>
         assert(r.getLong(2) === 0L, s"${r.getString(0)} must use the fallback"))
     // INDEPENDENT oracles for the decoded checksums: pattern arithmetic
@@ -441,6 +443,16 @@ class SimSpec extends SparkSpec {
       }.sum
     assert(byFormat("wav").getLong(4) === expectedWav,
       "wav checksum sum must equal the codec-independent amplitude sum")
+    val expectedGif = docs.filter(_.getLong(1) % 5 === 3L)
+      .map { r =>
+        val (id, nc) = (r.getLong(0), r.getLong(1))
+        val (w, h) = ((16 + nc % 24).toInt, (12 + (nc * 7) % 24).toInt)
+        (0 until graft.multimodal.GifCodec.frameCount(id))
+          .map(f => graft.multimodal.GifCodec.framePatternSum(id, f, w, h))
+          .sum
+      }.sum
+    assert(byFormat("gif").getLong(4) === expectedGif,
+      "gif checksum sum must equal the codec-independent frame pattern sums")
   }
 
   test("WavCodec round-trip: real javax.sound decode recovers every sample") {
@@ -454,19 +466,49 @@ class SimSpec extends SparkSpec {
     assert(graft.multimodal.WavCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
   }
 
-  test("frame sampling partitions the payload exactly") {
+  test("GifCodec round-trip: every frame of a real animated GIF decodes exactly") {
+    import graft.multimodal.GifCodec
+    val bytes = GifCodec.synthesize(id = 5L, w = 20, h = 15, frames = 3)
+    // a genuine GIF container
+    assert(bytes.take(3).map(_.toChar).mkString === "GIF")
+    val frames = GifCodec.decodeFrames(bytes).get
+    assert(frames.length === 3)
+    frames.zipWithIndex.foreach { case ((w, h, sum), f) =>
+      assert((w, h) === (20, 15))
+      assert(sum === GifCodec.framePatternSum(5L, f, 20, 15),
+        s"frame $f pixel sum must survive the encode/decode round-trip")
+    }
+    // undecodable bytes take the fallback branch, not an exception
+    assert(GifCodec.decodeFrames("not a gif".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("frame sampling: real gif frames, byte-window tiling elsewhere") {
+    import graft.multimodal.GifCodec
     val frames = SimQueries.mmFrames(spark, sf).collect()
-    assert(frames.length === 20 * 4)
-    val byDoc = frames.groupBy(_.getLong(0))
-    // png payloads are real PNG streams now, so the reference lengths
-    // come from the media table itself (frames must tile whatever the
-    // payload actually is)
-    val payloads = graft.multimodal.Multimodal.mediaTable(
+    val media = graft.multimodal.Multimodal.mediaTable(
         graft.util.Tables(spark, sf).documents.filter(col("doc_id") < 20))
-      .collect().map(m => m.media_id -> m.bytes.length.toLong).toMap
+      .collect().map(m => m.media_id -> m).toMap
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc.keySet === media.keySet)
     byDoc.foreach { case (id, fs) =>
-      assert(fs.map(_.getLong(2)).sum === payloads(id),
-        "frame bytes must sum to payload")
+      val m = media(id)
+      if (m.format == "gif") {
+        // REAL temporal decode: container frame count, per-frame pixel
+        // sums equal the codec-independent pattern oracle
+        assert(fs.forall(_.getBoolean(4)), "gif frames must be decoded")
+        assert(fs.length === GifCodec.frameCount(id))
+        fs.sortBy(_.getInt(1)).zipWithIndex.foreach { case (r, f) =>
+          assert(r.getLong(2) === m.width.toLong * m.height)
+          assert(r.getLong(3) ===
+            GifCodec.framePatternSum(id, f, m.width, m.height),
+            s"gif $id frame $f pixel sum")
+        }
+      } else {
+        assert(fs.length === 4)
+        assert(fs.forall(!_.getBoolean(4)))
+        assert(fs.map(_.getLong(2)).sum === m.bytes.length.toLong,
+          "fallback frame bytes must sum to payload")
+      }
     }
   }
 
@@ -482,7 +524,8 @@ class SimSpec extends SparkSpec {
     val joined = feats.toDF().join(
       graft.util.Tables(spark, sf).documents,
       col("media_id") === col("doc_id"))
-    assert(joined.filter(col("format") =!= "png" && col("format") =!= "wav")
+    assert(joined.filter(col("format") =!= "png" && col("format") =!= "wav"
+        && col("format") =!= "gif")
       .filter(col("n_bytes") =!= length(col("text"))).count() === 0)
     assert(joined.filter(col("format") === "wav")
       .filter(col("n_bytes") =!=
@@ -572,5 +615,69 @@ class SimSpec extends SparkSpec {
         assert(math.abs(c - r.getDouble(3)) < 1e-9, "graph cos must be exact")
       }
     }
+  }
+
+  test("Pca.jacobiEigen: hand-computable 2x2 and exact diagonal") {
+    import graft.sim.Pca
+    val (vals, vecs) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = vals.sorted
+    assert(math.abs(sorted(0) - 1.0) < 1e-12)
+    assert(math.abs(sorted(1) - 3.0) < 1e-12)
+    // eigenvector of lambda=3 is (1,1)/sqrt(2) up to sign
+    val i3 = vals.indexWhere(v => math.abs(v - 3.0) < 1e-12)
+    val v3 = Array(vecs(0)(i3), vecs(1)(i3))
+    assert(math.abs(math.abs(v3(0)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(v3(0) - v3(1)) < 1e-12)
+    // already-diagonal input: eigenvalues are the diagonal, basis identity
+    val (dv, dvec) = Pca.jacobiEigen(
+      Array(Array(5.0, 0.0), Array(0.0, 7.0)))
+    assert(dv.toSeq === Seq(5.0, 7.0))
+    assert(dvec(0)(0) === 1.0 && dvec(1)(1) === 1.0)
+  }
+
+  test("Pca.fit on corpus: orthonormal basis, descending PSD spectrum") {
+    import graft.sim.Pca
+    val corpus = graft.util.Tables(spark, sf).embeddings
+    val m = Pca.fit(corpus, "embedding", dim = 64, k = 4)
+    // orthonormal
+    for (i <- 0 until 4; j <- i until 4) {
+      val dot = (0 until 64).map(t => m.basis(i)(t) * m.basis(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"basis($i)-basis($j) dot $dot")
+    }
+    // spectrum descending, PSD up to rounding
+    m.eigenvalues.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12) }
+    assert(m.eigenvalues.last > -1e-6, "covariance must be PSD")
+    // top-k must capture a non-trivial share of total variance
+    val total = m.eigenvalues.sum
+    val topk = m.eigenvalues.take(4).sum
+    assert(topk > total * 4.0 / 64.0,
+      "top-4 components must beat the uniform-variance share")
+  }
+
+  test("Pca: projection variance equals the eigenvalue, planted direction found") {
+    import spark.implicits._
+    import graft.sim.Pca
+    val corpus = graft.util.Tables(spark, sf).embeddings
+    val m = Pca.fit(corpus, "embedding", dim = 64, k = 2)
+    val proj = corpus.select(Pca.project(col("embedding"), m).as("y"))
+      .select(element_at(col("y"), 1).as("p1")).collect().map(_.getDouble(0))
+    val mu = proj.sum / proj.length
+    val varP = proj.map(p => (p - mu) * (p - mu)).sum / proj.length
+    assert(math.abs(varP - m.eigenvalues(0)) < 1e-4 * math.max(1.0, m.eigenvalues(0)),
+      s"pc1 variance $varP vs eigenvalue ${m.eigenvalues(0)}")
+    // planted direction: x = t*u + eps, u = (1,1,...,1)/8
+    val rnd = new scala.util.Random(7)
+    val u = Array.fill(64)(1.0 / 8.0)
+    val planted = (0 until 200).map { _ =>
+      val t = rnd.nextGaussian() * 5.0
+      Array.tabulate(64)(i => (t * u(i) + rnd.nextGaussian() * 0.01).toFloat)
+    }.toDF("v")
+    val pm = Pca.fit(planted, "v", dim = 64, k = 1)
+    val cosU = (0 until 64).map(i => pm.basis(0)(i) * u(i)).sum
+    assert(math.abs(cosU) > 0.999,
+      s"PC1 must align with the planted direction, |cos|=${math.abs(cosU)}")
   }
 }

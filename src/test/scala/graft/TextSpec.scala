@@ -289,4 +289,37 @@ class TextSpec extends SparkSpec {
       assert(r.getInt(1) === n)
     }
   }
+
+  test("TextRank: hand-computed first round on a 3-node path graph") {
+    import spark.implicits._
+    import graft.text.TextRank
+    // docs "a b", "b c" -> symmetric edges a-b, b-c, all weight 1
+    // N=3: r0 = 333333, tp = 50000; W(a)=W(c)=1, W(b)=2
+    // round 1: a,c <- 50000 + (85*333333*1) div 200 = 191666
+    //          b   <- 50000 + 2 * ((85*333333*1) div 100) = 616666
+    val docs = Seq("a b", "b c").toDF("text")
+    val r1 = TextRank.ranks(docs, "text", iterations = 1)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(r1.toSeq === Seq(("a", 191666L), ("b", 616666L),
+      ("c", 191666L)))
+    // after 10 rounds the hub still dominates and mass stays bounded
+    val r10 = TextRank.ranks(docs, "text")
+      .orderBy("node").collect().map(r => (r.getString(0), r.getLong(1)))
+    val m = r10.toMap
+    assert(m("b") > m("a") && m("a") === m("c"))
+    assert(r10.map(_._2).sum <= 1000000L,
+      "integer flooring can only LOSE mass vs the float fixpoint")
+  }
+
+  test("TextRank: isolated words keep teleport-only rank") {
+    import spark.implicits._
+    import graft.text.TextRank
+    // "z" never co-occurs: rank stays exactly tp = 150000 // 3 after
+    // every round (no inflow); connected words exceed it
+    val docs = Seq("a b a b", "z").toDF("text")
+    val out = TextRank.ranks(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("z") === 150000L / 3)
+    assert(out("a") > out("z") && out("b") > out("z"))
+  }
 }
