@@ -266,33 +266,40 @@ object PipeQueries {
       .agg(call_function("bitmap_construct_agg",
         call_function("bitmap_bit_position", col("user_id"))).as("bm"))
       .localCheckpoint(false)
-    try {
-      val totals = segs.groupBy(col("event_type"))
-        .agg(sum(call_function("bitmap_count", col("bm"))).as("nu"))
-      val inter = segs.as("a")
-        .join(segs.as("b"), col("a.seg") === col("b.seg")
-          && col("a.event_type") < col("b.event_type"))
-        .groupBy(col("a.event_type").as("type_a"),
-          col("b.event_type").as("type_b"))
-        .agg(sum(call_function("graft_bitmap_and_count",
-          col("a.bm"), col("b.bm"))).as("n_both"))
-      val pairs = totals.as("ta")
-        .join(totals.as("tb"), col("ta.event_type") < col("tb.event_type"))
-        .select(col("ta.event_type").as("type_a"),
-          col("tb.event_type").as("type_b"),
-          col("ta.nu").as("users_a"), col("tb.nu").as("users_b"))
-      pairs.join(inter, Seq("type_a", "type_b"), "left")
-        .withColumn("users_both", coalesce(col("n_both"), lit(0L)))
-        .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
-          col("users_both"),
-          (floor(col("users_both")
-            / (col("users_a") + col("users_b") - col("users_both"))
-            * 10000 + 0.5).cast("double") / 10000).as("jaccard"))
-        .orderBy(col("type_a"), col("type_b"))
-        // the three consumers all feed this one result; materialize it
-        // so the checkpoint blocks can be released before returning
-        .localCheckpoint(true)
-    } finally graft.util.Caches.release(segs)
+    // the three consumers all feed one result; materialize it eagerly
+    // so the checkpoint blocks can be released before returning
+    try assembleOverlap(segs).localCheckpoint(true)
+    finally graft.util.Caches.release(segs)
+  }
+
+  /** The overlap assembly over a (event_type, seg, bm) bitmap table —
+    * separate from [[aggBitmapOps]] so PlanSpec can pin the join shape
+    * (the query itself returns an eager checkpoint, which hides the
+    * plan behind a LogicalRDD scan).
+    */
+  private[graft] def assembleOverlap(segs: DataFrame): DataFrame = {
+    val totals = segs.groupBy(col("event_type"))
+      .agg(sum(call_function("bitmap_count", col("bm"))).as("nu"))
+    val inter = segs.as("a")
+      .join(segs.as("b"), col("a.seg") === col("b.seg")
+        && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(sum(call_function("graft_bitmap_and_count",
+        col("a.bm"), col("b.bm"))).as("n_both"))
+    val pairs = totals.as("ta")
+      .join(totals.as("tb"), col("ta.event_type") < col("tb.event_type"))
+      .select(col("ta.event_type").as("type_a"),
+        col("tb.event_type").as("type_b"),
+        col("ta.nu").as("users_a"), col("tb.nu").as("users_b"))
+    pairs.join(inter, Seq("type_a", "type_b"), "left")
+      .withColumn("users_both", coalesce(col("n_both"), lit(0L)))
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        col("users_both"),
+        (floor(col("users_both")
+          / (col("users_a") + col("users_b") - col("users_both"))
+          * 10000 + 0.5).cast("double") / 10000).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
   }
 
   val aggBitmapOpsSql: String =

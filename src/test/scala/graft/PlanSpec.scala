@@ -115,6 +115,31 @@ class PlanSpec extends SparkSpec {
       "graph top-k must compile to WindowGroupLimit")
   }
 
+  test("agg_bitmap_ops: intersections ride an equi-join on seg, never a cartesian") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val ev = graft.util.Tables(spark, sf).events
+      .select(col("event_type"), col("user_id"))
+    val segs = ev.groupBy(col("event_type"),
+        call_function("bitmap_bucket_number", col("user_id")).as("seg"))
+      .agg(call_function("bitmap_construct_agg",
+        call_function("bitmap_bit_position", col("user_id"))).as("bm"))
+    val plan = planOf(graft.queries.PipeQueries.assembleOverlap(segs))
+    assert(!plan.contains("CartesianProduct"),
+      "the bitmap self-join must key on seg:\n" + plan.take(1200))
+    // the fused AND+popcount must sit inside the aggregate, not a
+    // post-join projection of materialized intermediate bitmaps
+    assert(plan.contains("graft_bitmap_and_count"), plan.take(1200))
+  }
+
+  test("emb_pca projection is map-side — no join, no aggregate in the scoring plan") {
+    val plan = planOf(SimQueries.embPca(spark, sf))
+    assert(plan.contains("graft_pca_project"), plan.take(800))
+    assert(!plan.contains("Join"), "projection must not join:\n" + plan.take(800))
+    assert(!plan.contains("HashAggregate"),
+      "the Gramian runs at FIT time, not per scoring row:\n" + plan.take(800))
+  }
+
   test("text_entropy is one map-side pass — no aggregate, no join") {
     val plan = planOf(graft.queries.TextQueries.textEntropy(spark, sf))
     // the whole point of the native expression: per-doc entropy without

@@ -242,4 +242,44 @@ class PropertySpec extends AnyFunSuite {
     // 4000/16 = 250 expected, binomial sd ≈ 15 — generous ±100 bounds
     byShard.values.foreach(n => assert(n > 150 && n < 350, s"skewed shard: $n"))
   }
+
+  test("Bpe: round-trip and token-count bounds on arbitrary corpora") {
+    import graft.text.Bpe
+    val word = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val gen = for {
+      words <- Gen.nonEmptyListOf(Gen.zip(word, Gen.chooseNum(1L, 40L)))
+      merges <- Gen.chooseNum(0, 60)
+      probe <- Gen.listOfN(5, word)
+    } yield (words, merges, probe)
+    checkProp(forAll(gen) { case (words, merges, probe) =>
+      val m = Bpe.trainOnCounts(words, merges)
+      // every corpus word AND every novel word round-trips; token count
+      // bounded by [1, codepoints]
+      (words.map(_._1) ++ probe).forall { w =>
+        val toks = Bpe.encodeWord(m, w)
+        toks.mkString == w && toks.nonEmpty && toks.length <= w.length &&
+        toks.forall(_.nonEmpty)
+      } && m.merges.size <= merges
+    }, 60)
+  }
+
+  test("BitmapAndCount: equals the set-intersection model") {
+    import graft.functions.BitmapAndCount
+    // independent model: bytes -> the SET of set-bit indices; the AND
+    // popcount must equal the intersection cardinality
+    def bits(a: Array[Byte]): Set[Int] =
+      (for {
+        i <- a.indices
+        j <- 0 until 8
+        if ((a(i) >> j) & 1) == 1
+      } yield i * 8 + j).toSet
+    val bytesGen = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    checkProp(forAll(Gen.zip(bytesGen, bytesGen)) { case (a, b) =>
+      BitmapAndCount.compute(a, b) == bits(a).intersect(bits(b)).size.toLong &&
+      BitmapAndCount.compute(a, b) == BitmapAndCount.compute(b, a) &&
+      BitmapAndCount.compute(a, a) == bits(a).size.toLong
+    }, 80)
+  }
 }
