@@ -335,8 +335,75 @@ object SimQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-quality eval by kNN label voting: predict each vector's
+    * label from its 5 nearest neighbors (majority, ties → min label)
+    * and report the confusion matrix — the standard "are these
+    * embeddings any good" probe a curation pipeline runs before
+    * trusting them for semantic dedup or clustering. Rides the same
+    * exact graph as knn_graph (the approximate variants' quality is
+    * separately gated by knn_recall); votes and the argmax are one
+    * groupBy + one WindowGroupLimit rank; the output is the
+    * |labels|²-bounded confusion matrix, totally ordered.
+    */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir).embeddings
+    val labels = e.select(col("vec_id"), col("label"))
+    val votes = Knn.brute(e, e, "vec_id", "embedding", GraphK)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("v"))
+    val pred = votes
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("v").desc, col("n_label"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"))
+    pred
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+       |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+       |          (q.nrm * c.nrm), 6) AS cos
+       |  FROM n q, n c
+       |  WHERE c.vec_id <> q.vec_id),
+       |g AS (
+       |  SELECT query_id, n_label FROM (
+       |    SELECT query_id, n_label, cos, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM p)
+       |  WHERE rank <= $GraphK),
+       |votes AS (
+       |  SELECT query_id, n_label, count(*) AS v
+       |  FROM g GROUP BY query_id, n_label),
+       |pred AS (
+       |  SELECT query_id, n_label AS pred_label FROM (
+       |    SELECT query_id, n_label,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY v DESC, n_label) AS rn
+       |    FROM votes)
+       |  WHERE rn = 1)
+       |SELECT t.label AS true_label, p.pred_label, count(*) AS n
+       |FROM pred p JOIN n t ON t.vec_id = p.query_id
+       |GROUP BY true_label, pred_label
+       |ORDER BY true_label, pred_label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca" -> (embPca _),
+    "knn_classify" -> (knnClassify _),
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
@@ -351,6 +418,7 @@ object SimQueries {
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
+    "knn_classify" -> knnClassifySql,
     "knn_brute" -> knnBruteSql,
     "knn_graph" -> knnGraphSql,
     "emb_centroids" -> embCentroidsSql)

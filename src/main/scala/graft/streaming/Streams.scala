@@ -90,6 +90,56 @@ object Streams {
     */
   final case class SessionState(nEvents: Long, startMs: Long, lastMs: Long)
 
+  /** One closed SCD2 validity interval emitted by [[scd2Stream]]. */
+  final case class Scd2Row(user_id: Long, run_id: Long, state: String,
+      valid_from_s: Long, valid_to_s: Long, n_events: Long)
+
+  /** Open-run state for [[scd2Stream]]. */
+  final case class Scd2State(runId: Long, stateType: String,
+      fromMs: Long, n: Long, lastMs: Long)
+
+  /** Streaming SCD2 history build — the incremental twin of the batch
+    * gaps-and-islands query (EventQueries.qScd2): per user, track the
+    * OPEN run of unchanged event_type in mapGroups state; when a
+    * different type arrives, emit the closed interval (valid_to = the
+    * new run's first event time, exactly the batch `lead()` semantics)
+    * and open the next run. Append mode: only CLOSED intervals are
+    * emitted — the open run per user is unknowable until its
+    * successor arrives, which is also why the batch twin's open rows
+    * (valid_to NULL) are excluded from the parity spec. State is one
+    * KB-scale record per ACTIVE user; a production deployment adds an
+    * idle-eviction timeout when the key space is unbounded (the
+    * sessionizer shows the EventTimeTimeout shape).
+    */
+  def scd2Stream(events: Dataset[Ev]): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def sec(ms: Long): Long = Math.floorDiv(ms, 1000L)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[Scd2State]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[Scd2Row]
+          var st = state.getOption.orNull
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            st = st match {
+              case null => Scd2State(1L, e.event_type, t, 1L, t)
+              case s if s.stateType == e.event_type =>
+                s.copy(n = s.n + 1, lastMs = math.max(s.lastMs, t))
+              case s =>
+                closed ::= Scd2Row(userId, s.runId, s.stateType,
+                  sec(s.fromMs), sec(t), s.n)
+                Scd2State(s.runId + 1, e.event_type, t, 1L, t)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.reverseIterator
+      }
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState with event-time
     * timeout: state = the open session per user; a session closes (and
     * is emitted) when the watermark passes last-event + gap. The same

@@ -52,6 +52,60 @@ class StreamSpec extends SparkSpec {
     assert(batch.map(_.getLong(2)).sum === 4L * events.size)
   }
 
+  test("scd2Stream: closed intervals match the batch gaps-and-islands twin") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // user 1: a a | b a  (run of 'a' SPANS the batch boundary before 'b'
+    // closes it); user 2: x | x (never closes -> no emission)
+    val batch1 = Seq(ev(1, 0, 1, "a"), ev(2, 10, 1, "a"), ev(10, 0, 2, "x"))
+    val batch2 = Seq(ev(3, 20, 1, "b"), ev(4, 30, 1, "a"), ev(11, 40, 2, "x"))
+    val ms = MemoryStream[Ev]
+    val q = Streams.scd2Stream(ms.toDS())
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scd2s")
+      .orderBy("user_id", "run_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val t0 = 1700000000L
+    // batch twin (EventQueries.qScd2 semantics) on the union, closed
+    // rows only: user 1 -> [a: t0..t0+1200, n=2], [b: t0+1200..t0+1800,
+    // n=1]; the trailing 'a' run and user 2's 'x' run stay open
+    assert(got.toSeq === Seq(
+      (1L, 1L, "a", t0, t0 + 1200, 2L),
+      (1L, 2L, "b", t0 + 1200, t0 + 1800, 1L)))
+  }
+
+  test("scd2Stream agrees with qScd2 on the real corpus (closed intervals)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = graft.util.Tables(spark, sf).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = Streams.scd2Stream(ms.toDS())
+      .writeStream.format("memory").queryName("scd2corpus")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("scd2corpus")
+      .orderBy("user_id", "run_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val batch = graft.queries.EventQueries.qScd2(spark, sf)
+      .filter(col("valid_to_s").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionizeStream: closed sessions match batch sessionization") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
