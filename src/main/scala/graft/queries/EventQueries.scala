@@ -265,7 +265,81 @@ object EventQueries {
       |  GROUP BY user_id, run_id)
       |ORDER BY user_id, run_id""".stripMargin
 
+  /** CDC MERGE-apply with tombstones: split the event log at its time
+    * midpoint into a BASE snapshot (latest state per user before the
+    * split — what a materialized table holds) and a CHANGE stream
+    * (everything after), then apply the changes latest-wins with
+    * 'error' events as DELETE tombstones — the lakehouse MERGE INTO /
+    * CDC-compaction semantics (keep / update / insert / delete all
+    * exercised). Both halves are one WindowGroupLimit latest-per-key
+    * over the SAME user_id exchange shape as stream_latest; the apply
+    * itself is a single full outer join on user_id. The split point is
+    * derived from the data's own time bounds (two scalar aggregates,
+    * driver-held config state) so the query is self-contained at any
+    * SF.
+    */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts"), col("event_id"))
+    val bounds = e.agg(min(unix_timestamp(col("ts"))).as("lo"),
+      max(unix_timestamp(col("ts"))).as("hi")).collect()(0)
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    def latest(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val base = latest(e.filter(unix_timestamp(col("ts")) <= mid))
+      .select(col("user_id"), col("value").as("base_value"))
+    val change = latest(e.filter(unix_timestamp(col("ts")) > mid))
+      .select(col("user_id"), col("event_type").as("chg_type"),
+        col("value").as("chg_value"))
+    base.join(change, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("chg_type").isNull, "keep")
+          .when(col("chg_type") === "error", "delete")
+          .when(col("base_value").isNull, "insert")
+          .otherwise("update").as("action"),
+        when(col("chg_type") === "error", lit(null).cast("double"))
+          .otherwise(round(coalesce(col("chg_value"), col("base_value")), 2))
+          .as("final_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val qCdcApplySql: String =
+    """WITH b AS (
+      |  SELECT lo + (hi - lo) // 2 AS mid FROM (
+      |    SELECT min(floor(epoch(ts))::BIGINT) AS lo,
+      |      max(floor(epoch(ts))::BIGINT) AS hi FROM events)),
+      |base AS (
+      |  SELECT user_id, value AS base_value FROM (
+      |    SELECT user_id, value,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE floor(epoch(ts))::BIGINT <= (SELECT mid FROM b))
+      |  WHERE rn = 1),
+      |chg AS (
+      |  SELECT user_id, event_type AS chg_type, value AS chg_value FROM (
+      |    SELECT user_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE floor(epoch(ts))::BIGINT > (SELECT mid FROM b))
+      |  WHERE rn = 1)
+      |SELECT coalesce(base.user_id, chg.user_id) AS user_id,
+      |  CASE WHEN chg.chg_type IS NULL THEN 'keep'
+      |       WHEN chg.chg_type = 'error' THEN 'delete'
+      |       WHEN base.user_id IS NULL THEN 'insert'
+      |       ELSE 'update' END AS action,
+      |  CASE WHEN chg.chg_type = 'error' THEN NULL
+      |       ELSE round(coalesce(chg.chg_value, base.base_value), 2)
+      |       END AS final_value
+      |FROM base FULL OUTER JOIN chg ON base.user_id = chg.user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_apply" -> (qCdcApply _),
     "q_scd2" -> (qScd2 _),
     "q_funnel" -> (qFunnel _),
     "q_cohort" -> (qCohort _),
@@ -273,6 +347,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_cdc_apply" -> qCdcApplySql,
     "q_scd2" -> qScd2Sql,
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,

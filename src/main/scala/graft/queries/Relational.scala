@@ -428,7 +428,35 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Unpivot (melt): the wide→long inverse of q_pivot — four measure
+    * columns become (measure, val) rows. Spark's `unpivot` compiles to
+    * one Expand (map-side row fan-out, no shuffle beyond the final
+    * partial-aggregatable groupBy); the oracle uses DuckDB's UNPIVOT
+    * clause, proving the relational surface both directions.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"))
+      .orderBy(col("measure"))
+
+  val qUnpivotSql: String =
+    """SELECT measure, count(*) AS n, round(sum(val), 2) AS total
+      |FROM (UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+      |               FROM lineitem)
+      |      ON l_quantity, l_extendedprice, l_discount, l_tax
+      |      INTO NAME measure VALUE val)
+      |GROUP BY measure
+      |ORDER BY measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (qUnpivot _),
     "q_rollup" -> (qRollup _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
@@ -446,6 +474,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_unpivot" -> qUnpivotSql,
     "q_rollup" -> qRollupSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot" -> qPivotSql,

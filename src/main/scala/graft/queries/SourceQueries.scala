@@ -206,6 +206,53 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Small-file compaction — the 100 TB maintenance op the blob-source
+    * doc points at: a fragmented table (64 shard files here, the
+    * realistic aftermath of high-parallelism ingestion) is rewritten
+    * into ⌈rows∕rowsPerFile⌉ right-sized files with ONE round-robin
+    * repartition (plus `maxRecordsPerFile` as the belt-and-braces
+    * production knob). The query reports before/after file counts and
+    * proves row conservation + readability of the compacted output;
+    * at cluster scale the same two lines run per partition of a
+    * date-partitioned lake table.
+    */
+  def sourceCompact(s: SparkSession, dir: String): DataFrame = {
+    val frag = Files.createTempDirectory("graft_compact_in").toString
+    val out = Files.createTempDirectory("graft_compact_out").toString
+    val docs = Tables(s, dir).documents
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    val rowsPerFile = 2000L
+    val n = s.read.parquet(frag).count()
+    val nOut = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    s.read.parquet(frag)
+      .repartition(nOut)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(out)
+    def parquetFiles(p: String): Long =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    val compacted = s.read.parquet(out)
+    compacted.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(lit(64L).as("files_before"),
+        lit(parquetFiles(out)).as("files_after"),
+        col("n_rows"), col("n_docs"), col("total_chars"))
+  }
+
+  /** files_before is the fragmentation the query itself creates (64);
+    * files_after = ⌈rows∕2000⌉ by construction of the repartition —
+    * the oracle derives both from the row count, so the driver gate
+    * verifies the compaction arithmetic AND row conservation.
+    */
+  val sourceCompactSql: String =
+    """SELECT 64::BIGINT AS files_before,
+      |  greatest(1, (count(*) + 1999) // 2000)::BIGINT AS files_after,
+      |  count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+      |  sum(n_chars)::BIGINT AS total_chars
+      |FROM documents""".stripMargin
+
   val sourceBinarySql: String =
     s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        |  md5(text) AS md5_hex
@@ -307,6 +354,7 @@ object SourceQueries {
     "source_partitioned" -> (sourcePartitioned _),
     "source_csv" -> (sourceCsv _),
     "source_binary" -> (sourceBinary _),
+    "source_compact" -> (sourceCompact _),
     "source_jsonl" -> (sourceJsonl _))
 
   val oracleSql: Map[String, String] = Map(
@@ -318,5 +366,6 @@ object SourceQueries {
     "source_partitioned" -> sourcePartitionedSql,
     "source_csv" -> sourceCsvSql,
     "source_binary" -> sourceBinarySql,
+    "source_compact" -> sourceCompactSql,
     "source_jsonl" -> sourceJsonlSql)
 }

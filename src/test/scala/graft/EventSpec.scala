@@ -90,6 +90,34 @@ class EventSpec extends SparkSpec {
     assert(n === 4 * total)
   }
 
+  test("q_cdc_apply: action semantics and tombstone nulls") {
+    val dir = fixtureDir(Seq(
+      // span 100 min; split at minute 50
+      ev(1, 0, 1, "view"), ev(2, 60, 1, "click"), // update
+      ev(3, 0, 2, "view"), // keep (no change)
+      ev(4, 70, 3, "click"), // insert (only after split)
+      ev(5, 0, 4, "view"), ev(6, 80, 4, "error"), // delete
+      ev(7, 100, 9, "view"))) // insert (pins hi bound)
+    val out = EventQueries.qCdcApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(out === Seq(
+      (1L, "update", Some(1.0)), (2L, "keep", Some(1.0)),
+      (3L, "insert", Some(1.0)), (4L, "delete", None),
+      (9L, "insert", Some(1.0))))
+  }
+
+  test("q_cdc_apply on corpus: one row per user, deletes are the only nulls") {
+    val out = EventQueries.qCdcApply(spark, sf)
+    val users = graft.util.Tables(spark, sf).events
+      .select(col("user_id")).distinct().count()
+    assert(out.count() === users)
+    assert(out.filter(col("final_value").isNull
+      && col("action") =!= "delete").count() === 0)
+    assert(out.filter(col("final_value").isNotNull
+      && col("action") === "delete").count() === 0)
+  }
+
   test("agg_bitmap_ops matches the exact distinct-join overlap") {
     val got = PipeQueries.aggBitmapOps(spark, sf)
       .select("type_a", "type_b", "users_a", "users_b", "users_both")

@@ -61,4 +61,16 @@ class SourceSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === want)
   }
+
+  test("source_compact: every output file holds at most rowsPerFile rows") {
+    import org.apache.spark.sql.functions._
+    val row = graft.queries.SourceQueries.sourceCompact(spark, sf).head()
+    assert(row.getLong(2) === row.getLong(3), "one row per doc")
+    // per-file row counts via the input_file_name of a fresh read are
+    // not available here (temp dir is internal), so re-derive: the
+    // reported file count times the cap must cover the rows, and the
+    // compaction must strictly reduce the file count
+    assert(row.getLong(1) * 2000L >= row.getLong(2))
+    assert(row.getLong(1) < row.getLong(0))
+  }
 }
