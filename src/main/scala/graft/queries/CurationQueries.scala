@@ -308,6 +308,50 @@ object CurationQueries {
        |  min(k) AS min_key, max(k) AS max_key, sum(k)::BIGINT AS sum_key
        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val CurriculumSeed = 11L
+  private val CurriculumPhases = 4
+
+  /** Curriculum export order (the classic short-to-long schedule):
+    * docs split into ntile phases by LENGTH (easy → hard), each phase
+    * internally shuffled by the same seeded md5 key sample_shard uses
+    * — so a loader streaming phase 1, 2, … sees difficulty ramp
+    * across phases and an unbiased order within one. ntile over
+    * (n_chars, doc_id) is a total order, so phase assignment is
+    * deterministic and engine-independent; everything else is integer
+    * arithmetic. One exchange for the global ntile (at 100 TB swap in
+    * the exact-percentile boundary broadcast — agg_equidepth's shape —
+    * to avoid the single ordered partition a global ntile implies;
+    * documented trade, the phase SEMANTICS are identical).
+    */
+  def mixCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("phase", ntile(CurriculumPhases).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("phase"))
+          .orderBy(graft.ops.ShuffleShard.hashKey(col("doc_id"),
+            CurriculumSeed), col("doc_id"))))
+      .select(col("doc_id"), col("phase").cast("long").as("phase"),
+        col("ord").cast("long").as("ord"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixCurriculumSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, n_chars,
+       |    ntile($CurriculumPhases) OVER (ORDER BY n_chars, doc_id)
+       |      AS phase,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$CurriculumSeed'), 1, 8))
+       |      ::BIGINT AS k
+       |  FROM documents)
+       |SELECT doc_id, phase::BIGINT AS phase,
+       |  row_number() OVER (PARTITION BY phase ORDER BY k, doc_id)::BIGINT
+       |    AS ord
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
+
   private val MixSeed = 7L
   private val MixWeights = Map(
     "src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0, "src3" -> 1.75)
@@ -513,6 +557,7 @@ object CurationQueries {
     "pack_bestfit" -> (packBestfit _),
     "pipeline_e2e" -> (pipelineE2e _),
     "sample_shard" -> (sampleShard _),
+    "mix_curriculum" -> (mixCurriculum _),
     "mix_sources" -> (mixSources _),
     "mix_temperature" -> (mixTemperature _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -525,6 +570,7 @@ object CurationQueries {
   val oracleSql: Map[String, String] = Map(
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,
+    "mix_curriculum" -> mixCurriculumSql,
     "mix_sources" -> mixSourcesSql,
     "mix_temperature" -> mixTemperatureSql,
     "text_pii_scrub" -> textPiiScrubSql,

@@ -505,7 +505,82 @@ object TextQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** Minimum pair count for a reported collocation (standard practice:
+    * PMI on rare pairs is noise — a count-1 pair of two rare words
+    * maxes the score).
+    */
+  private val PmiMinPairCount = 5
+
+  /** Collocation extraction by pointwise mutual information over
+    * adjacent-word pairs: PMI(a,b) = log2(p(ab) ∕ p(a)p(b)) with
+    * p(ab) from the ordered-bigram stream and p(·) from the unigram
+    * stream — the classic corpus-linguistics signal for multiword
+    * expressions ("new york" scores high, "of the" scores ~0).
+    * Two partial-aggregatable counts (unigrams, bigrams) + a pair →
+    * unigram join on each side (both joinable against broadcastable
+    * vocab-sized frames at production vocab counts); all probabilities
+    * derive from exact integer counts, so the only float op is one
+    * log2 of a rational — floor-form rounded identically in both
+    * engines.
+    */
+  def textCoocPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val toks = docs.select(
+      regexp_extract_all(lower(col("text")),
+        lit(TextOps.BpePattern), lit(0)).as("a"))
+    val uni = toks.select(explode(col("a")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val pairs = toks
+      .select(explode(zip_with(col("a"),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w2").isNotNull)
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
+    val nTok = uni.agg(sum(col("nw"))).collect()(0).getLong(0)
+    val nBig = big.agg(sum(col("nab"))).collect()(0).getLong(0)
+    big.filter(col("nab") >= PmiMinPairCount)
+      .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
+      .select(col("w1"), col("w2"), col("nab"),
+        (floor(log2(col("nab").cast("double") * lit(nTok) * lit(nTok)
+          / (lit(nBig) * col("n1") * col("n2"))) * 10000 + 0.5)
+          .cast("double") / 10000).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val textCoocPmiSql: String =
+    s"""WITH toks AS (
+       |  SELECT regexp_extract_all(lower(text),
+       |    '${TextOps.BpePattern}') AS a
+       |  FROM documents),
+       |uni AS (
+       |  SELECT w, count(*) AS nw FROM (
+       |    SELECT unnest(a) AS w FROM toks) GROUP BY w),
+       |pairs AS (
+       |  SELECT string_split(p, ' ')[1] AS w1, string_split(p, ' ')[2] AS w2
+       |  FROM (
+       |    SELECT unnest([a[i] || ' ' || a[i + 1]
+       |                   FOR i IN range(1, len(a))]) AS p
+       |    FROM toks WHERE len(a) >= 2)),
+       |big AS (
+       |  SELECT w1, w2, count(*) AS nab FROM pairs GROUP BY w1, w2),
+       |n AS (
+       |  SELECT (SELECT sum(nw) FROM uni)::BIGINT AS ntok,
+       |         (SELECT sum(nab) FROM big)::BIGINT AS nbig)
+       |SELECT b.w1, b.w2, b.nab,
+       |  floor(log2(b.nab::DOUBLE * n.ntok * n.ntok
+       |             / (n.nbig::DOUBLE * u1.nw * u2.nw)) * 10000 + 0.5)
+       |    / 10000 AS pmi
+       |FROM big b
+       |CROSS JOIN n
+       |JOIN uni u1 ON u1.w = b.w1
+       |JOIN uni u2 ON u2.w = b.w2
+       |WHERE b.nab >= $PmiMinPairCount
+       |ORDER BY w1, w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cooc_pmi" -> (textCoocPmi _),
     "text_pagerank" -> (textPagerank _),
     "text_bpe" -> (textBpe _),
     "text_lmscore" -> (textLmscore _),
@@ -521,6 +596,7 @@ object TextQueries {
     "tfidf_topterms" -> (tfidfTopterms _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_cooc_pmi" -> textCoocPmiSql,
     "text_pagerank" -> textPagerankSql,
     "text_lmscore" -> textLmscoreSql,
     "text_entropy" -> textEntropySql,

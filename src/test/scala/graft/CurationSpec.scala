@@ -178,4 +178,26 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(shardCounts === expectedCounts, "xxhash64 shard routing")
   }
+
+  test("mix_curriculum: balanced phases, dense in-phase order, difficulty ramp") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.CurationQueries.mixCurriculum(spark, sf)
+      .join(graft.util.Tables(spark, sf).documents.select("doc_id", "n_chars"),
+        "doc_id")
+    val n = out.count()
+    val phases = out.groupBy(col("phase"))
+      .agg(count(lit(1)).as("np"), max(col("ord")).as("maxOrd"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .orderBy(col("phase")).collect()
+    assert(phases.map(_.getLong(0)).toSeq === (1L to 4L))
+    phases.foreach { r =>
+      assert(math.abs(r.getLong(1) - n / 4) <= 1, "ntile balance")
+      assert(r.getLong(1) === r.getLong(2), "ord must be dense 1..np")
+    }
+    // difficulty ramps: each phase's max length <= next phase's min
+    phases.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) <= b.getLong(3),
+        s"phase ${a.getLong(0)} hi ${a.getLong(4)} > next lo ${b.getLong(3)}")
+    }
+  }
 }

@@ -322,4 +322,31 @@ class TextSpec extends SparkSpec {
     assert(out("z") === 150000L / 3)
     assert(out("a") > out("z") && out("b") > out("z"))
   }
+
+  test("text_cooc_pmi: planted collocation outscores an independent pair") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // "alpha beta" perfectly coupled (the collocation); gamma/delta
+    // adjacent in only HALF their occurrences — PMI is ratio-scale
+    // invariant, so a distractor must be imperfectly coupled, not
+    // merely rare, to score lower
+    val doc1 = Array.fill(20)("alpha beta gamma delta").mkString(" ")
+    val doc2 = Array.fill(20)("alpha beta delta gamma").mkString(" ")
+    val dir = Files.createTempDirectory("graft_pmi").toString
+    Seq((0L, doc1, "en", "s", doc1.length.toLong),
+        (1L, doc2, "en", "s", doc2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.textCoocPmi(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(out.contains(("alpha", "beta")))
+    val ab = out(("alpha", "beta"))
+    // every pair alpha participates in is (alpha, beta): PMI near max
+    out.filterNot(_._1 == ("alpha", "beta")).values.foreach { other =>
+      assert(ab > other,
+        s"planted collocation $ab must outscore independents ($other)")
+    }
+    // PMI of a bigram can never exceed log2 of the unigram count space
+    out.values.foreach(p => assert(p <= math.log(1e9) / math.log(2)))
+  }
 }
