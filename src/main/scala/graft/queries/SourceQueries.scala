@@ -189,6 +189,9 @@ object SourceQueries {
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(out), confS.value)
+        // no .crc sidecars: they double the per-blob file-create cost
+        // and the query proves integrity in-band via md5 anyway
+        fs.setWriteChecksum(false)
         it.foreach { r =>
           val p = new org.apache.hadoop.fs.Path(out, s"${r.getLong(0)}.bin")
           val os = fs.create(p, true)

@@ -525,11 +525,18 @@ object TextQueries {
     */
   def textCoocPmi(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
+    // the unigram and bigram count tables are both vocab-scale partial
+    // aggregates consumed by THREE plan subtrees each (scalar total,
+    // join side(s)) — materialize the narrow tables once instead of
+    // re-tokenizing the corpus per consumer (the narrow-index lesson);
+    // eager result checkpoint below frees them before returning
     val toks = docs.select(
       regexp_extract_all(lower(col("text")),
         lit(TextOps.BpePattern), lit(0)).as("a"))
+      .localCheckpoint(false)
     val uni = toks.select(explode(col("a")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      .localCheckpoint(false)
     val pairs = toks
       .select(explode(zip_with(col("a"),
         slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
@@ -537,16 +544,24 @@ object TextQueries {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w2").isNotNull)
     val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
-    val nTok = uni.agg(sum(col("nw"))).collect()(0).getLong(0)
-    val nBig = big.agg(sum(col("nab"))).collect()(0).getLong(0)
-    big.filter(col("nab") >= PmiMinPairCount)
-      .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
-      .select(col("w1"), col("w2"), col("nab"),
-        (floor(log2(col("nab").cast("double") * lit(nTok) * lit(nTok)
-          / (lit(nBig) * col("n1") * col("n2"))) * 10000 + 0.5)
-          .cast("double") / 10000).as("pmi"))
-      .orderBy(col("w1"), col("w2"))
+      .localCheckpoint(false)
+    try {
+      val nTok = uni.agg(sum(col("nw"))).collect()(0).getLong(0)
+      val nBig = big.agg(sum(col("nab"))).collect()(0).getLong(0)
+      big.filter(col("nab") >= PmiMinPairCount)
+        .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
+        .select(col("w1"), col("w2"), col("nab"),
+          (floor(log2(col("nab").cast("double") * lit(nTok) * lit(nTok)
+            / (lit(nBig) * col("n1") * col("n2"))) * 10000 + 0.5)
+            .cast("double") / 10000).as("pmi"))
+        .orderBy(col("w1"), col("w2"))
+        .localCheckpoint(true)
+    } finally {
+      graft.util.Caches.release(toks)
+      graft.util.Caches.release(uni)
+      graft.util.Caches.release(big)
+    }
   }
 
   val textCoocPmiSql: String =
