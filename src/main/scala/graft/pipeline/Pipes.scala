@@ -33,9 +33,15 @@ object Pipes {
     df.select(fields.map(i => parts.getItem(i - 1).as(s"f$i")): _*)
   }
 
-  /** `tr` / `sed s/…/…/g` — regex replace over a column. */
+  /** `sed s/…/…/g` — regex replace over a column. */
   def sed(c: String, pattern: String, replacement: String): Pipe =
     _.withColumn(c, regexp_replace(col(c), pattern, replacement))
+
+  /** `tr set1 set2` — per-character translation (the non-regex cousin
+    * of sed; both engines ship `translate` natively).
+    */
+  def tr(c: String, from: String, to: String): Pipe =
+    _.withColumn(c, translate(col(c), from, to))
 
   /** `/bin/wc` — lines, whitespace-delimited words, chars of a text
     * column. Single partial-aggregatable pass; at 100 TB this is a

@@ -29,6 +29,31 @@ object PipeQueries {
       |WHERE regexp_matches(text, 'spark')
       |ORDER BY doc_id""".stripMargin
 
+  /** `sed` + `tr` chained — the remaining two of the reference's
+    * canonical line transforms (cat/grep/cut/sed/tr): regex-collapse
+    * whitespace, then character-translate vowels; per-doc md5 of the
+    * transformed line pins every byte of both transforms against the
+    * oracle's identical regexp_replace/translate chain.
+    */
+  def pipeSedTr(s: SparkSession, dir: String): DataFrame = {
+    val piped = Pipes.chain(
+      Pipes.sed("text", "\\s+", "_"),
+      Pipes.tr("text", "aeiou", "AEIOU"))(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")))
+    piped.select(col("doc_id"), length(col("text")).as("n_chars_out"),
+        md5(encode(col("text"), "UTF-8")).as("md5_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipeSedTrSql: String =
+    """SELECT doc_id,
+      |  length(translate(regexp_replace(text, '\s+', '_', 'g'),
+      |                   'aeiou', 'AEIOU')) AS n_chars_out,
+      |  md5(translate(regexp_replace(text, '\s+', '_', 'g'),
+      |                'aeiou', 'AEIOU')) AS md5_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** `cut -f1,3` over a tab-delimited line built from orders — the
     * round-trip through the reference's text-line world.
     */
@@ -657,6 +682,7 @@ object PipeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_cat" -> (pipeCat _),
     "pipe_grep" -> (pipeGrep _),
+    "pipe_sed_tr" -> (pipeSedTr _),
     "pipe_exec_grep" -> (pipeExecGrep _),
     "pipe_exec_combine" -> (pipeExecCombine _),
     "pipe_cut" -> (pipeCut _),
@@ -682,6 +708,7 @@ object PipeQueries {
   val oracleSql: Map[String, String] = Map(
     "pipe_cat" -> pipeCatSql,
     "pipe_grep" -> pipeGrepSql,
+    "pipe_sed_tr" -> pipeSedTrSql,
     "pipe_exec_grep" -> pipeExecGrepSql,
     "pipe_exec_combine" -> pipeExecCombineSql,
     "pipe_cut" -> pipeCutSql,
