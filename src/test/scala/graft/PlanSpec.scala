@@ -234,6 +234,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("salt"), "salt must be a join key")
   }
 
+  test("q_scd2: lag, run numbering and collapse ride user_id partitioning") {
+    val plan = planOf(graft.queries.EventQueries.qScd2(spark, sf))
+    // the lag flag and the running-sum run id share ONE user_id sort
+    // order; only the (user, run) collapse may add an exchange
+    val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(n <= 1, s"window stages must reuse the user_id exchange, found $n:\n" +
+      plan.take(1200))
+  }
+
+  test("q_cdc_apply: both latest-per-key passes compile to WindowGroupLimit") {
+    val plan = planOf(graft.queries.EventQueries.qCdcApply(spark, sf))
+    val n = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(n >= 2, s"base and change snapshots must both push partial top-1:\n" +
+      plan.take(1200))
+  }
+
   test("q_funnel reuses one user_id exchange across all window stages") {
     val plan = planOf(graft.queries.EventQueries.qFunnel(spark, sf))
     val n = java.util.regex.Pattern.quote("Exchange hashpartitioning(user_id")
