@@ -48,6 +48,23 @@ object MultiStream {
         case "-column" => column = args(i + 1); i += 2
         case "-format" => format = args(i + 1); i += 2
         case "-multiple" => specs += args(i + 1); i += 2
+        // the option spelling the reference CODE parses (its README
+        // says -multiple, but MapStreamJob.java:267-278 reads
+        // getOptionValues("mapred") with SLASH-separated
+        // dirKey/mapper/reducer, e.g. "TEST/mapper.py/reducer.py", and
+        // MultiStreamJobRunner.java:41 strips -mapred before the
+        // reduce jobs). Accepted as an alias: the LAST two fields are
+        // the mapper and reducer commands, everything before them the
+        // dirKey — slightly more permissive than the reference, whose
+        // blind buf(1)/buf(2) silently mis-slices a dirKey containing
+        // '/' (and cannot express one at all)
+        case "-mapred" =>
+          val buf = args(i + 1).split("/")
+          if (buf.length < 3)
+            sys.error(s"bad -mapred '${args(i + 1)}': want dirKey/mapper/reducer")
+          specs += (buf.dropRight(2).mkString("/") +
+            "|" + buf(buf.length - 2) + "|" + buf(buf.length - 1))
+          i += 2
         case "-numReduceTasks" => numReduceTasks = args(i + 1).toInt; i += 2
         case "-cmdenv" =>
           val Array(k, v) = args(i + 1).split("=", 2)
@@ -85,7 +102,7 @@ object MultiStream {
         case "-combiner" => combiner = args(i + 1); i += 2
         case other =>
           sys.error(s"unknown option '$other' (want -input -output " +
-            "-column -format -multiple -cmdenv -numReduceTasks " +
+            "-column -format -multiple -mapred -cmdenv -numReduceTasks " +
             "-jobconf/-D -file/-files -archives/-cacheArchive " +
             "-partitioner -inputformat -inputtagged)")
       }

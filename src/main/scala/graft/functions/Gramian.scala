@@ -57,7 +57,15 @@ case class GramianAgg(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[ArrayData]
-      if (x.numElements() == dim) {
+      // fail loudly: a corpus/model dimension mismatch silently skipped
+      // here would fit a basis on a partial corpus — wrong answer with
+      // no symptom (checkInputDataTypes can only see the TYPE, the
+      // per-row length is a runtime property)
+      if (x.numElements() != dim) {
+        throw new IllegalArgumentException(
+          s"graft_gramian: input vector has ${x.numElements()} elements, " +
+            s"expected dim=$dim")
+      } else {
         buf(0) += 1.0
         var i = 0
         var g = gOff

@@ -58,7 +58,14 @@ object PcaProject {
   def compute(x: ArrayData, mean: Array[Double], basisFlat: Array[Double],
       k: Int): GenericArrayData = {
     val d = mean.length
-    val n = math.min(x.numElements(), d)
+    // fail loudly on a corpus/model dimension mismatch: truncating or
+    // zero-padding here would project onto the wrong subspace with no
+    // symptom (the GramianAgg update enforces the same contract)
+    if (x.numElements() != d)
+      throw new IllegalArgumentException(
+        s"graft_pca_project: input vector has ${x.numElements()} elements, " +
+          s"expected d=$d")
+    val n = d
     val out = new Array[Any](k)
     var j = 0
     while (j < k) {

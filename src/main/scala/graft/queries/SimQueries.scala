@@ -346,10 +346,36 @@ object SimQueries {
     * |labels|²-bounded confusion matrix, totally ordered.
     */
   def knnClassify(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables(s, dir).embeddings
-    val labels = e.select(col("vec_id"), col("label"))
-    val votes = Knn.brute(e, e, "vec_id", "embedding", GraphK)
+    voteConfusion(Knn.brute(e, e, "vec_id", "embedding", GraphK),
+      e.select(col("vec_id"), col("label")))
+  }
+
+  /** The SCALE twin of knn_classify — same vote + confusion matrix,
+    * but over the cell-blocked approximate graph ([[Knn.graphCells]],
+    * the knn_graph/knn_graph_cell precedent): candidates ride ONE
+    * equi-join on cell (n²·nProbe∕C pairs, no cartesian, no broadcast
+    * of the corpus), so the eval still runs where the exact n² matrix
+    * can't be built at all. Rows-only (approximate neighbor sets);
+    * SimSpec gates the diagonal (per-class accuracy) against the exact
+    * confusion matrix and PlanSpec pins the no-cartesian shape.
+    */
+  def knnClassifyCell(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    voteConfusion(
+      Knn.graphCells(e, "vec_id", "embedding", GraphK,
+        centroidsFor(dir, e), nProbe = 8),
+      e.select(col("vec_id"), col("label")))
+  }
+
+  /** Majority vote (ties → min label) over a (query_id, neighbor_id)
+    * graph, then the confusion matrix against the true labels. Votes
+    * and the argmax are one groupBy + one WindowGroupLimit rank; the
+    * output is the |labels|²-bounded confusion matrix, totally ordered.
+    */
+  private def voteConfusion(graph: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = graph
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), "neighbor_id")
       .groupBy(col("query_id"), col("n_label"))
@@ -404,6 +430,7 @@ object SimQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca" -> (embPca _),
     "knn_classify" -> (knnClassify _),
+    "knn_classify_cell" -> (knnClassifyCell _),
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),

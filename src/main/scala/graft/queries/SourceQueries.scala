@@ -181,24 +181,33 @@ object SourceQueries {
   val BinaryBlobCap = 500
 
   def sourceBinary(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_binary_source").toString
+    // staged under the SHARED staging root (not a driver-local /tmp),
+    // so the executor-side writes below are visible cluster-wide and
+    // the dir is reclaimed at JVM exit (graft.util.Staging)
+    val out = graft.util.Staging.dir(s, "binary_source")
     val confS = new org.apache.spark.util.SerializableConfiguration(
       s.sparkContext.hadoopConfiguration)
     Tables(s, dir).documents.select(col("doc_id"), col("text"))
       .filter(col("doc_id") < BinaryBlobCap)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
+        // a PRIVATE FileSystem instance: FileSystem.get returns the
+        // JVM-wide cached one, and setWriteChecksum on it would turn
+        // off .crc sidecars for every other Hadoop write in the
+        // process (parquet commits, streaming checkpoints)
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
           new java.net.URI(out), confS.value)
-        // no .crc sidecars: they double the per-blob file-create cost
-        // and the query proves integrity in-band via md5 anyway
-        fs.setWriteChecksum(false)
-        it.foreach { r =>
-          val p = new org.apache.hadoop.fs.Path(out, s"${r.getLong(0)}.bin")
-          val os = fs.create(p, true)
-          try os.write(r.getString(1).getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally os.close()
-        }
+        try {
+          // no .crc sidecars: they double the per-blob file-create cost
+          // and the query proves integrity in-band via md5 anyway
+          fs.setWriteChecksum(false)
+          it.foreach { r =>
+            val p = new org.apache.hadoop.fs.Path(out, s"${r.getLong(0)}.bin")
+            val os = fs.create(p, true)
+            try os.write(r.getString(1).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
+          }
+        } finally fs.close()
       }
     s.read.format("binaryFile").load(s"$out/*.bin")
       .select(
@@ -220,8 +229,8 @@ object SourceQueries {
     * date-partitioned lake table.
     */
   def sourceCompact(s: SparkSession, dir: String): DataFrame = {
-    val frag = Files.createTempDirectory("graft_compact_in").toString
-    val out = Files.createTempDirectory("graft_compact_out").toString
+    val frag = graft.util.Staging.dir(s, "compact_in")
+    val out = graft.util.Staging.dir(s, "compact_out")
     val docs = Tables(s, dir).documents
     docs.repartition(64).write.mode("overwrite").parquet(frag)
     val rowsPerFile = 2000L
@@ -232,15 +241,13 @@ object SourceQueries {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(out)
-    def parquetFiles(p: String): Long =
-      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
     val compacted = s.read.parquet(out)
     compacted.agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("doc_id")).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
       .select(lit(64L).as("files_before"),
-        lit(parquetFiles(out)).as("files_after"),
+        lit(graft.util.Staging.countFiles(s, out, ".parquet")).as("files_after"),
         col("n_rows"), col("n_docs"), col("total_chars"))
   }
 

@@ -537,9 +537,15 @@ object TextQueries {
     val uni = toks.select(explode(col("a")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("nw"))
       .localCheckpoint(false)
+    // bind the shifted slice to its own attribute BEFORE the zip_with
+    // consumes it (the r1 HOF lesson, SURVEY §8): the generator's
+    // arguments are then plain attributes and the slice lives in the
+    // Generate node's child projection, outside any HOF subtree
     val pairs = toks
-      .select(explode(zip_with(col("a"),
-        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+      .select(col("a"),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0)))
+          .as("a2"))
+      .select(explode(zip_with(col("a"), col("a2"),
         (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w2").isNotNull)
@@ -552,8 +558,14 @@ object TextQueries {
         .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
         .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
         .select(col("w1"), col("w2"), col("nab"),
-          (floor(log2(col("nab").cast("double") * lit(nTok) * lit(nTok)
-            / (lit(nBig) * col("n1") * col("n2"))) * 10000 + 0.5)
+          // the ratio is computed in DOUBLE end-to-end (matching the
+          // oracle's n.nbig::DOUBLE * u1.nw * u2.nw): the integer form
+          // nBig*n1*n2 is a BIGINT³ product that overflows (ANSI
+          // ARITHMETIC_OVERFLOW) once the corpus is large enough
+          (floor(log2(col("nab").cast("double")
+            * lit(nTok.toDouble) * lit(nTok.toDouble)
+            / (lit(nBig.toDouble) * col("n1").cast("double")
+              * col("n2").cast("double"))) * 10000 + 0.5)
             .cast("double") / 10000).as("pmi"))
         .orderBy(col("w1"), col("w2"))
         .localCheckpoint(true)

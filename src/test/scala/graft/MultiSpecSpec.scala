@@ -86,6 +86,36 @@ class MultiSpecSpec extends SparkSpec {
     assert(counts.head().getLong(0) === 500L)
   }
 
+  test("-mapred dirKey/mapper/reducer parses as the -multiple spec " +
+      "(the spelling the reference CODE accepts, MapStreamJob.java:267)") {
+    val outA = java.nio.file.Files.createTempDirectory("graft_ms_mapred").toString
+    val outB = java.nio.file.Files.createTempDirectory("graft_ms_mult").toString
+    MultiStream.main(Array(
+      "-input", s"$sf/documents.parquet", "-column", "text",
+      "-output", outA,
+      "-mapred", "TEST/grep spark/NONE",
+      "-mapred", "counts/cat/wc -l"))
+    MultiStream.main(Array(
+      "-input", s"$sf/documents.parquet", "-column", "text",
+      "-output", outB,
+      "-multiple", "TEST|grep spark|NONE",
+      "-multiple", "counts|cat|wc -l"))
+    val hitsA = spark.read.parquet(s"$outA/TEST").collect().map(_.toSeq).sortBy(_.toString)
+    val hitsB = spark.read.parquet(s"$outB/TEST").collect().map(_.toSeq).sortBy(_.toString)
+    assert(hitsA.nonEmpty && hitsA === hitsB)
+    val cntA = spark.read.parquet(s"$outA/counts").collect().map(_.toSeq).toSeq
+    val cntB = spark.read.parquet(s"$outB/counts").collect().map(_.toSeq).toSeq
+    assert(cntA === cntB)
+    // a malformed spec (fewer than three fields) fails loudly, unlike
+    // the reference's silent // error comment
+    val e = intercept[RuntimeException] {
+      MultiStream.main(Array(
+        "-input", s"$sf/documents.parquet", "-output", outA,
+        "-mapred", "TEST/only-mapper"))
+    }
+    assert(e.getMessage.contains("-mapred"))
+  }
+
   test("MultiStream CLI ships -file scripts and honors -partitioner") {
     import org.apache.spark.sql.functions._
     // a legacy mapper script that must travel with the job

@@ -115,6 +115,16 @@ class PlanSpec extends SparkSpec {
       "graph top-k must compile to WindowGroupLimit")
   }
 
+  test("knn_classify_cell: votes ride the cell equi-join graph, no cartesian") {
+    val plan = planOf(SimQueries.knnClassifyCell(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the classify scale twin must never plan a cartesian-class join:\n" +
+        plan.take(800))
+    assert(plan.contains("WindowGroupLimit"),
+      "the per-query candidate top-k must compile to WindowGroupLimit")
+  }
+
   test("agg_bitmap_ops: intersections ride an equi-join on seg, never a cartesian") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -617,6 +617,39 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("knn_classify_cell tracks the exact confusion matrix (accuracy delta)") {
+    def acc(rows: Array[org.apache.spark.sql.Row]) = {
+      val byTrue = rows.groupBy(_.get(0))
+      byTrue.map { case (t, rs) =>
+        val total = rs.map(_.getLong(2)).sum.toDouble
+        val right = rs.filter(r => r.get(1) == t).map(_.getLong(2)).sum
+        t -> (right / total, total)
+      }
+    }
+    val exactRows = SimQueries.knnClassify(spark, sf).collect()
+    val celledRows = SimQueries.knnClassifyCell(spark, sf).collect()
+    // row conservation: every corpus vector gets exactly one prediction
+    // in BOTH matrices (the approximate graph may miss edges, never
+    // whole queries — graphCells always returns >=1 candidate cell)
+    assert(exactRows.map(_.getLong(2)).sum === celledRows.map(_.getLong(2)).sum)
+    val exact = acc(exactRows)
+    val celled = acc(celledRows)
+    assert(exact.keySet === celled.keySet, "same label universe")
+    // per-class accuracy within 0.10 of the exact matrix, overall
+    // within 0.05 — the approximate graph (recall >= 0.7 spec above)
+    // votes with mostly-the-same neighbors, so the verdict barely moves
+    exact.foreach { case (t, (a, _)) =>
+      val (ac, _) = celled(t)
+      assert(math.abs(a - ac) <= 0.10, s"class $t accuracy $a vs celled $ac")
+    }
+    def overall(m: Map[Any, (Double, Double)]) = {
+      val tot = m.values.map(_._2).sum
+      m.values.map { case (a, n) => a * n }.sum / tot
+    }
+    val (oe, oc) = (overall(exact), overall(celled))
+    assert(math.abs(oe - oc) <= 0.05, s"overall accuracy $oe vs celled $oc")
+  }
+
   test("Pca.jacobiEigen: hand-computable 2x2 and exact diagonal") {
     import graft.sim.Pca
     val (vals, vecs) = Pca.jacobiEigen(
@@ -679,5 +712,32 @@ class SimSpec extends SparkSpec {
     val cosU = (0 until 64).map(i => pm.basis(0)(i) * u(i)).sum
     assert(math.abs(cosU) > 0.999,
       s"PC1 must align with the planted direction, |cos|=${math.abs(cosU)}")
+  }
+
+  test("Pca: corpus/model dimension mismatch fails loudly, never silently") {
+    import spark.implicits._
+    import graft.sim.Pca
+    // fit sees a 3-element vector while dim=4: the Gramian must throw,
+    // not fit a basis on the rows that happened to match
+    val mixed = Seq(
+      Array(1f, 2f, 3f, 4f), Array(2f, 1f, 0f, 1f), Array(1f, 1f, 1f))
+      .toDF("v")
+    val eFit = intercept[Exception] {
+      Pca.fit(mixed, "v", dim = 4, k = 1)
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(eFit).contains("graft_gramian"), messages(eFit))
+    // projection of a wrong-dimension vector through a fitted model
+    // must throw, not truncate or zero-pad
+    val ok = Seq(Array(1f, 2f, 3f, 4f), Array(2f, 1f, 0f, 1f),
+      Array(0f, 3f, 1f, 2f)).toDF("v")
+    val m = Pca.fit(ok, "v", dim = 4, k = 1)
+    val eProj = intercept[Exception] {
+      Seq(Array(1f, 2f, 3f)).toDF("v")
+        .select(Pca.project(col("v"), m).as("y")).collect()
+    }
+    assert(messages(eProj).contains("graft_pca_project"), messages(eProj))
   }
 }
