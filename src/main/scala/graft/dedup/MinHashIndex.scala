@@ -61,6 +61,58 @@ object MinHashIndex {
     Index(spark.read.parquet(s"$dir/bands"),
       spark.read.parquet(s"$dir/shingles"))
 
+  /** Day-2 maintenance: MERGE a new batch into the SAVED index at
+    * `dir` — shingle/sign/band the batch once (pinned, the [[build]]
+    * note) and parquet-append both tables; existing band directories
+    * gain one file each, nothing old is read or rewritten. After the
+    * day's probe admits its survivors, appending them makes tomorrow's
+    * probe see them as "seen" — without this the only option was a
+    * full rebuild of the corpus index.
+    *
+    * Each append adds ~one file per band directory (the small-files
+    * pressure source_compact teaches), so run [[compactSaved]] on the
+    * cadence your file count demands — weekly, not per-append.
+    */
+  def append(newDocs: DataFrame, dir: String, idCol: String,
+      textCol: String, n: Int): Unit = {
+    val sh = MinHashLSH.shingled(newDocs, idCol, textCol, n)
+      .localCheckpoint(false)
+    try {
+      MinHashLSH.bands(MinHashLSH.signatures(sh))
+        .write.mode("append").partitionBy("band_id").parquet(s"$dir/bands")
+      sh.write.mode("append").parquet(s"$dir/shingles")
+    } finally graft.util.Caches.release(sh)
+  }
+
+  /** Rewrite the saved index's accreted small files into right-sized
+    * ones: bands → one file per band directory (hash repartition on
+    * band_id, so each write task holds whole bands), shingles →
+    * ⌈rows∕rowsPerFile⌉ files. Staged into `<table>_tmp` then swapped
+    * via FileSystem rename — parquet can't overwrite a path it is
+    * lazily reading. Probe results are byte-identical before/after
+    * (spec-pinned); only the file layout changes.
+    */
+  def compactSaved(spark: SparkSession, dir: String,
+      rowsPerFile: Long = 1L << 20): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swap(table: String)(rewrite: (DataFrame, String) => Unit): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}_tmp")
+      val fs = cur.getFileSystem(conf)
+      rewrite(spark.read.parquet(cur.toString), tmp.toString)
+      fs.delete(cur, true)
+      require(fs.rename(tmp, cur), s"compact: rename $tmp -> $cur failed")
+    }
+    swap("bands") { (df, out) =>
+      df.repartition(col("band_id"))
+        .write.mode("overwrite").partitionBy("band_id").parquet(out)
+    }
+    swap("shingles") { (df, out) =>
+      val nOut = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
+      df.repartition(nOut).write.mode("overwrite").parquet(out)
+    }
+  }
+
   /** Near-duplicate pairs between a NEW batch and the indexed corpus:
     * (new_id, seen_id, jaccard ≥ tau), exact Jaccard verified on true
     * shingle sets. The new batch is shingled/signed/banded map-side;

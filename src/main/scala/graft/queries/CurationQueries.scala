@@ -338,6 +338,53 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The 100 TB form of the curriculum phase split — the swap the
+    * ntile version's doc promises: EXACTLY the same phase semantics
+    * (ntile over (n_chars, doc_id)) with NO global single-partition
+    * sort. Decomposition: global rank = (rows with a smaller n_chars)
+    * + (rank by doc_id within this n_chars) — the first term from a
+    * vocab-scale value histogram with a running sum (the window runs
+    * over DISTINCT LENGTHS, equidepth's small-aggregate shape, not
+    * over docs), the second from a window partitioned by n_chars
+    * (parallel across values). ntile boundary ranks are closed-form
+    * from the total count (tile k's upper bound = k·⌊n∕P⌋ +
+    * min(k, n mod P)) and ride a broadcast one-row frame, so phase
+    * assignment is two broadcast joins + one map — byte-identical to
+    * ntile by construction, which the shared oracle and the parity
+    * spec both pin.
+    */
+  def mixCurriculumBounds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("n_chars"))
+    val cumBelow = docs.groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_below", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_chars"), col("cum_below"))
+    val p = CurriculumPhases
+    val bounds = docs.agg(count(lit(1)).as("n")).select(
+      (1 to p - 1).map(k =>
+        (lit(k.toLong) * floor(col("n") / p).cast("long") +
+          least(lit(k.toLong), col("n") % p)).as(s"b$k")): _*)
+    val ranked = docs
+      .join(broadcast(cumBelow), "n_chars")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))))
+      .crossJoin(broadcast(bounds))
+      .withColumn("grank", col("cum_below") + col("rn"))
+      .withColumn("phase",
+        (1 to p - 1).foldLeft(lit(1L))((acc, k) =>
+          acc + (col("grank") > col(s"b$k")).cast("long")))
+    ranked
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("phase"))
+          .orderBy(graft.ops.ShuffleShard.hashKey(col("doc_id"),
+            CurriculumSeed), col("doc_id"))))
+      .select(col("doc_id"), col("phase"), col("ord").cast("long").as("ord"))
+      .orderBy(col("doc_id"))
+  }
+
   val mixCurriculumSql: String =
     s"""WITH p AS (
        |  SELECT doc_id, n_chars,
@@ -558,6 +605,7 @@ object CurationQueries {
     "pipeline_e2e" -> (pipelineE2e _),
     "sample_shard" -> (sampleShard _),
     "mix_curriculum" -> (mixCurriculum _),
+    "mix_curriculum_bounds" -> (mixCurriculumBounds _),
     "mix_sources" -> (mixSources _),
     "mix_temperature" -> (mixTemperature _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -571,6 +619,9 @@ object CurationQueries {
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,
     "mix_curriculum" -> mixCurriculumSql,
+    // the bounds variant is byte-identical to ntile by construction,
+    // so it shares the same oracle — a hash-green proof of the parity
+    "mix_curriculum_bounds" -> mixCurriculumSql,
     "mix_sources" -> mixSourcesSql,
     "mix_temperature" -> mixTemperatureSql,
     "text_pii_scrub" -> textPiiScrubSql,

@@ -110,8 +110,21 @@ object Streams {
     * KB-scale record per ACTIVE user; a production deployment adds an
     * idle-eviction timeout when the key space is unbounded (the
     * sessionizer shows the EventTimeTimeout shape).
+    *
+    * '''Delivery contract''': per user, batches must not REGRESS in
+    * event time — events are sorted within each micro-batch, but an
+    * event in a LATER batch that is older than the open run's last
+    * seen time cannot be stitched into already-emitted history (append
+    * mode has no retractions — the CDC/Kafka-compacted sources this
+    * consumes are in order per key). Such cross-batch late events are
+    * DETECTED via the state's lastMs, DROPPED (never silently
+    * fragmented into a bogus run, the pre-r8 behavior), and COUNTED in
+    * `droppedLate` so an operator alarms instead of diverging from the
+    * batch twin; the batch query remains the reconciliation path.
     */
-  def scd2Stream(events: Dataset[Ev]): Dataset[Scd2Row] = {
+  def scd2Stream(events: Dataset[Ev],
+      droppedLate: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Scd2Row] = {
     val spark = events.sparkSession
     import spark.implicits._
     def sec(ms: Long): Long = Math.floorDiv(ms, 1000L)
@@ -127,6 +140,13 @@ object Streams {
             val t = e.ts.getTime
             st = st match {
               case null => Scd2State(1L, e.event_type, t, 1L, t)
+              // cross-batch late arrival (older than the open run's
+              // frontier): in-batch events can't hit this (sorted
+              // above), so this IS a delivery-contract violation —
+              // drop + count, keep the run history intact
+              case s if t < s.lastMs =>
+                droppedLate.foreach(_.add(1L))
+                s
               case s if s.stateType == e.event_type =>
                 s.copy(n = s.n + 1, lastMs = math.max(s.lastMs, t))
               case s =>

@@ -200,4 +200,26 @@ class CurationSpec extends SparkSpec {
         s"phase ${a.getLong(0)} hi ${a.getLong(4)} > next lo ${b.getLong(3)}")
     }
   }
+
+  test("mix_curriculum_bounds is byte-identical to the ntile curriculum, " +
+      "including boundary tie-splits") {
+    import org.apache.spark.sql.functions._
+    def rows(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, dir: String) =
+      fn(spark, dir).collect().map(_.toSeq).toSeq
+    assert(rows(graft.queries.CurationQueries.mixCurriculumBounds _, sf) ===
+      rows(graft.queries.CurationQueries.mixCurriculum _, sf))
+    // adversarial tie case: one dominant length value STRADDLING
+    // several ntile boundaries (ntile splits the tie run by doc_id
+    // rank — exactly what the cum_below + within-value rank
+    // decomposition must reproduce), plus a ragged n (103 % 4 != 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curr_ties").toString
+    import spark.implicits._
+    val docs = ((0 until 90).map(i => (i.toLong, 50)) ++
+      (90 until 97).map(i => (i.toLong, 7)) ++
+      (97 until 103).map(i => (i.toLong, 999))).toDF("doc_id", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(rows(graft.queries.CurationQueries.mixCurriculumBounds _, tmp) ===
+      rows(graft.queries.CurationQueries.mixCurriculum _, tmp))
+  }
 }

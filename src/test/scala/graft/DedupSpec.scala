@@ -437,6 +437,43 @@ class DedupSpec extends SparkSpec {
     assert(probed2 === probed, "loaded index must probe identically")
   }
 
+  test("MinHashIndex.append: append-then-probe equals rebuild-then-probe; " +
+      "compactSaved keeps probes identical and shrinks band files") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val day1 = docs.filter(pmod(col("doc_id"), lit(5)) < 3)
+    val day2 = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    def probeSet(idx: graft.dedup.MinHashIndex.Index) =
+      graft.dedup.MinHashIndex.probe(idx, fresh, "doc_id", "text", n = 3, tau = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // day 1: index + save; day 2: append the new batch to the SAVED form
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-app").toString
+    graft.dedup.MinHashIndex.save(
+      graft.dedup.MinHashIndex.build(day1, "doc_id", "text", n = 3), dir)
+    graft.dedup.MinHashIndex.append(day2, dir, "doc_id", "text", n = 3)
+    val appended = probeSet(graft.dedup.MinHashIndex.load(spark, dir))
+    // ground truth: rebuild from scratch on day1 ∪ day2
+    val rebuilt = probeSet(
+      graft.dedup.MinHashIndex.build(day1.unionByName(day2), "doc_id", "text", n = 3))
+    assert(appended === rebuilt, "append-then-probe must equal rebuild-then-probe")
+    assert(appended.nonEmpty, "the split must contain cross pairs")
+    // appends accrete files; compaction rewrites to one file per band
+    // dir without changing any probe result
+    def bandFiles(): Int = {
+      val root = new java.io.File(s"$dir/bands")
+      root.listFiles().filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    val before = bandFiles()
+    graft.dedup.MinHashIndex.compactSaved(spark, dir)
+    val after = bandFiles()
+    assert(after < before, s"compaction must shrink band files ($before -> $after)")
+    val dirs = new java.io.File(s"$dir/bands").listFiles().count(_.isDirectory)
+    assert(after === dirs, "exactly one file per band directory after compaction")
+    assert(probeSet(graft.dedup.MinHashIndex.load(spark, dir)) === appended,
+      "compaction must not change probe results")
+  }
+
   test("dedup_semantic: keep rule matches the quadratic pair set exactly") {
     val emb = graft.util.Tables(spark, sf).embeddings
     val out = graft.queries.DedupQueries.dedupSemantic(spark, sf).collect()

@@ -50,6 +50,16 @@ class SimSpec extends SparkSpec {
       assert(rec >= 0.7, s"$m recall@10 $rec below floor")
       assert(rec <= 1.0)
     }
+    // every method is deterministic (seeded planes, rounded centroid
+    // fits, integer tie-breaks), so the recalls are EXACT values, not
+    // just floor-bounded — pinning them turns a silent quality drift
+    // (e.g. a centroid-fit change that still clears 0.7) into a
+    // visible regression. Re-derive by running knnRecall at sf0.001
+    // if an INTENTIONAL algorithm change moves them.
+    assert(rows("lsh")._2 === 0.83, s"lsh ${rows("lsh")._2}")
+    assert(rows("ivf")._2 === 0.87, s"ivf ${rows("ivf")._2}")
+    assert(rows("pq")._2 === 1.0, s"pq ${rows("pq")._2}")
+    assert(rows("ivfpq")._2 === 0.95, s"ivfpq ${rows("ivfpq")._2}")
     // cross-check one method against the independent driver-side compute
     val brute = neighborSets(SimQueries.knnBrute(spark, sf))
     val lsh = neighborSets(SimQueries.knnLsh(spark, sf))

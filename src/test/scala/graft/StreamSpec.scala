@@ -80,6 +80,36 @@ class StreamSpec extends SparkSpec {
       (1L, 2L, "b", t0 + 1200, t0 + 1800, 1L)))
   }
 
+  test("scd2Stream: cross-batch late event is dropped and counted, " +
+      "never fragmented into a bogus run") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // user 1 in-order: a(t0) a(t0+600) | then batch2 delivers b(t0+300)
+    // — OLDER than the open run's frontier. Pre-r8 this silently
+    // closed run 'a' at t0+300 and opened 'b' (history fragmentation);
+    // the contract is drop + count.
+    val late = spark.sparkContext.longAccumulator("scd2_dropped_late")
+    val batch1 = Seq(ev(1, 0, 1, "a"), ev(2, 10, 1, "a"))
+    val batch2 = Seq(ev(3, 5, 1, "b"), ev(4, 20, 1, "b"))
+    val ms = MemoryStream[Ev]
+    val q = Streams.scd2Stream(ms.toDS(), droppedLate = Some(late))
+      .writeStream.format("memory").queryName("scd2late")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scd2late")
+      .orderBy("user_id", "run_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val t0 = 1700000000L
+    // the late b(t0+300) was dropped; the IN-ORDER b(t0+1200) closes
+    // run 'a' exactly where in-order processing would
+    assert(got.toSeq === Seq((1L, 1L, "a", t0, t0 + 1200, 2L)))
+    assert(late.value === 1L, s"late counter ${late.value}")
+  }
+
   test("scd2Stream agrees with qScd2 on the real corpus (closed intervals)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

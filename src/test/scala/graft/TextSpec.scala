@@ -274,6 +274,26 @@ class TextSpec extends SparkSpec {
     assert(t200 < t0, "200 merges must actually compress the corpus")
   }
 
+  test("text_bpe: exact corpus totals pinned (rows-only query, value gate)") {
+    // a SQL replay oracle is structurally unavailable: training is an
+    // inherently sequential argmax loop (the Lloyd's/Jacobi class), and
+    // oracleSql is ONE static string shared by the sf0.01 driver gate
+    // and the sf0.1 sweep — embedding one corpus's learned merges would
+    // break the other. So the regression gate is these exact totals:
+    // deterministic (ordered word cap, lexicographic merge tie-breaks,
+    // greedy rank-first encode), re-derive at sf0.001 on INTENTIONAL
+    // tokenizer changes.
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.TextQueries.textBpe(spark, sf)
+      .agg(count(lit(1)).as("rows"), sum(col("n_pretok")).as("pre"),
+        sum(col("n_bpe_tok")).as("bpe"), sum(col("fertility_x100")).as("fert"))
+      .collect()(0)
+    assert(out.getLong(0) === 500L)
+    assert(out.getLong(1) === 27939L, s"sum n_pretok ${out.getLong(1)}")
+    assert(out.getLong(2) === 86851L, s"sum n_bpe_tok ${out.getLong(2)}")
+    assert(out.getLong(3) === 155240L, s"sum fertility_x100 ${out.getLong(3)}")
+  }
+
   test("Bpe: native expression equals driver-side encode on real docs") {
     import graft.text.Bpe
     val docs = graft.util.Tables(spark, sf).documents
