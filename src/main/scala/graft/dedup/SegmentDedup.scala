@@ -91,4 +91,50 @@ object SegmentDedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("sig"), md5(lit(""))).as("sig"))
   }
+
+  /** Cross-document boilerplate removal by segment FREQUENCY (the other
+    * CCNet line-dedup mode): drop every occurrence of any segment that
+    * appears in at least `maxDocs` DISTINCT documents, keep everything
+    * else, reassemble in original order. Where [[dedupSegments]] keeps
+    * the first copy of a repeated segment, this keeps NONE — the right
+    * semantics for nav bars / license footers / quoted headers, which
+    * are noise in every document including the first; prose that never
+    * crosses the threshold is untouched in all copies.
+    *
+    * Same per-doc output contract as [[dedupSegments]]:
+    * (id, n_segs, n_kept, sig) with sig = md5 of the reassembled kept
+    * text; a fully-boilerplate doc keeps 0 segments and carries md5("").
+    *
+    * Scale (100 TB): linear, the SubstringDedup shape — document
+    * frequency per segment from a two-phase distinct (shuffle on the
+    * segment key, then a partial-agg count: the agg_distinct_twophase
+    * pattern, so a viral segment cannot hot-spot a reducer) joined back
+    * to the occurrence stream on the same key. No pairwise step, no
+    * window over the whole corpus, no driver state. `hashKeys` folds
+    * both exchanges to 8-byte xxhash64 keys with the same documented
+    * fingerprint trade as [[dedupSegments]].
+    */
+  def filterFrequentSegments(docs: DataFrame, idCol: String, segsCol: Column,
+      maxDocs: Int, hashKeys: Boolean = false): DataFrame = {
+    require(maxDocs >= 2, s"maxDocs must be >= 2, got $maxDocs")
+    val id = col(idCol)
+    val base = docs.select(id, segsCol.as("segs"))
+    val exploded = base.select(id, posexplode(col("segs")).as(Seq("pos", "seg")))
+    val segKey = if (hashKeys) xxhash64(col("seg")) else col("seg")
+    val docFreq = exploded.select(segKey.as("k"), id).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
+    val kept = exploded.withColumn("k", segKey)
+      .join(docFreq, "k")
+      .where(col("n_docs") < maxDocs)
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            p => p.getField("seg")), " ")).as("sig"))
+    base.select(id, size(col("segs")).cast("long").as("n_segs"))
+      .join(kept, Seq(idCol), "left")
+      .select(id, col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sig"), md5(lit(""))).as("sig"))
+  }
 }

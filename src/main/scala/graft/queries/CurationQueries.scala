@@ -579,6 +579,60 @@ object CurationQueries {
        |ORDER BY source, shard""".stripMargin
   }
 
+  private val DsirSeed = 29L
+  private val DsirBuckets = 512
+
+  /** DSIR importance-resampling weights (graft.ops.Dsir, Xie et al.
+    * arXiv:2302.03169): every doc scored by how much more likely its
+    * hashed-unigram buckets are under the target distribution — here
+    * the lang = 'en' slice stands in for the trusted corpus — than
+    * under the raw corpus; sel = 1 where the doc looks more target
+    * than raw (the threshold-zero selection rule). The per-bucket
+    * log-ratios are 1e-6-quantized BIGINTs and the per-doc score is an
+    * exact integer sum, so the DuckDB twin matches bit-for-bit.
+    */
+  def mixDsir(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dsir.importanceWeights(Tables(s, dir).documents,
+        "doc_id", "text", col("lang") === "en", DsirSeed, DsirBuckets)
+      .orderBy(col("doc_id"))
+
+  val mixDsirSql: String = {
+    val b = DsirBuckets
+    s"""WITH t AS (
+       |  SELECT doc_id, lang = 'en' AS is_t,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, is_t,
+       |    ('0x' || substr(md5(unnest(toks) || ':$DsirSeed'), 1, 8))::BIGINT
+       |      % $b AS b
+       |  FROM t),
+       |db AS (
+       |  SELECT doc_id, is_t, b, count(*) AS cd FROM e GROUP BY doc_id, is_t, b),
+       |raw AS (SELECT b, sum(cd)::BIGINT AS cr FROM db GROUP BY b),
+       |tgt AS (SELECT b, sum(cd)::BIGINT AS ct FROM db WHERE is_t GROUP BY b),
+       |tot AS (
+       |  SELECT (SELECT sum(cr) FROM raw)::BIGINT AS tr,
+       |         (SELECT coalesce(sum(ct), 0) FROM tgt)::BIGINT AS tt),
+       |model AS (
+       |  SELECT raw.b,
+       |    floor(log2(((coalesce(ct, 0) + 1)::DOUBLE / (tt + $b))
+       |               / ((cr + 1)::DOUBLE / (tr + $b)))
+       |          * 1000000 + 0.5)::BIGINT AS w
+       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+       |dw AS (
+       |  SELECT doc_id, sum(cd)::BIGINT AS n_tokens,
+       |    sum(cd * w)::BIGINT AS weight_units
+       |  FROM db JOIN model USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(dw.n_tokens, 0) AS n_tokens,
+       |  coalesce(dw.weight_units, 0) AS weight_units,
+       |  (CASE WHEN coalesce(dw.weight_units, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+       |    AS sel
+       |FROM documents d LEFT JOIN dw USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Best-fit-decreasing packing (graft.ops.BestFitPack): docs placed
     * WHOLE into 512-token bins — fullest feasible bin wins — with 8
     * deterministic xxhash64 shards as the parallelism unit; the
@@ -602,6 +656,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_bestfit" -> (packBestfit _),
+    "mix_dsir" -> (mixDsir _),
     "pipeline_e2e" -> (pipelineE2e _),
     "sample_shard" -> (sampleShard _),
     "mix_curriculum" -> (mixCurriculum _),
@@ -616,6 +671,7 @@ object CurationQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
+    "mix_dsir" -> mixDsirSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,
     "mix_curriculum" -> mixCurriculumSql,

@@ -451,6 +451,59 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val LineSegWords = 10
+  private val LineMaxDocs = 2
+
+  /** Cross-document boilerplate removal (the frequency mode of CCNet
+    * line dedup, complementing dedup_paragraph's first-occurrence mode):
+    * any 10-token segment appearing in ≥ 2 distinct documents is dropped
+    * from EVERY document — boilerplate is noise in the first copy too.
+    * Same per-doc contract as dedup_paragraph (n_segs / n_kept / md5 of
+    * the reassembly) so the oracle checks keep/drop AND order. Linear
+    * plan: two-phase distinct doc-frequency + join back on the segment
+    * key, no pairwise step (SegmentDedup.filterFrequentSegments).
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    SegmentDedup.filterFrequentSegments(Tables(s, dir).documents, "doc_id",
+        SegmentDedup.windowSegments(col("text"), LineSegWords),
+        maxDocs = LineMaxDocs, hashKeys = false)
+      .orderBy(col("doc_id"))
+
+  val dedupLinesSql: String = {
+    val w = LineSegWords
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    [array_to_string(toks[i:i+${w - 1}], ' ')
+       |     FOR i IN range(1, len(toks) + 1, $w)] AS segs
+       |  FROM t WHERE len(toks) >= 1),
+       |e AS (
+       |  SELECT doc_id, unnest(segs) AS seg,
+       |    unnest(range(len(segs))) AS pos
+       |  FROM c),
+       |df AS (
+       |  SELECT seg, count(DISTINCT doc_id) AS n_docs FROM e GROUP BY seg),
+       |k AS (
+       |  SELECT e.doc_id, e.seg, e.pos
+       |  FROM e JOIN df USING (seg)
+       |  WHERE df.n_docs < $LineMaxDocs),
+       |r AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    md5(string_agg(seg, ' ' ORDER BY pos)) AS sig
+       |  FROM k GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(len(c.segs), 0) AS n_segs,
+       |  coalesce(r.n_kept, 0) AS n_kept,
+       |  coalesce(r.sig, md5('')) AS sig
+       |FROM documents d
+       |LEFT JOIN c USING (doc_id)
+       |LEFT JOIN r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Cross-source duplication matrix: near-dup pair mass between every
     * pair of sources — the "which crawls copy each other" report a
     * corpus owner reads before setting mix weights. Composes the
@@ -527,6 +580,7 @@ object DedupQueries {
     "dedup_substring" -> (dedupSubstring _),
     "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_paragraph" -> (dedupParagraph _),
+    "dedup_lines" -> (dedupLines _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_bloom" -> (dedupBloom _),
@@ -545,6 +599,7 @@ object DedupQueries {
     "dedup_substring" -> dedupSubstringSql,
     "dedup_source_matrix" -> dedupSourceMatrixSql,
     "dedup_paragraph" -> dedupParagraphSql,
+    "dedup_lines" -> dedupLinesSql,
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_bloom" -> dedupBloomSql,

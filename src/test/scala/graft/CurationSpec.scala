@@ -201,6 +201,45 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("Dsir: target-vocab docs score positive, off-target negative, " +
+      "tokenless zero; more target tokens => higher weight") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // target (is_t) docs speak {alpha, beta}; the raw corpus is
+    // dominated by off-target docs speaking {zulu, yankee}. Token mass
+    // is large enough that the add-1/add-B smoothing cannot flatten
+    // the target-vs-raw contrast (with tiny counts the +B denominator
+    // dominates and every ratio collapses toward B-relative noise).
+    val tgtText = Seq.fill(10)("alpha beta").mkString(" ")
+    val offText = Seq.fill(10)("zulu yankee").mkString(" ")
+    val docs = (Seq(
+      (1L, tgtText, true),
+      (2L, tgtText, true),
+      (20L, tgtText, false), // pure target vocab, raw doc
+      (21L, offText, false), // pure off vocab
+      (22L, "alpha alpha alpha zulu", false), // 3:1 target-heavy
+      (23L, "zulu zulu zulu alpha", false), // 1:3 mirror of 22
+      (24L, "", false)) ++ // tokenless
+      (30L until 40L).map(i => (i, offText, false)))
+      .toDF("doc_id", "text", "is_t")
+    val out = graft.ops.Dsir
+      .importanceWeights(docs, "doc_id", "text", col("is_t"),
+        seed = 29L, nBuckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(20L)._2 > 0 && out(20L)._3 === 1L, s"pure target vocab: $out")
+    assert(out(21L)._2 < 0 && out(21L)._3 === 0L, s"pure off vocab: $out")
+    // docs 22/23 swap one multiset: w(22) - w(23) = 2(w_alpha - w_zulu)
+    assert(out(22L)._2 > out(23L)._2,
+      "more target tokens must mean a higher weight")
+    assert(out(24L) === ((0L, 0L, 0L)), "tokenless doc scores 0, unselected")
+    val again = graft.ops.Dsir
+      .importanceWeights(docs, "doc_id", "text", col("is_t"), 29L, 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again === out, "weights must be rerun-identical")
+  }
+
   test("mix_curriculum_bounds is byte-identical to the ntile curriculum, " +
       "including boundary tie-splits") {
     import org.apache.spark.sql.functions._

@@ -497,6 +497,47 @@ class DedupSpec extends SparkSpec {
       "most of the corpus must survive at tau = 0.4")
   }
 
+  test("filterFrequentSegments: boilerplate vanishes from EVERY carrier, " +
+      "unique prose survives everywhere") {
+    import spark.implicits._
+    // 3-token segments; "nav bar boilerplate" planted in docs 1, 2, 3
+    val docs = Seq(
+      (1L, "nav bar boilerplate alpha beta gamma"),
+      (2L, "nav bar boilerplate delta epsilon zeta"),
+      (3L, "nav bar boilerplate"),
+      (4L, "eta theta iota"))
+      .toDF("doc_id", "text")
+    val segs = graft.dedup.SegmentDedup.windowSegments(col("text"), 3)
+    val out = graft.dedup.SegmentDedup
+      .filterFrequentSegments(docs, "doc_id", segs, maxDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the planted segment is dropped from ALL THREE carriers — including
+    // the first, which dedupSegments (first-occurrence mode) would keep
+    assert(out(1L) === ((2L, 1L, md5Hex("alpha beta gamma"))), s"doc 1: $out")
+    assert(out(2L) === ((2L, 1L, md5Hex("delta epsilon zeta"))), s"doc 2: $out")
+    assert(out(3L) === ((1L, 0L, md5Hex(""))), "fully-boilerplate doc empties")
+    assert(out(4L) === ((1L, 1L, md5Hex("eta theta iota"))),
+      "unique prose untouched")
+    // first-occurrence mode disagrees exactly where it should: doc 1
+    // keeps the boilerplate copy there
+    val firstOcc = graft.dedup.SegmentDedup
+      .dedupSegments(docs, "doc_id", segs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(firstOcc(1L) === 2L, "first-occurrence mode keeps the first copy")
+    // hashed-key variant is value-identical at collision-free scale
+    val hashed = graft.dedup.SegmentDedup
+      .filterFrequentSegments(docs, "doc_id", segs, maxDocs = 2,
+        hashKeys = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(hashed === out, "hashKeys must not change the result")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("Winnow fingerprint density is below the full gram index") {
     val docs = graft.util.Tables(spark, sf).documents
       .withColumn("toks", graft.text.TextOps.tokens(col("text")))
