@@ -240,6 +240,45 @@ object PipeQueries {
             lit(10000)), 2), 2).as("p95_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Pre-aggregated sketch ROLLUP — the production pattern agg_sketches
+    * only hints at: a daily job persists one HLL sketch per
+    * (day, event_type) partition, and any later date-range distinct
+    * query merges the stored sketches (`hll_union_agg`) WITHOUT
+    * touching the raw events again. At 100 TB this is the difference
+    * between re-scanning a year of history per dashboard query and
+    * reading |days|×|types| KB-sized sketch rows: sketches are the
+    * only distinct-count state that is both constant-size AND mergeable
+    * after the fact (exact distinct can't be rolled up from per-day
+    * exact counts). The sketch table is written partitioned by day, so
+    * the range filter prunes partitions at the scan (the
+    * source_partitioned contract); the query here rolls up the last
+    * half of the day range, derived from the data like q_cdc_apply's
+    * midpoint. Rows-only: DuckDB has no datasketches-compatible HLL;
+    * PipeSpec pins sparse-mode exactness (lossless below the sketch's
+    * coupon capacity), a 2% relative-error bound vs exact at corpus
+    * scale, rerun determinism, and the partition-pruned scan.
+    */
+  def aggHllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events.withColumn("day", to_date(col("ts")))
+    val stage = graft.util.Staging.dir(s, "hll_daily")
+    ev.groupBy(col("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").partitionBy("day").parquet(stage)
+    val bounds = ev.agg(min(col("day")), max(col("day"))).collect()(0)
+    val mid = java.time.LocalDate.ofEpochDay(
+      bounds.getDate(0).toLocalDate.toEpochDay +
+        (bounds.getDate(1).toLocalDate.toEpochDay -
+          bounds.getDate(0).toLocalDate.toEpochDay) / 2)
+    s.read.parquet(stage)
+      .where(col("day") > lit(java.sql.Date.valueOf(mid)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact distinct counts via segment BITMAPS (Spark 4 builtins): keys
     * bucket into 32768-bit segments (`bitmap_bucket_number`), each
     * (group, segment) partial-aggregates into a ≤ 4 KB bitmap, and the
@@ -692,6 +731,7 @@ object PipeQueries {
     "agg_package" -> (aggPackage _),
     "agg_distinct_twophase" -> (aggDistinctTwophase _),
     "agg_sketches" -> (aggSketches _),
+    "agg_hll_rollup" -> (aggHllRollup _),
     "agg_countmin" -> (aggCountmin _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_bitmap_ops" -> (aggBitmapOps _),

@@ -121,6 +121,48 @@ class PipeSpec extends SparkSpec {
     assert(twoPhase === direct && twoPhase.nonEmpty)
   }
 
+  test("agg_hll_rollup: sparse-mode exact on the test corpus, " +
+      "rerun-deterministic, day partitions pruned at the scan") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.util.Tables(spark, sf).events
+      .withColumn("day", to_date(col("ts")))
+    val bounds = ev.agg(min(col("day")), max(col("day"))).collect()(0)
+    val mid = java.time.LocalDate.ofEpochDay(
+      bounds.getDate(0).toLocalDate.toEpochDay +
+        (bounds.getDate(1).toLocalDate.toEpochDay -
+          bounds.getDate(0).toLocalDate.toEpochDay) / 2)
+    val exact = ev.where(col("day") > lit(java.sql.Date.valueOf(mid)))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val out = PipeQueries.aggHllRollup(spark, sf)
+    // the range filter must prune day partitions at the sketch-table
+    // scan, not post-filter a full read
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
+      s"day range should prune partitions:\n$plan")
+    val got = out.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === exact.keySet && got.nonEmpty)
+    got.foreach { case (k, (nDays, nEvents, est)) =>
+      val (d, n) = exact(k)
+      assert(nEvents === n, s"$k event count must be exact")
+      assert(nDays > 0)
+      // sf0.001 has ~50 distinct users: far below the lgK=12 sketch's
+      // coupon capacity, so sparse mode is LOSSLESS and the merged
+      // estimate equals the exact distinct — not just within tolerance
+      assert(est === d, s"$k sparse-mode estimate must be exact: $est vs $d")
+    }
+    // rerun (fresh staging dir, fresh sketch build) is value-identical
+    val again = PipeQueries.aggHllRollup(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(again === got, "rollup must be rerun-deterministic")
+  }
+
   test("agg_sketches: HLL within 5% of exact, quantiles within rank tolerance") {
     import org.apache.spark.sql.functions._
     val li = graft.util.Tables(spark, sf).lineitem
