@@ -318,6 +318,78 @@ object Streams {
       }
   }
 
+  // ---- streaming CDC MERGE-apply ---------------------------------------
+
+  /** Per-key CDC state: the base-snapshot value (if the key existed in
+    * the materialized table) plus the champion change record so far
+    * (public: state encoder needs constructor access).
+    */
+  final case class CdcState(hasBase: Boolean, baseValue: Double,
+      hasChg: Boolean, tsUs: Long, eventId: Long, chgType: String,
+      chgValue: Double)
+
+  /** Current materialization decision for a changed key. */
+  final case class CdcRow(user_id: Long, action: String,
+      final_value: Option[Double])
+
+  /** Streaming twin of the batch CDC MERGE-apply
+    * (EventQueries.qCdcApply): state is SEEDED from the base snapshot
+    * (the `initialState` overload of flatMapGroupsWithState — how a
+    * streaming job takes over from an existing materialized table),
+    * then each micro-batch folds its change events in latest-wins by
+    * (event time, event_id) — the latestStream contract, so stale
+    * arrivals can never regress the champion — and re-emits the key's
+    * current MERGE decision in Update mode: 'error' champion ⇒ delete
+    * (tombstone), champion on a based key ⇒ update, on an unbased key ⇒
+    * insert. Keys with no change events are never invoked and never
+    * emitted — they are the batch twin's 'keep' rows, represented by
+    * silence (an upsert sink leaves them untouched). The decision is a
+    * pure function of (base, champion), exactly the batch FULL OUTER
+    * JOIN semantics, so replaying any batch split converges to the
+    * batch answer — StreamSpec pins multi-batch parity on the real
+    * corpus at qCdcApply's own midpoint split.
+    *
+    * State is one KB-scale record per key with history, the
+    * materialization itself — like latestStream, nothing to expire.
+    */
+  def cdcApplyStream(changes: Dataset[Ev], base: DataFrame): Dataset[CdcRow] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    def micros(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val empty = CdcState(hasBase = false, 0.0, hasChg = false,
+      Long.MinValue, Long.MinValue, "", 0.0)
+    val init = base
+      .select(col("user_id").cast("long"), col("base_value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(kv => empty.copy(hasBase = true, baseValue = kv._2))
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout(), init) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(empty)
+          it.foreach { e =>
+            val t = micros(e.ts)
+            if (!st.hasChg || t > st.tsUs ||
+                (t == st.tsUs && e.event_id > st.eventId))
+              st = st.copy(hasChg = true, tsUs = t, eventId = e.event_id,
+                chgType = e.event_type, chgValue = e.value)
+          }
+          state.update(st)
+          if (!st.hasChg) Iterator.empty
+          else if (st.chgType == "error")
+            Iterator.single(CdcRow(uid, "delete", None))
+          else {
+            // same HALF_UP double rounding as the batch twin's round(,2)
+            val fv = BigDecimal(st.chgValue)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val action = if (st.hasBase) "update" else "insert"
+            Iterator.single(CdcRow(uid, action, Some(fv)))
+          }
+      }
+  }
+
   // ---- stream-stream interval join ------------------------------------
 
   /** Stream-stream (or batch-batch — same plan API) interval join: each

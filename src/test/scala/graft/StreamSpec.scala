@@ -370,6 +370,100 @@ class StreamSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) > 0))
   }
 
+  test("cdcApplyStream: insert/update/delete against a seeded base, " +
+      "stale arrivals can't regress, silence = keep") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (9L, 90.0))
+      .toDF("user_id", "base_value")
+    // b1: u1 updated, u3 inserted; b2: u2 tombstoned, u1 gets a STALE
+    // older event (champion unchanged), u3 advances; u9 never changes
+    val b1 = Seq(ev(1, 10, 1, "view", 5.555), ev(2, 10, 3, "view", 7.0))
+    val b2 = Seq(ev(3, 20, 2, "error", 0.0), ev(4, 5, 1, "view", 99.0),
+      ev(5, 20, 3, "click", 8.0))
+    val ms = MemoryStream[Ev]
+    val q = Streams.cdcApplyStream(ms.toDS(), base)
+      .writeStream.format("memory").queryName("cdcs")
+      .outputMode("update").start()
+    def snapshot(): Map[Long, (String, Option[Double])] =
+      spark.table("cdcs").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      val after1 = snapshot()
+      assert(after1 === Map(
+        1L -> (("update", Some(5.56))), 3L -> (("insert", Some(7.0)))),
+        s"batch 1: $after1")
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // overlay: the LAST emission per key is the materialization; the
+    // memory sink accretes update-mode rows, and here every batch-2
+    // decision either equals batch 1's (u1 — stale event, champion
+    // held) or is new (u2, u3), so the union collapses to the overlay
+    val all = spark.table("cdcs").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+    val finalState = all.toMap // later duplicates identical for u1
+    assert(finalState === Map(
+      1L -> (("update", Some(5.56))), // stale 99.0 did NOT regress it
+      2L -> (("delete", None)),
+      3L -> (("insert", Some(8.0))))) // u9 absent = keep
+    assert(all.count(_._1 == 1L) === 2, "u1 re-emitted its held decision")
+  }
+
+  test("cdcApplyStream agrees with qCdcApply's non-keep rows on the " +
+      "real corpus across a multi-batch replay") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val e = graft.util.Tables(spark, sf).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val bounds = e.agg(min(unix_timestamp(col("ts"))).as("lo"),
+      max(unix_timestamp(col("ts"))).as("hi")).collect()(0)
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val base = Streams.latestBatch(e.filter(unix_timestamp(col("ts")) <= mid))
+      .select(col("user_id"), col("last_value").as("base_value"))
+    val changes = e.filter(unix_timestamp(col("ts")) > mid)
+      .as[Ev].collect().toSeq.sortBy(c => (c.ts.getTime, c.event_id))
+    val (half1, half2) = changes.splitAt(changes.size / 2)
+    val ms = MemoryStream[Ev]
+    val q = Streams.cdcApplyStream(ms.toDS(), base)
+      .writeStream.format("memory").queryName("cdccorpus")
+      .outputMode("update").start()
+    def rows(): Array[(Long, (String, Option[Double]))] =
+      spark.table("cdccorpus").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+    var after1 = Map.empty[Long, (String, Option[Double])]
+    try {
+      ms.addData(half1); q.processAllAvailable()
+      after1 = rows().toMap // one emission per key so far — unambiguous
+      ms.addData(half2); q.processAllAvailable()
+    } finally q.stop()
+    // the memory sink accretes update-mode emissions; reconstruct the
+    // LAST emission per key: a key with two distinct decisions got its
+    // second from batch 2 (the one differing from its batch-1 row)
+    val overlay = rows().groupBy(_._1).map { case (k, rs) =>
+      val set = rs.map(_._2).toSet
+      val fin = after1.get(k) match {
+        case Some(v) if set.size > 1 => (set - v).head
+        case Some(v) => v
+        case None => set.head
+      }
+      k -> fin
+    }
+    val batchTwin = graft.queries.EventQueries.qCdcApply(spark, sf)
+      .filter(col("action") =!= "keep").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(overlay === batchTwin,
+      s"stream/batch diverge: ${overlay.toSet diff batchTwin.toSet} | " +
+        s"${batchTwin.toSet diff overlay.toSet}")
+  }
+
   test("latestStream: multi-batch upsert matches batch twin, no regression") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
