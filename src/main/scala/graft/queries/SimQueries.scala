@@ -335,6 +335,29 @@ object SimQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** PCA-whitened embedding export (Pca.whiten — FAISS PCAMatrix at
+    * eigen_power −0.5): the same top-4 basis as emb_pca with each
+    * component scaled to unit variance, the normalization run before
+    * ANN indexing / semantic dedup so retained directions weigh
+    * equally. Identical plan shape to emb_pca — ONE map-side native
+    * projection, the scaling folded into the basis (zero extra
+    * passes). Rows-only like emb_pca (driver eigensolve has no SQL
+    * twin); SimSpec pins unit variance + zero cross-covariance of the
+    * whitened corpus and the per-row ∕√λ parity with emb_pca.
+    */
+  def embWhiten(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(s, dir).embeddings
+    val model = pcaCache.computeIfAbsent(dir,
+      _ => graft.sim.Pca.fit(corpus, "embedding", dim = 64, k = 4))
+    val proj = graft.sim.Pca.whiten(col("embedding"), model)
+    val pcs = (0 until 4).map(j =>
+      floor(element_at(col("y"), j + 1) * 1e6 + lit(0.5)).cast("long")
+        .as(s"wc${j + 1}_x6"))
+    corpus.select(col("vec_id"), proj.as("y"))
+      .select(col("vec_id") +: pcs: _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-quality eval by kNN label voting: predict each vector's
     * label from its 5 nearest neighbors (majority, ties → min label)
     * and report the confusion matrix — the standard "are these
@@ -429,6 +452,7 @@ object SimQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca" -> (embPca _),
+    "emb_whiten" -> (embWhiten _),
     "knn_classify" -> (knnClassify _),
     "knn_classify_cell" -> (knnClassifyCell _),
     "knn_brute" -> (knnBrute _),

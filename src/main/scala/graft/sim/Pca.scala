@@ -142,4 +142,25 @@ object Pca {
     ColumnBridge.column(graft.functions.PcaProject(
       ColumnBridge.expression(vec),
       model.mean, model.basis.flatten, model.basis.length))
+
+  /** PCA-WHITENED projection (FAISS PCAMatrix with eigen_power = -0.5):
+    * component j additionally scaled by 1∕√(λ_j + eps), so the
+    * projected corpus has unit variance per component and identity
+    * covariance — the normalization that makes Euclidean/cosine
+    * distances weight every retained direction equally (dominant
+    * directions stop drowning out the rest) before an ANN index or
+    * embedding-similarity dedup. Implemented by folding the scale into
+    * the basis rows, so it is the SAME single map-side native
+    * expression as [[project]] — zero extra plan nodes, zero extra
+    * passes; `eps` guards degenerate (≈0-variance) components.
+    */
+  def whiten(vec: Column, model: Model, eps: Double = 1e-9): Column = {
+    val scaled = model.basis.zipWithIndex.map { case (row, j) =>
+      val s = 1.0 / math.sqrt(model.eigenvalues(j) + eps)
+      row.map(_ * s)
+    }
+    ColumnBridge.column(graft.functions.PcaProject(
+      ColumnBridge.expression(vec),
+      model.mean, scaled.flatten, model.basis.length))
+  }
 }

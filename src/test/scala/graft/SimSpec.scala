@@ -700,6 +700,41 @@ class SimSpec extends SparkSpec {
       "top-4 components must beat the uniform-variance share")
   }
 
+  test("Pca.whiten: unit variance, zero cross-covariance, " +
+      "per-row 1/sqrt(lambda) parity with project") {
+    import graft.sim.Pca
+    val corpus = graft.util.Tables(spark, sf).embeddings
+    val m = Pca.fit(corpus, "embedding", dim = 64, k = 4)
+    val rows = corpus
+      .select(Pca.whiten(col("embedding"), m).as("y"),
+        Pca.project(col("embedding"), m).as("p"))
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
+    val n = rows.length
+    assert(n > 100)
+    // whiten is exactly project with the component scale folded in
+    rows.take(20).foreach { case (y, p) =>
+      (0 until 4).foreach { j =>
+        val want = p(j) / math.sqrt(m.eigenvalues(j) + 1e-9)
+        assert(math.abs(y(j) - want) < 1e-9, s"component $j: $y vs $want")
+      }
+    }
+    // whitened corpus has identity covariance: unit variance per
+    // component (lambda/(lambda+eps) in-sample), ~0 means and cross-covs
+    val means = (0 until 4).map(j => rows.map(_._1(j)).sum / n)
+    means.foreach(mu => assert(math.abs(mu) < 1e-6, s"means $means"))
+    for (j <- 0 until 4) {
+      val v = rows.map(r => (r._1(j) - means(j)) * (r._1(j) - means(j)))
+        .sum / n
+      assert(math.abs(v - 1.0) < 0.01, s"component $j variance $v")
+      for (k2 <- j + 1 until 4) {
+        val c = rows.map(r =>
+          (r._1(j) - means(j)) * (r._1(k2) - means(k2))).sum / n
+        assert(math.abs(c) < 0.01, s"cross-cov($j,$k2) $c")
+      }
+    }
+  }
+
   test("Pca: projection variance equals the eigenvalue, planted direction found") {
     import spark.implicits._
     import graft.sim.Pca
