@@ -358,6 +358,23 @@ object SimQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster-balanced diversity sampling (graft.sim.DiverseSample,
+    * Sorscher et al. arXiv:2206.14486): keep the 16 vectors per IVF
+    * cell farthest from their centroid — prune the prototypical mass,
+    * keep the informative tail, with per-cell quotas so no dominant
+    * cluster monopolizes the sample. Same memoized centroids as the
+    * other IVF paths; the quota compiles to WindowGroupLimit on the
+    * cell exchange. Rows-only (centroid fit has no SQL twin); SimSpec
+    * pins quota honoring, the farthest-first rule vs the full
+    * assignment, and rerun determinism.
+    */
+  def sampleDiverse(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    graft.sim.DiverseSample.farthestPerCell(
+        e, "vec_id", "embedding", centroidsFor(dir, e), perCell = 16)
+      .orderBy(col("cell"), col("rank"))
+  }
+
   /** Embedding-quality eval by kNN label voting: predict each vector's
     * label from its 5 nearest neighbors (majority, ties → min label)
     * and report the confusion matrix — the standard "are these
@@ -453,6 +470,7 @@ object SimQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca" -> (embPca _),
     "emb_whiten" -> (embWhiten _),
+    "sample_diverse" -> (sampleDiverse _),
     "knn_classify" -> (knnClassify _),
     "knn_classify_cell" -> (knnClassifyCell _),
     "knn_brute" -> (knnBrute _),

@@ -700,6 +700,61 @@ class SimSpec extends SparkSpec {
       "top-4 components must beat the uniform-variance share")
   }
 
+  test("DiverseSample: per-cell quota honored, farthest-first rule " +
+      "matches the full assignment, rerun-deterministic") {
+    import graft.sim.{DiverseSample, Knn}
+    val e = graft.util.Tables(spark, sf).embeddings
+    val cents = Knn.fitCentroids(e, "vec_id", "embedding", 16, 3)
+    val perCell = 8
+    val kept = DiverseSample
+      .farthestPerCell(e, "vec_id", "embedding", cents, perCell)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(kept.nonEmpty && kept.length <= 16 * perCell)
+    // quota + dense ranks per cell
+    kept.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.length <= perCell, s"cell $cell over quota")
+      assert(rows.map(_._3).sorted.toSeq ===
+        (1L to rows.length.toLong), s"cell $cell ranks")
+    }
+    // differential oracle: re-derive every vector's cos to its own
+    // centroid through an INDEPENDENT formulation (HOF zip_with +
+    // sequential aggregate fold instead of the native graft_dot /
+    // graft_l2norm), then the expected kept set per cell is the
+    // (cos, id)-ordered prefix of the full assignment
+    import spark.implicits._
+    val cents2 = cents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
+      .toDF("cell", "cv")
+    def hofNorm(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(c, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val scoredAll = Knn.assignCells(
+        e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cents, 1)
+      .join(cents2, "cell")
+      .withColumn("cos2", round(
+        aggregate(zip_with(col("embedding"), col("cv"),
+          (a, b) => a.cast("double") * b.cast("double")), lit(0.0),
+          (acc, x) => acc + x) /
+          (hofNorm(col("embedding")) * hofNorm(col("cv"))), 6))
+      .select(col("vec_id"), col("cell"), col("cos2")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expected = scoredAll.groupBy(_._2).toSeq.flatMap { case (cell, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(perCell).zipWithIndex
+        .map { case ((id, _, cos), i) => (id, cell, i + 1L, cos) }
+    }.toSet
+    assert(kept.toSet === expected,
+      s"kept diverges from the independent (cos, id) prefix: " +
+        s"${kept.toSet diff expected} | ${expected diff kept.toSet}")
+    // rerun-identical
+    val again = DiverseSample
+      .farthestPerCell(e, "vec_id", "embedding", cents, perCell)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(again.sortBy(r => (r._2, r._3)).toSeq ===
+      kept.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
   test("Pca.whiten: unit variance, zero cross-covariance, " +
       "per-row 1/sqrt(lambda) parity with project") {
     import graft.sim.Pca
