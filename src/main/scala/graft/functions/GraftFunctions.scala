@@ -31,6 +31,8 @@ object GraftFunctions {
     "graft_bitmap_and_count" -> { case Seq(a, b) => BitmapAndCount(a, b) },
     "graft_gramian" -> { case Seq(a, d) =>
       GramianAgg(a, foldableInt("graft_gramian dim", d)).toAggregateExpression() },
+    "graft_sign_pack" -> { case Seq(a) => SignPack(a) },
+    "graft_hamming" -> { case Seq(a, b) => HammingDist(a, b) },
     "graft_lsh_buckets" -> { case Seq(v, t, b, s, d) =>
       LshBuckets(v, foldableInt("graft_lsh_buckets tables", t),
         foldableInt("graft_lsh_buckets bits", b),

@@ -338,7 +338,61 @@ object EventQueries {
       |FROM base FULL OUTER JOIN chg ON base.user_id = chg.user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Batch gap-based sessionization — the batch twin of
+    * stream_sessionize (and of the reference's "reducer walks each
+    * user's ordered history" jobs): a session breaks when the gap to
+    * the previous event exceeds 8 h. The classic two-window plan: a
+    * lag() marks the breaks, a running sum() numbers the sessions —
+    * both windows share ONE (user_id)-partitioned sort, so Catalyst
+    * plans a single exchange + a single sort for the whole derivation,
+    * then the per-session rollup reuses the same hash partitioning.
+    * Scale: the state per user is its event list within one partition
+    * (no cross-partition walk); timestamps are floored to whole
+    * seconds so the gap compare and every output are exact integers —
+    * the only double (sum(value)) is rounded to cents.
+    */
+  private val SessionGapS = 28800L
+
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_timestamp(col("ts")).as("es"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val prev = lag(col("es"), 1).over(w)
+    val marked = e.withColumn("brk",
+      when(prev.isNull || col("es") - prev > SessionGapS, 1L).otherwise(0L))
+    marked
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("es")).as("start_s"), max(col("es")).as("end_s"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qSessionizeSql: String =
+    s"""SELECT user_id, session_id, min(es) AS start_s, max(es) AS end_s,
+       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+       |FROM (
+       |  SELECT user_id, es, value,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+       |                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+       |  FROM (
+       |    SELECT user_id, event_id, value, es,
+       |      CASE WHEN lag(es) OVER (PARTITION BY user_id
+       |                              ORDER BY es, event_id) IS NULL
+       |             OR es - lag(es) OVER (PARTITION BY user_id
+       |                                   ORDER BY es, event_id)
+       |                > $SessionGapS
+       |           THEN 1 ELSE 0 END AS brk
+       |    FROM (SELECT user_id, event_id, value,
+       |            floor(epoch(ts))::BIGINT AS es FROM events)))
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (qSessionize _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_scd2" -> (qScd2 _),
     "q_funnel" -> (qFunnel _),
@@ -347,6 +401,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_sessionize" -> qSessionizeSql,
     "q_cdc_apply" -> qCdcApplySql,
     "q_scd2" -> qScd2Sql,
     "q_funnel" -> qFunnelSql,

@@ -78,6 +78,51 @@ object SimQueries {
        |WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Exact Hamming top-k over 1-bit sign codes ([[graft.functions.SignPack]]):
+    * every embedding is quantized to ⌈dim/64⌉ longs once (map-side,
+    * codegen'd), queries are broadcast against the code column, and the
+    * distance is xor+popcount per pair — no multiplies, 32× less
+    * memory traffic than the float scan. Unlike LSH/IVF/PQ the result
+    * is DETERMINISTIC given the vectors (sign codes are a pure function
+    * of the input), so this gets a full exact-hash oracle: DuckDB
+    * replays the bit semantics as `(q[i] > 0) <> (c[i] > 0)` summed.
+    * At 10⁹ vectors the packed corpus is ~8 GB — the shortlist pass a
+    * binary-embedding retrieval stack runs before exact re-rank.
+    */
+  def knnHamming(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val packed = Tables(s, dir).embeddings
+      .select(col("vec_id"), graft.sim.Vectors.signPack(col("embedding")).as("code"))
+    val q = broadcast(packed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qc")))
+    val pairs = q.join(packed.select(col("vec_id").as("neighbor_id"),
+        col("code").as("nc")), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", graft.sim.Vectors.hamming(col("qc"), col("nc")))
+    pairs
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("neighbor_id"))))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnHammingSql: String =
+    s"""WITH p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |      i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
+       |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, rank, neighbor_id, hamming FROM (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY hamming, neighbor_id) AS rank
+       |  FROM p)
+       |WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Approximate: rows-only oracle; recall vs brute is spec-asserted. */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = split(s, dir)
@@ -474,6 +519,7 @@ object SimQueries {
     "knn_classify" -> (knnClassify _),
     "knn_classify_cell" -> (knnClassifyCell _),
     "knn_brute" -> (knnBrute _),
+    "knn_hamming" -> (knnHamming _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
@@ -489,6 +535,7 @@ object SimQueries {
   val oracleSql: Map[String, String] = Map(
     "knn_classify" -> knnClassifySql,
     "knn_brute" -> knnBruteSql,
+    "knn_hamming" -> knnHammingSql,
     "knn_graph" -> knnGraphSql,
     "emb_centroids" -> embCentroidsSql)
 }

@@ -41,4 +41,10 @@ object Vectors {
   /** Cosine similarity of two raw vectors. */
   def cosine(a: Column, b: Column): Column =
     cosineWithNorms(dotD(a, b), normD(a), normD(b))
+
+  /** Sign-bit code: array<float> → array<long> (bit i = vec[i] > 0). */
+  def signPack(a: Column): Column = call_function("graft_sign_pack", a)
+
+  /** Hamming distance between two packed sign codes. */
+  def hamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
 }

@@ -67,6 +67,45 @@ class EventSpec extends SparkSpec {
     assert(byUser.map(_.getLong(3)).sum === totalEvents)
   }
 
+  test("q_sessionize: exact session boundaries on a crafted history") {
+    // gap threshold is 8 h = 480 min; minutes 0,10,20 | 500 | 1000,1010
+    val dir = fixtureDir(Seq(
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "view"), ev(3, 20, 1, "click"),
+      ev(4, 500, 1, "view"),             // 480 min after minute 20 → SAME session (== gap is not >)
+      ev(5, 1000, 1, "view"), ev(6, 1010, 1, "purchase"),
+      ev(7, 0, 2, "view")))              // single-event user
+    val out = EventQueries.qSessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val t0 = 1700000000L
+    assert(out.toSeq === Seq(
+      (1L, 1L, t0, t0 + 500 * 60, 4L),   // minute 500 - minute 20 == 28800 s exactly: NOT a break
+      (1L, 2L, t0 + 1000 * 60, t0 + 1010 * 60, 2L),
+      (2L, 1L, t0, t0, 1L)))
+  }
+
+  test("q_sessionize: sessions tile each user's history, gaps respect the threshold") {
+    val sess = EventQueries.qSessionize(spark, sf)
+    val byUser = sess.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sess"), max(col("session_id")).as("max_sess"),
+        sum(col("n_events")).as("n_events"))
+      .collect()
+    byUser.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), "session ids must be dense 1..n")
+    }
+    assert(byUser.map(_.getLong(3)).sum ===
+      graft.util.Tables(spark, sf).events.count())
+    // consecutive sessions of the same user must be > gap apart
+    val rows = sess.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    rows.sliding(2).foreach {
+      case Array((u1, _, _, end1), (u2, _, start2, _)) if u1 == u2 =>
+        assert(start2 - end1 > 28800L,
+          s"user $u1 sessions separated by ${start2 - end1} s <= gap")
+      case _ =>
+    }
+  }
+
   test("hoppingAgg: one event lands in exactly size/slide epoch-aligned windows") {
     import spark.implicits._
     val t = 1700003123L // arbitrary, NOT hop-aligned

@@ -385,6 +385,51 @@ class SimSpec extends SparkSpec {
     assert(dd.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L))
   }
 
+  test("SignPack/HammingDist: packed xor+popcount equals the per-dim sign count") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 70 dims forces a 2-word code (bit 63→word 0, bit 64→word 1);
+    // exact zeros and NaN must contribute a 0 bit (`> 0f` both sides)
+    def vec(seed: Int): Array[Float] = Array.tabulate(70) { i =>
+      if (i == 5) 0.0f
+      else if (i == 6 && seed == 1) Float.NaN
+      else ((i * 2654435761L + seed * 40503L) % 17 - 8).toFloat
+    }
+    val df = Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2)))
+      .toDF("vec_id", "embedding")
+    val packed = df.select(col("vec_id"),
+      graft.sim.Vectors.signPack(col("embedding")).as("code"),
+      col("embedding"))
+    packed.collect().foreach { r =>
+      assert(r.getSeq[Long](1).length === 2, "70 dims must pack to 2 words")
+    }
+    val pairs = packed.as("a").crossJoin(packed.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.sim.Vectors.hamming(col("a.code"), col("b.code")).as("h"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .collect()
+    pairs.foreach { r =>
+      val ea = r.getSeq[Float](3); val eb = r.getSeq[Float](4)
+      val naive = ea.zip(eb).count { case (x, y) => (x > 0f) != (y > 0f) }
+      assert(r.getLong(2) === naive.toLong,
+        s"packed hamming ${r.getLong(2)} != naive $naive")
+    }
+    assert(pairs.filter(r => r.getLong(0) == r.getLong(1))
+      .forall(_.getLong(2) == 0L), "self-distance must be 0")
+  }
+
+  test("knn_hamming: full rank structure, distances ascending, bit-exact") {
+    val out = SimQueries.knnHamming(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 10))
+      val hs = rows.sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
+      assert(hs === hs.sorted, "hamming must not decrease with rank")
+      assert(hs.forall(h => h >= 0 && h <= 64), "64-dim codes bound hamming")
+    }
+  }
+
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
     // every (q, n, cos) from LSH must agree with brute-force cos when present
     val brute = SimQueries.knnBrute(spark, sf).collect()
