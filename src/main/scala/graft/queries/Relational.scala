@@ -455,7 +455,27 @@ object Relational {
       |GROUP BY measure
       |ORDER BY measure""".stripMargin
 
+  /** Edit-distance fuzzy self-join over distinct part names — the
+    * entity-resolution / typo-clustering primitive, via
+    * [[graft.ops.FuzzyJoin]]'s q-gram prefix-filtered candidate
+    * generation (EDJoin) + codegen'd levenshtein verify. The DuckDB
+    * oracle replays it as the naive quadratic — exactness of the
+    * blocking is precisely what the hash compare proves.
+    */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.selfJoin(Tables(s, dir).part, "p_name", maxDist = 2)
+      .orderBy(col("name_a"), col("name_b"))
+
+  val qFuzzyJoinSql: String =
+    """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM n a, n b
+      |WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_unpivot" -> (qUnpivot _),
     "q_rollup" -> (qRollup _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -474,6 +494,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_unpivot" -> qUnpivotSql,
     "q_rollup" -> qRollupSql,
     "q_grouping_sets" -> qGroupingSetsSql,

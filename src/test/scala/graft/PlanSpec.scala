@@ -274,4 +274,33 @@ class PlanSpec extends SparkSpec {
     assert(view >= click && click >= buy,
       s"funnel must narrow: $view >= $click >= $buy")
   }
+
+  test("q_fuzzy_join: long-side candidates ride the gram equi-join, no cartesian") {
+    val plan = planOf(Relational.qFuzzyJoin(spark, sf))
+    // the prefix-index join keys on gram; the only cartesian-class node
+    // allowed is the broadcast short-side fallback (bounded cardinality)
+    assert(!plan.contains("CartesianProduct"),
+      "fuzzy join must never plan an unbroadcast cartesian:\n" + plan.take(800))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"only the short-side fallback may broadcast-nest ($bnlj):\n" +
+      plan.take(800))
+  }
+
+  test("knn_hamming: one broadcast of the packed queries, codegen'd distance") {
+    val plan = planOf(SimQueries.knnHamming(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan.take(800))
+    assert(plan.toLowerCase.contains("hammingdist"),
+      "native Hamming kernel missing from the plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must push a partial group limit before its exchange")
+  }
+
+  test("q_sessionize: both windows and the rollup share ONE user_id exchange") {
+    val plan = planOf(graft.queries.EventQueries.qSessionize(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"lag, running sum and the session rollup must reuse one exchange:\n" +
+        plan.take(1000))
+  }
 }

@@ -105,4 +105,42 @@ class RelationalSpec extends SparkSpec {
     val out = graft.ops.AsofJoin.asof(left, right, "k", "t", "rk", "rt").collect()
     assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("v")))
   }
+
+  test("FuzzyJoin: blocked result equals the naive quadratic, incl. shorts") {
+    import spark.implicits._
+    // crafted corpus: typo pairs, a no-shared-bigram short pair
+    // ("ab"/"cd" ed=2 shares ZERO grams — only the short fallback can
+    // find it), dupes (distinct first), and clear non-matches
+    val vals = Seq("kitten", "sitten", "sittin", "sitting", "ab", "cd",
+      "ax", "widget", "wídget", "gadget", "kitten", "zzzzzzzzzz")
+      .toDF("v")
+    val out = graft.ops.FuzzyJoin.selfJoin(vals, "v", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val names = vals.distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(out === naive)
+    assert(out.contains(("ab", "cd", 2)), "zero-shared-gram short pair")
+    assert(out.contains(("kitten", "sitten", 1)))
+    assert(!out.exists(p => p._1 == "zzzzzzzzzz" || p._2 == "zzzzzzzzzz"))
+  }
+
+  test("FuzzyJoin on part names: every pair verified, none fabricated") {
+    val out = graft.queries.Relational.qFuzzyJoin(spark, sf).collect()
+    assert(out.nonEmpty, "sf0.001 part names contain ed<=2 pairs")
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 2)
+    }
+  }
 }
