@@ -211,6 +211,106 @@ object TextQueries {
     * rank on identical 4-decimal values, so rank order can't diverge on
     * a last-ulp difference deep in `ln`.
     */
+  /** Multinomial Naive Bayes classifier, trained AND scored in one
+    * Catalyst tree — the fastText/CCNet-style "cheap supervised filter"
+    * a curation pipeline trains on weak labels (here: the corpus's own
+    * lang tags, argmax-ed back over every doc, knn_classify-style).
+    * Laplace-smoothed: score(d,ℓ) = ln P(ℓ) + Σ_t tf·ln((c(t,ℓ)+1)/(N(ℓ)+V)).
+    *
+    * Cross-engine parity is engineered the CharEntropy way: every
+    * per-term log-likelihood and the prior are quantized to integer
+    * MICRO-NATS (⌊ln(x)·10⁶+0.5⌋) before summation, so the score is
+    * exact integer arithmetic — independent of aggregation order in
+    * both engines, and the argmax can never flip on a last-ulp float
+    * difference. The model "state" is relational (the (term, lang)
+    * count table), so training is two partial-aggregatable groupBys —
+    * no driver-held weights, no iterations; at 100 TB the only wide
+    * ops are vocab-scale shuffles and the per-doc score rollup, and
+    * the |langs|-row stats table rides a broadcast.
+    */
+  def textNbclassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), col("text"))
+    val tok = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("lang").as("dlang"),
+        explode(col("toks")).as("term"))
+    // tokenize ONCE: tf carries the true label; ct/class totals derive
+    val tf = tok.groupBy(col("doc_id"), col("dlang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ct = tf.groupBy(col("term"), col("dlang"))
+      .agg(sum(col("tf")).as("c"))
+      .select(col("term"), col("dlang").as("lang"), col("c"))
+    val classTotals = ct.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+    val vocabV = ct.select(col("term")).distinct().count() // scalar, KB state
+    val nDocs = docs.count()                               // scalar
+    val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .join(classTotals, "lang")
+      .select(col("lang"), col("nl"),
+        floor(log(col("nd").cast("double") / lit(nDocs.toDouble)) *
+          lit(1000000.0) + lit(0.5)).as("prior_micro"))
+    val perLang = tf.select(col("doc_id"), col("term"), col("tf"))
+      .crossJoin(broadcast(priors.select(col("lang"), col("nl"))))
+      .join(ct, Seq("term", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (col("tf") * floor(log(
+          (coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (col("nl") + vocabV).cast("double")) *
+          lit(1000000.0) + lit(0.5))).as("ll"))
+      .groupBy(col("doc_id"), col("lang")).agg(sum(col("ll")).as("tok_micro"))
+    val scored = docs.select(col("doc_id"), col("lang").as("true_lang"))
+      .crossJoin(broadcast(priors.select(col("lang"), col("prior_micro"))))
+      .join(perLang, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        (col("prior_micro") + coalesce(col("tok_micro"), lit(0L)))
+          .as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"), col("lang").as("pred_lang"),
+        col("score_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNbclassifySql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang AS dlang, unnest(toks) AS term
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
+       |tf AS (SELECT doc_id, dlang, term, count(*) AS tf
+       |       FROM tok GROUP BY doc_id, dlang, term),
+       |ct AS (SELECT term, dlang AS lang, CAST(sum(tf) AS BIGINT) AS c
+       |       FROM tf GROUP BY term, dlang),
+       |cls AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM ct GROUP BY lang),
+       |v AS (SELECT count(DISTINCT term) AS v FROM ct),
+       |nd AS (SELECT count(*) AS nd FROM documents),
+       |pri AS (
+       |  SELECT d.lang, cls.nl,
+       |    floor(ln(count(*)::DOUBLE / (SELECT nd FROM nd)::DOUBLE)
+       |          * 1000000.0 + 0.5)::BIGINT AS prior_micro
+       |  FROM documents d JOIN cls ON cls.lang = d.lang
+       |  GROUP BY d.lang, cls.nl),
+       |ll AS (
+       |  SELECT tf.doc_id, p.lang,
+       |    CAST(sum(tf.tf * floor(ln((coalesce(ct.c, 0) + 1)::DOUBLE /
+       |        (p.nl + (SELECT v FROM v))::DOUBLE)
+       |        * 1000000.0 + 0.5)::BIGINT) AS BIGINT) AS tok_micro
+       |  FROM tf CROSS JOIN pri p
+       |  LEFT JOIN ct ON ct.term = tf.term AND ct.lang = p.lang
+       |  GROUP BY tf.doc_id, p.lang),
+       |sc AS (
+       |  SELECT d.doc_id, d.lang AS true_lang, p.lang,
+       |    p.prior_micro + coalesce(ll.tok_micro, 0) AS score_micro
+       |  FROM documents d CROSS JOIN pri p
+       |  LEFT JOIN ll ON ll.doc_id = d.doc_id AND ll.lang = p.lang)
+       |SELECT doc_id, true_lang, pred_lang, score_micro FROM (
+       |  SELECT doc_id, true_lang, lang AS pred_lang, score_micro,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score_micro DESC, lang) AS rn
+       |  FROM sc)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   def tfidfTopterms(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     val tf = docs
@@ -620,7 +720,8 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_ngrams" -> (textNgrams _),
     "text_repetition" -> (textRepetition _),
-    "tfidf_topterms" -> (tfidfTopterms _))
+    "tfidf_topterms" -> (tfidfTopterms _),
+    "text_nbclassify" -> (textNbclassify _))
 
   val oracleSql: Map[String, String] = Map(
     "text_cooc_pmi" -> textCoocPmiSql,
@@ -635,5 +736,6 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_ngrams" -> textNgramsSql,
     "text_repetition" -> textRepetitionSql,
-    "tfidf_topterms" -> tfidfToptermsSql)
+    "tfidf_topterms" -> tfidfToptermsSql,
+    "text_nbclassify" -> textNbclassifySql)
 }

@@ -369,4 +369,40 @@ class TextSpec extends SparkSpec {
     // PMI of a bigram can never exceed log2 of the unigram count space
     out.values.foreach(p => assert(p <= math.log(1e9) / math.log(2)))
   }
+
+  test("text_nbclassify: hand-computed micro-nat scores on a separable corpus") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // vocab x,y ↔ class a; z,w ↔ class b: V=4, N(a)=5, N(b)=4, priors 2/4
+    val docs = Seq((1L, "x x y", "a"), (2L, "x y", "a"),
+      (3L, "z z", "b"), (4L, "z w", "b"))
+    val dir = Files.createTempDirectory("graft_nb").toString
+    docs.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.textNbclassify(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    // perfectly separable vocab → perfect classification
+    assert(out.map { case (k, v) => k -> v._2 } ===
+      Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"))
+    // pin doc 1's winning score exactly: prior + 2·ll(x|a) + 1·ll(y|a)
+    def micro(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val expected = micro(2.0 / 4.0) +
+      2 * micro((3.0 + 1) / (5 + 4).toDouble) +
+      1 * micro((2.0 + 1) / (5 + 4).toDouble)
+    assert(out(1L)._3 === expected,
+      s"score_micro ${out(1L)._3} != hand-computed $expected")
+    assert(out(1L)._1 === "a")
+  }
+
+  test("text_nbclassify: every doc classified exactly once on the corpus") {
+    val out = TextQueries.textNbclassify(spark, sf).collect()
+    val nDocs = graft.util.Tables(spark, sf).documents.count()
+    assert(out.length.toLong === nDocs, "one prediction per doc")
+    assert(out.map(_.getLong(0)).distinct.length.toLong === nDocs)
+    val langs = graft.util.Tables(spark, sf).documents
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    out.foreach(r => assert(langs.contains(r.getString(2))))
+  }
 }
