@@ -474,7 +474,46 @@ object Relational {
       |WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** Z-order cell rollup over orders — the deterministic half of the
+    * [[graft.ops.ZOrder]] layout op, oracle-checked: every order's
+    * Morton code of (o_custkey, order-day) is computed by the codegen'd
+    * bit spread, rolled up into 256×256 z-cells with per-cell min/max
+    * of BOTH dimensions. The min/max columns ARE the point: each cell's
+    * bounds stay inside one rectangle (spec-pinned), which is exactly
+    * why parquet footer stats prune on either column after a z-order
+    * layout. The oracle replays the interleave bit-by-bit in SQL.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+      .select(col("o_custkey"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400).as("day"))
+    o.withColumn("zvalue", graft.ops.ZOrder.zvalue(col("o_custkey"), col("day")))
+      .withColumn("zcell", shiftright(col("zvalue"), 16))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy(col("zcell"))
+  }
+
+  val qZorderSql: String =
+    """WITH z AS (
+      |  SELECT o_custkey,
+      |    floor(epoch(o_orderdate) / 86400)::BIGINT AS day,
+      |    CAST(list_sum(list_transform(range(0, 16), b ->
+      |      (((o_custkey >> b) & 1)::BIGINT << (2 * b)) +
+      |      (((floor(epoch(o_orderdate) / 86400)::BIGINT >> b) & 1)::BIGINT
+      |        << (2 * b + 1)))) AS BIGINT) AS zvalue
+      |  FROM orders)
+      |SELECT zvalue >> 16 AS zcell, count(*) AS n_orders,
+      |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+      |  min(day) AS min_day, max(day) AS max_day
+      |FROM z
+      |GROUP BY zcell
+      |ORDER BY zcell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (qZorder _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_unpivot" -> (qUnpivot _),
     "q_rollup" -> (qRollup _),
@@ -494,6 +533,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_zorder" -> qZorderSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_unpivot" -> qUnpivotSql,
     "q_rollup" -> qRollupSql,

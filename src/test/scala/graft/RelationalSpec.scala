@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.queries.Relational
 
 class RelationalSpec extends SparkSpec {
@@ -104,6 +105,74 @@ class RelationalSpec extends SparkSpec {
     val right = Seq((1L, 2L, Option.empty[String])).toDF("rk", "rt", "v")
     val out = graft.ops.AsofJoin.asof(left, right, "k", "t", "rk", "rt").collect()
     assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("v")))
+  }
+
+  test("ZOrder.zvalue matches a naive per-bit interleave") {
+    import spark.implicits._
+    def naive(x: Long, y: Long): Long =
+      (0 until 16).map(b => (((x >> b) & 1L) << (2 * b)) |
+        (((y >> b) & 1L) << (2 * b + 1))).sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xFFFFL, 0xFFFFL),
+      (1234L, 4321L), (0xAAAAL, 0x5555L), (65535L, 1L), (70000L, 3L))
+    val out = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.ops.ZOrder.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (x, y) =>
+      // >16-bit inputs are masked — naive on the masked value
+      assert(out((x, y)) === naive(x & 0xFFFFL, y & 0xFFFFL),
+        s"zvalue($x, $y)")
+    }
+  }
+
+  test("q_zorder: every z-cell is one 256x256 rectangle in (cust, day)") {
+    val cells = graft.queries.Relational.qZorder(spark, sf).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      val (minC, maxC) = (r.getLong(2), r.getLong(3))
+      val (minD, maxD) = (r.getLong(4), r.getLong(5))
+      assert((minC >> 8) === (maxC >> 8) && maxC - minC <= 255,
+        s"cell ${r.getLong(0)} cust bounds $minC..$maxC span a high byte")
+      assert((minD >> 8) === (maxD >> 8) && maxD - minD <= 255,
+        s"cell ${r.getLong(0)} day bounds $minD..$maxD span a high byte")
+    }
+  }
+
+  test("ZOrder.layout: min/max stats prune range filters on BOTH dims") {
+    import org.apache.spark.sql.DataFrame
+    val o = graft.util.Tables(spark, sf).orders
+      .select(col("o_custkey"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400).as("day"))
+    // the footer-stats pruning model: a "file" (partition) is scanned
+    // iff its [min,max] interval overlaps the filter range
+    def pruneFrac(df: DataFrame, c: String, lo: Long, hi: Long): Double = {
+      val stats = df.groupBy(spark_partition_id().as("p"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx")).collect()
+      stats.count(r => r.getLong(1) <= hi && r.getLong(2) >= lo).toDouble /
+        stats.length
+    }
+    // filter windows = middle 1/16 of each dim's actual domain
+    val b = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("day")), max(col("day"))).head()
+    def window(lo: Long, hi: Long): (Long, Long) = {
+      val mid = lo + (hi - lo) / 2; (mid, mid + math.max(1L, (hi - lo) / 16)) }
+    val (cl, ch) = window(b.getLong(0), b.getLong(1))
+    val (dl, dh) = window(b.getLong(2), b.getLong(3))
+    val z = graft.ops.ZOrder.layout(o, col("o_custkey"), col("day"), 64)
+    val zCust = pruneFrac(z, "o_custkey", cl, ch)
+    val zDay = pruneFrac(z, "day", dl, dh)
+    // day-leading lexicographic layout: day prunes, cust cannot
+    val lex = o.repartitionByRange(64, col("day"), col("o_custkey"))
+    val lexCust = pruneFrac(lex, "o_custkey", cl, ch)
+    val lexDay = pruneFrac(lex, "day", dl, dh)
+    assert(zCust < 0.7 && zDay < 0.7,
+      s"z-order must prune both dims: cust=$zCust day=$zDay")
+    assert(lexCust > 0.9,
+      s"day-leading layout cannot prune the trailing dim (cust=$lexCust)")
+    assert(zCust < lexCust,
+      s"z-order cust pruning $zCust must beat lexicographic $lexCust")
+    assert(lexDay <= zDay + 0.05,
+      s"sanity: the leading lex dim prunes at least as well ($lexDay vs $zDay)")
   }
 
   test("FuzzyJoin: blocked result equals the naive quadratic, incl. shorts") {
