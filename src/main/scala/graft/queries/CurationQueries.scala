@@ -308,6 +308,41 @@ object CurationQueries {
        |  min(k) AS min_key, max(k) AS max_key, sum(k)::BIGINT AS sum_key
        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Dataset-publication manifest — the "release a snapshot" step: the
+    * same seeded md5 shard assignment as sample_shard, plus what a
+    * consumer needs to VALIDATE a delivered shard without re-reading the
+    * publisher's data: row count, byte count, and an order-insensitive
+    * content checksum. The checksum is `bit_xor` over a 60-bit md5
+    * prefix of each row's (id, text): XOR is commutative/associative
+    * with no overflow surface, so the aggregate is partial-aggregatable
+    * AND independent of row order on the wire — any engine re-reading
+    * the shard in any order reproduces it (a sum would need escrowed
+    * overflow semantics; a concat-then-hash would need a global sort).
+    */
+  def exportManifest(s: SparkSession, dir: String): DataFrame =
+    ShuffleShard.assign(Tables(s, dir).documents, "doc_id", ShardSeed, NShards)
+      .select(col("shard"), col("n_chars"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("text"))), 1, 15), 16, 10).cast("long").as("row_sig"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("n_bytes"),
+        expr("bit_xor(row_sig)").as("checksum"))
+      .orderBy(col("shard"))
+
+  val exportManifestSql: String =
+    s"""WITH h AS (
+       |  SELECT
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
+       |      % $NShards AS shard,
+       |    n_chars,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT
+       |      AS row_sig
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+       |  bit_xor(row_sig) AS checksum
+       |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+
   private val CurriculumSeed = 11L
   private val CurriculumPhases = 4
 
@@ -659,6 +694,7 @@ object CurationQueries {
     "mix_dsir" -> (mixDsir _),
     "pipeline_e2e" -> (pipelineE2e _),
     "sample_shard" -> (sampleShard _),
+    "export_manifest" -> (exportManifest _),
     "mix_curriculum" -> (mixCurriculum _),
     "mix_curriculum_bounds" -> (mixCurriculumBounds _),
     "mix_sources" -> (mixSources _),
@@ -674,6 +710,7 @@ object CurationQueries {
     "mix_dsir" -> mixDsirSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,
+    "export_manifest" -> exportManifestSql,
     "mix_curriculum" -> mixCurriculumSql,
     // the bounds variant is byte-identical to ntile by construction,
     // so it shares the same oracle — a hash-green proof of the parity

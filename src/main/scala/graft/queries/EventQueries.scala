@@ -391,7 +391,75 @@ object EventQueries {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Time-series resampling with gap fill: each user's sparse event
+    * history becomes a dense DAILY grid from their first to their last
+    * event, missing days forward-filled with the last observed value
+    * (LOCF — the standard feature-store/training-matrix densification).
+    *
+    * Plan: per-user bounds (one partial-agg groupBy), `sequence()` +
+    * explode to the day grid (map-side fan-out, no shuffle — the grid
+    * never exceeds span/day rows per user), left join the per-day
+    * latest-value rollup, then ONE user-partitioned window does the
+    * forward fill via last(ignoreNulls). The fill and the day rollup
+    * key on user_id, so Catalyst reuses a single exchange for join +
+    * window. Values are PICKED (latest event of the day by ts,
+    * event_id), never summed — no float-order surface at all.
+    */
+  def qResample(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), col("value"),
+        floor(unix_timestamp(col("ts")) / 86400).as("day"),
+        col("ts"))
+    val daily = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(when(col("rn") === 1, col("value"))).as("day_value"),
+        count(lit(1)).as("n_events"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_value"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val qResampleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    floor(epoch(ts) / 86400)::BIGINT AS day, ts
+      |  FROM events),
+      |daily AS (
+      |  SELECT user_id, day,
+      |    max(CASE WHEN rn = 1 THEN value END) AS day_value,
+      |    count(*) AS n_events
+      |  FROM (
+      |    SELECT e.*, row_number() OVER (PARTITION BY user_id, day
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM e)
+      |  GROUP BY user_id, day),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1)) AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |        FROM e GROUP BY user_id))
+      |SELECT g.user_id, g.day,
+      |  last_value(daily.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS UNBOUNDED PRECEDING) AS filled_value,
+      |  coalesce(daily.n_events, 0) AS n_events
+      |FROM grid g LEFT JOIN daily
+      |  ON daily.user_id = g.user_id AND daily.day = g.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample" -> (qResample _),
     "q_sessionize" -> (qSessionize _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_scd2" -> (qScd2 _),
@@ -401,6 +469,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_resample" -> qResampleSql,
     "q_sessionize" -> qSessionizeSql,
     "q_cdc_apply" -> qCdcApplySql,
     "q_scd2" -> qScd2Sql,

@@ -311,6 +311,45 @@ object TextQueries {
        |WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Positional-inverted-index phrase search — the "find every doc
+    * containing this exact phrase" primitive (benchmark decontamination
+    * by phrase, quote tracing, boilerplate hunting) done the index way:
+    * posexplode to (doc_id, pos, term) postings, filter each phrase
+    * word to its own tiny postings list BEFORE the join (predicate
+    * pushdown leaves the corpus scan with one highly-selective filter
+    * each), then adjacency is ONE equi-join on (doc_id, pos+1). No
+    * LIKE '%...%' scan, no per-doc regex — at 100 TB the joined sides
+    * are phrase-frequency-sized, not corpus-sized.
+    */
+  private val PhraseW1 = "big"
+  private val PhraseW2 = "data"
+
+  def textPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir).documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+    val a = tok.filter(col("term") === PhraseW1)
+      .select(col("doc_id"), (col("pos") + 1).as("p1")) // 1-based
+    val b = tok.filter(col("term") === PhraseW2)
+      .select(col("doc_id").as("doc_b"), (col("pos") + 1).as("p2"))
+    a.join(b, col("doc_b") === col("doc_id") && col("p2") === col("p1") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("p1")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPhraseSearchSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(toks) AS term,
+       |    generate_subscripts(toks, 1) AS pos
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |a AS (SELECT doc_id, pos AS p1 FROM tok WHERE term = '$PhraseW1'),
+       |b AS (SELECT doc_id, pos AS p2 FROM tok WHERE term = '$PhraseW2')
+       |SELECT a.doc_id, count(*) AS n_hits, min(a.p1) AS first_pos
+       |FROM a JOIN b ON b.doc_id = a.doc_id AND b.p2 = a.p1 + 1
+       |GROUP BY a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
   def tfidfTopterms(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     val tf = docs
@@ -721,7 +760,8 @@ object TextQueries {
     "text_ngrams" -> (textNgrams _),
     "text_repetition" -> (textRepetition _),
     "tfidf_topterms" -> (tfidfTopterms _),
-    "text_nbclassify" -> (textNbclassify _))
+    "text_nbclassify" -> (textNbclassify _),
+    "text_phrase_search" -> (textPhraseSearch _))
 
   val oracleSql: Map[String, String] = Map(
     "text_cooc_pmi" -> textCoocPmiSql,
@@ -737,5 +777,6 @@ object TextQueries {
     "text_ngrams" -> textNgramsSql,
     "text_repetition" -> textRepetitionSql,
     "tfidf_topterms" -> tfidfToptermsSql,
-    "text_nbclassify" -> textNbclassifySql)
+    "text_nbclassify" -> textNbclassifySql,
+    "text_phrase_search" -> textPhraseSearchSql)
 }

@@ -261,4 +261,23 @@ class CurationSpec extends SparkSpec {
     assert(rows(graft.queries.CurationQueries.mixCurriculumBounds _, tmp) ===
       rows(graft.queries.CurationQueries.mixCurriculum _, tmp))
   }
+
+  test("export_manifest: shards cover the corpus; checksum is order-insensitive") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sf).documents
+    val out = graft.queries.CurationQueries.exportManifest(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum === docs.count(), "row counts tile corpus")
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    // recompute one shard's checksum from rows fed in REVERSED key order:
+    // bit_xor must not care (the whole point of the manifest checksum)
+    val assigned = graft.ops.ShuffleShard.assign(docs, "doc_id", 42L, 16)
+      .filter(col("shard") === 0L)
+      .orderBy(col("doc_id").desc)
+      .select(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("text"))), 1, 15), 16, 10).cast("long").as("sig"))
+      .collect().map(_.getLong(0))
+    val xor = assigned.foldLeft(0L)(_ ^ _)
+    val manifest0 = out.find(_.getLong(0) == 0L).get
+    assert(manifest0.getLong(3) === xor, "driver-side xor replay must match")
+  }
 }

@@ -106,6 +106,24 @@ class EventSpec extends SparkSpec {
     }
   }
 
+  test("q_resample: dense grid, LOCF fill, zero-count gap days") {
+    // minutes → days: 1440 min = 1 day; user 1 events on day 0 and day 3
+    val dir = fixtureDir(Seq(
+      ev(1, 0, 1, "view"),            // day 0
+      ev(2, 3 * 1440, 1, "view"),     // day 3
+      ev(3, 3 * 1440 + 10, 1, "buy"), // day 3, later → that day's value
+      ev(4, 0, 2, "view")))           // single-day user
+    val out = EventQueries.qResample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val d0 = 1700000000L / 86400     // fixture epoch day
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.map(_._2).toSeq === (d0 to d0 + 3).toSeq, "dense daily grid")
+    assert(u1.map(_._4).toSeq === Seq(1L, 0L, 0L, 2L), "gap days count 0")
+    // all fixture values are 1.0 — LOCF must carry it across the gap
+    assert(u1.forall(_._3 == 1.0))
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq === Seq(d0))
+  }
+
   test("hoppingAgg: one event lands in exactly size/slide epoch-aligned windows") {
     import spark.implicits._
     val t = 1700003123L // arbitrary, NOT hop-aligned

@@ -396,6 +396,23 @@ class TextSpec extends SparkSpec {
     assert(out(1L)._1 === "a")
   }
 
+  test("text_phrase_search: exact hit counts and 1-based first positions") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val docs = Seq(
+      (1L, "big data is big data"),      // hits at pos 1 and 4
+      (2L, "the big data stack"),        // hit at pos 2
+      (3L, "big apple data big"),        // "big data" never adjacent
+      (4L, "data big"))                  // reversed — no hit
+    val dir = Files.createTempDirectory("graft_phrase").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.textPhraseSearch(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out === Map(1L -> ((2L, 1)), 2L -> ((1L, 2))))
+  }
+
   test("text_nbclassify: every doc classified exactly once on the corpus") {
     val out = TextQueries.textNbclassify(spark, sf).collect()
     val nDocs = graft.util.Tables(spark, sf).documents.count()
