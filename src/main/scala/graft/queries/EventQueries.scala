@@ -458,7 +458,49 @@ object EventQueries {
       |  ON daily.user_id = g.user_id AND daily.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** Path analysis: each user's first-8-event journey as an ordered
+    * `a>b>c` string, then the frequency table of journeys — the "what
+    * do users actually do" query (and the q_transitions aggregate's
+    * sequence-level sibling). Order inside collect_list is NOT
+    * guaranteed by Spark, so the journey is assembled deterministically:
+    * rank each user's events (one window whose rn ≤ 8 compiles to
+    * WindowGroupLimit — tasks keep 8 rows per user BEFORE the
+    * exchange), collect (rn, type) structs, array_sort by the unique
+    * rn, then join. The journey rollup is a uniform-key groupBy.
+    */
+  private val PathLen = 8
+
+  def qPaths(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
+  val qPathsSql: String =
+    s"""SELECT path, count(*) AS n_users FROM (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM (
+       |    SELECT user_id, event_type,
+       |      row_number() OVER (PARTITION BY user_id
+       |                         ORDER BY ts, event_id) AS rn
+       |    FROM events)
+       |  WHERE rn <= $PathLen
+       |  GROUP BY user_id)
+       |GROUP BY path
+       |ORDER BY n_users DESC, path""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_paths" -> (qPaths _),
     "q_resample" -> (qResample _),
     "q_sessionize" -> (qSessionize _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -469,6 +511,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_paths" -> qPathsSql,
     "q_resample" -> qResampleSql,
     "q_sessionize" -> qSessionizeSql,
     "q_cdc_apply" -> qCdcApplySql,

@@ -375,6 +375,30 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE — all 2ᵏ margin combinations in one Expand + one
+    * partial-aggregatable hash aggregate (completes the rollup /
+    * grouping-sets / pivot family). grouping_id() disambiguates margin
+    * NULLs from genuine NULL keys, same bitmask as DuckDB's GROUPING.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+      |  l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** GROUPING SETS proper (the asymmetric sets ROLLUP/CUBE can't
     * spell): detail, one single-column margin, and the grand total in
     * ONE aggregation pass — Spark expands the sets with a single
@@ -514,6 +538,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
+    "q_cube" -> (qCube _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_unpivot" -> (qUnpivot _),
     "q_rollup" -> (qRollup _),
@@ -534,6 +559,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_zorder" -> qZorderSql,
+    "q_cube" -> qCubeSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_unpivot" -> qUnpivotSql,
     "q_rollup" -> qRollupSql,

@@ -106,6 +106,19 @@ class EventSpec extends SparkSpec {
     }
   }
 
+  test("q_paths: journeys assemble in (ts, event_id) order, truncated at 8") {
+    val dir = fixtureDir(Seq(
+      // user 1: same-ts tie at minute 5 → event_id order (2 before 3)
+      ev(1, 0, 1, "view"), ev(2, 5, 1, "click"), ev(3, 5, 1, "view")) ++
+      // user 2: 10 events — journey truncates to the first 8
+      (1 to 10).map(i => ev(100 + i, 10 * i, 2, if (i % 2 == 0) "b" else "a")))
+    val out = EventQueries.qPaths(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "view>click>view" -> 1L,
+      "a>b>a>b>a>b>a>b" -> 1L))
+  }
+
   test("q_resample: dense grid, LOCF fill, zero-count gap days") {
     // minutes → days: 1440 min = 1 day; user 1 events on day 0 and day 3
     val dir = fixtureDir(Seq(

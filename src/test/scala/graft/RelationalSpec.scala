@@ -107,6 +107,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("v")))
   }
 
+  test("q_cube: margins are consistent with the detail cells") {
+    val rows = Relational.qCube(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getLong(3)))
+    val detail = rows.filter(_._1 == 0L)
+    val byFlag = rows.filter(_._1 == 1L)   // l_linestatus margined out
+    val byStatus = rows.filter(_._1 == 2L) // l_returnflag margined out
+    val grand = rows.filter(_._1 == 3L)
+    assert(grand.length === 1)
+    assert(grand.head._4 === detail.map(_._4).sum)
+    byFlag.foreach { m =>
+      assert(m._4 === detail.filter(_._2 == m._2).map(_._4).sum) }
+    byStatus.foreach { m =>
+      assert(m._4 === detail.filter(_._3 == m._3).map(_._4).sum) }
+  }
+
   test("ZOrder.zvalue matches a naive per-bit interleave") {
     import spark.implicits._
     def naive(x: Long, y: Long): Long =
