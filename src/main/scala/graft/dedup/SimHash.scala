@@ -47,9 +47,16 @@ object SimHash {
     * at most d blocks, so d < 4 leaves one block intact).
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int): DataFrame =
+    pairsOf(fingerprints(docs, idCol, textCol), maxDist)
+
+  /** The block-LSH pair join over ANY (doc_id, sim) 64-bit fingerprint
+    * table — shared by text simhash and image pHash ([[graft.multimodal.PHash]]):
+    * the pigeonhole is a property of the 64-bit code, not of how it
+    * was computed.
+    */
+  def pairsOf(fp: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist < Blocks, s"4-block LSH incomplete past Hamming ${Blocks - 1}")
-    val fp = fingerprints(docs, idCol, textCol)
     val blocks = array((0 until Blocks).map { b =>
       shiftright(col("sim"), b * BitsPerBlock).bitwiseAND(lit(0xFFFFL))
     }: _*)

@@ -64,6 +64,67 @@ object PngCodec {
     bos.toByteArray
   }
 
+  /** Textured gray value for perceptual-hash tests: unlike [[pixel]]
+    * (one global gradient phase-shifted by id — every doc LOOKS the
+    * same to a frequency-domain hash), this pattern draws per-id
+    * spatial frequencies, so different ids are structurally different
+    * images. Range 0..199, leaving headroom for a uniform brightness
+    * shift (the planted near-dup perturbation) with NO clamping — a
+    * clamp would leak the shift into AC coefficients.
+    */
+  def texturePixel(id: Long, x: Int, y: Int): Int = {
+    // ids 0..63 map BIJECTIVELY onto the (px, py) period grid, so no
+    // two base ids share a texture; the (x+y) diagonal term adds
+    // cross-frequency energy (a separable x-term + y-term pattern
+    // leaves most 2-D DCT coefficients exactly zero, which would put
+    // the pHash median inside float noise)
+    // periods 8..29 px: the top-left 8×8 DCT block of a 32×32 resample
+    // sees periods ≥ 8 px — shorter periods alias away and the hash
+    // could not tell two textures apart
+    val px = 8 + (id % 8L).toInt * 3
+    val py = 8 + ((id / 8L) % 8L).toInt * 3
+    val pz = 9 + ((id * 5L) % 6L).toInt * 2
+    ((x % px) * 6 + (y % py) * 6 + ((x + y) % pz) * 5) % 200
+  }
+
+  /** A real PNG of the textured pattern, uniformly brightened by
+    * `bright` (≤ 55 keeps every pixel < 256 — shift stays in the DC
+    * coefficient only).
+    */
+  def synthesizeTextured(id: Long, w: Int, h: Int, bright: Int): Array[Byte] = {
+    require(bright >= 0 && bright <= 55, s"bright $bright would clamp")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = texturePixel(id, x, y) + bright
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Full gray-plane decode: (width, height, row-major blue-channel
+    * values). None if the bytes are not a decodable image.
+    */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      (w, h, px)
+    }
+
   /** Decode any ImageIO-readable payload: (width, height, pixel sum of
     * the blue channel — the gray value for synthesized frames). None
     * if the bytes are not a decodable image.

@@ -512,7 +512,41 @@ object SimQueries {
        |GROUP BY true_label, pred_label
        |ORDER BY true_label, pred_label""".stripMargin
 
+  /** Perceptual-hash image dedup over REAL decoded pixels: the corpus
+    * is synthetic and near-dup-free, so the query PLANTS deterministic
+    * near-duplicate images (the text_pii_scrub injection precedent):
+    * docs 0..255 in groups of 4 render the same textured base image
+    * ([[graft.multimodal.PngCodec.texturePixel]], per-id spatial
+    * frequencies) uniformly brightened by 3·variant — a shift that
+    * lives in the DC coefficient only, which is exactly what pHash is
+    * built to ignore. Every payload round-trips through a real PNG
+    * encode + ImageIO decode before hashing (the codec path is the
+    * point), then pairs ride the SimHash 4-block pigeonhole equi-join.
+    * Rows-only (JDK codec output has no SQL twin); SimSpec pins
+    * completeness (all 6·64 within-group pairs, Hamming ≤ 3) and zero
+    * cross-group false positives.
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables(s, dir).documents
+      .filter(col("doc_id") < 256).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 4
+        val w = 24 + (base % 16).toInt
+        val h = 24 + ((base * 7) % 16).toInt
+        val png = graft.multimodal.PngCodec.synthesizeTextured(
+          base, w, h, bright = 3 * (id % 4).toInt)
+        val ph = graft.multimodal.PHash.ofBytes(png)
+          .getOrElse(sys.error(s"payload for doc $id failed to decode"))
+        (id, ph)
+      })
+      .toDF("doc_id", "sim")
+    graft.dedup.SimHash.pairsOf(hashes, maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (mmPhash _),
     "emb_pca" -> (embPca _),
     "emb_whiten" -> (embWhiten _),
     "sample_diverse" -> (sampleDiverse _),

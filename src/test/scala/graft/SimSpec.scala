@@ -430,6 +430,41 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("PHash: invariant to brightness, far apart for different textures") {
+    import graft.multimodal.{PHash, PngCodec}
+    def ph(id: Long, bright: Int, w: Int = 32, h: Int = 40): Long =
+      PHash.ofBytes(PngCodec.synthesizeTextured(id, w, h, bright)).get
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // identical image → identical hash (via two independent round-trips)
+    assert(ph(7L, 0) === ph(7L, 0))
+    // uniform brightness shift → at most the DC/median boundary moves
+    (1L to 20L).foreach { id =>
+      assert(ham(ph(id, 0), ph(id, 30)) <= 3,
+        s"brightness shift moved pHash of texture $id too far")
+    }
+    // different textures must sit strictly OUTSIDE the dedup radius (3).
+    // These are same-family periodic patterns, not natural photos — the
+    // worst pair measures 4, far from the ~32 a random pair gives but
+    // cleanly separated; the zero-false-positive guarantee over all 64
+    // planted groups is the mm_phash completeness test's job
+    val others = for (a <- 1L to 12L; b <- (a + 1) to 12L)
+      yield ham(ph(a, 0), ph(b, 0))
+    assert(others.min > 3, s"distinct textures inside dedup radius: ${others.min}")
+  }
+
+  test("mm_phash: all planted within-group pairs, zero cross-group") {
+    val pairs = SimQueries.mmPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val expected = (for {
+      g <- 0L until 64L
+      a <- 0 until 4; b <- (a + 1) until 4
+    } yield (g * 4 + a, g * 4 + b)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(got === expected,
+      s"missing ${(expected -- got).take(5)}, spurious ${(got -- expected).take(5)}")
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
     // every (q, n, cos) from LSH must agree with brute-force cos when present
     val brute = SimQueries.knnBrute(spark, sf).collect()
