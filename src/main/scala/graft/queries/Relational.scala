@@ -536,7 +536,47 @@ object Relational {
       |GROUP BY zcell
       |ORDER BY zcell""".stripMargin
 
+  /** The remaining rank-family window functions in one pass —
+    * ntile/percent_rank/cume_dist over each order priority's price
+    * ranking (dense_rank/row_number/lag/lead/rolling are covered by
+    * q_window, q_rolling, q_transitions). All four functions share ONE
+    * (o_orderpriority)-partitioned sort. percent_rank and cume_dist
+    * are exact rationals of rank and count — identical doubles in both
+    * engines — rounded to 6 anyway per the house parity rules. The
+    * rank ≤ 50 cut happens AFTER the full-partition functions (they
+    * need total counts, so no WindowGroupLimit — deliberate).
+    */
+  def qRankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .filter(col("rnk") <= 50)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        col("quartile"), col("pct_rank"), col("cume"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  val qRankFamilySql: String =
+    """SELECT o_orderpriority, rnk, o_orderkey, quartile, pct_rank, cume
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER w AS rnk,
+      |    ntile(4) OVER w AS quartile,
+      |    round(percent_rank() OVER w, 6) AS pct_rank,
+      |    round(cume_dist() OVER w, 6) AS cume
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rnk <= 50
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_family" -> (qRankFamily _),
     "q_zorder" -> (qZorder _),
     "q_cube" -> (qCube _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
@@ -558,6 +598,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_rank_family" -> qRankFamilySql,
     "q_zorder" -> qZorderSql,
     "q_cube" -> qCubeSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,

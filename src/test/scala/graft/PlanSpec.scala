@@ -296,6 +296,33 @@ class PlanSpec extends SparkSpec {
       "per-query top-k must push a partial group limit before its exchange")
   }
 
+  test("q_rank_family: all four window functions share one exchange + sort") {
+    val plan = planOf(Relational.qRankFamily(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected one exchange:\n${plan.take(1000)}")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts <= 2, s"window + output sort only, got $sorts:\n${plan.take(1000)}")
+  }
+
+  test("export_manifest: partial aggregation runs before the shard exchange") {
+    val plan = planOf(CurationQueries.exportManifest(spark, sf))
+    val i = plan.indexOf("partial_")
+    val j = plan.indexOf("Exchange hashpartitioning")
+    assert(i >= 0 && j >= 0 && i > j, // plan prints top-down
+      "xor checksum must partial-aggregate map-side:\n" + plan.take(1000))
+  }
+
+  test("q_resample: grid fan-out plans no extra exchange beyond user_id") {
+    val plan = planOf(graft.queries.EventQueries.qResample(spark, sf))
+    // bounds agg + daily rollup + join + fill window all key on user_id;
+    // AQE may coalesce but nothing should repartition on another key
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    val keys = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    val all = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(keys === all, s"non-user_id exchange leaked in:\n${plan.take(1200)}")
+  }
+
   test("q_sessionize: both windows and the rollup share ONE user_id exchange") {
     val plan = planOf(graft.queries.EventQueries.qSessionize(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
