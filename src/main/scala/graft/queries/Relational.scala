@@ -575,7 +575,60 @@ object Relational {
       |WHERE rnk <= 50
       |ORDER BY o_orderpriority, rnk""".stripMargin
 
+  /** 2-D skyline (Pareto frontier): orders not dominated on
+    * (o_totalprice, order day) — q dominates p iff both dims ≥ and one
+    * strictly >. The textbook formulation is a quadratic NOT EXISTS;
+    * the scalable plan exploits the 2-D structure: collapse to one
+    * max_day per DISTINCT price (partial-aggregatable groupBy), then
+    * over the price-level table — |distinct prices| rows, not |orders|
+    * — a running max of day over strictly-higher prices decides
+    * survival: survive iff max_day > every higher-price day seen
+    * (ties on BOTH dims survive together, joined back for their
+    * count). The one global window runs on the collapsed table; at
+    * 100 TB swap in range-partitioned prefix maxima (the
+    * mix_curriculum_bounds move) if distinct prices themselves blow
+    * up. Oracle replays the identical two-step window in SQL — cheap,
+    * unlike the quadratic spelling.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders.select(
+      col("o_totalprice").as("price"),
+      floor(unix_timestamp(col("o_orderdate")) / 86400).as("day"),
+      col("o_orderkey"))
+    val perPrice = o.groupBy(col("price")).agg(max(col("day")).as("max_day"))
+    val w = Window.orderBy(col("price").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("hi_day", max(col("max_day")).over(w))
+      .filter(col("hi_day").isNull || col("max_day") > col("hi_day"))
+      .select(col("price"), col("max_day").as("day"))
+    o.join(frontier, Seq("price", "day"))
+      .groupBy(col("price"), col("day"))
+      .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("min_orderkey"))
+      .orderBy(col("price").desc, col("day"))
+  }
+
+  val qSkylineSql: String =
+    """WITH o AS (
+      |  SELECT o_totalprice AS price,
+      |    floor(epoch(o_orderdate) / 86400)::BIGINT AS day, o_orderkey
+      |  FROM orders),
+      |pp AS (SELECT price, max(day) AS max_day FROM o GROUP BY price),
+      |fr AS (
+      |  SELECT price, max_day AS day FROM (
+      |    SELECT price, max_day,
+      |      max(max_day) OVER (ORDER BY price DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi_day
+      |    FROM pp)
+      |  WHERE hi_day IS NULL OR max_day > hi_day)
+      |SELECT o.price, o.day, count(*) AS n_orders,
+      |  min(o.o_orderkey) AS min_orderkey
+      |FROM o JOIN fr ON fr.price = o.price AND fr.day = o.day
+      |GROUP BY o.price, o.day
+      |ORDER BY o.price DESC, o.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_rank_family" -> (qRankFamily _),
     "q_zorder" -> (qZorder _),
     "q_cube" -> (qCube _),
@@ -598,6 +651,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_skyline" -> qSkylineSql,
     "q_rank_family" -> qRankFamilySql,
     "q_zorder" -> qZorderSql,
     "q_cube" -> qCubeSql,

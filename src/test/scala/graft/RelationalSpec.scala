@@ -124,6 +124,22 @@ class RelationalSpec extends SparkSpec {
       assert(m._4 === detail.filter(_._3 == m._3).map(_._4).sum) }
   }
 
+  test("q_skyline equals the naive quadratic dominance check") {
+    val o = graft.util.Tables(spark, sf).orders.select(
+      col("o_totalprice").as("price"),
+      floor(unix_timestamp(col("o_orderdate")) / 86400).as("day"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val naive = o.filter { case (p, d) =>
+      !o.exists { case (q, e) =>
+        q >= p && e >= d && (q > p || e > d) }
+    }.toSet
+    val skyline = Relational.qSkyline(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(skyline === naive.map(x => x),
+      s"windowed skyline diverges from quadratic: ${skyline.size} vs ${naive.size}")
+    assert(skyline.nonEmpty)
+  }
+
   test("ZOrder.zvalue matches a naive per-bit interleave") {
     import spark.implicits._
     def naive(x: Long, y: Long): Long =
