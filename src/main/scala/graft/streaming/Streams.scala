@@ -98,6 +98,64 @@ object Streams {
   final case class Scd2State(runId: Long, stateType: String,
       fromMs: Long, n: Long, lastMs: Long)
 
+  /** One closed day emitted by [[resampleStream]]. */
+  final case class DayRow(user_id: Long, day: Long, filled_value: Double,
+      n_events: Long)
+
+  /** Open-day state for [[resampleStream]]. */
+  final case class DayState(curDay: Long, lastValue: Double, n: Long)
+
+  /** Streaming LOCF resampling — the incremental twin of the batch
+    * daily-grid query (EventQueries.qResample): per user, track the
+    * OPEN day in state; when an event for a later day arrives, emit
+    * the closed day (its latest value + event count), then one
+    * forward-filled row per gap day (value carried, n_events = 0) —
+    * the batch twin's sequence()+LOCF semantics replayed one key at a
+    * time. Append mode: the open day per user can't be emitted until a
+    * later-day event proves it over (same closed-rows-only contract,
+    * and the same parity-spec exclusion, as [[scd2Stream]]).
+    *
+    * '''Delivery contract''' (same as scd2Stream): per user, batches
+    * must not regress in event time. Cross-batch late events — older
+    * than the open day — are dropped and counted in `droppedLate`; the
+    * batch query is the reconciliation path. State is one 24-byte
+    * record per active user.
+    */
+  def resampleStream(events: Dataset[Ev],
+      droppedLate: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[DayRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DayState, DayRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[DayState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[DayRow]
+          var st = state.getOption.orNull
+          evs.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, 86400000L)
+            st = st match {
+              case null => DayState(d, e.value, 1L)
+              case s if d < s.curDay =>
+                droppedLate.foreach(_.add(1L)); s
+              case s if d == s.curDay =>
+                // sorted within the batch + in-order across batches ⇒
+                // e is the day's latest event so far
+                s.copy(lastValue = e.value, n = s.n + 1)
+              case s =>
+                closed ::= DayRow(userId, s.curDay, s.lastValue, s.n)
+                var g = s.curDay + 1
+                while (g < d) { closed ::= DayRow(userId, g, s.lastValue, 0L); g += 1 }
+                DayState(d, e.value, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.reverseIterator
+      }
+  }
+
   /** Streaming SCD2 history build — the incremental twin of the batch
     * gaps-and-islands query (EventQueries.qScd2): per user, track the
     * OPEN run of unchanged event_type in mapGroups state; when a

@@ -80,6 +80,68 @@ class StreamSpec extends SparkSpec {
       (1L, 2L, "b", t0 + 1200, t0 + 1800, 1L)))
   }
 
+  test("resampleStream: closed days match the batch LOCF twin across batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // user 1: day 0 (2 events, last value wins) | day 3 in batch 2 →
+    // closes day 0 and fills gap days 1, 2 with day 0's last value;
+    // day 3 stays open. user 2: one event, day stays open → no rows.
+    def evv(id: Long, minute: Long, user: Long, v: Double): Streams.Ev =
+      Streams.Ev(id, new java.sql.Timestamp(1700000000000L + minute * 60000L),
+        user, "view", v)
+    val day0 = 1700000000000L / 86400000L
+    val batch1 = Seq(evv(1, 0, 1, 5.0), evv(2, 10, 1, 7.0), evv(9, 0, 2, 1.0))
+    val batch2 = Seq(evv(3, 3 * 1440, 1, 9.0))
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.resampleStream(ms.toDS())
+      .writeStream.format("memory").queryName("resamp")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("resamp").orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, day0, 7.0, 2L),          // closed day: latest value, 2 events
+      (1L, day0 + 1, 7.0, 0L),      // gap days forward-filled
+      (1L, day0 + 2, 7.0, 0L)))
+    // cross-check against the batch twin on the SAME events (closed
+    // prefix = batch rows strictly before each user's last day)
+    val dir = java.nio.file.Files.createTempDirectory("graft_resamp").toString
+    (batch1 ++ batch2).toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val batchRows = graft.queries.EventQueries.qResample(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+      .filter { case (u, d, _, _) => u == 1L && d < day0 + 3 }
+    assert(got.toSeq === batchRows.toSeq)
+  }
+
+  test("resampleStream: late cross-batch event dropped and counted") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    def evv(id: Long, minute: Long, v: Double): Streams.Ev =
+      Streams.Ev(id, new java.sql.Timestamp(1700000000000L + minute * 60000L),
+        1L, "view", v)
+    val late = spark.sparkContext.longAccumulator("resample_dropped_late")
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.resampleStream(ms.toDS(), droppedLate = Some(late))
+      .writeStream.format("memory").queryName("resamplate")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(evv(1, 2 * 1440, 5.0))); q.processAllAvailable() // day 2
+      ms.addData(Seq(evv(2, 0, 9.0), evv(3, 3 * 1440, 1.0))) // day 0 late, day 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val day0 = 1700000000000L / 86400000L
+    val got = spark.table("resamplate").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // the late day-0 event never rewrote history: day 2 closed with 5.0
+    assert(got.toSeq === Seq((day0 + 2, 5.0, 1L)))
+    assert(late.value === 1L)
+  }
+
   test("scd2Stream: cross-batch late event is dropped and counted, " +
       "never fragmented into a bogus run") {
     implicit val ctx = spark.sqlContext
