@@ -64,6 +64,46 @@ object IvfPqIndex {
     IvfPqIndex(model, centroids,
       Pq.cellCodes(corpus, idCol, vecCol, model, centroids))
 
+  /** Day-2 ingestion — the vector-store sibling of
+    * [[graft.dedup.MinHashIndex.append]]: encode a NEW batch with the
+    * SAVED models (no refit, no old rows rewritten) and parquet-append
+    * its codes into the cell directories. The frozen-quantizer trade
+    * is the standard serving contract (IVF cell boundaries and PQ
+    * codebooks stay fixed between retrains; recall on drifted data
+    * degrades gradually and a periodic refit rebuilds). Append-then-
+    * search ≡ encode-all-then-search is spec-pinned, as is partition
+    * pruning on the appended index. Accreted small files are
+    * [[MinHashIndex.compactSaved]]'s lesson — run [[compactSaved]] on
+    * the cells table when batch count grows.
+    */
+  def append(spark: SparkSession, dir: String, newVectors: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val model = Pq.load(spark, s"$dir/codebooks")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Float]]("centroid").toArray))
+      .sortBy(_._1)
+    Pq.cellCodes(newVectors, idCol, vecCol, model, centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Rewrite the cells table's accreted per-append files into one file
+    * per cell directory — staged to `cells_tmp` then swapped (parquet
+    * can't overwrite a path it lazily reads). Search results are
+    * byte-identical before/after; only file layout changes.
+    */
+  def compactSaved(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/cells_tmp")
+    val fs = cur.getFileSystem(conf)
+    spark.read.parquet(cur.toString)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    fs.delete(cur, true)
+    require(fs.rename(tmp, cur), s"compact: rename $tmp -> $cur failed")
+  }
+
   def load(spark: SparkSession, dir: String): IvfPqIndex = {
     // by NAME, not ordinal — same self-describing on-disk contract as
     // LshIndex.load / IvfIndex.load

@@ -260,6 +260,45 @@ class SimSpec extends SparkSpec {
     assert(single.groupBy(_.getLong(0)).values.forall(_.length <= 3))
   }
 
+  test("IvfPqIndex.append: append-then-search equals encode-all; compact invariant") {
+    val e = graft.util.Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 5)
+    // "day 1" = even ids, "day 2" = odd ids; same frozen models
+    val day1 = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val day2 = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val index = graft.sim.IvfPqIndex.fit(day1, "vec_id", "embedding",
+      c = 8, m = 8, ks = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    index.save(dir)
+    graft.sim.IvfPqIndex.append(spark, dir, day2, "vec_id", "embedding")
+    val appended = graft.sim.IvfPqIndex.load(spark, dir)
+    val viaAppend = appended.search(q, e, "vec_id", "embedding", 5,
+        nProbe = 4, rerankFactor = 5)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    // reference: the SAME frozen models encoding the full corpus at once
+    val allAtOnce = graft.sim.IvfPqIndex.fitWith(e, "vec_id", "embedding",
+        index.centroids, index.model)
+      .search(q, e, "vec_id", "embedding", 5, nProbe = 4, rerankFactor = 5)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(viaAppend === allAtOnce,
+      "appending a batch must equal encoding the union with the same models")
+    // compaction changes file layout only — results byte-identical,
+    // and each cell directory collapses to one data file
+    graft.sim.IvfPqIndex.compactSaved(spark, dir)
+    val compacted = graft.sim.IvfPqIndex.load(spark, dir)
+      .search(q, e, "vec_id", "embedding", 5, nProbe = 4, rerankFactor = 5)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(compacted === viaAppend)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName}: expected 1 compacted file, got ${files.length}")
+    }
+  }
+
   test("PqCodes native encoder matches the distributed encode argmin") {
     // the map-only native encoder is the scale path; the
     // explode/join/groupBy formulation stays the oracle — codes must
