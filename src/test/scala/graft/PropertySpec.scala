@@ -282,4 +282,81 @@ class PropertySpec extends AnyFunSuite {
       BitmapAndCount.compute(a, a) == bits(a).size.toLong
     }, 80)
   }
+
+  test("SignPack/HammingDist: pack+popcount equals the per-dim model") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def pack(v: Array[Float]): Array[Long] =
+      graft.functions.SignPack.compute(
+        ArrayData.toArrayData(v)).toLongArray()
+    def hd(a: Array[Long], b: Array[Long]): Long =
+      graft.functions.HammingDist.compute(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+    val vecGen = for {
+      n <- Gen.choose(1, 200)
+      v <- Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-10f, 10f), Gen.const(0f), Gen.const(Float.NaN)))
+    } yield v.toArray
+    checkProp(forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val n = math.min(a.length, b.length)
+      val model = (0 until n).count(i => (a(i) > 0f) != (b(i) > 0f)).toLong
+      pack(a).length == (a.length + 63) / 64 &&
+      hd(pack(a).take((n + 63) / 64)
+          .zipWithIndex.map { case (w, i) => // mask trailing dims beyond n
+            if ((i + 1) * 64 <= n) w else w & ((1L << (n - i * 64)) - 1) },
+        pack(b).take((n + 63) / 64)
+          .zipWithIndex.map { case (w, i) =>
+            if ((i + 1) * 64 <= n) w else w & ((1L << (n - i * 64)) - 1) }) == model &&
+      hd(pack(a), pack(a)) == 0L
+    }, 60)
+  }
+
+  test("FuzzyJoin blocking is lossless on arbitrary small-alphabet corpora") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // small alphabet + short strings = dense near-miss space, the
+    // regime where a lossy candidate filter would actually show
+    val strGen = for {
+      n <- Gen.choose(1, 9)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    checkProp(forAll(Gen.listOfN(18, strGen)) { vals =>
+      val names = vals.distinct
+      val naive = (for {
+        a <- names; b <- names if a < b
+        d = lev(a, b) if d <= 2
+      } yield (a, b, d)).toSet
+      val blocked = graft.ops.FuzzyJoin
+        .selfJoin(vals.toDF("v"), "v", maxDist = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+      blocked == naive
+    }, 12)
+  }
+
+  test("ZOrder.zvalue: per-dimension monotone, bijective on 16-bit pairs") {
+    import spark.implicits._
+    val g = Gen.choose(0L, 0xFFFFL)
+    checkProp(forAll(Gen.listOfN(24, Gen.zip(g, g))) { ps =>
+      val pairs = ps.distinct
+      val zs = pairs.toDF("x", "y")
+        .select(graft.ops.ZOrder.zvalue(col("x"), col("y")).as("z"))
+        .collect().map(_.getLong(0))
+      // distinct pairs → distinct codes (bit interleave is injective)
+      zs.distinct.length == pairs.length &&
+      // fixing one dim, the code is monotone in the other
+      pairs.zip(zs).forall { case ((x, y), z) =>
+        pairs.zip(zs).forall { case ((x2, y2), z2) =>
+          (x != x2 || y == y2 || (y < y2) == (z < z2)) &&
+          (y != y2 || x == x2 || (x < x2) == (z < z2))
+        }
+      }
+    }, 12)
+  }
 }
