@@ -166,6 +166,43 @@ object CurationQueries {
       |WHERE n_shared >= 5
       |ORDER BY doc_id""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
+    * IPL 2006): each doc draws key = ln(u)/w with u uniform in (0,1]
+    * and w its weight (n_chars — longer docs proportionally likelier),
+    * and the top-k keys ARE a weighted sample without replacement.
+    * The u is a seeded md5 hash, not an RNG — reproducible across
+    * runs, partitionings, and engines — and the key is quantized to
+    * integer MICRO-units (ties broken by doc_id) so the rank can never
+    * flip on a last-ulp ln() difference between engines. One map pass
+    * + one top-k (TakeOrderedAndProject — no global sort); the
+    * one-pass-stream property of E-S is exactly what makes the
+    * operator a single scan at 100 TB.
+    */
+  private val WeightedSeed = 77L
+  private val WeightedK = 100
+
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u01 = (ShuffleShard.hashKey(col("doc_id"), WeightedSeed) + 1L)
+      .cast("double") / 4294967297.0 // (0, 1]: hash in [0, 2^32), +1, / (2^32+1)
+    val keyMicro = floor(log(u01) / col("n_chars").cast("double")
+      * lit(1000000.0) + lit(0.5))
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("n_chars"), keyMicro.as("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(WeightedK)
+      .select(col("doc_id"), col("n_chars"), col("key_micro"))
+  }
+
+  val sampleWeightedSql: String =
+    s"""SELECT doc_id, n_chars, key_micro FROM (
+       |  SELECT doc_id, n_chars,
+       |    floor(ln((('0x' || substr(md5(doc_id::VARCHAR || ':$WeightedSeed'),
+       |                       1, 8))::BIGINT + 1)::DOUBLE / 4294967297.0)
+       |          / n_chars::DOUBLE * 1000000.0 + 0.5)::BIGINT AS key_micro
+       |  FROM documents)
+       |ORDER BY key_micro DESC, doc_id
+       |LIMIT $WeightedK""".stripMargin
+
   /** Deterministic stratified sampling: k docs per language, selected
     * by Knuth multiplicative hash order — reproducible across runs,
     * partitionings and engines (no RNG state). `row_number ≤ k` over
@@ -695,6 +732,7 @@ object CurationQueries {
     "pipeline_e2e" -> (pipelineE2e _),
     "sample_shard" -> (sampleShard _),
     "export_manifest" -> (exportManifest _),
+    "sample_weighted" -> (sampleWeighted _),
     "mix_curriculum" -> (mixCurriculum _),
     "mix_curriculum_bounds" -> (mixCurriculumBounds _),
     "mix_sources" -> (mixSources _),
@@ -711,6 +749,7 @@ object CurationQueries {
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,
     "export_manifest" -> exportManifestSql,
+    "sample_weighted" -> sampleWeightedSql,
     "mix_curriculum" -> mixCurriculumSql,
     // the bounds variant is byte-identical to ntile by construction,
     // so it shares the same oracle — a hash-green proof of the parity

@@ -262,6 +262,32 @@ class CurationSpec extends SparkSpec {
       rows(graft.queries.CurationQueries.mixCurriculum _, tmp))
   }
 
+  test("sample_weighted: driver-side E-S replay agrees; long docs overrepresented") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sf).documents
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent replay of the seeded key (md5 u01 + ln/w, micro-quantized)
+    def key(id: Long, w: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:77".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(md5.take(8), 16) + 1L).toDouble / 4294967297.0
+      math.floor(math.log(u) / w * 1e6 + 0.5).toLong
+    }
+    val expect = docs.map { case (id, w) => (key(id, w), -id) }.sorted.reverse
+      .take(100).map { case (_, negId) => -negId }.toSet
+    val got = graft.queries.CurationQueries.sampleWeighted(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect, "Spark top-k must equal the driver E-S replay")
+    // weighting works: the sample's mean length exceeds the corpus mean
+    val lens = docs.toMap
+    val sampleMean = got.map(lens).sum.toDouble / got.size
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
   test("export_manifest: shards cover the corpus; checksum is order-insensitive") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf).documents
