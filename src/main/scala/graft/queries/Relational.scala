@@ -214,6 +214,41 @@ object Relational {
       |ORDER BY ds
       |LIMIT 100""".stripMargin
 
+  /** VALUE-based window frame (RANGE BETWEEN): per customer, each
+    * order's trailing-30-DAY spend — rows-frames (q_rolling's ROWS 6
+    * PRECEDING) count neighbors, range-frames bound the ORDER KEY's
+    * VALUE, which is what a time-window business metric actually means
+    * when gaps exist (a 7-row frame spans months for a sparse
+    * customer). Spark compiles the day-keyed range frame to one
+    * running WindowExec over the (custkey)-partitioned sort — no
+    * self-join, no fan-out; the RANGE/ROWS distinction is exactly what
+    * this query pins cross-engine.
+    */
+  def qRollingRange(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders.select(col("o_custkey"), col("o_orderkey"),
+      floor(unix_timestamp(col("o_orderdate")) / 86400).as("day"),
+      col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-29, 0)
+    o.withColumn("spend30", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("n30", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("day"), col("o_orderkey"),
+        col("spend30"), col("n30"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  val qRollingRangeSql: String =
+    """SELECT o_custkey, day, o_orderkey,
+      |  round(sum(o_totalprice) OVER w, 2) AS spend30,
+      |  count(*) OVER w AS n30
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    floor(epoch(o_orderdate) / 86400)::BIGINT AS day, o_totalprice
+      |  FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   /** Point-in-time join: each event picks up the user's prevailing
     * order "quote" (latest order at or before the event time), then a
     * per-user rollup. The right side is pre-aggregated to one row per
@@ -629,6 +664,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> (qSkyline _),
+    "q_rolling_range" -> (qRollingRange _),
     "q_rank_family" -> (qRankFamily _),
     "q_zorder" -> (qZorder _),
     "q_cube" -> (qCube _),
@@ -652,6 +688,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_skyline" -> qSkylineSql,
+    "q_rolling_range" -> qRollingRangeSql,
     "q_rank_family" -> qRankFamilySql,
     "q_zorder" -> qZorderSql,
     "q_cube" -> qCubeSql,
