@@ -123,6 +123,59 @@ object SimQueries {
        |WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query, the top-k most similar vectors whose LABEL DIFFERS (the
+    * high-cos wrong-class examples a dual-encoder trains against;
+    * random negatives are too easy). Same broadcast-queries pair scan
+    * as knn_brute with the label inequality pushed into the join
+    * condition, so disqualified pairs never reach scoring; at corpus
+    * scale the same cell-blocking as knn_graph_cell applies unchanged
+    * (the filter composes with any candidate generator).
+    */
+  def knnHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables(s, dir).embeddings
+    val qs = broadcast(e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("qv"),
+        graft.sim.Vectors.normD(col("embedding")).as("qn")))
+    val cs = e.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"), col("embedding").as("nv"),
+      graft.sim.Vectors.normD(col("embedding")).as("nn"))
+    qs.join(cs, col("q_label") =!= col("n_label"))
+      .withColumn("cos", round(graft.sim.Vectors.cosineWithNorms(
+        graft.sim.Vectors.dotD(col("qv"), col("nv")),
+        col("qn"), col("nn")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("n_label"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnHardNegativesSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    c.label AS n_label,
+       |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+       |          (q.nrm * c.nrm), 6) AS cos
+       |  FROM n q, n c
+       |  WHERE q.vec_id < $NQueries AND q.label <> c.label)
+       |SELECT query_id, rank, neighbor_id, n_label, cos FROM (
+       |  SELECT query_id, neighbor_id, n_label, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM p)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Approximate: rows-only oracle; recall vs brute is spec-asserted. */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = split(s, dir)
@@ -554,6 +607,7 @@ object SimQueries {
     "knn_classify_cell" -> (knnClassifyCell _),
     "knn_brute" -> (knnBrute _),
     "knn_hamming" -> (knnHamming _),
+    "knn_hard_negatives" -> (knnHardNegatives _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
@@ -570,6 +624,7 @@ object SimQueries {
     "knn_classify" -> knnClassifySql,
     "knn_brute" -> knnBruteSql,
     "knn_hamming" -> knnHammingSql,
+    "knn_hard_negatives" -> knnHardNegativesSql,
     "knn_graph" -> knnGraphSql,
     "emb_centroids" -> embCentroidsSql)
 }
