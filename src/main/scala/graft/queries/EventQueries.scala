@@ -499,7 +499,50 @@ object EventQueries {
        |GROUP BY path
        |ORDER BY n_users DESC, path""".stripMargin
 
+  /** Per-user linear trend (simple OLS): slope of event value over
+    * time from the four classic sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx²) — ONE partial-aggregatable groupBy, closed-form slope,
+    * no iteration. Cross-engine exactness is engineered: x is the
+    * integer day, y is integer CENTS (round(value·100)), so every
+    * aggregate is exact integer arithmetic and only the final
+    * slope/intercept division happens in double — identical operand
+    * bits ⇒ identical quotient bits in both engines, rounded to 6.
+    */
+  def qTrend(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events.select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / 86400).as("x"),
+      round(col("value") * 100).cast("long").as("y"))
+    e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") * col("sxx") =!= col("sx") * col("sx")) // degenerate x
+      .select(col("user_id"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope_cents_per_day"))
+      .orderBy(col("user_id"))
+  }
+
+  val qTrendSql: String =
+    """SELECT user_id, n,
+      |  round((n * sxy - sx * sy)::DOUBLE /
+      |        (n * sxx - sx * sx)::DOUBLE, 6) AS slope_cents_per_day
+      |FROM (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM (
+      |    SELECT user_id, floor(epoch(ts) / 86400)::BIGINT AS x,
+      |      round(value * 100)::BIGINT AS y
+      |    FROM events)
+      |  GROUP BY user_id)
+      |WHERE n * sxx <> sx * sx
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trend" -> (qTrend _),
     "q_paths" -> (qPaths _),
     "q_resample" -> (qResample _),
     "q_sessionize" -> (qSessionize _),
@@ -511,6 +554,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_trend" -> qTrendSql,
     "q_paths" -> qPathsSql,
     "q_resample" -> qResampleSql,
     "q_sessionize" -> qSessionizeSql,

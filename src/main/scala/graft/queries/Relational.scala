@@ -662,7 +662,59 @@ object Relational {
       |GROUP BY o.price, o.day
       |ORDER BY o.price DESC, o.day""".stripMargin
 
+  /** Market-basket co-occurrence with lift: part pairs ordered
+    * together, scored by lift = N·c(ab)/(c(a)·c(b)) — the association
+    * mining primitive. The pair explode is WITHIN an order (self-join
+    * on orderkey, part_a < part_b): fan-out is items-per-order choose
+    * 2, bounded per row, never corpus². All supports are integer
+    * counts; lift's single division runs on identical integer operands
+    * in both engines (round 6). Top-100 by lift with a full tiebreak.
+    */
+  private val BasketMinSupport = 2
+
+  def qBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = li.select(col("okey")).distinct().count() // scalar
+    val itemCounts = li.groupBy(col("part")).agg(count(lit(1)).as("c"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.okey") === col("b.okey") &&
+        col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= BasketMinSupport)
+    pairs
+      .join(itemCounts.select(col("part").as("part_a"), col("c").as("ca")), "part_a")
+      .join(itemCounts.select(col("part").as("part_b"), col("c").as("cb")), "part_b")
+      .select(col("part_a"), col("part_b"), col("nab"),
+        round((col("nab") * nOrders).cast("double") /
+          (col("ca") * col("cb")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val qBasketSql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+       |n AS (SELECT count(DISTINCT okey) AS n_orders FROM li),
+       |ic AS (SELECT part, count(*) AS c FROM li GROUP BY part),
+       |pr AS (
+       |  SELECT a.part AS part_a, b.part AS part_b, count(*) AS nab
+       |  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY a.part, b.part
+       |  HAVING count(*) >= $BasketMinSupport)
+       |SELECT part_a, part_b, nab,
+       |  round((nab * (SELECT n_orders FROM n))::DOUBLE /
+       |        (ca.c * cb.c)::DOUBLE, 6) AS lift
+       |FROM pr
+       |JOIN ic ca ON ca.part = pr.part_a
+       |JOIN ic cb ON cb.part = pr.part_b
+       |ORDER BY lift DESC, part_a, part_b
+       |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket" -> (qBasket _),
     "q_skyline" -> (qSkyline _),
     "q_rolling_range" -> (qRollingRange _),
     "q_rank_family" -> (qRankFamily _),
@@ -687,6 +739,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_basket" -> qBasketSql,
     "q_skyline" -> qSkylineSql,
     "q_rolling_range" -> qRollingRangeSql,
     "q_rank_family" -> qRankFamilySql,
