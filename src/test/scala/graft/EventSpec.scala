@@ -106,6 +106,21 @@ class EventSpec extends SparkSpec {
     }
   }
 
+  test("q_trend: hand-computed slope on planted ramps") {
+    import graft.streaming.Streams.Ev
+    // user 1: value rises exactly 2.0/day over days 0..3 → slope 200 c/d
+    // user 2: constant value → slope 0; user 3: one event → dropped (x degenerate)
+    val evs = (0 to 3).map(d => Ev(1L + d, new Timestamp(1700000000000L +
+        d * 86400000L), 1L, "v", 1.0 + 2.0 * d)) ++
+      Seq(Ev(10, new Timestamp(1700000000000L), 2L, "v", 5.0),
+        Ev(11, new Timestamp(1700000000000L + 86400000L), 2L, "v", 5.0),
+        Ev(12, new Timestamp(1700000000000L), 3L, "v", 9.0))
+    val dir = fixtureDir(evs)
+    val out = EventQueries.qTrend(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map(1L -> ((4L, 200.0)), 2L -> ((2L, 0.0))))
+  }
+
   test("q_paths: journeys assemble in (ts, event_id) order, truncated at 8") {
     val dir = fixtureDir(Seq(
       // user 1: same-ts tie at minute 5 → event_id order (2 before 3)

@@ -296,6 +296,15 @@ class PlanSpec extends SparkSpec {
       "per-query top-k must push a partial group limit before its exchange")
   }
 
+  test("q_basket: pair explode rides the orderkey equi-join, no cartesian") {
+    val plan = planOf(Relational.qBasket(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "basket pairs must join on orderkey:\n" + plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must not global-sort:\n" + plan.take(800))
+  }
+
   test("q_rank_family: all four window functions share one exchange + sort") {
     val plan = planOf(Relational.qRankFamily(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
