@@ -541,7 +541,66 @@ object EventQueries {
       |WHERE n * sxx <> sx * sx
       |ORDER BY user_id""".stripMargin
 
+  /** Rolling 7-day active users (WAU) per day — WITHOUT a
+    * distinct-per-window: the naive spelling re-counts distinct users
+    * for every window (O(days·users) distinct state, the query that
+    * melts dashboards at scale). The scalable plan is interval
+    * coverage: (a) distinct (user, active-day); (b) per user, merge
+    * days ≤ 6 apart into ISLANDS (lag + running-sum, one user_id
+    * exchange) — each island covers window-ends [first, last+6]
+    * exactly; (c) every island becomes +1/−1 boundary deltas; (d) one
+    * running sum over the DAY-level delta table yields WAU for every
+    * day. The only global window runs over calendar-bounded day
+    * cardinality, not data. The DuckDB oracle deliberately uses the
+    * NAIVE count-distinct-per-window spelling — the hash match proves
+    * the interval algebra, not a shared implementation.
+    */
+  private val WauWindow = 7L
+
+  def qWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(s, dir).events
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).as("day"))
+      .distinct()
+    val b = ud.agg(min(col("day")), max(col("day"))).head()
+    val (d0, d1) = (b.getLong(0), b.getLong(1))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = ud
+      .withColumn("brk", when(lag(col("day"), 1).over(wUser).isNull ||
+        col("day") - lag(col("day"), 1).over(wUser) > WauWindow - 1, 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day")).as("cov_from"),
+        (max(col("day")) + (WauWindow - 1)).as("cov_to"))
+    val deltas = islands.select(col("cov_from").as("d"), lit(1L).as("delta"))
+      .union(islands.select((col("cov_to") + 1).as("d"), lit(-1L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    val grid = s.range(d0, d1 + 1).select(col("id").as("d"))
+    grid.join(deltas, Seq("d"), "left")
+      .withColumn("wau", sum(coalesce(col("delta"), lit(0L))).over(
+        Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d"), col("wau"))
+      .orderBy(col("d"))
+  }
+
+  val qWauSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |    floor(epoch(ts) / 86400)::BIGINT AS day FROM events),
+       |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+       |grid AS (
+       |  SELECT unnest(generate_series((SELECT d0 FROM b),
+       |                                (SELECT d1 FROM b))) AS d)
+       |SELECT d, count(DISTINCT ud.user_id) AS wau
+       |FROM grid LEFT JOIN ud ON ud.day BETWEEN d - ${WauWindow - 1} AND d
+       |GROUP BY d
+       |ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wau" -> (qWau _),
     "q_trend" -> (qTrend _),
     "q_paths" -> (qPaths _),
     "q_resample" -> (qResample _),
@@ -554,6 +613,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_wau" -> qWauSql,
     "q_trend" -> qTrendSql,
     "q_paths" -> qPathsSql,
     "q_resample" -> qResampleSql,

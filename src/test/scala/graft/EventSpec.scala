@@ -106,6 +106,28 @@ class EventSpec extends SparkSpec {
     }
   }
 
+  test("q_wau: interval coverage equals naive per-day distinct on a crafted history") {
+    import graft.streaming.Streams.Ev
+    def at(day: Long, id: Long, user: Long) =
+      Ev(id, new Timestamp(1700006400000L + day * 86400000L), user, "v", 1.0)
+    // user 1 active days 0,5,20 (island 0–5 covers ends 0..11; island 20
+    // covers 20..26); user 2 active day 8 only (covers 8..14)
+    val dir = fixtureDir(Seq(at(0, 1, 1), at(5, 2, 1), at(20, 3, 1),
+      at(8, 4, 2)))
+    val out = EventQueries.qWau(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = out.keys.min
+    val naive = (0L to 20L).map { d =>
+      val active = Seq((1L, Seq(0L, 5L, 20L)), (2L, Seq(8L)))
+        .count { case (_, days) => days.exists(a => a >= d - 6 && a <= d) }
+      d -> active.toLong
+    }.toMap
+    (0L to 20L).foreach { d =>
+      assert(out(d0 + d) === naive(d), s"day $d: ${out(d0 + d)} vs ${naive(d)}")
+    }
+    assert(out.size === 21, "grid spans min..max active day")
+  }
+
   test("q_trend: hand-computed slope on planted ramps") {
     import graft.streaming.Streams.Ev
     // user 1: value rises exactly 2.0/day over days 0..3 → slope 200 c/d
