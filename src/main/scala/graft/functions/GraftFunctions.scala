@@ -39,6 +39,11 @@ object GraftFunctions {
         foldableLong("graft_lsh_buckets seed", s),
         foldableInt("graft_lsh_buckets dim", d)) })
 
+  /** Names of every imperatively-registered function — the parity
+    * surface FunctionsSpec holds [[graft.GraftExtensions]] to.
+    */
+  def names: Set[String] = builders.map(_._1).toSet
+
   /** Plan-time integral arg: must be a foldable integral expression —
     * a clear error beats the ClassCastException/NPE a bare
     * `eval().asInstanceOf[Int]` throws on BIGINT literals or columns.

@@ -33,7 +33,14 @@ class FunctionsSpec extends SparkSpec {
   test("GraftExtensions registers the same function set") {
     // unit-level: apply against a fresh extensions container
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext) // must not throw; wiring is typed
+    val g = new GraftExtensions()
+    g.apply(ext) // must not throw; wiring is typed
+    // the conf path (spark.sql.extensions) and the imperative path
+    // (GraftFunctions.register) must expose the IDENTICAL name set —
+    // apply() iterates the same list names reads, so this can't drift
+    assert(g.names === GraftFunctions.names,
+      s"extension/imperative drift: only-ext=${g.names -- GraftFunctions.names} " +
+        s"only-imp=${GraftFunctions.names -- g.names}")
   }
 
   test("heavy hitters: exact when capacity exceeds cardinality") {
