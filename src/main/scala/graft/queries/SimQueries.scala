@@ -123,6 +123,74 @@ object SimQueries {
        |WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The complete binary-retrieval pipeline: knn_hamming's 1-bit code
+    * scan produces a 5·K shortlist (cheap — xor+popcount over the
+    * packed corpus), then ONLY those candidates are re-scored with the
+    * exact float cosine. This is the production two-stage shape (scan
+    * 32×-compressed codes, touch the float store for 50 rows per
+    * query) and — unlike the LSH/IVF/PQ stages — every step is a pure
+    * function of the vectors, so the WHOLE pipeline gets an exact hash
+    * oracle: DuckDB replays shortlist and re-rank bit for bit.
+    */
+  def knnHammingRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables(s, dir).embeddings
+    val packed = e.select(col("vec_id"),
+      graft.sim.Vectors.signPack(col("embedding")).as("code"),
+      col("embedding"), graft.sim.Vectors.normD(col("embedding")).as("nrm"))
+    val q = broadcast(packed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qc"),
+        col("embedding").as("qv"), col("nrm").as("qn")))
+    val shortlist = q.join(packed.select(col("vec_id").as("neighbor_id"),
+        col("code").as("nc"), col("embedding").as("nv"), col("nrm").as("nn")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", graft.sim.Vectors.hamming(col("qc"), col("nc")))
+      .withColumn("hrank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("neighbor_id"))))
+      .filter(col("hrank") <= 5 * K)
+    shortlist
+      .withColumn("cos", round(graft.sim.Vectors.cosineWithNorms(
+        graft.sim.Vectors.dotD(col("qv"), col("nv")), col("qn"), col("nn")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnHammingRerankSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |h AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    q.embedding AS qe, c.embedding AS ce, q.nrm AS qn, c.nrm AS nn,
+       |    CAST(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |      i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
+       |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM n q, n c
+       |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+       |sl AS (
+       |  SELECT * FROM (
+       |    SELECT h.*, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, neighbor_id) AS hrank
+       |    FROM h)
+       |  WHERE hrank <= ${5 * K}),
+       |rr AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(qe) + 1),
+       |            i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) / (qn * nn), 6) AS cos
+       |  FROM sl)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM rr)
+       |WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query, the top-k most similar vectors whose LABEL DIFFERS (the
     * high-cos wrong-class examples a dual-encoder trains against;
@@ -608,6 +676,7 @@ object SimQueries {
     "knn_brute" -> (knnBrute _),
     "knn_hamming" -> (knnHamming _),
     "knn_hard_negatives" -> (knnHardNegatives _),
+    "knn_hamming_rerank" -> (knnHammingRerank _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
@@ -625,6 +694,7 @@ object SimQueries {
     "knn_brute" -> knnBruteSql,
     "knn_hamming" -> knnHammingSql,
     "knn_hard_negatives" -> knnHardNegativesSql,
+    "knn_hamming_rerank" -> knnHammingRerankSql,
     "knn_graph" -> knnGraphSql,
     "emb_centroids" -> embCentroidsSql)
 }
