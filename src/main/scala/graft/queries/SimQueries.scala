@@ -124,10 +124,10 @@ object SimQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   /** The complete binary-retrieval pipeline: knn_hamming's 1-bit code
-    * scan produces a 5·K shortlist (cheap — xor+popcount over the
+    * scan produces a 10·K shortlist (cheap — xor+popcount over the
     * packed corpus), then ONLY those candidates are re-scored with the
     * exact float cosine. This is the production two-stage shape (scan
-    * 32×-compressed codes, touch the float store for 50 rows per
+    * 32×-compressed codes, touch the float store for 100 rows per
     * query) and — unlike the LSH/IVF/PQ stages — every step is a pure
     * function of the vectors, so the WHOLE pipeline gets an exact hash
     * oracle: DuckDB replays shortlist and re-rank bit for bit.
@@ -148,7 +148,7 @@ object SimQueries {
       .withColumn("hamming", graft.sim.Vectors.hamming(col("qc"), col("nc")))
       .withColumn("hrank", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("hamming"), col("neighbor_id"))))
-      .filter(col("hrank") <= 5 * K)
+      .filter(col("hrank") <= 10 * K)
     shortlist
       .withColumn("cos", round(graft.sim.Vectors.cosineWithNorms(
         graft.sim.Vectors.dotD(col("qv"), col("nv")), col("qn"), col("nn")), 6))
@@ -177,7 +177,7 @@ object SimQueries {
        |    SELECT h.*, row_number() OVER (PARTITION BY query_id
        |      ORDER BY hamming, neighbor_id) AS hrank
        |    FROM h)
-       |  WHERE hrank <= ${5 * K}),
+       |  WHERE hrank <= ${10 * K}),
        |rr AS (
        |  SELECT query_id, neighbor_id,
        |    round(list_sum(list_transform(range(1, len(qe) + 1),

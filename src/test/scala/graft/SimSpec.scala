@@ -504,6 +504,25 @@ class SimSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("knn_hamming_rerank: high recall vs brute, cos exact where shared") {
+    val brute = SimQueries.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val rr = SimQueries.knnHammingRerank(spark, sf).collect()
+    val bruteSets = brute.keys.groupBy(_._1)
+      .map { case (q, ks) => q -> ks.map(_._2).toSet }
+    val rrSets = rr.groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recalls = bruteSets.map { case (q, truth) =>
+      rrSets.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"binary shortlist recall@10 $mean below floor")
+    // wherever rerank and brute agree on a pair, the cos is identical
+    rr.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9) }
+    }
+  }
+
   test("approximate results are subsets of exact scoring (no fabricated cos)") {
     // every (q, n, cos) from LSH must agree with brute-force cos when present
     val brute = SimQueries.knnBrute(spark, sf).collect()
