@@ -599,7 +599,57 @@ object EventQueries {
        |GROUP BY d
        |ORDER BY d""".stripMargin
 
+  /** Sequence-pattern matching over each user's FULL ordered history —
+    * the MATCH_RECOGNIZE shape: count conversions
+    * view →(no error)→ click →(no error)→ purchase, non-overlapping.
+    * Each event becomes one char; the journey string is assembled
+    * deterministically (struct array_sort on (ts, event_id) — no
+    * window needed, one groupBy); the state machine is the LAZY regex
+    * `v[^e]*?c[^e]*?p`. Lazy matters: it ends every match at the
+    * EARLIEST completing purchase then resets (the funnel-count
+    * semantics, identical leftmost-shortest behavior in Java regex and
+    * RE2) — a greedy spelling would swallow later conversions and the
+    * two engines could legally disagree. Per-user state is the
+    * journey string: bounded by events-per-user, the same shuffle
+    * shape as every per-user rollup here.
+    */
+  def qSequenceMatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("es"), col("event_id"),
+      when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "error", "e")
+        .otherwise("s").as("ch"))
+    e.groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("es"), col("event_id"),
+          col("ch")))), x => x.getField("ch")), "").as("journey"))
+      .select(col("user_id"),
+        regexp_count(col("journey"), lit("v[^e]*?c[^e]*?p"))
+          .as("n_conversions"),
+        length(col("journey")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val qSequenceMatchSql: String =
+    """SELECT user_id,
+      |  len(regexp_extract_all(journey, 'v[^e]*?c[^e]*?p'))
+      |    AS n_conversions,
+      |  length(journey) AS n_events
+      |FROM (
+      |  SELECT user_id, string_agg(ch, '' ORDER BY es, event_id) AS journey
+      |  FROM (
+      |    SELECT user_id, floor(epoch(ts))::BIGINT AS es, event_id,
+      |      CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |        WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+      |        ELSE 's' END AS ch
+      |    FROM events)
+      |  GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sequence_match" -> (qSequenceMatch _),
     "q_wau" -> (qWau _),
     "q_trend" -> (qTrend _),
     "q_paths" -> (qPaths _),
@@ -613,6 +663,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_sequence_match" -> qSequenceMatchSql,
     "q_wau" -> qWauSql,
     "q_trend" -> qTrendSql,
     "q_paths" -> qPathsSql,

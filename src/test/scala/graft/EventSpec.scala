@@ -106,6 +106,22 @@ class EventSpec extends SparkSpec {
     }
   }
 
+  test("q_sequence_match: lazy reset semantics on crafted journeys") {
+    // user 1: v c p v c p → LAZY counts 2 (greedy would swallow into 1)
+    // user 2: v c e p     → error between click and purchase: 0
+    // user 3: v v c p p   → earliest completion: 1
+    val types = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase",
+      'e' -> "error", 's' -> "signup")
+    def journey(user: Long, s: String, base: Long) =
+      s.zipWithIndex.map { case (ch, i) =>
+        ev(base + i, i.toLong, user, types(ch)) }
+    val dir = fixtureDir(journey(1, "vcpvcp", 100) ++
+      journey(2, "vcep", 200) ++ journey(3, "vvcpp", 300))
+    val out = EventQueries.qSequenceMatch(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 2, 2L -> 0, 3L -> 1))
+  }
+
   test("q_wau: interval coverage equals naive per-day distinct on a crafted history") {
     import graft.streaming.Streams.Ev
     def at(day: Long, id: Long, user: Long) =
