@@ -350,6 +350,46 @@ object TextQueries {
        |GROUP BY a.doc_id
        |ORDER BY a.doc_id""".stripMargin
 
+  /** Flesch-style readability score — the classic document-quality
+    * signal (reading-ease filters sit beside entropy/repetition in
+    * curation stacks): 206.835 − 1.015·(words∕sentences) −
+    * 84.6·(syllable-groups∕words). All three inputs are integer regexp
+    * counts (words = \\w+ runs, sentences = [.!?] runs floored at 1,
+    * syllable groups = vowel runs — the standard heuristic), so both
+    * engines compute the identical rational before one float combine,
+    * rounded to 4. Map-side only; no shuffle at all.
+    */
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 4).as("flesch"))
+      .orderBy(col("doc_id"))
+
+  val textReadabilitySql: String =
+    """SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+      |        - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4) AS flesch
+      |FROM (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '\w+')) AS n_words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      |  FROM documents)
+      |WHERE n_words > 0
+      |ORDER BY doc_id""".stripMargin
+
   def tfidfTopterms(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     val tf = docs
@@ -761,7 +801,8 @@ object TextQueries {
     "text_repetition" -> (textRepetition _),
     "tfidf_topterms" -> (tfidfTopterms _),
     "text_nbclassify" -> (textNbclassify _),
-    "text_phrase_search" -> (textPhraseSearch _))
+    "text_phrase_search" -> (textPhraseSearch _),
+    "text_readability" -> (textReadability _))
 
   val oracleSql: Map[String, String] = Map(
     "text_cooc_pmi" -> textCoocPmiSql,
@@ -778,5 +819,6 @@ object TextQueries {
     "text_repetition" -> textRepetitionSql,
     "tfidf_topterms" -> tfidfToptermsSql,
     "text_nbclassify" -> textNbclassifySql,
-    "text_phrase_search" -> textPhraseSearchSql)
+    "text_phrase_search" -> textPhraseSearchSql,
+    "text_readability" -> textReadabilitySql)
 }
