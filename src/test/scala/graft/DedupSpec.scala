@@ -474,6 +474,55 @@ class DedupSpec extends SparkSpec {
       "compaction must not change probe results")
   }
 
+  test("SimHashIndex: probe equals the restricted full run; append ≡ rebuild; " +
+      "compaction probe-invariant") {
+    val docs = graft.util.Tables(spark, sf).documents
+    val day1 = docs.filter(pmod(col("doc_id"), lit(5)) < 3)
+    val day2 = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    def probeSet(idx: graft.dedup.SimHashIndex.Index) =
+      graft.dedup.SimHashIndex.probe(idx, fresh, "doc_id", "text", maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val seen = day1.unionByName(day2)
+    val probed = probeSet(graft.dedup.SimHashIndex.build(seen, "doc_id", "text"))
+    // ground truth: the all-pairs detector on the whole corpus,
+    // restricted to cross-split pairs, re-oriented (new, seen)
+    val full = graft.dedup.SimHash
+      .nearDuplicates(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .flatMap { case (a, b, h) =>
+        (a % 5, b % 5) match {
+          case (4, sm) if sm < 4 => Some((a, b, h))
+          case (sm, 4) if sm < 4 => Some((b, a, h))
+          case _ => None
+        }
+      }.toSet
+    assert(probed === full, "incremental probe must equal the restricted full run")
+    assert(probed.nonEmpty, "the split must actually contain cross pairs")
+    // day-2: save day1, append day2, probe — must equal the one-shot
+    val dir = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+    graft.dedup.SimHashIndex.save(
+      graft.dedup.SimHashIndex.build(day1, "doc_id", "text"), dir)
+    graft.dedup.SimHashIndex.append(day2, dir, "doc_id", "text")
+    val appended = probeSet(graft.dedup.SimHashIndex.load(spark, dir))
+    assert(appended === probed, "append-then-probe must equal rebuild-then-probe")
+    def blockFiles(): Int = new java.io.File(s"$dir/blocks").listFiles()
+      .filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val before = blockFiles()
+    graft.dedup.SimHashIndex.compactSaved(spark, dir)
+    assert(blockFiles() < before, "compaction must shrink block files")
+    assert(probeSet(graft.dedup.SimHashIndex.load(spark, dir)) === probed,
+      "compaction must not change probe results")
+    // buildCodes: the same index machinery over arbitrary 64-bit codes
+    import spark.implicits._
+    val codes = Seq((1L, 0x00FFL), (2L, 0x00FEL), (3L, -1L))
+      .toDF("doc_id", "sim")
+    val ci = graft.dedup.SimHashIndex.buildCodes(codes, checkpoint = false)
+    val hits = ci.blocks.select(col("doc_id")).distinct().count()
+    assert(hits === 3L)
+  }
+
   test("dedup_semantic: keep rule matches the quadratic pair set exactly") {
     val emb = graft.util.Tables(spark, sf).embeddings
     val out = graft.queries.DedupQueries.dedupSemantic(spark, sf).collect()
