@@ -156,6 +156,58 @@ object Streams {
       }
   }
 
+  /** One completed conversion emitted by [[sequenceMatchStream]]. */
+  final case class Conversion(user_id: Long, n_conversion: Long,
+      completed_s: Long)
+
+  /** Funnel-progress state for [[sequenceMatchStream]]: 0 = idle,
+    * 1 = saw view, 2 = saw click (error resets to 0; purchase at 2
+    * completes). `n` counts completed conversions so far.
+    */
+  final case class SeqState(stage: Int, n: Long)
+
+  /** Streaming sequence matching — the incremental twin of
+    * q_sequence_match's lazy regex: the lazy `v[^e]*?c[^e]*?p` IS a
+    * 3-stage state machine (earliest completion, reset on error), and
+    * a state machine is exactly what flatMapGroupsWithState holds: ONE
+    * byte of progress + a counter per user, vs the batch twin's whole
+    * journey string. Emits one row per COMPLETED conversion as it
+    * happens (the real-time funnel alert shape); the per-user counter
+    * makes batch parity checkable (max n_conversion per user ==
+    * the batch twin's n_conversions).
+    *
+    * Same in-order delivery contract as [[scd2Stream]]: events sorted
+    * within a batch, batches must not regress per user (a regex over
+    * a journey string is order-total; the state machine inherits it).
+    */
+  def sequenceMatchStream(events: Dataset[Ev]): Dataset[Conversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SeqState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SeqState(0, 0L))
+          var out = List.empty[Conversion]
+          evs.foreach { e =>
+            st = e.event_type match {
+              case "error" => st.copy(stage = 0)
+              case "view" if st.stage == 0 => st.copy(stage = 1)
+              case "click" if st.stage == 1 => st.copy(stage = 2)
+              case "purchase" if st.stage == 2 =>
+                out ::= Conversion(userId, st.n + 1,
+                  Math.floorDiv(e.ts.getTime, 1000L))
+                SeqState(0, st.n + 1)
+              case _ => st
+            }
+          }
+          state.update(st)
+          out.reverseIterator
+      }
+  }
+
   /** Streaming SCD2 history build — the incremental twin of the batch
     * gaps-and-islands query (EventQueries.qScd2): per user, track the
     * OPEN run of unchanged event_type in mapGroups state; when a

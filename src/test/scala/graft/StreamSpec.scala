@@ -432,6 +432,56 @@ class StreamSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) > 0))
   }
 
+  test("sequenceMatchStream: state machine equals the batch lazy regex, " +
+      "conversions span batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val types = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase",
+      'e' -> "error", 's' -> "signup")
+    def journey(user: Long, s: String, base: Long): Seq[Streams.Ev] =
+      s.zipWithIndex.map { case (ch, i) =>
+        Streams.Ev(base + i, new java.sql.Timestamp(1700000000000L + i * 60000L),
+          user, types(ch), 1.0) }
+    // user 1: v c | p v c p  — first conversion COMPLETES across the
+    // batch boundary; 2 total. user 2: v c e p → 0.
+    val u1 = journey(1, "vcpvcp", 100)
+    val u2 = journey(2, "vcep", 200)
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.sequenceMatchStream(ms.toDS())
+      .writeStream.format("memory").queryName("seqm")
+      .outputMode("append").start()
+    try {
+      ms.addData(u1.take(2) ++ u2.take(2)); q.processAllAvailable()
+      ms.addData(u1.drop(2) ++ u2.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("seqm").orderBy("user_id", "n_conversion").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 1L), (1L, 2L)))
+    // corpus parity: replay the real events table in two halves; the
+    // per-user max counter must equal the batch twin's regex count
+    val evs = graft.util.Tables(spark, sf).events
+      .orderBy("ts", "event_id")
+      .collect().map(r => Streams.Ev(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val ms2 = MemoryStream[Streams.Ev]
+    val q2 = Streams.sequenceMatchStream(ms2.toDS())
+      .writeStream.format("memory").queryName("seqm2")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      ms2.addData(h1.toSeq); q2.processAllAvailable()
+      ms2.addData(h2.toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.table("seqm2").groupBy("user_id")
+      .agg(max("n_conversion").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.queries.EventQueries.qSequenceMatch(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+      .filter(_._2 > 0).toMap
+    assert(streamed === batch,
+      "streaming conversion counts must equal the batch regex twin")
+  }
+
   test("multiSink: checkpointed restart resumes exactly-once, no batch replayed") {
     import spark.implicits._
     import java.nio.file.Files
