@@ -191,6 +191,80 @@ object SimQueries {
        |WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Ranking-quality evaluation: NDCG@k of the exact kNN ranking with
+    * label-match as graded relevance — the "are these neighbors USEFUL"
+    * metric beside knn_classify's accuracy (NDCG rewards putting the
+    * same-label neighbors early, not just retrieving them). Float
+    * parity is engineered the usual way: the per-rank discount
+    * 1∕log2(r+1) is quantized to integer MICRO-units, so DCG and the
+    * ideal DCG are exact integer sums and only the final ratio is a
+    * float (identical operand bits both engines, rounded to 6).
+    */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val labels = e.select(col("vec_id"), col("label"))
+    val g = Knn.brute(e.filter(col("vec_id") < NQueries), e,
+      "vec_id", "embedding", K)
+    val w = floor(lit(1000000.0) / log2(col("rank") + 1) + lit(0.5))
+    val scored = g
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))), "query_id")
+      .select(col("query_id"),
+        when(col("n_label") === col("q_label"), 1L).otherwise(0L).as("rel"),
+        w.as("w"))
+    scored.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(col("rel") * col("w")).as("dcg_micro"))
+      .withColumn("idcg_micro", when(col("n_rel") === 0, 0L)
+        .otherwise(aggregate(sequence(lit(1), col("n_rel").cast("int")),
+          lit(0L), (acc, r) =>
+            acc + floor(lit(1000000.0) / log2(r + 1) + lit(0.5)))))
+      .select(col("query_id"), col("n_rel"), col("dcg_micro"),
+        col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          round(col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double"), 6)).otherwise(0.0).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  val qNdcgSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |g AS (
+       |  SELECT query_id, rank, n_label, q_label FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      c.label AS n_label, q.label AS q_label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |                i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+       |              (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+       |    FROM n q, n c
+       |    WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $K),
+       |agg AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel,
+       |    CAST(sum((CASE WHEN n_label = q_label THEN 1 ELSE 0 END) *
+       |      floor(1000000.0 / log2(rank + 1) + 0.5)::BIGINT) AS BIGINT)
+       |      AS dcg_micro
+       |  FROM g GROUP BY query_id)
+       |SELECT query_id, n_rel, dcg_micro, idcg_micro,
+       |  CASE WHEN idcg_micro > 0
+       |       THEN round(dcg_micro::DOUBLE / idcg_micro::DOUBLE, 6)
+       |       ELSE 0.0 END AS ndcg
+       |FROM (
+       |  SELECT agg.*,
+       |    coalesce(CAST(list_sum(list_transform(range(1, n_rel + 1),
+       |      r -> floor(1000000.0 / log2(r + 1) + 0.5)::BIGINT)) AS BIGINT), 0)
+       |      AS idcg_micro
+       |  FROM agg)
+       |ORDER BY query_id""".stripMargin
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query, the top-k most similar vectors whose LABEL DIFFERS (the
     * high-cos wrong-class examples a dual-encoder trains against;
@@ -677,6 +751,7 @@ object SimQueries {
     "knn_hamming" -> (knnHamming _),
     "knn_hard_negatives" -> (knnHardNegatives _),
     "knn_hamming_rerank" -> (knnHammingRerank _),
+    "q_ndcg" -> (qNdcg _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
@@ -695,6 +770,7 @@ object SimQueries {
     "knn_hamming" -> knnHammingSql,
     "knn_hard_negatives" -> knnHardNegativesSql,
     "knn_hamming_rerank" -> knnHammingRerankSql,
+    "q_ndcg" -> qNdcgSql,
     "knn_graph" -> knnGraphSql,
     "emb_centroids" -> embCentroidsSql)
 }
