@@ -713,7 +713,47 @@ object Relational {
        |ORDER BY lift DESC, part_a, part_b
        |LIMIT 100""".stripMargin
 
+  /** Month-over-month revenue growth — the reporting staple: monthly
+    * revenue summed in integer CENTS (exact, order-free), previous
+    * month via lag over the month-level table (tiny: calendar-bounded
+    * cardinality, like q_wau's day table), growth = one float division
+    * on identical integer operands, rounded to 4.
+    */
+  def qMom(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(s, dir).orders
+      .select(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_s"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("month_s"))
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_orders"))
+    monthly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(
+        Window.orderBy(col("month_s"))))
+      .select(col("month_s"), col("n_orders"), col("rev_cents"),
+        when(col("prev_cents") > 0,
+          round((col("rev_cents") - col("prev_cents")).cast("double") /
+            col("prev_cents").cast("double"), 4)).as("mom_growth"))
+      .orderBy(col("month_s"))
+  }
+
+  val qMomSql: String =
+    """SELECT month_s, n_orders, rev_cents,
+      |  CASE WHEN prev_cents > 0
+      |       THEN round((rev_cents - prev_cents)::DOUBLE
+      |                  / prev_cents::DOUBLE, 4) END AS mom_growth
+      |FROM (
+      |  SELECT month_s, n_orders, rev_cents,
+      |    lag(rev_cents) OVER (ORDER BY month_s) AS prev_cents
+      |  FROM (
+      |    SELECT floor(epoch(date_trunc('month', o_orderdate)))::BIGINT
+      |             AS month_s,
+      |      CAST(sum(round(o_totalprice * 100)::BIGINT) AS BIGINT)
+      |        AS rev_cents,
+      |      count(*) AS n_orders
+      |    FROM orders GROUP BY 1))
+      |ORDER BY month_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mom" -> (qMom _),
     "q_basket" -> (qBasket _),
     "q_skyline" -> (qSkyline _),
     "q_rolling_range" -> (qRollingRange _),
@@ -739,6 +779,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_mom" -> qMomSql,
     "q_basket" -> qBasketSql,
     "q_skyline" -> qSkylineSql,
     "q_rolling_range" -> qRollingRangeSql,
