@@ -752,7 +752,113 @@ object Relational {
       |    FROM orders GROUP BY 1))
       |ORDER BY month_s""".stripMargin
 
+  /** One-pass table profiler — the "what is in this table" utility every
+    * engine ships (column-wise rows / nulls / exact distinct / min / max).
+    * All 6 × 4 statistics ride ONE scan: a single Aggregate whose multiple
+    * COUNT(DISTINCT) columns Catalyst plans as one Expand (×6 row fan-out,
+    * map-side, partial-aggregatable) — not six passes over the table. The
+    * single wide result row is then melted to one row per column with an
+    * `inline` (no shuffle). min/max are computed on NORMALIZED values so
+    * they render byte-identically cross-engine: BIGINTs as-is, doubles as
+    * integer cents, timestamps as epoch seconds — then cast to string
+    * AFTER aggregation (min over a string cast would be lexicographic:
+    * "9" > "10"). At 100 TB exact distinct is the honest profiler cost;
+    * the cheap alternative is approx_count_distinct (HLL, agg_sketches'
+    * machinery) which drops the Expand entirely.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    val profiled: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> round(col("o_totalprice") * 100).cast("long"),
+      "o_orderdate" -> unix_timestamp(col("o_orderdate")),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap { case (n, c) =>
+      Seq(count(c).as(s"nn_$n"), countDistinct(c).as(s"nd_$n"),
+        min(c).cast("string").as(s"mn_$n"), max(c).cast("string").as(s"mx_$n"))
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val melted = profiled.map { case (n, _) =>
+      struct(lit(n).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$n")).as("n_nulls"),
+        col(s"nd_$n").as("n_distinct"),
+        col(s"mn_$n").as("min_val"), col(s"mx_$n").as("max_val"))
+    }
+    wide.select(inline(array(melted: _*))).orderBy(col("col_name"))
+  }
+
+  val qProfileSql: String = {
+    def one(name: String, norm: String): String =
+      s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($norm) AS n_nulls,
+         |  count(DISTINCT $norm) AS n_distinct,
+         |  min($norm)::VARCHAR AS min_val, max($norm)::VARCHAR AS max_val
+         |FROM orders""".stripMargin
+    Seq(
+      one("o_orderkey", "o_orderkey"),
+      one("o_custkey", "o_custkey"),
+      one("o_orderstatus", "o_orderstatus"),
+      one("o_totalprice", "round(o_totalprice * 100)::BIGINT"),
+      one("o_orderdate", "floor(epoch(o_orderdate))::BIGINT"),
+      one("o_orderpriority", "o_orderpriority")
+    ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)\nORDER BY col_name")
+  }
+
+  /** Pearson correlation per group with ORDER-INDEPENDENT exactness: the
+    * five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * DECIMAL(38,0) over integer inputs (quantity as-is, price in cents),
+    * so partial aggregation across any partitioning is bit-reproducible —
+    * a float `corr()` would drift with partition order at 100 TB. The
+    * r formula then runs in double exactly once per GROUP (5 values),
+    * not per row: r = (nΣxy − ΣxΣy) / (√(nΣx²−Σx²ᵥ) · √(nΣy²−Σy²ᵥ)).
+    * Σy² at 100 TB overflows BIGINT (10¹⁴ per row × 10¹¹ rows) but not
+    * decimal-38; the variance PRODUCT would overflow even decimal-38, so
+    * each variance is cast to double BEFORE the sqrt-multiply. The DuckDB
+    * twin states the identical integer arithmetic over HUGEINT.
+    */
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = Tables(s, dir).lineitem.select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val sums = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(lit(1)).cast(dec).as("n_dec"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    sums.select(col("l_returnflag"), col("n"),
+        round((col("n_dec") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n_dec") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n_dec") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("pearson_r"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qCorrSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag, l_quantity::BIGINT AS x,
+      |    round(l_extendedprice * 100)::BIGINT AS y
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM b GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((n * sxy - sx * sy)::DOUBLE /
+      |    (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)),
+      |    6) AS pearson_r
+      |FROM a
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (qProfile _),
+    "q_corr" -> (qCorr _),
     "q_mom" -> (qMom _),
     "q_basket" -> (qBasket _),
     "q_skyline" -> (qSkyline _),
@@ -779,6 +885,8 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
+    "q_corr" -> qCorrSql,
     "q_mom" -> qMomSql,
     "q_basket" -> qBasketSql,
     "q_skyline" -> qSkylineSql,

@@ -209,7 +209,11 @@ object SourceQueries {
           }
         } finally fs.close()
       }
-    s.read.format("binaryFile").load(s"$out/*.bin")
+    // pathGlobFilter on the real dir, not a glob path: a glob makes the
+    // analyzer's streaming-sink probe (FileStreamSink.hasMetadata) stat
+    // a nonexistent literal path and log a scary-but-benign
+    // FileNotFoundException trace on every run
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
       .select(
         regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
           .as("doc_id"),

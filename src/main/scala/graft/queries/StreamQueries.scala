@@ -362,7 +362,45 @@ object StreamQueries {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Watermarked LEFT-OUTER stream-stream join — the stateful feature
+    * stream_stream_join's inner form can't express: clicks that never
+    * saw an error within the 5-minute window surface as null-padded
+    * rows once the watermark proves no match can still arrive (event
+    * time < watermark − 300 s). Per user: matched (click, error) pairs
+    * vs orphan clicks. This batch twin runs the identical plan API
+    * (`Streams.intervalJoin(..., joinType = "leftOuter")`); the
+    * genuine-streaming behavior — null emission gated on watermark
+    * expiry, exactly once — is pinned in StreamSpec. At 100 TB the
+    * batch form is one equi hash join on user_id with the range as a
+    * post-join filter; the streaming form holds only
+    * watermark + 300 s of state per side.
+    */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    Streams.intervalJoin(clicks, errors, "c_user", "e_user", "c_ts", "e_ts",
+        lowerSec = 0L, upperSec = 300L, joinType = "leftOuter")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(col("e_ts")).as("n_pairs"),
+        sum(when(col("e_ts").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamOuterJoinSql: String =
+    """SELECT c.user_id, count(e.ts) AS n_pairs,
+      |  sum(CASE WHEN e.ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 300 SECOND
+      |GROUP BY c.user_id
+      |ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_outer_join" -> (streamOuterJoin _),
     "stream_latest" -> (streamLatest _),
     "stream_topk" -> (streamTopk _),
     "stream_stream_join" -> (streamStreamJoin _),
@@ -377,6 +415,7 @@ object StreamQueries {
     "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_outer_join" -> streamOuterJoinSql,
     "stream_latest" -> streamLatestSql,
     "stream_topk" -> streamTopkSql,
     "stream_stream_join" -> streamStreamJoinSql,

@@ -516,14 +516,24 @@ object Streams {
     * key with the range as a post-join filter; at extreme right-side
     * cardinality per key, [[graft.ops.RangeJoin.binned]] is the
     * bucketed alternative.
+    *
+    * `joinType` extends the same plan to the OUTER family
+    * ("leftOuter" / "rightOuter" / "fullOuter"): in streaming, a left
+    * row whose match window has fully expired under the watermark
+    * (event time < watermark − upperSec) is emitted exactly once with
+    * null right columns — the "click that never converted" shape. The
+    * null side therefore arrives only as late as the watermark delay
+    * plus the window width; in batch the same call is a plain outer
+    * join with identical rows. Inner stays the default.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      lowerSec: Long, upperSec: Long): DataFrame =
+      lowerSec: Long, upperSec: Long, joinType: String = "inner"): DataFrame =
     left.join(right,
       left(leftKey) === right(rightKey) &&
         right(rightTs) >= left(leftTs) + expr(s"INTERVAL '$lowerSec' SECOND") &&
-        right(rightTs) <= left(leftTs) + expr(s"INTERVAL '$upperSec' SECOND"))
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL '$upperSec' SECOND"),
+      joinType)
 
   // ---- multi-sink fan-out ---------------------------------------------
 

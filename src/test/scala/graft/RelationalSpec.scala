@@ -107,6 +107,49 @@ class RelationalSpec extends SparkSpec {
     assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("v")))
   }
 
+  test("q_profile: one row per column, PK fully distinct, one-scan Expand plan") {
+    val rows = Relational.qProfile(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("o_custkey", "o_orderdate",
+      "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    val nRows = rows.head.getLong(1)
+    assert(nRows > 0 && rows.forall(_.getLong(1) === nRows))
+    val pk = rows.find(_.getString(0) == "o_orderkey").get
+    assert(pk.getLong(2) === 0L && pk.getLong(3) === nRows)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(3) <= nRows - r.getLong(2))
+    }
+    // min/max were aggregated on NORMALIZED numerics, not lexicographic
+    val tp = rows.find(_.getString(0) == "o_totalprice").get
+    assert(tp.getString(4).toLong <= tp.getString(5).toLong)
+    // all 24 statistics ride ONE scan: a single Expand, a single parquet scan
+    val plan = planOf(Relational.qProfile(spark, sf))
+    assert(plan.contains("Expand"), s"expected Expand fan-out in:\n$plan")
+    assert("Scan parquet".r.findAllMatchIn(plan).size === 1,
+      s"expected exactly one table scan in:\n$plan")
+  }
+
+  test("q_corr: r bounded by 1 and equal to an exact BigInt driver replay") {
+    val rows = Relational.qCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    val data = graft.util.Tables(spark, sf).lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+    val n = BigInt(data.length)
+    val sx = data.map(_._1).sum; val sy = data.map(_._2).sum
+    val sxy = data.map(p => p._1 * p._2).sum
+    val sxx = data.map(p => p._1 * p._1).sum
+    val syy = data.map(p => p._2 * p._2).sum
+    val r = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    val expect = BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_.getString(0) == "R").get.getDouble(2)
+    assert(got === expect)
+  }
+
   test("q_cube: margins are consistent with the detail cells") {
     val rows = Relational.qCube(spark, sf).collect()
       .map(r => (r.getLong(0),

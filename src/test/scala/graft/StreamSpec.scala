@@ -414,6 +414,68 @@ class StreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("intervalJoin leftOuter: orphan emits null-padded only after watermark expiry") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // user 1: click with an error inside the 5-min window (matched);
+    // user 2: click with NO error — its null-padded row may only emit
+    // once the watermark proves no match can still arrive.
+    val clicks = Seq(ev(1, 0, 1), ev(2, 0, 2))
+    val errors = Seq(ev(10, 2, 1, "error"))
+    def shape(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("user_id").as(s"${side}_user"), col("ts").as(s"${side}_ts"))
+    val msC = MemoryStream[Ev]; val msE = MemoryStream[Ev]
+    val sc = shape(msC.toDS().toDF(), "c").withWatermark("c_ts", "1 minute")
+    val se = shape(msE.toDS().toDF(), "e").withWatermark("e_ts", "1 minute")
+    val q = Streams.intervalJoin(sc, se, "c_user", "e_user", "c_ts", "e_ts",
+        0L, 300L, joinType = "leftOuter")
+      .writeStream.format("memory").queryName("ivjlo").outputMode("append").start()
+    try {
+      msC.addData(clicks); msE.addData(errors)
+      q.processAllAvailable()
+      // watermark hasn't passed t0 + 300 s yet: the orphan must be held
+      assert(spark.table("ivjlo").filter(col("c_user") === 2L).count() === 0L)
+      // sentinels far ahead on BOTH sides push the watermark past expiry
+      msC.addData(Seq(ev(98, 1000, 9998)))
+      msE.addData(Seq(ev(99, 1000, 9999, "error")))
+      q.processAllAvailable()
+      // exactly once, not once per subsequent batch
+      msC.addData(Seq(ev(97, 1001, 9998)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("ivjlo").filter(col("c_user") === 2L).count() === 1L)
+    val streamed = spark.table("ivjlo").filter(col("c_user") < 100L)
+      .select("c_user", "e_ts").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+    val batch = Streams.intervalJoin(
+        shape(clicks.toDF(), "c"), shape(errors.toDF(), "e"),
+        "c_user", "e_user", "c_ts", "e_ts", 0L, 300L, joinType = "leftOuter")
+      .select("c_user", "e_ts").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+    assert(batch === Set((1L, Some(errors.head.ts)), (2L, None)))
+    assert(streamed === batch)
+  }
+
+  test("stream_outer_join: orphan counts agree with inner-join complement") {
+    import org.apache.spark.sql.functions._
+    val outer = StreamQueries.streamOuterJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(outer.nonEmpty)
+    // users with pairs in the INNER join must show the same pair count
+    val inner = StreamQueries.streamStreamJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inner.foreach { case (u, n) => assert(outer(u)._1 === n) }
+    // every click-owning user appears; orphans only where no pair exists
+    val clickUsers = graft.util.Tables(spark, sf).events
+      .filter(col("event_type") === "click")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(outer.keySet === clickUsers)
+    outer.foreach { case (u, (pairs, orphans)) =>
+      assert(pairs > 0L || orphans > 0L)
+      if (!inner.contains(u)) assert(pairs === 0L)
+    }
+  }
+
   test("stream_topk: at most 3 per window, counts non-increasing by rank") {
     val rows = StreamQueries.streamTopk(spark, sf).collect()
     assert(rows.nonEmpty)
