@@ -151,6 +151,69 @@ object Multimodal {
     }
   }
 
+  /** Frame-level audio features of one clip — the speech-pipeline
+    * preprocessing shape (VAD / segmentation gates on exactly these):
+    * per 20 ms frame energy Σs² and clip-level zero crossings, all
+    * INTEGER arithmetic so results are partition- and order-exact.
+    * `rms_q` is the integer-quantized clip RMS ⌊√(Σs²∕n)⌋ (Σs² ≤
+    * n·2³⁰ keeps every intermediate well inside Long, and Σs²∕n
+    * < 2⁵³ makes the Long→Double conversion exact, so the one sqrt
+    * is reproducible bit-for-bit).
+    */
+  final case class AudioFeatures(
+      media_id: Long, sample_rate: Int, n_samples: Int, n_frames: Int,
+      zc_total: Long, energy_max: Long, energy_min: Long, rms_q: Long)
+
+  /** Analysis frame: 160 samples = 20 ms at [[WavRate]] (the standard
+    * telephony VAD hop).
+    */
+  val AudioFrameSamples = 160
+
+  /** REAL per-frame audio analysis over the wav rows: decode the PCM
+    * executor-side ([[WavCodec.decodeSamples]]) and reduce each clip to
+    * frame energies + zero crossings in one pass. Map-only — no
+    * shuffle, no driver involvement; scales linearly with partitions
+    * exactly like [[decodeFeatures]]. Frames are the COMPLETE
+    * 160-sample windows (a trailing partial frame contributes to
+    * zc_total and rms_q, which are clip-level, but not to the
+    * per-frame energy extrema). Undecodable wav payloads are dropped
+    * here rather than given fallback features: frame energies of bytes
+    * that never were samples are not degraded data, they are noise.
+    */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("format") === "wav").mapPartitions(_.flatMap { m =>
+      WavCodec.decodeSamples(m.bytes).map { case (rate, s) =>
+        val n = s.length
+        var zc = 0L
+        var sumSq = 0L
+        var i = 0
+        while (i < n) {
+          if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+          sumSq += s(i).toLong * s(i)
+          i += 1
+        }
+        val nFrames = n / AudioFrameSamples
+        var eMax = 0L
+        var eMin = Long.MaxValue
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var j = f * AudioFrameSamples
+          val end = j + AudioFrameSamples
+          while (j < end) { e += s(j).toLong * s(j); j += 1 }
+          if (e > eMax) eMax = e
+          if (e < eMin) eMin = e
+          f += 1
+        }
+        if (nFrames == 0) { eMax = 0L; eMin = 0L }
+        val rmsQ = if (n == 0) 0L else math.sqrt((sumSq / n).toDouble).toLong
+        AudioFeatures(m.media_id, rate, n, nFrames, zc, eMax, eMin, rmsQ)
+      }
+    })
+  }
+
   /** One sampled frame of a media payload. For REAL decoded frames
     * (`decoded = true`) `n_units` is the frame's pixel count and
     * `checksum` its pixel sum; for byte-window fallback frames

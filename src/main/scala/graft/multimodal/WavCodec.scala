@@ -60,6 +60,19 @@ object WavCodec {
     * Σ|sample|). None if the bytes are not decodable PCM16 audio.
     */
   def decode(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    decodeSamples(bytes).map { case (rate, s) =>
+      var acc = 0L
+      var i = 0
+      while (i < s.length) { acc += math.abs(s(i).toLong); i += 1 }
+      (s.length, rate, acc)
+    }
+
+  /** Full PCM decode: (sampleRate, signed samples) for any
+    * javax.sound-readable mono PCM16 payload — the raw material for
+    * frame-level analysis ([[Multimodal.audioFeatures]]). None if the
+    * bytes are not decodable PCM16 audio.
+    */
+  def decodeSamples(bytes: Array[Byte]): Option[(Int, Array[Int])] =
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
@@ -71,22 +84,20 @@ object WavCodec {
       else {
         val raw = ais.readAllBytes()
         val n = raw.length / 2
-        var acc = 0L
+        val out = new Array[Int](n)
         var i = 0
         if (fmt.isBigEndian) {
           while (i < n) {
-            acc += math.abs(
-              ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)).toShort.toLong)
+            out(i) = ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)).toShort.toInt
             i += 1
           }
         } else {
           while (i < n) {
-            acc += math.abs(
-              ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toLong)
+            out(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toInt
             i += 1
           }
         }
-        Some((n, fmt.getSampleRate.toInt, acc))
+        Some((fmt.getSampleRate.toInt, out))
       }
     } catch { case _: Exception => None }
 }

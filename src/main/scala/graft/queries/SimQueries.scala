@@ -516,6 +516,21 @@ object SimQueries {
         sum(col("thumb_h").cast("long")).as("sum_thumb_h"))
       .orderBy(col("format"))
 
+  /** Frame-level audio analysis over the REAL decoded wav rows: 20 ms
+    * frame energies, clip zero crossings, quantized RMS — the VAD /
+    * segmentation preprocessing pass of a speech pipeline, map-only at
+    * any scale. Rows-only by declaration (codec-backed), but
+    * SPEC-EXACT: the synthesized sample pattern is public arithmetic
+    * (WavCodec.sample), so the spec replays every clip's features
+    * independently of the codec and asserts equality — the decode
+    * proves it recovered every sample, not just a checksum.
+    */
+  def mmAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(
+        Multimodal.mediaTable(Tables(s, dir).documents))
+      .toDF()
+      .orderBy(col("media_id"))
+
   /** Frame sampling over the first 20 payloads: 4 byte-window "frames"
     * per item, per-frame size + checksum — png rows window REAL PNG
     * bytes now, so the oracle is rows-only; the partition invariant
@@ -762,6 +777,7 @@ object SimQueries {
     "emb_pq" -> (embPq _),
     "emb_centroids" -> (embCentroids _),
     "mm_meta" -> (mmMeta _),
+    "mm_audio" -> (mmAudio _),
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(

@@ -603,6 +603,38 @@ class SimSpec extends SparkSpec {
       "gif checksum sum must equal the codec-independent frame pattern sums")
   }
 
+  test("mm_audio: every clip's frame features equal the pattern replay") {
+    import graft.multimodal.{Multimodal, WavCodec}
+    val out = SimQueries.mmAudio(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val wavDocs = graft.util.Tables(spark, sf).documents
+      .select("doc_id", "n_chars").collect()
+      .filter(_.getLong(1) % 5 === 2L)
+    assert(wavDocs.nonEmpty && out.size === wavDocs.length,
+      "every wav row decodes into exactly one feature row")
+    val hop = Multimodal.AudioFrameSamples
+    wavDocs.foreach { r =>
+      val (id, nc) = (r.getLong(0), r.getLong(1))
+      val n = (256 + (nc * 3) % 512).toInt
+      val s = Array.tabulate(n)(i => WavCodec.sample(id, i))
+      var zc = 0L; var sumSq = 0L
+      for (i <- s.indices) {
+        if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+        sumSq += s(i).toLong * s(i)
+      }
+      val nf = n / hop
+      val energies = (0 until nf).map { f =>
+        (f * hop until (f + 1) * hop).map(i => s(i).toLong * s(i)).sum
+      }
+      val expect = (Multimodal.WavRate, n, nf, zc,
+        if (nf == 0) 0L else energies.max,
+        if (nf == 0) 0L else energies.min,
+        math.sqrt((sumSq / n).toDouble).toLong)
+      assert(out(id) === expect, s"clip $id features diverge from arithmetic")
+    }
+  }
+
   test("WavCodec round-trip: real javax.sound decode recovers every sample") {
     val bytes = graft.multimodal.WavCodec.synthesize(7L, 300, 8000)
     assert(bytes.length === 44 + 600, "canonical PCM16 header + data")
