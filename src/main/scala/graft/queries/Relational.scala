@@ -752,35 +752,52 @@ object Relational {
       |    FROM orders GROUP BY 1))
       |ORDER BY month_s""".stripMargin
 
-  /** One-pass table profiler — the "what is in this table" utility every
-    * engine ships (column-wise rows / nulls / exact distinct / min / max).
-    * All 6 × 4 statistics ride ONE scan: a single Aggregate whose multiple
-    * COUNT(DISTINCT) columns Catalyst plans as one Expand (×6 row fan-out,
-    * map-side, partial-aggregatable) — not six passes over the table. The
-    * single wide result row is then melted to one row per column with an
-    * `inline` (no shuffle). min/max are computed on NORMALIZED values so
-    * they render byte-identically cross-engine: BIGINTs as-is, doubles as
-    * integer cents, timestamps as epoch seconds — then cast to string
-    * AFTER aggregation (min over a string cast would be lexicographic:
-    * "9" > "10"). At 100 TB exact distinct is the honest profiler cost;
-    * the cheap alternative is approx_count_distinct (HLL, agg_sketches'
-    * machinery) which drops the Expand entirely.
+  /** Table profiler — the "what is in this table" utility every engine
+    * ships (column-wise rows / nulls / exact distinct / min / max). The
+    * fixed-width statistics ride ONE scan: a single HashAggregate whose
+    * multiple COUNT(DISTINCT) columns Catalyst plans as one Expand (×6
+    * row fan-out, map-side, partial-aggregatable) — not six passes over
+    * the table; string min/max take a second Expand-free scan (see the
+    * SortAggregate note inside). The wide result row is melted to one
+    * row per column with an `inline` (no shuffle). min/max are computed
+    * on NORMALIZED values so they render byte-identically cross-engine:
+    * BIGINTs as-is, doubles as integer cents, timestamps as epoch
+    * seconds — then cast to string AFTER aggregation (min over a string
+    * cast would be lexicographic: "9" > "10"). At 100 TB exact distinct
+    * is the honest profiler cost; the cheap alternative is
+    * approx_count_distinct (HLL, agg_sketches' machinery) which drops
+    * the Expand entirely.
     */
   def qProfile(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir).orders
-    val profiled: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-      "o_orderkey" -> col("o_orderkey"),
-      "o_custkey" -> col("o_custkey"),
-      "o_orderstatus" -> col("o_orderstatus"),
-      "o_totalprice" -> round(col("o_totalprice") * 100).cast("long"),
-      "o_orderdate" -> unix_timestamp(col("o_orderdate")),
-      "o_orderpriority" -> col("o_orderpriority"))
-    val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap { case (n, c) =>
-      Seq(count(c).as(s"nn_$n"), countDistinct(c).as(s"nd_$n"),
-        min(c).cast("string").as(s"mn_$n"), max(c).cast("string").as(s"mx_$n"))
+    val profiled: Seq[(String, org.apache.spark.sql.Column, Boolean)] = Seq(
+      ("o_orderkey", col("o_orderkey"), false),
+      ("o_custkey", col("o_custkey"), false),
+      ("o_orderstatus", col("o_orderstatus"), true),
+      ("o_totalprice", round(col("o_totalprice") * 100).cast("long"), false),
+      ("o_orderdate", unix_timestamp(col("o_orderdate")), false),
+      ("o_orderpriority", col("o_orderpriority"), true))
+    // STRING min/max carry a var-length aggregation buffer, which
+    // forces the WHOLE Aggregate to SortAggregate — and this aggregate's
+    // input is the Expand-multiplied (xN-columns) row stream, so the
+    // sort would dominate the query (measured 3x). Keep the fan-out
+    // aggregate fixed-width-only (counts, distincts, numeric extrema =
+    // HashAggregate all the way) and give the string extrema their own
+    // Expand-free pass over the raw scan; the two one-row results meet
+    // in a broadcast join that costs nothing at any scale.
+    val aggsMain = count(lit(1)).as("n_rows") +:
+      profiled.flatMap { case (n, c, isStr) =>
+        Seq(count(c).as(s"nn_$n"), countDistinct(c).as(s"nd_$n")) ++
+          (if (isStr) Nil
+           else Seq(min(c).cast("string").as(s"mn_$n"),
+             max(c).cast("string").as(s"mx_$n")))
+      }
+    val aggsStr = profiled.filter(_._3).flatMap { case (n, c, _) =>
+      Seq(min(c).as(s"mn_$n"), max(c).as(s"mx_$n"))
     }
-    val wide = o.agg(aggs.head, aggs.tail: _*)
-    val melted = profiled.map { case (n, _) =>
+    val wide = o.agg(aggsMain.head, aggsMain.tail: _*)
+      .crossJoin(broadcast(o.agg(aggsStr.head, aggsStr.tail: _*)))
+    val melted = profiled.map { case (n, _, _) =>
       struct(lit(n).as("col_name"), col("n_rows"),
         (col("n_rows") - col(s"nn_$n")).as("n_nulls"),
         col(s"nd_$n").as("n_distinct"),

@@ -107,7 +107,7 @@ class RelationalSpec extends SparkSpec {
     assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("v")))
   }
 
-  test("q_profile: one row per column, PK fully distinct, one-scan Expand plan") {
+  test("q_profile: one row per column, PK fully distinct, hash-agg Expand plan") {
     val rows = Relational.qProfile(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("o_custkey", "o_orderdate",
       "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
@@ -121,11 +121,16 @@ class RelationalSpec extends SparkSpec {
     // min/max were aggregated on NORMALIZED numerics, not lexicographic
     val tp = rows.find(_.getString(0) == "o_totalprice").get
     assert(tp.getString(4).toLong <= tp.getString(5).toLong)
-    // all 24 statistics ride ONE scan: a single Expand, a single parquet scan
+    // fixed-width stats ride one Expand fan-out kept in HashAggregate;
+    // string min/max (var-length buffers => SortAggregate) get their own
+    // Expand-free scan so the sort never sees the multiplied rows
     val plan = planOf(Relational.qProfile(spark, sf))
-    assert(plan.contains("Expand"), s"expected Expand fan-out in:\n$plan")
-    assert("Scan parquet".r.findAllMatchIn(plan).size === 1,
-      s"expected exactly one table scan in:\n$plan")
+    assert("Expand".r.findAllMatchIn(plan).size >= 1 &&
+      plan.contains("HashAggregate"), s"expected hash-agg Expand in:\n$plan")
+    assert("Scan parquet".r.findAllMatchIn(plan).size === 2,
+      s"expected the two-scan split in:\n$plan")
+    assert(!plan.split("Expand").head.contains("SortAggregate"),
+      s"string extrema must not sort the Expand-multiplied stream:\n$plan")
   }
 
   test("q_corr: r bounded by 1 and equal to an exact BigInt driver replay") {
