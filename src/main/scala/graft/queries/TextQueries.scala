@@ -867,7 +867,101 @@ object TextQueries {
        |ORDER BY score_micro DESC, doc_id
        |LIMIT $Bm25K""".stripMargin
 
+  /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher SIGIR'09, the
+    * k=60 form) — the capstone of the retrieval stack: the sparse BM25
+    * top-20 (text_bm25's exact ranking) and the dense cosine top-20
+    * (Knn.brute against probe vector 0) merge by
+    * Σ 1∕(60 + rank), which rewards appearing in BOTH lists without
+    * comparing incomparable scores. Each reciprocal is computed as
+    * round-half-up integer micro-units via pure INTEGER division —
+    * (2·10⁶ + d) div 2d for d = 60 + rank — so the fused score is
+    * exact integer arithmetic in both engines; no float enters after
+    * the two upstream rankings.
+    *
+    * Scale: both inputs are already top-k cuts (≤ 20 rows each), so
+    * everything after them — including the single-partition rank
+    * window over the 20-row BM25 result — is constant-size work; the
+    * heavy lifting lives in the upstream queries whose scale stories
+    * are their own (BM25 prunes before its only shuffle; dense top-k
+    * is the knn family's TakeOrdered/blocked paths).
+    */
+  private val RrfTopOut = 10
+
+  def textRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = textBm25(s, dir)
+      .select(col("doc_id").as("id"),
+        row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))).as("rnk"))
+    val emb = Tables(s, dir).embeddings
+    val dense = graft.sim.Knn.brute(
+        emb.filter(col("vec_id") === 0), emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", Bm25K)
+      .select(col("neighbor_id").as("id"), col("rank").as("rnk"))
+    sparse.unionByName(dense)
+      .select(col("id"),
+        expr("(2000000 + (60 + rnk)) div (2 * (60 + rnk))").as("term"))
+      .groupBy(col("id"))
+      .agg(sum(col("term")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_micro").desc, col("id"))
+      .limit(RrfTopOut)
+  }
+
+  val textRrfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       |  WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(",")})
+       |  GROUP BY doc_id, dl, term),
+       |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT count(*) AS n_docs,
+       |              CAST(sum(len($toksSql)) AS BIGINT) AS sum_dl
+       |       FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(floor(
+       |      ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+       |      * (tf::DOUBLE * 2.2)
+       |      / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE
+       |           / (sum_dl::DOUBLE / n_docs::DOUBLE)))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |  FROM tf JOIN dfv USING (term) CROSS JOIN st),
+       |bm AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+       |       FROM sc GROUP BY doc_id),
+       |sparse AS (
+       |  SELECT id, rnk FROM (
+       |    SELECT doc_id AS id,
+       |      row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+       |    FROM bm)
+       |  WHERE rnk <= $Bm25K),
+       |nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT c.vec_id AS id,
+       |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+       |          (q.nrm * c.nrm), 6) AS cos
+       |  FROM nv q, nv c
+       |  WHERE q.vec_id = 0 AND c.vec_id <> 0),
+       |dense AS (
+       |  SELECT id, rnk FROM (
+       |    SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rnk FROM p)
+       |  WHERE rnk <= $Bm25K),
+       |u AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+       |SELECT id,
+       |  CAST(sum((2000000 + (60 + rnk)) // (2 * (60 + rnk))) AS BIGINT)
+       |    AS rrf_micro,
+       |  count(*) AS n_lists
+       |FROM u GROUP BY id
+       |ORDER BY rrf_micro DESC, id
+       |LIMIT $RrfTopOut""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rrf" -> (textRrf _),
     "text_bm25" -> (textBm25 _),
     "text_cooc_pmi" -> (textCoocPmi _),
     "text_pagerank" -> (textPagerank _),
@@ -888,6 +982,7 @@ object TextQueries {
     "text_readability" -> (textReadability _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_rrf" -> textRrfSql,
     "text_bm25" -> textBm25Sql,
     "text_cooc_pmi" -> textCoocPmiSql,
     "text_pagerank" -> textPagerankSql,

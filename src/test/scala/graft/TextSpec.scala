@@ -458,6 +458,29 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._3 > 0)
   }
 
+  test("text_rrf: fused list equals an exact driver-side RRF replay") {
+    import org.apache.spark.sql.functions._
+    // sparse ranks straight off the registered BM25 top-20
+    val sparse = TextQueries.textBm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy { case (id, m) => (-m, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }
+    // dense ranks straight off the exact brute kNN for probe vector 0
+    val emb = graft.util.Tables(spark, sf).embeddings
+    val dense = graft.sim.Knn.brute(
+        emb.filter(col("vec_id") === 0), emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", 20).collect()
+      .map(r => r.getLong(2) -> r.getInt(1))
+    def term(rnk: Int): Long = (2000000L + (60 + rnk)) / (2L * (60 + rnk))
+    val fused = (sparse ++ dense).groupBy(_._1)
+      .map { case (id, rs) => (id, rs.map(r => term(r._2)).sum, rs.length.toLong) }
+      .toSeq.sortBy { case (id, m, _) => (-m, id) }.take(10)
+    val got = TextQueries.textRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === fused)
+    assert(got.nonEmpty && got.map(_._3).max <= 2L)
+  }
+
   /** Plan shape: the only nested-loop is the broadcast of the 1-row
     * corpus stats; the query-term filter sits below the first exchange
     * (pruning to |query| rows per doc BEFORE any shuffle).
