@@ -648,7 +648,209 @@ object EventQueries {
       |  GROUP BY user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Last-touch marketing attribution: every purchase is credited to
+    * the MOST RECENT prior click by the same user within a 7-day
+    * lookback, keyed by the click's campaign (the `k` prop, folded to
+    * 10 campaigns); purchases with no qualifying click land in the
+    * `-1` unattributed bucket. The reference's users run this as a
+    * mapper emitting (user, ts, kind) and a reducer walking each
+    * user's ordered history carrying the last click — here the carry
+    * is `last(_, ignoreNulls)` over ONE user_id exchange ordered by
+    * the unique (es, event_id) key (the q_asof_join / q_resample LOCF
+    * shape), and the rollup is a campaign-key partial aggregate.
+    * Revenue stays in integer cents end-to-end, so every output is
+    * exact. The campaign id is parsed with the same regex both
+    * engines run (no JSON extension dependence either side).
+    */
+  private val AttrLookbackS = 7L * 86400L
+
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"),
+        when(col("event_type") === "click",
+          pmod(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+            .cast("long"), lit(10L))).as("campaign"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = e
+      .withColumn("last_click_es",
+        last(when(col("event_type") === "click", col("es")),
+          ignoreNulls = true).over(w))
+      .withColumn("last_campaign",
+        last(when(col("event_type") === "click", col("campaign")),
+          ignoreNulls = true).over(w))
+    carried.filter(col("event_type") === "purchase")
+      .select(
+        when(col("last_click_es").isNotNull &&
+          col("es") - col("last_click_es") <= AttrLookbackS,
+          col("last_campaign")).otherwise(lit(-1L)).as("campaign"),
+        col("cents"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("campaign"))
+  }
+
+  val qAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    floor(epoch(ts))::BIGINT AS es,
+       |    CASE WHEN event_type = 'click' THEN
+       |      regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT % 10 END
+       |      AS campaign,
+       |    CASE WHEN event_type = 'purchase' THEN
+       |      round(value * 100)::BIGINT END AS cents
+       |  FROM events
+       |  WHERE event_type IN ('click', 'purchase')),
+       |carried AS (
+       |  SELECT e.*,
+       |    last_value(CASE WHEN event_type = 'click' THEN es END
+       |               IGNORE NULLS) OVER w AS last_click_es,
+       |    last_value(CASE WHEN event_type = 'click' THEN campaign END
+       |               IGNORE NULLS) OVER w AS last_campaign
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT campaign, count(*) AS n_conversions,
+       |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+       |FROM (
+       |  SELECT CASE WHEN last_click_es IS NOT NULL
+       |              AND es - last_click_es <= $AttrLookbackS
+       |         THEN last_campaign ELSE -1 END AS campaign, cents
+       |  FROM carried WHERE event_type = 'purchase')
+       |GROUP BY campaign
+       |ORDER BY campaign""".stripMargin
+
+  /** Two-sample experiment readout (Welch's t): users split into
+    * variants by `user_id % 2`, metric = per-user total purchase
+    * cents (zero for non-purchasers — every user observed in the log
+    * is an experiment subject). The five sufficient statistics
+    * accumulate as DECIMAL(38,0) over integer cents (the q_corr
+    * lesson: Σy² overflows BIGINT at 100 TB, and a float mean drifts
+    * with partition order), then ONE double formula computes
+    * t = (m̄₁−m̄₂)/√(v₁/n₁+v₂/n₂) with sample variances
+    * vᵢ = (nᵢQᵢ−Sᵢ²)/(nᵢ(nᵢ−1)). Two partial-aggregatable exchanges
+    * total (user collapse, then a 2-group collapse); the final
+    * combine is a 2-row driver-side projection.
+    */
+  def qAbtest(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perUser = Tables(s, dir).events
+      .select(col("user_id"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).as("cents"))
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("y"))
+      .select(pmod(col("user_id"), lit(2L)).as("variant"), col("y"))
+    val sums = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        count(lit(1)).cast(dec).as("n_dec"),
+        sum(col("y")).as("s"),
+        sum(col("y").cast(dec)).as("s_dec"),
+        sum((col("y") * col("y")).cast(dec)).as("q"))
+      .withColumn("var_over_n",
+        (col("n_dec") * col("q") - col("s_dec") * col("s_dec")).cast("double")
+          / (col("n_dec") * (col("n_dec") - 1)).cast("double")
+          / col("n").cast("double"))
+    val a = sums.filter(col("variant") === 0)
+    val b = sums.filter(col("variant") === 1)
+    a.crossJoin(b.select(col("n").as("n_b"), col("s").as("s_b"),
+        col("var_over_n").as("von_b")))
+      .select(col("n").as("n_a"), col("n_b"),
+        col("s").as("sum_cents_a"), col("s_b").as("sum_cents_b"),
+        round((col("s").cast("double") / col("n").cast("double")
+          - col("s_b").cast("double") / col("n_b").cast("double"))
+          / sqrt(col("var_over_n") + col("von_b")), 6).as("t_welch"))
+  }
+
+  val qAbtestSql: String =
+    """WITH pu AS (
+      |  SELECT user_id % 2 AS variant,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase'
+      |                 THEN round(value * 100)::BIGINT END), 0) AS y
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT variant, count(*) AS n, CAST(sum(y) AS BIGINT) AS s,
+      |    sum(y * y) AS q,
+      |    (count(*) * sum(y * y) - sum(y) * sum(y))::DOUBLE /
+      |      (count(*) * (count(*) - 1))::DOUBLE / count(*)::DOUBLE
+      |      AS var_over_n
+      |  FROM pu GROUP BY variant)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |  a.s AS sum_cents_a, b.s AS sum_cents_b,
+      |  round((a.s::DOUBLE / a.n::DOUBLE - b.s::DOUBLE / b.n::DOUBLE) /
+      |        sqrt(a.var_over_n + b.var_over_n), 6) AS t_welch
+      |FROM (SELECT * FROM g WHERE variant = 0) a,
+      |     (SELECT * FROM g WHERE variant = 1) b""".stripMargin
+
+  /** Rolling z-score spike detection over the per-(event_type, day)
+    * count series: each day is scored against the TRAILING 7 fully
+    * observed days (rows 7 preceding .. 1 preceding — the day under
+    * test never contaminates its own baseline). The anomaly DECISION
+    * is pure integer algebra so it cannot drift with partition order
+    * or float rounding: x−μ > 2σ ⟺ (nx−S) > 0 ∧ (nx−S)² > 4(nQ−S²),
+    * with all moments in DECIMAL(38,0) (daily counts square past
+    * BIGINT at 100 TB). The reported z = (nx−S)/√(nQ−S²) is one
+    * double division, round-6, null when the baseline is flat. One
+    * exchange on event_type; the window runs over day cardinality,
+    * not events.
+    */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables(s, dir).events
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val scored = daily
+      .withColumn("n", count(lit(1)).over(w).cast(dec))
+      .withColumn("s", sum(col("x").cast(dec)).over(w))
+      .withColumn("q", sum((col("x") * col("x")).cast(dec)).over(w))
+      .filter(col("n") === 7)
+      .withColumn("num", col("n") * col("x").cast(dec) - col("s"))
+      .withColumn("den2", col("n") * col("q") - col("s") * col("s"))
+    scored.select(col("event_type"), col("day"), col("x"),
+        when(col("den2") > 0,
+          round(col("num").cast("double") / sqrt(col("den2").cast("double")),
+            6)).as("z"),
+        (col("num") > 0 &&
+          col("num") * col("num") > col("den2") * 4).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, floor(epoch(ts) / 86400)::BIGINT AS day,
+      |    count(*) AS x
+      |  FROM events GROUP BY event_type, day),
+      |scored AS (
+      |  SELECT event_type, day, x,
+      |    count(*) OVER w AS n, sum(x) OVER w AS s,
+      |    sum(x * x) OVER w AS q
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT event_type, day, x,
+      |    n * x - s AS num, n * q - s * s AS den2
+      |  FROM scored WHERE n = 7)
+      |SELECT event_type, day, x,
+      |  CASE WHEN den2 > 0
+      |       THEN round(num::DOUBLE / sqrt(den2::DOUBLE), 6) END AS z,
+      |  num > 0 AND num * num > 4 * den2 AS is_anomaly
+      |FROM m
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
+    "q_abtest" -> (qAbtest _),
+    "q_anomaly" -> (qAnomaly _),
     "q_sequence_match" -> (qSequenceMatch _),
     "q_wau" -> (qWau _),
     "q_trend" -> (qTrend _),
@@ -663,6 +865,9 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_attribution" -> qAttributionSql,
+    "q_abtest" -> qAbtestSql,
+    "q_anomaly" -> qAnomalySql,
     "q_sequence_match" -> qSequenceMatchSql,
     "q_wau" -> qWauSql,
     "q_trend" -> qTrendSql,

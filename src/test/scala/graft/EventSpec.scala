@@ -267,4 +267,97 @@ class EventSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty && got.forall(p => p._5 <= math.min(p._3, p._4)))
   }
+
+  import EventSpec.EvP
+
+  private def evp(id: Long, minute: Long, user: Long, typ: String,
+      value: Double, k: Long = 0L): EvP =
+    EvP(id, new Timestamp(1700000000000L + minute * 60000L), user, typ,
+      value, s"""{"k": $k}""")
+
+  private def fixtureDirP(events: Seq[EvP]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_eventspec").toString
+    events.toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_attribution: last-touch, lookback expiry, tie and unattributed") {
+    val dayMin = 1440L
+    val dir = fixtureDirP(Seq(
+      // user 1: click(k=3) then two purchases → both credit campaign 3
+      evp(1, 0, 1, "click", 0.0, k = 3),
+      evp(2, 10, 1, "purchase", 5.0),
+      evp(3, 20, 1, "purchase", 1.0),
+      // user 2: purchase before any click → unattributed; then a click
+      // whose purchase lands 8 days later → outside lookback → -1
+      evp(4, 0, 2, "purchase", 2.0),
+      evp(5, 30, 2, "click", 0.0, k = 15), // campaign 15 % 10 = 5
+      evp(6, 30 + 8 * dayMin, 2, "purchase", 3.0),
+      // user 3: two clicks then purchase → LAST touch (k=17 → 7) wins
+      evp(7, 0, 3, "click", 0.0, k = 4),
+      evp(8, 5, 3, "click", 0.0, k = 17),
+      evp(9, 6, 3, "purchase", 4.0),
+      // user 4: click and purchase at the SAME timestamp — event_id
+      // order puts the click first, so it still attributes
+      evp(10, 50, 4, "click", 0.0, k = 2),
+      evp(11, 50, 4, "purchase", 6.0)))
+    val got = EventQueries.qAttribution(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (-1L, 2L, 500L),  // user2's two orphaned purchases: 200 + 300
+      (2L, 1L, 600L),
+      (3L, 2L, 600L),
+      (7L, 1L, 400L)))
+  }
+
+  test("q_abtest: Welch t matches the hand-computed value") {
+    // variant 0 (even users): cents {200, 400}; variant 1: {300, 0}
+    val dir = fixtureDirP(Seq(
+      evp(1, 0, 1, "purchase", 1.0), evp(2, 5, 1, "purchase", 2.0),
+      evp(3, 0, 3, "view", 0.0), // purchaseless user still counts as 0
+      evp(4, 0, 2, "purchase", 2.0),
+      evp(5, 0, 4, "purchase", 4.0)))
+    val r = EventQueries.qAbtest(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 600L, 300L)))
+    // m_a=300 m_b=150, var_over_n: a=(2*200000-360000)/2/2=10000,
+    // b=(2*90000-90000)/2/2=22500 → t = 150/sqrt(32500)
+    assert(math.abs(r.getDouble(4) - 0.83205) < 1e-9)
+  }
+
+  test("q_anomaly: integer decision flags spikes, flat baseline gives null z") {
+    val dayMin = 1440L
+    def burst(idBase: Long, day: Long, user: Long, typ: String, n: Int) =
+      (0 until n).map(i => evp(idBase + i, day * dayMin + i, user, typ, 1.0))
+    val evs =
+      // type "view": days 0..6 flat at 1/day, day 7 spikes to 5
+      (0L to 6L).flatMap(d => burst(100 * d, d, 1, "view", 1)) ++
+        burst(800, 7, 1, "view", 5) ++
+        // type "click": alternating 1,3 baseline, day 7 spikes to 10
+        (0L to 6L).flatMap(d =>
+          burst(1000 + 100 * d, d, 2, "click", if (d % 2 == 1) 3 else 1)) ++
+        burst(1800, 7, 2, "click", 10)
+    val dir = fixtureDirP(evs)
+    val got = EventQueries.qAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got.size === 2, "only day 7 has a full 7-day baseline")
+    val view = got.find(_._1 == "view").get
+    assert(view._3 === 5L && view._4.isNaN && view._5,
+      "flat baseline: null z but the integer decision still fires")
+    val click = got.find(_._1 == "click").get
+    // num = 7*10-13 = 57, den2 = 7*31-169 = 48 → z = 57/sqrt(48)
+    assert(click._3 === 10L && click._5)
+    assert(math.abs(click._4 - BigDecimal(57.0 / math.sqrt(48.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+}
+
+object EventSpec {
+  /** Event with a props payload, for the attribution fixture. */
+  final case class EvP(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
 }
