@@ -576,7 +576,103 @@ object DedupQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Tracking query parameters stripped by [[dedupUrl]]'s canonicalizer
+    * (the same regex runs in the oracle).
+    */
+  private val UrlTrackerParam = "^(utm_[^=]*|fbclid|gclid)="
+
+  /** URL canonicalization dedup — the crawl-frontier/WARC dedup that
+    * runs BEFORE any content fetch: the same page arrives spelled many
+    * ways (host case, default ports, http vs https, trailing slash,
+    * tracking params, param order, fragments) and each spelling must
+    * fold to one canonical key. The corpus has no URL column, so the
+    * query injects a deterministic per-doc URL (the text_pii_scrub
+    * move): doc_id picks a page (doc_id mod 97) and one of four
+    * spellings of it (doc_id mod 4), and the canonicalizer must fold
+    * all four. Rules (each a documented crawler policy): lowercase
+    * host, strip :80/:443, fold scheme to https, strip trailing path
+    * slash, drop the fragment, drop utm_&#42;, fbclid and gclid params, sort
+    * surviving params. All native regexp/array expressions — the split
+    * param array is bound to its own column before the HOF filter
+    * consumes it (the r1 lesson), and the per-URL work is map-side;
+    * the only exchange is the final canonical-key aggregate.
+    */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val page = pmod(col("doc_id"), lit(97L))
+    val v = pmod(col("doc_id"), lit(4L))
+    val url = when(v === 0,
+        concat(lit("https://Example.COM:443/page/"), page, lit("?b=2&a=1#top")))
+      .when(v === 1,
+        concat(lit("https://example.com/page/"), page, lit("/?a=1&b=2")))
+      .when(v === 2,
+        concat(lit("http://example.com:80/page/"), page,
+          lit("?a=1&utm_source=news&b=2")))
+      .otherwise(
+        concat(lit("https://example.com/page/"), page,
+          lit("?a=1&gclid=x"), col("doc_id"), lit("&b=2")))
+    val host = regexp_replace(
+      lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)),
+      ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val parsed = Tables(s, dir).documents
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"), host.as("host"), path.as("path"),
+        split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&").as("params"))
+      .withColumn("kept", array_sort(filter(col("params"),
+        p => p =!= "" && !p.rlike(UrlTrackerParam))))
+    parsed
+      .select(col("doc_id"), col("url"),
+        concat(lit("https://"), col("host"), col("path"),
+          when(size(col("kept")) > 0,
+            concat(lit("?"), array_join(col("kept"), "&")))
+            .otherwise(lit(""))).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_spellings"))
+      .orderBy(col("canonical_url"))
+  }
+
+  val dedupUrlSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN 'https://Example.COM:443/page/' || (doc_id % 97)
+       |                  || '?b=2&a=1#top'
+       |      WHEN 1 THEN 'https://example.com/page/' || (doc_id % 97)
+       |                  || '/?a=1&b=2'
+       |      WHEN 2 THEN 'http://example.com:80/page/' || (doc_id % 97)
+       |                  || '?a=1&utm_source=news&b=2'
+       |      ELSE 'https://example.com/page/' || (doc_id % 97)
+       |           || '?a=1&gclid=x' || doc_id || '&b=2' END AS url
+       |  FROM documents),
+       |parsed AS (
+       |  SELECT doc_id, url,
+       |    regexp_replace(lower(regexp_extract(url,
+       |      '^[a-zA-Z]+://([^/?#]+)', 1)), ':(80|443)$$', '') AS host,
+       |    regexp_replace(regexp_extract(url,
+       |      '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') AS path,
+       |    list_sort(list_filter(
+       |      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '$UrlTrackerParam')))
+       |      AS kept
+       |  FROM u),
+       |canon AS (
+       |  SELECT doc_id, url,
+       |    'https://' || host || path ||
+       |      CASE WHEN len(kept) > 0
+       |           THEN '?' || array_to_string(kept, '&') ELSE '' END
+       |      AS canonical_url
+       |  FROM parsed)
+       |SELECT canonical_url, min(doc_id) AS keep_id,
+       |  count(*) AS n_docs, count(DISTINCT url) AS n_spellings
+       |FROM canon GROUP BY canonical_url
+       |ORDER BY canonical_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> (dedupUrl _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_paragraph" -> (dedupParagraph _),
@@ -596,6 +692,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_url" -> dedupUrlSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_source_matrix" -> dedupSourceMatrixSql,
     "dedup_paragraph" -> dedupParagraphSql,

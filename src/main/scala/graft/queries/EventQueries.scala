@@ -664,8 +664,12 @@ object EventQueries {
     */
   private val AttrLookbackS = 7L * 86400L
 
-  def qAttribution(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir).events
+  /** The click/purchase projection under q_attribution, factored out so
+    * the streaming twin's parity spec consumes the IDENTICAL parsing
+    * (campaign regex, cents rounding, epoch truncation).
+    */
+  def attributionEvents(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("es"),
@@ -674,6 +678,9 @@ object EventQueries {
             .cast("long"), lit(10L))).as("campaign"),
         when(col("event_type") === "purchase",
           round(col("value") * 100).cast("long")).as("cents"))
+
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = attributionEvents(s, dir)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("es"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -960,7 +960,99 @@ object TextQueries {
        |ORDER BY rrf_micro DESC, id
        |LIMIT $RrfTopOut""".stripMargin
 
+  /** Corpus vocabulary floor for [[textJsd]]: only words the corpus as
+    * a whole uses at least this often enter the distributions (and the
+    * totals renormalize over that vocabulary). This is how production
+    * drift monitors bound the comparison vocabulary — the heavy tail of
+    * hapaxes is noise for a distribution distance and would make the
+    * source×vocab grid scale with corpus size instead of vocab size.
+    */
+  private val JsdMinCorpusCount = 5L
+
+  /** Per-source distribution drift: Jensen-Shannon divergence between
+    * each source's unigram distribution P and the corpus distribution Q
+    * — the "did this crawl/snapshot shift under me" monitor run before
+    * mixing sources into a training corpus (JSD rather than KL: finite
+    * even where a source misses corpus words, symmetric-bounded [0,1]
+    * bit). Plan: ONE tokenize+count exchange on (source, word) feeds
+    * everything — corpus counts and source totals are partial
+    * re-aggregations of it, and the grid is the vocab-scale count table
+    * cross-joined with the broadcast config-scale source-totals row set
+    * (map-side fan-out, no corpus rescan). Each word's JSD contribution
+    * 0.5·p·log2(2p∕(p+q)) + 0.5·q·log2(2q∕(p+q)) is quantized to
+    * integer MICRO-bits before the per-source sum (the text_entropy
+    * move), so the result is exact across engines, partitionings and
+    * accumulation orders; p and q are ratios of exact integer counts.
+    */
+  def textJsd(s: SparkSession, dir: String): DataFrame = {
+    val sw = Tables(s, dir).documents
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    try {
+      val vocab = sw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+        .filter(col("cw") >= JsdMinCorpusCount)
+        .localCheckpoint(false)
+      try {
+        val t = vocab.agg(sum(col("cw"))).collect()(0).getLong(0)
+        val ts = sw.join(vocab.select(col("w")), "w")
+          .groupBy(col("source")).agg(sum(col("c")).as("tsrc"))
+        val grid = vocab.crossJoin(broadcast(ts))
+          .join(sw, Seq("source", "w"), "left")
+          .select(col("source"), col("tsrc"),
+            coalesce(col("c"), lit(0L)).as("c"), col("cw"))
+        val p = col("c").cast("double") / col("tsrc").cast("double")
+        val q = col("cw").cast("double") / lit(t.toDouble)
+        val micro = floor(
+          (when(col("c") > 0,
+            lit(0.5) * p * log2(lit(2.0) * p / (p + q)))
+            .otherwise(lit(0.0))
+            + lit(0.5) * q * log2(lit(2.0) * q / (p + q))) * 1e6 + 0.5)
+          .cast("long")
+        grid.select(col("source"), col("tsrc"), micro.as("micro"))
+          .groupBy(col("source"))
+          .agg(max(col("tsrc")).as("n_tokens"),
+            round(sum(col("micro")).cast("double") / 1e6, 6).as("jsd"))
+          .orderBy(col("source"))
+          .localCheckpoint(true)
+      } finally graft.util.Caches.release(vocab)
+    } finally graft.util.Caches.release(sw)
+  }
+
+  val textJsdSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest($toksSql) AS w FROM documents),
+       |sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+       |v AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY w
+       |      HAVING sum(c) >= $JsdMinCorpusCount),
+       |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS t FROM v),
+       |tsrc AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS tsrc
+       |  FROM sw JOIN v USING (w) GROUP BY source),
+       |grid AS (
+       |  SELECT tsrc.source, tsrc.tsrc, v.cw, tot.t,
+       |    coalesce(sw.c, 0) AS c
+       |  FROM v CROSS JOIN tsrc CROSS JOIN tot
+       |  LEFT JOIN sw ON sw.source = tsrc.source AND sw.w = v.w),
+       |term AS (
+       |  SELECT source, tsrc,
+       |    floor(((CASE WHEN c > 0 THEN
+       |        0.5 * (c::DOUBLE / tsrc::DOUBLE)
+       |          * log2(2.0 * (c::DOUBLE / tsrc::DOUBLE)
+       |            / ((c::DOUBLE / tsrc::DOUBLE) + (cw::DOUBLE / t::DOUBLE)))
+       |        ELSE 0.0 END)
+       |      + 0.5 * (cw::DOUBLE / t::DOUBLE)
+       |        * log2(2.0 * (cw::DOUBLE / t::DOUBLE)
+       |          / ((c::DOUBLE / tsrc::DOUBLE) + (cw::DOUBLE / t::DOUBLE))))
+       |      * 1e6 + 0.5)::BIGINT AS micro
+       |  FROM grid)
+       |SELECT source, max(tsrc) AS n_tokens,
+       |  round(sum(micro)::DOUBLE / 1e6, 6) AS jsd
+       |FROM term GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_jsd" -> (textJsd _),
     "text_rrf" -> (textRrf _),
     "text_bm25" -> (textBm25 _),
     "text_cooc_pmi" -> (textCoocPmi _),
@@ -982,6 +1074,7 @@ object TextQueries {
     "text_readability" -> (textReadability _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_jsd" -> textJsdSql,
     "text_rrf" -> textRrfSql,
     "text_bm25" -> textBm25Sql,
     "text_cooc_pmi" -> textCoocPmiSql,

@@ -270,6 +270,73 @@ object Streams {
       }
   }
 
+  /** One click-or-purchase event as consumed by [[attributionStream]]:
+    * pre-projected (campaign parsed, revenue in integer cents, event
+    * time in epoch seconds) — the parity spec builds these from the
+    * SAME projection the batch twin `EventQueries.qAttribution` uses,
+    * so the two paths cannot parse differently.
+    */
+  final case class AttrEv(event_id: Long, es: Long, user_id: Long,
+      is_click: Boolean, campaign: Long, cents: Long)
+
+  /** Last-click carry state for [[attributionStream]]: 24 bytes per
+    * user with any history. clickEs = −1 until the first click.
+    */
+  final case class AttrState(clickEs: Long, campaign: Long, lastEs: Long)
+
+  /** One attributed purchase emitted by [[attributionStream]]. */
+  final case class AttrRow(user_id: Long, event_id: Long, campaign: Long,
+      cents: Long)
+
+  /** Streaming last-touch attribution — the incremental twin of
+    * `q_attribution`: state is the last click per user, and each
+    * purchase emits its credited campaign the moment it arrives
+    * instead of waiting for the batch recompute (the rollup over the
+    * emitted rows is then an ordinary windowless aggregate). Semantics
+    * match the batch plan exactly: events sort by (es, event_id)
+    * within a batch (a same-second click with a smaller event_id still
+    * attributes), a purchase outside `lookbackS` or before any click
+    * credits campaign −1.
+    *
+    * '''Delivery contract''' (same as scd2Stream/resampleStream): per
+    * user, batches must not regress in event time — cross-batch late
+    * events (strictly older than the carried frontier) are dropped and
+    * counted in `droppedLate`, and for equal-second events the
+    * event_id order must not split across batches; the batch query is
+    * the reconciliation path.
+    */
+  def attributionStream(events: Dataset[AttrEv],
+      lookbackS: Long = 7L * 86400L,
+      droppedLate: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[AttrRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[AttrEv], state: GroupState[AttrState]) =>
+          val evs = it.toSeq.sortBy(e => (e.es, e.event_id))
+          var out = List.empty[AttrRow]
+          var st = state.getOption.getOrElse(
+            AttrState(-1L, -1L, Long.MinValue))
+          evs.foreach { e =>
+            if (e.es < st.lastEs) droppedLate.foreach(_.add(1L))
+            else if (e.is_click) st = AttrState(e.es, e.campaign, e.es)
+            else {
+              val camp =
+                if (st.clickEs >= 0 && e.es - st.clickEs <= lookbackS)
+                  st.campaign
+                else -1L
+              out ::= AttrRow(userId, e.event_id, camp, e.cents)
+              st = st.copy(lastEs = math.max(st.lastEs, e.es))
+            }
+          }
+          state.update(st)
+          out.reverseIterator
+      }
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState with event-time
     * timeout: state = the open session per user; a session closes (and
     * is emitted) when the watermark passes last-event + gap. The same

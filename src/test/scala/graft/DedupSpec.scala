@@ -597,4 +597,39 @@ class DedupSpec extends SparkSpec {
     assert(nFps > 0 && nFps < nGrams,
       s"winnowing must select a strict subset: $nFps vs $nGrams grams")
   }
+
+  test("dedup_url: all four spellings of one page fold to one canonical key") {
+    import spark.implicits._
+    // ids ≡ 3 (mod 97): pages match; 97 ≡ 1 (mod 4) walks the variants
+    val dir = java.nio.file.Files.createTempDirectory("graft_url").toString
+    Seq(3L, 100L, 197L, 294L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.dedupUrl(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("https://example.com/page/3?a=1&b=2", 3L, 4L, 4L)))
+  }
+
+  test("dedup_url: corpus conservation, canonical form, spelling fold") {
+    val ids = graft.util.Tables(spark, sf).documents
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val got = DedupQueries.dedupUrl(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._3).sum === ids.length.toLong,
+      "every doc lands in exactly one canonical group")
+    assert(got.length === ids.map(_ % 97).distinct.length,
+      "one group per injected page")
+    val canonicalForm = "^https://example\\.com/page/\\d+\\?a=1&b=2$".r
+    assert(got.forall(g => canonicalForm.findFirstIn(g._1).isDefined),
+      "no scheme/host-case/port/slash/tracker residue may survive")
+    // n_spellings can exceed 4: the gclid variant embeds doc_id, so
+    // every v3 member of a page is its own spelling
+    assert(got.exists(_._4 >= 2) && got.forall(g => g._4 >= 1 && g._4 <= g._3),
+      "groups really fold multiple spellings")
+    got.foreach { g =>
+      val page = "/page/(\\d+)".r.findFirstMatchIn(g._1).get.group(1).toLong
+      assert(g._2 === ids.filter(_ % 97 == page).min,
+        s"keep_id must be the min doc_id of the page's members: $g")
+    }
+  }
 }

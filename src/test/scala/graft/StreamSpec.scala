@@ -198,6 +198,91 @@ class StreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("attributionStream: cross-batch last-click carry, lookback expiry, " +
+      "unattributed bucket") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import Streams.AttrEv
+    val day = 86400L
+    // user 1: click(campaign 3) in batch 1; batch 2's first purchase
+    // attributes to it, the second lands 8 days out → outside the
+    // 7-day lookback → -1. user 2: purchase before any click → -1.
+    val batch1 = Seq(
+      AttrEv(1, 1000, 1, is_click = true, campaign = 3, cents = 0),
+      AttrEv(10, 1000, 2, is_click = false, campaign = -1, cents = 200))
+    val batch2 = Seq(
+      AttrEv(2, 1600, 1, is_click = false, campaign = -1, cents = 500),
+      AttrEv(3, 1000 + 8 * day, 1, is_click = false, campaign = -1,
+        cents = 300))
+    val ms = MemoryStream[AttrEv]
+    val q = Streams.attributionStream(ms.toDS())
+      .writeStream.format("memory").queryName("attrs")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attrs").orderBy("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 3L, 500L),
+      (1L, 3L, -1L, 300L),
+      (2L, 10L, -1L, 200L)))
+  }
+
+  test("attributionStream: cross-batch late purchase is dropped and counted") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import Streams.AttrEv
+    val late = spark.sparkContext.longAccumulator("attr_dropped_late")
+    val batch1 = Seq(
+      AttrEv(1, 2000, 1, is_click = true, campaign = 5, cents = 0))
+    val batch2 = Seq(
+      AttrEv(2, 1000, 1, is_click = false, campaign = -1, cents = 100),
+      AttrEv(3, 3000, 1, is_click = false, campaign = -1, cents = 700))
+    val ms = MemoryStream[AttrEv]
+    val q = Streams.attributionStream(ms.toDS(), droppedLate = Some(late))
+      .writeStream.format("memory").queryName("attrlate")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attrlate").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 3L, 5L, 700L)),
+      "the stale purchase must not emit (its campaign would be wrong)")
+    assert(late.value === 1L, s"late counter ${late.value}")
+  }
+
+  test("attributionStream rollup agrees with q_attribution on the real corpus") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    import Streams.AttrEv
+    val proj = graft.queries.EventQueries.attributionEvents(spark, sf)
+      .select(col("event_id"), col("es"), col("user_id"),
+        (col("event_type") === "click").as("is_click"),
+        coalesce(col("campaign"), lit(-1L)).as("campaign"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .as[AttrEv].collect().toSeq
+    val ms = MemoryStream[AttrEv]
+    ms.addData(proj)
+    val q = Streams.attributionStream(ms.toDS())
+      .writeStream.format("memory").queryName("attrcorpus")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attrcorpus")
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("cents")).as("rev"))
+      .orderBy(col("campaign")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.queries.EventQueries.qAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionizeStream: closed sessions match batch sessionization") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

@@ -494,4 +494,53 @@ class TextSpec extends SparkSpec {
     val exchIdx = plan.indexOf("Exchange")
     assert(filtIdx >= 0 && exchIdx >= 0)
   }
+
+  test("text_jsd: a single-source corpus has exactly zero divergence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsd").toString
+    // one source ⇒ P ≡ Q for every word ⇒ every per-word contribution
+    // is log2(1) = 0 before quantization — the result must be EXACTLY 0
+    (0 until 10).map(i => (s"alpha beta gamma alpha beta", "web"))
+      .toDF("text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.textJsd(spark, dir).collect()
+    assert(got.length === 1)
+    assert(got(0).getString(0) === "web")
+    assert(got(0).getLong(1) === 50L)
+    assert(got(0).getDouble(2) === 0.0)
+  }
+
+  test("text_jsd: exact match vs a driver-side replay on the corpus") {
+    val docs = graft.util.Tables(spark, sf).documents
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    val sw = docs.flatMap { case (src, toks) => toks.map((src, _)) }
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val vocab = sw.groupBy(_._1._2).map { case (w, m) => (w, m.values.sum) }
+      .filter(_._2 >= 5L)
+    val t = vocab.values.sum.toDouble
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val expected = docs.map(_._1).distinct.sorted.map { src =>
+      // keysIterator, NOT keys.map: mapping a key SET to counts would
+      // deduplicate equal counts before the sum
+      val ts = vocab.keysIterator.map(w => sw.getOrElse((src, w), 0L)).sum
+      val micro = vocab.toSeq.map { case (w, cw) =>
+        val c = sw.getOrElse((src, w), 0L)
+        val p = c.toDouble / ts.toDouble
+        val q = cw.toDouble / t
+        val half =
+          (if (c > 0) 0.5 * p * log2(2.0 * p / (p + q)) else 0.0) +
+            0.5 * q * log2(2.0 * q / (p + q))
+        math.floor(half * 1e6 + 0.5).toLong
+      }.sum
+      (src, ts,
+        BigDecimal(micro.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextQueries.textJsd(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._3 > 0.0), "real sources must actually diverge")
+  }
 }
