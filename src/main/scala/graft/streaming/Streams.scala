@@ -337,6 +337,85 @@ object Streams {
       }
   }
 
+  /** Rolling-baseline state for [[anomalyStream]]: the last (up to) 7
+    * CLOSED days' counts per event type plus the open day. Constant
+    * size — two 7-slot arrays and two longs per event type.
+    */
+  final case class AnomState(days: Array[Long], xs: Array[Long],
+      openDay: Long, openX: Long)
+
+  /** One scored day emitted by [[anomalyStream]] — the q_anomaly row
+    * shape (z is null when the trailing baseline is flat).
+    */
+  final case class AnomRow(event_type: String, day: Long, x: Long,
+      z: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming rolling z-score spike detection — the incremental twin
+    * of `q_anomaly`: per event type the state carries the trailing 7
+    * CLOSED daily counts (the rows −7..−1 baseline of the batch
+    * window) and the open day's running count; a day is scored and
+    * emitted the moment a newer day's first event closes it, using
+    * exactly the batch decision algebra — x−μ > 2σ ⟺ nx−S > 0 ∧
+    * (nx−S)² > 4(nQ−S²) in exact integer arithmetic (BigInt here:
+    * Σx² squares past Long at production daily volumes, matching the
+    * batch plan's DECIMAL(38,0) moments) — and one double division
+    * for the reported z. Days are scored only once 7 closed days
+    * precede them, and the open day is never scored (close it with a
+    * newer event; the batch query is the reconciliation path).
+    *
+    * '''Delivery contract''' (same as scd2Stream): per event type,
+    * batches must not regress in event time; events for a day older
+    * than the open day are dropped and counted in `droppedLate`.
+    */
+  def anomalyStream(events: Dataset[Ev],
+      droppedLate: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[AnomRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, it: Iterator[Ev], state: GroupState[AnomState]) =>
+          def dayOf(e: Ev): Long =
+            Math.floorDiv(Math.floorDiv(e.ts.getTime, 1000L), 86400L)
+          var out = List.empty[AnomRow]
+          var st = state.getOption.getOrElse(
+            AnomState(Array.empty, Array.empty, Long.MinValue, 0L))
+          def close(): Unit = if (st.openDay != Long.MinValue) {
+            if (st.days.length == 7) {
+              val n = BigInt(7)
+              val x = BigInt(st.openX)
+              val sS = st.xs.map(BigInt(_)).sum
+              val q = st.xs.map(v => BigInt(v) * BigInt(v)).sum
+              val num = n * x - sS
+              val den2 = n * q - sS * sS
+              val z =
+                if (den2 > 0)
+                  Some(BigDecimal(num.toDouble / math.sqrt(den2.toDouble))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                else None
+              out ::= AnomRow(etype, st.openDay, st.openX, z,
+                num > 0 && num * num > den2 * 4)
+            }
+            val keepFrom = if (st.days.length == 7) 1 else 0
+            st = AnomState(
+              st.days.drop(keepFrom) :+ st.openDay,
+              st.xs.drop(keepFrom) :+ st.openX,
+              Long.MinValue, 0L)
+          }
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val d = dayOf(e)
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openX = 1L)
+            else if (d == st.openDay) st = st.copy(openX = st.openX + 1L)
+            else if (d < st.openDay) droppedLate.foreach(_.add(1L))
+            else { close(); st = st.copy(openDay = d, openX = 1L) }
+          }
+          state.update(st)
+          out.reverseIterator
+      }
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState with event-time
     * timeout: state = the open session per user; a session closes (and
     * is emitted) when the watermark passes last-event + gap. The same

@@ -283,6 +283,80 @@ class StreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("anomalyStream: day closed across a batch boundary is scored like batch; " +
+      "late day dropped") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    def evd(id: Long, day: Long, i: Long, typ: String): Ev =
+      Ev(id, new java.sql.Timestamp((1700006400L + day * 86400L) * 1000L + i),
+        1, typ, 1.0)
+    // 'click': days 0..6 alternate 1,3 then day 7 spikes to 10 (the
+    // EventSpec fixture): num = 7*10-13 = 57, den2 = 7*31-169 = 48
+    val b1 = (0L to 4L).flatMap(d =>
+      (0L until (if (d % 2 == 1) 3L else 1L)).map(i =>
+        evd(100 * d + i, d, i, "click")))
+    val b2 = (5L to 6L).flatMap(d =>
+      (0L until (if (d % 2 == 1) 3L else 1L)).map(i =>
+        evd(100 * d + i, d, i, "click"))) ++
+      (0L until 10L).map(i => evd(700 + i, 7, i, "click")) ++
+      Seq(evd(9999, 400, 0, "click"), // sentinel closes day 7
+        evd(9000, 3, 0, "click"))     // LATE: older than the open day
+    val late = spark.sparkContext.longAccumulator("anom_dropped_late")
+    val ms = MemoryStream[Ev]
+    val q = Streams.anomalyStream(ms.toDS(), droppedLate = Some(late))
+      .writeStream.format("memory").queryName("anoms")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anoms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    val day0 = 1700006400L / 86400L
+    val zExp = BigDecimal(57.0 / math.sqrt(48.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(
+      ("click", day0 + 7, 10L, Some(zExp), true)))
+    assert(late.value === 1L, s"late counter ${late.value}")
+  }
+
+  test("anomalyStream agrees with q_anomaly on the real corpus " +
+      "(sentinel-closed days)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = graft.util.Tables(spark, sf).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev].collect().toSeq
+    val maxTs = events.map(_.ts.getTime).max
+    val sentinels = events.map(_.event_type).distinct.sorted.zipWithIndex
+      .map { case (t, i) =>
+        Ev(900000L + i, new java.sql.Timestamp(maxTs + 30L * 86400000L), 1, t, 0.0) }
+    val sentinelDay =
+      Math.floorDiv(Math.floorDiv(maxTs + 30L * 86400000L, 1000L), 86400L)
+    val ms = MemoryStream[Ev]
+    ms.addData(events ++ sentinels)
+    val q = Streams.anomalyStream(ms.toDS())
+      .writeStream.format("memory").queryName("anomcorpus")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("anomcorpus")
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))).toSeq
+    assert(streamed.forall(_._2 < sentinelDay),
+      "the open sentinel day must never be scored")
+    val batch = graft.queries.EventQueries.qAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionizeStream: closed sessions match batch sessionization") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
