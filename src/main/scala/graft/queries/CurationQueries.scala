@@ -726,7 +726,50 @@ object CurationQueries {
       "doc_id", "n_toks", capacity = 512, shards = 8)
       .orderBy(col("shard"), col("bin_id"))
 
+  /** Count-preserving dedup reweighting: exact-duplicate classes are
+    * collapsed to their min-id representative, but the class SIZE
+    * survives as a log-damped replication weight
+    * w = floor(log2(size)) + 1 — keep one copy, yet let a document the
+    * crawl saw 100× carry ~7× the training mass of a singleton instead
+    * of 100× (duplication count is a popularity signal; replaying it
+    * linearly is exactly the over-memorization dedup exists to stop).
+    * The weight is integer arithmetic on the class count (bit_length,
+    * no float log), replication is the map-side
+    * `explode(array_repeat(...))` mixing shape (multiplies bytes
+    * written, never bytes shuffled), and the output counts the
+    * exploded copies back per kept doc — pinning that the physical
+    * fan-out matches the computed weight. One dedup exchange + one
+    * count exchange on kept-doc ids.
+    */
+  def mixDedupWeight(s: SparkSession, dir: String): DataFrame = {
+    val classes = graft.dedup.Dedup
+      .exact(Tables(s, dir).documents, "doc_id", "text")
+      // floor(log2(n)) + 1 = the binary digit count of n — pure
+      // integer arithmetic, no float log on either engine
+      .withColumn("weight", length(conv(col("n_docs"), 10, 2)).cast("long"))
+    classes
+      .select(col("keep_id"), col("n_docs"),
+        explode(array_repeat(col("keep_id"), col("weight").cast("int")))
+          .as("copy_of"))
+      .groupBy(col("keep_id"), col("n_docs"))
+      .agg(count(lit(1)).as("n_copies"))
+      .select(col("keep_id").as("doc_id"), col("n_docs").as("class_size"),
+        col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixDedupWeightSql: String =
+    s"""WITH classes AS (
+       |  SELECT min(doc_id) AS doc_id, count(*) AS class_size
+       |  FROM (SELECT doc_id, ${DedupQueries.normKeySql} AS k FROM documents)
+       |  GROUP BY k)
+       |SELECT doc_id, class_size,
+       |  length(bin(class_size))::BIGINT AS n_copies
+       |FROM classes
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_dedup_weight" -> (mixDedupWeight _),
     "pack_bestfit" -> (packBestfit _),
     "mix_dsir" -> (mixDsir _),
     "pipeline_e2e" -> (pipelineE2e _),
@@ -756,6 +799,7 @@ object CurationQueries {
     "mix_curriculum_bounds" -> mixCurriculumSql,
     "mix_sources" -> mixSourcesSql,
     "mix_temperature" -> mixTemperatureSql,
+    "mix_dedup_weight" -> mixDedupWeightSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_quality_rules" -> textQualityRulesSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,

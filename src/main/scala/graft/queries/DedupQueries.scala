@@ -16,7 +16,7 @@ object DedupQueries {
   /** Normalization key shared by the DuckDB oracles: lowercase →
     * whitespace tokens → distinct → sort → join.
     */
-  private val normKeySql =
+  private[queries] val normKeySql =
     """array_to_string(list_sort(list_distinct(
       |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))), ' ')""".stripMargin
 

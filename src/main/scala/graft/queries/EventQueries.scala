@@ -854,7 +854,56 @@ object EventQueries {
       |FROM m
       |ORDER BY event_type, day""".stripMargin
 
+  /** Daily OHLC bars per event type — the classic time-series rollup
+    * (finance candles, metric snapshots): open/close = first/last
+    * value in the bar by the total (es, event_id) event order, high/
+    * low = extrema, plus volume. `min_by`/`max_by` on a (es, event_id)
+    * struct keep open/close inside ONE partial-aggregatable exchange —
+    * each map task forwards a single (ord, value) candidate pair per
+    * bar, so no window, no second shuffle, and the plan is a plain
+    * two-phase hash aggregate at any scale. Values in integer cents.
+    * The oracle spells first/last as window functions instead (DuckDB's
+    * arg_min can't take a composite ordering) — same total order.
+    */
+  def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events.select(
+      col("event_type"),
+      floor(unix_timestamp(col("ts")) / 86400).as("day"),
+      unix_timestamp(col("ts")).as("es"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    e.groupBy(col("event_type"), col("day"))
+      .agg(
+        min_by(col("cents"), struct(col("es"), col("event_id"))).as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        max_by(col("cents"), struct(col("es"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qOhlcSql: String =
+    """WITH e AS (
+      |  SELECT event_type, floor(epoch(ts) / 86400)::BIGINT AS day,
+      |    floor(epoch(ts))::BIGINT AS es, event_id,
+      |    round(value * 100)::BIGINT AS cents
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, day, cents,
+      |    first_value(cents) OVER win AS open,
+      |    last_value(cents) OVER win AS close
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY event_type, day ORDER BY es, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING
+      |                          AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, day, min(open) AS open, max(cents) AS high,
+      |  min(cents) AS low, min(close) AS close, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM w GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc" -> (qOhlc _),
     "q_attribution" -> (qAttribution _),
     "q_abtest" -> (qAbtest _),
     "q_anomaly" -> (qAnomaly _),
@@ -872,6 +921,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ohlc" -> qOhlcSql,
     "q_attribution" -> qAttributionSql,
     "q_abtest" -> qAbtestSql,
     "q_anomaly" -> qAnomalySql,

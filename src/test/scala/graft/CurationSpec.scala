@@ -306,4 +306,18 @@ class CurationSpec extends SparkSpec {
     val manifest0 = out.find(_.getLong(0) == 0L).get
     assert(manifest0.getLong(3) === xor, "driver-side xor replay must match")
   }
+
+  test("mix_dedup_weight: log-damped copies per duplicate class, keep-min ids") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ddw").toString
+    // class {1,2} (token-set normalization folds word order) → size 2,
+    // weight 2; singleton {3} → 1; class {10..14} → size 5, weight 3
+    val docs = Seq((1L, "x y"), (2L, "y x"), (3L, "z")) ++
+      (10L to 14L).map(i => (i, "w q"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.CurationQueries.mixDedupWeight(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 2L), (3L, 1L, 1L), (10L, 5L, 3L)))
+  }
 }

@@ -327,6 +327,23 @@ class EventSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 0.83205) < 1e-9)
   }
 
+  test("q_ohlc: open/close follow the (es, event_id) total order, ties included") {
+    val dir = fixtureDirP(Seq(
+      // one bar, ties at both ends: open = min event_id at the earliest
+      // second, close = max event_id at the latest second
+      evp(2, 90, 1, "a", 2.0), evp(9, 90, 2, "a", 9.0),
+      evp(5, 100, 3, "a", 5.0), evp(7, 100, 4, "a", 7.0),
+      // a second type, single event: open = close = high = low
+      evp(11, 90, 1, "b", 1.0)))
+    val day = (1700000000L + 90L * 60L) / 86400L
+    val got = EventQueries.qOhlc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === Seq(
+      ("a", day, 200L, 900L, 200L, 700L, 4L, 2300L),
+      ("b", day, 100L, 100L, 100L, 100L, 1L, 100L)))
+  }
+
   test("q_anomaly: integer decision flags spikes, flat baseline gives null z") {
     val dayMin = 1440L
     def burst(idBase: Long, day: Long, user: Long, typ: String, n: Int) =
