@@ -902,7 +902,91 @@ object EventQueries {
       |FROM w GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** Max concurrent sessions per hour — the occupancy/concurrency
+    * metric (peak simultaneous users, connection-pool sizing) over the
+    * 30-min-gap sessions. The naive answer is one GLOBAL running sum
+    * over every boundary event — a single-partition window over the
+    * corpus, dead at scale. This plan decomposes it: (1) session
+    * intervals become ±1 deltas, collapsed per active second (partial
+    * agg; per-second nets also make same-second tie order moot),
+    * (2) a per-HOUR keyed window computes each hour's internal running
+    * prefix and its max (skew bounded by per-hour activity), (3) the
+    * hour-start carry is a running sum over the AGGREGATED hour series
+    * — time cardinality, the aggregate-first-window-the-small-series
+    * rule — and max_concurrent = carry + max(0, in-hour max). Closed
+    * intervals: −1 lands at end+1. Hours with no boundary events are
+    * omitted (their concurrency is the carry, constant all hour).
+    * The oracle computes the same metric the NAIVE way (global cumsum,
+    * arg_max carry), so the hash match PROVES the decomposition.
+    */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    // the union's two projections would each re-run the whole
+    // sessionization (the CC edge-list lesson) — share the narrow
+    // (start_s, end_s) interval table instead
+    val sessions = graft.streaming.Streams
+      .sessionizeBatch(Tables(s, dir).events, 30)
+      .select(col("start_s"), col("end_s"))
+      .localCheckpoint(false)
+    try {
+      val deltas = sessions.select(col("start_s").as("sec"), lit(1L).as("d"))
+        .unionAll(sessions.select((col("end_s") + 1).as("sec"),
+          lit(-1L).as("d")))
+      val perSec = deltas.groupBy(col("sec")).agg(sum(col("d")).as("net"))
+        .withColumn("hour", floor(col("sec") / 3600))
+      val wHour = Window.partitionBy(col("hour")).orderBy(col("sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hourly = perSec.withColumn("run", sum(col("net")).over(wHour))
+        .groupBy(col("hour"))
+        .agg(sum(col("net")).as("net"), max(col("run")).as("hmax"))
+      val wSeries = Window.orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hourly
+        .withColumn("carry", coalesce(sum(col("net")).over(wSeries), lit(0L)))
+        .select(col("hour"),
+          (col("carry") + greatest(lit(0L), col("hmax"))).as("max_concurrent"))
+        .orderBy(col("hour"))
+        .localCheckpoint(true)
+    } finally graft.util.Caches.release(sessions)
+  }
+
+  val qConcurrencySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      |  FROM e),
+      |sess AS (
+      |  SELECT floor(epoch(min(ts)))::BIGINT AS start_s,
+      |    floor(epoch(max(ts)))::BIGINT AS end_s
+      |  FROM s GROUP BY user_id, session_id),
+      |d AS (
+      |  SELECT start_s AS sec, 1 AS dd FROM sess
+      |  UNION ALL
+      |  SELECT end_s + 1, -1 FROM sess),
+      |ps AS (SELECT sec, CAST(sum(dd) AS BIGINT) AS net FROM d GROUP BY sec),
+      |r AS (
+      |  SELECT sec, net,
+      |    sum(net) OVER (ORDER BY sec ROWS UNBOUNDED PRECEDING)::BIGINT AS run
+      |  FROM ps),
+      |hh AS (
+      |  SELECT sec // 3600 AS hour, max(run) AS mrun,
+      |    arg_max(run, sec) AS lrun
+      |  FROM r GROUP BY hour)
+      |SELECT hour,
+      |  greatest(mrun, coalesce(lag(lrun) OVER (ORDER BY hour), 0))::BIGINT
+      |    AS max_concurrent
+      |FROM hh
+      |ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concurrency" -> (qConcurrency _),
     "q_ohlc" -> (qOhlc _),
     "q_attribution" -> (qAttribution _),
     "q_abtest" -> (qAbtest _),
@@ -921,6 +1005,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_concurrency" -> qConcurrencySql,
     "q_ohlc" -> qOhlcSql,
     "q_attribution" -> qAttributionSql,
     "q_abtest" -> qAbtestSql,

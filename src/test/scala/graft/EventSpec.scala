@@ -344,6 +344,27 @@ class EventSpec extends SparkSpec {
       ("b", day, 100L, 100L, 100L, 100L, 1L, 100L)))
   }
 
+  test("q_concurrency: hand-computed peaks, hour-boundary carry, " +
+      "negative in-hour runnings") {
+    val dir = fixtureDirP(Seq(
+      // u1 session [0s, 600s]; u2 single-event session [300s, 300s]
+      // → peak 2 in the first hour
+      evp(1, 0, 1, "view", 0.0), evp(2, 10, 1, "view", 0.0),
+      evp(3, 5, 2, "view", 0.0),
+      // u4 session [2400s, 3900s] SPANS the hour boundary (hour ends
+      // at offset 2800): its −1 lands in hour 2 before u3's burst, so
+      // hour 2's running net goes negative and the carry must rescue
+      evp(4, 40, 4, "view", 0.0), evp(5, 65, 4, "view", 0.0),
+      // u3 single-event session [4200s, 4200s] in hour 2
+      evp(6, 70, 3, "view", 0.0)))
+    val h0 = 1700000000L / 3600L
+    val got = EventQueries.qConcurrency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // hour 1: runnings 1,2,1,0,1 → peak 2; carry into hour 2 is 1
+    // (u4 still open); hour 2 runnings −1,0,−1 → peak = carry = 1
+    assert(got === Seq((h0, 2L), (h0 + 1, 1L)))
+  }
+
   test("q_anomaly: integer decision flags spikes, flat baseline gives null z") {
     val dayMin = 1440L
     def burst(idBase: Long, day: Long, user: Long, typ: String, n: Int) =
