@@ -671,7 +671,33 @@ object DedupQueries {
        |FROM canon GROUP BY canonical_url
        |ORDER BY canonical_url""".stripMargin
 
+  /** Asymmetric containment dedup (graft.dedup.Containment): doc A is
+    * flagged inside doc B when ≥ 80% of A's distinct word trigrams
+    * appear in B — the quote/repost/aggregator signal symmetric
+    * Jaccard misses when |B| ≫ |A|. Contained side rides the SAME
+    * prefix index as dedup_ngram_jaccard (the pigeonhole bound only
+    * ever constrains that side); container side joins its full
+    * df-capped postings — candidate volume Σ df_prefix·df_full, the
+    * price of asymmetry. Cap 1000 > the corpus max df, so the output
+    * is byte-identical to the uncapped quadratic oracle.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Containment.pairs(Tables(s, dir).documents,
+        "doc_id", "text", n = 3, tau = 0.8, maxDf = 1000)
+      .orderBy(col("id_in"), col("id_out"))
+
+  val dedupContainmentSql: String =
+    s"""WITH sh AS ($shingleSql)
+       |SELECT id_in, id_out, containment FROM (
+       |  SELECT a.doc_id AS id_in, b.doc_id AS id_out,
+       |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |          / len(a.sh)::DOUBLE, 4) AS containment
+       |  FROM sh a, sh b WHERE a.doc_id <> b.doc_id)
+       |WHERE containment >= 0.8
+       |ORDER BY id_in, id_out""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_url" -> (dedupUrl _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_source_matrix" -> (dedupSourceMatrix _),
@@ -692,6 +718,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_url" -> dedupUrlSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_source_matrix" -> dedupSourceMatrixSql,

@@ -598,6 +598,27 @@ class DedupSpec extends SparkSpec {
       s"winnowing must select a strict subset: $nFps vs $nGrams grams")
   }
 
+  test("dedup_containment: planted quote found in the right direction, " +
+      "invisible to symmetric Jaccard") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val container = quote + " " +
+      (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, container),
+      (3L, "unrelated words entirely different content here"))
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Containment
+      .pairs(docs, "doc_id", "text", n = 3, tau = 0.8, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 2L, 1.0)),
+      "the quote is contained in the container, never the reverse")
+    val jac = NgramJaccard
+      .pairs(docs, "doc_id", "text", n = 3, tau = 0.8, maxDf = 1000)
+      .collect()
+    assert(jac.isEmpty,
+      "symmetric Jaccard at the same threshold cannot see the pair")
+  }
+
   test("dedup_url: all four spellings of one page fold to one canonical key") {
     import spark.implicits._
     // ids ≡ 3 (mod 97): pages match; 97 ≡ 1 (mod 4) walks the variants

@@ -15,14 +15,16 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
 # dedup_ngram_jaccard joined them when the driver regenerated sf0.1
 # with 5,000 documents (r7): its brute-force DuckDB twin burned >50
 # CPU-minutes on the ~100× pair count (the Spark side prefix-filters;
-# the oracle deliberately doesn't). All three stay fully checked at
-# sf0.01 by the driver gate; every other oracle runs here.
+# the oracle deliberately doesn't). dedup_containment (r8) is the same
+# class: its uncapped quadratic twin runs 25M list_intersect pairs at
+# the 5,000-doc corpus. All four stay fully checked at sf0.01 by the
+# driver gate; every other oracle runs here.
 # no tee: piping would make the pipeline status tee's 0 and swallow the
 # checker's failure exit under set -e — write, then show, then exit
 # with the checker's own status so CI sees a mismatch as a failure
 st=0
 python3 tools/check_oracle.py /root/testdata/sf0.1 "$OUT" \
-  --skip dedup_clusters,dedup_keep_best,dedup_ngram_jaccard \
+  --skip dedup_clusters,dedup_keep_best,dedup_ngram_jaccard,dedup_containment \
   > CORRECTNESS_SF01.txt || st=$?
 cat CORRECTNESS_SF01.txt
 exit $st
