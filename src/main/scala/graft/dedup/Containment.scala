@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Asymmetric shingle-set CONTAINMENT pairs: C(A,B) = |A∩B| ∕ |A| ≥ τ
@@ -44,13 +45,33 @@ object Containment {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     val shingled = NgramJaccard.shingle(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val prefix = NgramJaccard.prefixIndex(shingled, tau, maxDf)
-      val ex = shingled.select(col("doc_id"),
+    // the narrow kept-postings table (doc, sh, df) feeds BOTH indexes —
+    // unlike the symmetric op (where the container side has no full
+    // index), calling prefixIndex here would re-run the whole
+    // explode + df aggregation a second time for the container
+    // postings; persist (not checkpoint: AQE, the r5 ngram lesson)
+    val kept = shingled
+      .select(col("doc_id"), size(col("shingles")).as("n_orig"),
         explode(col("shingles")).as("sh"))
-      val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > 1 && col("df") <= maxDf)
-      val full = ex.join(dfs.select(col("sh")), "sh")
+      .join(
+        shingled.select(explode(col("shingles")).as("sh"))
+          .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 1 && col("df") <= maxDf),
+        "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the contained-side prefix: NgramJaccard.prefixIndex's ranking
+      // verbatim (rarest |kept|−⌈τ·|A|⌉+1 postings; the pigeonhole
+      // bound constrains only this side), re-rooted on the shared table
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val prefix = kept
+        .select(col("doc_id"), col("n_orig"), col("sh"),
+          row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rk"),
+          count(lit(1)).over(byDoc).as("n_kept"))
+        .filter(col("rk") <=
+          col("n_kept") - ceil(lit(tau) * col("n_orig") - lit(1e-9)) + 1)
+        .select(col("doc_id"), col("sh"))
+      val full = kept.select(col("doc_id"), col("sh"))
       val cand = prefix.as("a")
         .join(full.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
@@ -69,6 +90,9 @@ object Containment {
         .filter(col("containment") >= tau)
         .select(col("id_in"), col("id_out"), col("containment"))
         .localCheckpoint(true)
-    } finally shingled.unpersist()
+    } finally {
+      kept.unpersist()
+      shingled.unpersist()
+    }
   }
 }
