@@ -267,6 +267,78 @@ object CurationQueries {
       |GROUP BY lang, chunk
       |ORDER BY lang, chunk""".stripMargin
 
+  private val PackSeed = 7L
+  private val PackBlock = 512
+  private val PackShards = 32L
+
+  /** GLOBAL concat-then-chunk packing — the exact GPT pretraining
+    * layout pack_sequences only approximates per-stratum: docs are
+    * shuffled into ONE deterministic global order (sample_shard's
+    * seeded md5 key), every doc contributes n_toks + 1 positions (the
+    * trailing EOS), and the resulting token stream is cut into fixed
+    * 512-position training blocks that freely cross document
+    * boundaries. Per doc the query reports its stream offset and the
+    * block span it lands in — the record a block-indexed loader needs.
+    *
+    * The global prefix sum is the scale hazard: a window over the full
+    * corpus order plans a SinglePartition exchange. Decomposition
+    * (same spirit as mix_curriculum_bounds): the md5 key is uniform on
+    * [0, 2³²), so range-sharding its high bits keeps the global
+    * (k, doc_id) order CONTIGUOUS across shards — offset = (sum of the
+    * shards strictly below, a PackShards-row broadcast frame) + (the
+    * cumsum within this shard, a window parallel across shards). No
+    * doc-scale single-partition exchange anywhere; parity with the
+    * naive global window is spec-pinned and the DuckDB oracle computes
+    * the straightforward global cumsum.
+    */
+  def packConcat(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"),
+        ShuffleShard.hashKey(col("doc_id"), PackSeed).as("k"),
+        (size(TextOps.tokens(col("text"))) + 1).cast("long").as("cost"))
+    val sharded = docs.withColumn("shard",
+      floor(col("k") / lit(4294967296L / PackShards)).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    val local = sharded.withColumn("local_cum", coalesce(
+      sum(col("cost")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)))
+    val bases = sharded.groupBy(col("shard"))
+      .agg(sum(col("cost")).as("tot"))
+      .withColumn("base", coalesce(
+        sum(col("tot")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("base"))
+    local.join(broadcast(bases), "shard")
+      .withColumn("start_off", col("base") + col("local_cum"))
+      .select(col("doc_id"), (col("cost") - 1).as("n_toks"), col("start_off"),
+        floor(col("start_off") / PackBlock).cast("long").as("first_block"),
+        floor((col("start_off") + col("cost") - 1) / PackBlock).cast("long")
+          .as("last_block"))
+      .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val packConcatSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$PackSeed'), 1, 8))::BIGINT
+       |      AS k,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                    x -> x <> '')) + 1 AS cost
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, cost,
+       |    (sum(cost) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+       |      - cost) AS start_off
+       |  FROM t)
+       |SELECT doc_id, (cost - 1)::BIGINT AS n_toks, start_off::BIGINT
+       |    AS start_off,
+       |  (start_off // $PackBlock)::BIGINT AS first_block,
+       |  ((start_off + cost - 1) // $PackBlock)::BIGINT AS last_block,
+       |  ((start_off + cost - 1) // $PackBlock - start_off // $PackBlock
+       |    + 1)::BIGINT AS n_blocks
+       |FROM o ORDER BY doc_id""".stripMargin
+
   /** Symmetric int8 quantization of the embedding column with
     * per-vector scale (max|x| / 127) and exact reconstruction-error
     * accounting, reported per label. The scale is one native array pass
@@ -785,6 +857,7 @@ object CurationQueries {
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "sample_stratified" -> (sampleStratified _),
     "pack_sequences" -> (packSequences _),
+    "pack_concat" -> (packConcat _),
     "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
@@ -805,5 +878,6 @@ object CurationQueries {
     "dedup_decontaminate" -> dedupDecontaminateSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_concat" -> packConcatSql,
     "emb_quantize" -> embQuantizeSql)
 }

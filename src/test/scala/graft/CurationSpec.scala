@@ -262,6 +262,43 @@ class CurationSpec extends SparkSpec {
       rows(graft.queries.CurationQueries.mixCurriculum _, tmp))
   }
 
+  test("pack_concat: two-phase offsets equal the naive global cumsum; " +
+      "the token stream is dense and block spans are exact") {
+    import org.apache.spark.sql.expressions.Window
+    val got = CurationQueries.packConcat(spark, sf).collect()
+    // the naive single-window form (test-scale only — the exact plan
+    // shape the decomposition exists to avoid)
+    val docs = graft.util.Tables(spark, sf).documents.select(
+      col("doc_id"),
+      graft.ops.ShuffleShard.hashKey(col("doc_id"), 7L).as("k"),
+      (size(graft.text.TextOps.tokens(col("text"))) + 1).cast("long")
+        .as("cost"))
+    val naive = docs.withColumn("start_off", coalesce(
+        sum(col("cost")).over(Window.orderBy(col("k"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy(col("doc_id")).select("doc_id", "start_off").collect()
+    assert(got.length === naive.length)
+    got.zip(naive).foreach { case (g, n) =>
+      assert(g.getLong(0) === n.getLong(0))
+      assert(g.getLong(2) === n.getLong(1), s"doc ${g.getLong(0)}")
+    }
+    // dense stream: in offset order every doc starts where the
+    // previous one's EOS ended
+    val byOff = got.sortBy(_.getLong(2))
+    byOff.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) + a.getLong(1) + 1 === b.getLong(2))
+      case _ =>
+    }
+    // block-span arithmetic: last position = start + n_toks (the EOS)
+    got.foreach { r =>
+      val (start, nt) = (r.getLong(2), r.getLong(1))
+      assert(r.getLong(3) === start / 512)
+      assert(r.getLong(4) === (start + nt) / 512)
+      assert(r.getLong(5) === r.getLong(4) - r.getLong(3) + 1)
+    }
+  }
+
   test("sample_weighted: driver-side E-S replay agrees; long docs overrepresented") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf).documents

@@ -339,4 +339,14 @@ class PlanSpec extends SparkSpec {
       s"lag, running sum and the session rollup must reuse one exchange:\n" +
         plan.take(1000))
   }
+
+  test("pack_concat: corpus cumsum rides shard partitioning; only the " +
+      "32-row shard-base frame may single-partition") {
+    val plan = planOf(CurationQueries.packConcat(spark, sf))
+    assert(plan.contains("Exchange hashpartitioning(shard"), plan.take(1200))
+    val n = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(n <= 1,
+      s"a doc-scale global window would add a second SinglePartition, found $n:\n" +
+        plan.take(1200))
+  }
 }
