@@ -359,7 +359,73 @@ object SourceQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Avro container round-trip WITHOUT the spark-avro module (absent
+    * from this classpath): write orders through avro-mapred's
+    * `AvroKeyOutputFormat` (map-only, executor-side, shared-FS staging),
+    * read back through graft.sources.Readers.avro — writer schema
+    * sniffed from the container header, `[null, string]` union mapped
+    * to a nullable column and exercised by nulling every third row's
+    * priority — then aggregate against the original parquet. Proves
+    * schema inference, Utf8 → String, null-union handling, and both
+    * directions of the container interop.
+    */
+  def sourceAvro(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.hadoop.io.NullWritable
+    val out = graft.util.Staging.dir(s, "avro_source") + "/orders"
+    val schemaJson =
+      """{"type":"record","name":"order","fields":[
+        |{"name":"o_orderkey","type":"long"},
+        |{"name":"o_orderstatus","type":"string"},
+        |{"name":"o_totalprice","type":"double"},
+        |{"name":"o_orderpriority","type":["null","string"],"default":null}
+        |]}""".stripMargin
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      new org.apache.hadoop.conf.Configuration(
+        s.sparkContext.hadoopConfiguration))
+    org.apache.avro.mapreduce.AvroJob.setOutputKeySchema(job,
+      new org.apache.avro.Schema.Parser().parse(schemaJson))
+    Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      .rdd.mapPartitions { it =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        it.map { r =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("o_orderkey", r.getLong(0))
+          rec.put("o_orderstatus", r.getString(1))
+          rec.put("o_totalprice", r.getDouble(2))
+          rec.put("o_orderpriority", if (r.isNullAt(3)) null else r.getString(3))
+          (new AvroKey[GenericRecord](rec), NullWritable.get)
+        }
+      }
+      .saveAsNewAPIHadoopFile(out, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable],
+        classOf[org.apache.avro.mapreduce.AvroKeyOutputFormat[GenericRecord]],
+        job.getConfiguration)
+    graft.sources.Readers.avro(s, out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_orderkey"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        count(col("o_orderpriority")).as("n_priority"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val sourceAvroSql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  sum(o_orderkey)::BIGINT AS sum_orderkey,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  count(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |             ELSE o_orderpriority END) AS n_priority
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_avro" -> (sourceAvro _),
     "source_orc" -> (sourceOrc _),
     "bucket_join" -> (bucketJoin _),
     "source_kv" -> (sourceKv _),
@@ -372,6 +438,7 @@ object SourceQueries {
     "source_jsonl" -> (sourceJsonl _))
 
   val oracleSql: Map[String, String] = Map(
+    "source_avro" -> sourceAvroSql,
     "source_orc" -> sourceOrcSql,
     "bucket_join" -> bucketJoinSql,
     "source_kv" -> sourceKvSql,

@@ -74,4 +74,82 @@ object Readers {
       .select(concat(lit(beginTag),
         substring_index(col("chunk"), endTag, 1)).as("rec"))
   }
+
+  /** Avro container files → DataFrame, without the spark-avro module
+    * (absent from this classpath; only avro core + avro-mapred ship
+    * with the Spark distribution here). The writer schema is sniffed
+    * from the first container's header on the driver — one small
+    * metadata read, the same move a DataSource `inferSchema` makes —
+    * mapped onto Catalyst over the primitive subset plus `[null, T]`
+    * unions, and rows then ride avro-mapred's `AvroKeyInputFormat`:
+    * container sync-blocks split like any Hadoop input, so a
+    * many-file, many-GB .avro corpus scans in parallel with no
+    * driver-side row handling. Non-primitive fields fail loudly
+    * rather than guessing a lossy mapping.
+    */
+  def avro(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.Schema
+    import org.apache.spark.sql.types._
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val first = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".avro"))
+      .minBy(_.getName.toString)
+    val in = fs.open(first)
+    val header =
+      try {
+        val r = new org.apache.avro.file.DataFileStream(in,
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try r.getSchema finally r.close()
+      } finally { try in.close() catch { case _: Throwable => () } }
+
+    def catalystOf(s: Schema): (DataType, Boolean) = s.getType match {
+      case Schema.Type.LONG => (LongType, false)
+      case Schema.Type.INT => (IntegerType, false)
+      case Schema.Type.DOUBLE => (DoubleType, false)
+      case Schema.Type.FLOAT => (FloatType, false)
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.STRING => (StringType, false)
+      case Schema.Type.BYTES => (BinaryType, false)
+      case Schema.Type.UNION =>
+        val branches =
+          s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+        if (branches.size != 1 || branches.size == s.getTypes.size())
+          sys.error(s"Readers.avro: only [null, T] unions supported, got $s")
+        (catalystOf(branches.head)._1, true)
+      case other =>
+        sys.error(s"Readers.avro: unsupported avro type $other in $s")
+    }
+    val avroFields = header.getFields.asScala.toSeq
+    val struct = StructType(avroFields.map { f =>
+      val (dt, nullable) = catalystOf(f.schema())
+      StructField(f.name, dt, nullable)
+    })
+    val names = avroFields.map(_.name)
+    val rows = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[
+          org.apache.avro.generic.GenericRecord]],
+        classOf[org.apache.avro.mapred.AvroKey[
+          org.apache.avro.generic.GenericRecord]],
+        classOf[org.apache.hadoop.io.NullWritable], hconf)
+      .map { case (k, _) =>
+        // extract eagerly: the record reader REUSES the AvroKey holder
+        val rec = k.datum()
+        org.apache.spark.sql.Row.fromSeq(names.map { n =>
+          rec.get(n) match {
+            case null => null
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case b: java.nio.ByteBuffer =>
+              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+            case v => v
+          }
+        })
+      }
+    spark.createDataFrame(rows, struct)
+  }
 }

@@ -73,4 +73,50 @@ class SourceSpec extends SparkSpec {
     assert(row.getLong(1) * 2000L >= row.getLong(2))
     assert(row.getLong(1) < row.getLong(0))
   }
+
+  test("Readers.avro: header-sniffed schema, Utf8→String, [null,T] union nulls") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.hadoop.io.NullWritable
+    val out = graft.util.Staging.dir(spark, "avro_spec") + "/recs"
+    val schemaJson =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"name","type":"string"},
+        |{"name":"note","type":["null","string"],"default":null}]}"""
+        .stripMargin
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
+    org.apache.avro.mapreduce.AvroJob.setOutputKeySchema(job,
+      new org.apache.avro.Schema.Parser().parse(schemaJson))
+    spark.sparkContext.parallelize(0L until 10L, 2).mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      it.map { i =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        rec.put("name", s"n$i")
+        rec.put("note", if (i % 2 == 0) null else s"note$i")
+        (new AvroKey[GenericRecord](rec), NullWritable.get)
+      }
+    }.saveAsNewAPIHadoopFile(out, classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable],
+      classOf[org.apache.avro.mapreduce.AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+    val df = graft.sources.Readers.avro(spark, out)
+    assert(df.schema === StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("note", StringType, nullable = true))))
+    val rows = df.orderBy(col("id")).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getString(1) === s"n$i")
+      if (i % 2 == 0) assert(r.isNullAt(2))
+      else assert(r.getString(2) === s"note$i")
+    }
+  }
 }
