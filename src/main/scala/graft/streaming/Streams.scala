@@ -722,4 +722,39 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
+
+  // ---- streaming ANN enrichment -----------------------------------------
+
+  /** Streaming ANN enrichment: arriving query vectors get their top-k
+    * approximate neighbors from a STATIC, pre-fitted IVF index — the
+    * online-retrieval / incoming-batch-dedup shape (corpus fitted
+    * offline, queries arrive continuously). Per-query ranking needs a
+    * window, which streaming plans forbid, so each micro-batch runs
+    * the BATCH [[graft.sim.IvfIndex.search]] plan over just that
+    * batch's queries inside foreachBatch — semantically exact, not a
+    * workaround: per-query top-k is independent of how queries are
+    * batched, which the spec pins (two-batch run ≡ one batch search
+    * over the union). Each search broadcasts only the micro-batch's
+    * probe set against the cell-partitioned corpus, touching
+    * ~nProbe∕C of the index per batch like the batch path; callers
+    * should persist (or save+load) `index.assigned` so the corpus
+    * assignment isn't recomputed every micro-batch. Results land in
+    * `outDir/batch=<id>` with overwrite mode — batchId-keyed
+    * idempotence, [[multiSink]]'s restart contract.
+    */
+  def knnStream(queries: DataFrame, index: graft.sim.IvfIndex,
+      idCol: String, vecCol: String, k: Int, nProbe: Int, outDir: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.search(batch, idCol, vecCol, k, nProbe)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+    // no AvailableNow trigger: unlike multiSink's drain-once export,
+    // this is a long-lived serving query — it keeps consuming batches
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
 }

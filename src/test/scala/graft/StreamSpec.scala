@@ -861,4 +861,39 @@ class StreamSpec extends SparkSpec {
       .toSet
     assert(batch === Set((1L, "purchase", 9.0, t(20)), (2L, "error", 0.5, t(1))))
   }
+
+  test("knnStream: two-batch streaming search equals one batch search " +
+      "over the union, batch dirs are idempotent-keyed") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = graft.util.Tables(spark, sf).embeddings
+      .select("vec_id", "embedding")
+    val index = graft.sim.IvfIndex.fit(emb, "vec_id", "embedding",
+      c = 8, iters = 2)
+    index.assigned.persist()
+    try {
+      val qs = emb.filter(col("vec_id") < 6)
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      val out = graft.util.Staging.dir(spark, "knn_stream")
+      val ms = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.knnStream(
+        ms.toDS().toDF("vec_id", "embedding"), index,
+        "vec_id", "embedding", k = 5, nProbe = 4, out)
+      try {
+        ms.addData(qs.take(3).toSeq); q.processAllAvailable()
+        ms.addData(qs.drop(3).toSeq); q.processAllAvailable()
+      } finally q.stop()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "rank", "neighbor_id", "cos").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(x => (x._1, x._2)).toSeq
+      val streamed = spark.read.parquet(out)
+      // two micro-batches → two idempotence-keyed partition dirs
+      assert(streamed.select("batch").distinct().count() === 2)
+      val batch = index.search(
+        emb.filter(col("vec_id") < 6), "vec_id", "embedding", 5, 4)
+      assert(canon(streamed) === canon(batch))
+    } finally { index.assigned.unpersist(); () }
+  }
 }
