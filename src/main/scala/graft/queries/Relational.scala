@@ -873,7 +873,113 @@ object Relational {
       |FROM a
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Data-quality constraint suite (the Deequ/dbt-test shape): one
+    * audit run = one unioned plan of independent assertions, one
+    * result row per constraint with checked/violation counts — the
+    * gate a pipeline runs before promoting a snapshot. Five constraint
+    * families over three tables: uniqueness (key-count aggregate —
+    * violations = Σ(cnt−1) over duplicated keys, NOT a distinct-count
+    * subtraction, so the aggregate stays one partial-aggregatable
+    * pass), completeness (null counting), referential integrity (LEFT
+    * join against the unique parent key + null probe — one shuffle per
+    * FK check, the honest cost; the customer side would broadcast at
+    * any realistic dim∕fact ratio), range, and set membership (map-side
+    * predicates). Every branch aggregates to one row before the union,
+    * so the union is free; each table is scanned once per family that
+    * needs it and Catalyst prunes to the checked columns.
+    */
+  def qConstraints(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    def unique(name: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_checked"),
+          coalesce(sum(when(col("cnt") > 1, col("cnt") - 1)
+            .otherwise(0L)), lit(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    def agg1(name: String, df: DataFrame,
+        checked: org.apache.spark.sql.Column,
+        viol: org.apache.spark.sql.Column): DataFrame =
+      df.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    def referential(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame =
+      // parent keys deduped: a parent dirty enough to violate ITS
+      // uniqueness check must not fan out this join and double-count
+      // the child side
+      agg1(name,
+        child.filter(col(fk).isNotNull)
+          .join(parent.select(col(pk)).distinct(), col(fk) === col(pk),
+            "left"),
+        count(lit(1)), sum(when(col(pk).isNull, 1L).otherwise(0L)))
+    val checks = Seq(
+      unique("customer.c_custkey unique", t.customer, "c_custkey"),
+      unique("orders.o_orderkey unique", t.orders, "o_orderkey"),
+      agg1("orders.o_custkey complete", t.orders, count(lit(1)),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))),
+      referential("orders.o_custkey -> customer.c_custkey",
+        t.orders, "o_custkey", t.customer, "c_custkey"),
+      agg1("orders.o_orderstatus in {O,F,P}", t.orders, count(lit(1)),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L))),
+      agg1("orders.o_totalprice positive", t.orders, count(lit(1)),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))),
+      referential("lineitem.l_orderkey -> orders.o_orderkey",
+        t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+      agg1("lineitem.l_quantity in [1,50]", t.lineitem, count(lit(1)),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L))))
+    checks.reduce(_ unionByName _).orderBy(col("check_name"))
+  }
+
+  val qConstraintsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer.c_custkey unique' AS check_name,
+      |    sum(cnt)::BIGINT AS n_checked,
+      |    sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END)::BIGINT
+      |      AS n_violations
+      |  FROM (SELECT count(*) AS cnt FROM customer GROUP BY c_custkey)
+      |UNION ALL
+      |  SELECT 'orders.o_orderkey unique', sum(cnt)::BIGINT,
+      |    sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END)::BIGINT
+      |  FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+      |UNION ALL
+      |  SELECT 'orders.o_custkey complete', count(*),
+      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |  FROM orders
+      |UNION ALL
+      |  SELECT 'orders.o_custkey -> customer.c_custkey', count(*),
+      |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |  FROM orders o
+      |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_custkey IS NOT NULL
+      |UNION ALL
+      |  SELECT 'orders.o_orderstatus in {O,F,P}', count(*),
+      |    sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0
+      |        END)::BIGINT
+      |  FROM orders
+      |UNION ALL
+      |  SELECT 'orders.o_totalprice positive', count(*),
+      |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+      |  FROM orders
+      |UNION ALL
+      |  SELECT 'lineitem.l_orderkey -> orders.o_orderkey', count(*),
+      |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |  FROM lineitem l
+      |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_orderkey IS NOT NULL
+      |UNION ALL
+      |  SELECT 'lineitem.l_quantity in [1,50]', count(*),
+      |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0
+      |        END)::BIGINT
+      |  FROM lineitem)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_constraints" -> (qConstraints _),
     "q_profile" -> (qProfile _),
     "q_corr" -> (qCorr _),
     "q_mom" -> (qMom _),
@@ -902,6 +1008,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_constraints" -> qConstraintsSql,
     "q_profile" -> qProfileSql,
     "q_corr" -> qCorrSql,
     "q_mom" -> qMomSql,

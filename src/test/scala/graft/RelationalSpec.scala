@@ -293,4 +293,36 @@ class RelationalSpec extends SparkSpec {
       assert(r.getInt(2) >= 1 && r.getInt(2) <= 2)
     }
   }
+
+  test("q_constraints: clean corpus reports zero violations; every " +
+      "constraint family detects a planted violation") {
+    val clean = Relational.qConstraints(spark, sf).collect()
+    assert(clean.length === 8)
+    clean.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)} checked nothing")
+      assert(r.getLong(2) === 0L, s"${r.getString(0)} on clean data")
+    }
+    // dirty fixture: one planted violation per family (plus a
+    // DUPLICATED parent key, which must NOT fan out the FK join)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    import spark.implicits._
+    Seq(1L, 2L, 2L).toDF("c_custkey")
+      .write.parquet(s"$tmp/customer.parquet")
+    Seq((10L, Some(1L), "O", 5.0), (11L, None, "F", 3.0),
+        (12L, Some(99L), "X", -2.0), (12L, Some(2L), "P", 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$tmp/orders.parquet")
+    Seq((10L, 5.0), (77L, 0.0)).toDF("l_orderkey", "l_quantity")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val dirty = Relational.qConstraints(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dirty("customer.c_custkey unique") === ((3L, 1L)))
+    assert(dirty("orders.o_orderkey unique") === ((4L, 1L)))
+    assert(dirty("orders.o_custkey complete") === ((4L, 1L)))
+    assert(dirty("orders.o_custkey -> customer.c_custkey") === ((3L, 1L)))
+    assert(dirty("orders.o_orderstatus in {O,F,P}") === ((4L, 1L)))
+    assert(dirty("orders.o_totalprice positive") === ((4L, 1L)))
+    assert(dirty("lineitem.l_orderkey -> orders.o_orderkey") === ((2L, 1L)))
+    assert(dirty("lineitem.l_quantity in [1,50]") === ((2L, 1L)))
+  }
 }
