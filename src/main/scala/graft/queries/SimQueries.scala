@@ -755,7 +755,98 @@ object SimQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Within-class embedding outlier detection — the mislabeled-vector
+    * curation pass (DataComp/LAION-style cleaning): each vector is
+    * scored by cosine to its OWN label's mean vector, then z-scored
+    * against its label's cosine distribution; z < −2 flags the vector
+    * as a likely label error or garbage embedding. Fully DuckDB-oracled
+    * because every cross-row sum is pre-quantized to integers (the
+    * q_corr trick): per-(label, dim) means accumulate 1e-6-quantized
+    * components, per-label μ∕σ accumulate 1e-6-quantized cosines — so
+    * partial-aggregation order can never drift a bit. The per-vector
+    * dot/norm sums ride the posexplode → partial-agg shape (embQuantize
+    * precedent): dims of one vector stay inside their map task, no
+    * exchange before the partial. Two broadcast joins carry the
+    * KB-scale mean and stat tables; everything corpus-scale is one
+    * explode + two aggregations.
+    */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xd", col("x").cast("double"))
+      .withColumn("q", floor(col("xd") * 1e6 + 0.5).cast("long"))
+    val means = ex.groupBy(col("label").as("m_label"), col("dim").as("m_dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("m_label"), col("m_dim"),
+        (col("sq").cast("double") / col("n") / 1e6).as("m"))
+    val scored = ex.join(broadcast(means),
+        col("label") === col("m_label") && col("dim") === col("m_dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("xd") * col("m")).as("dot"),
+        sum(col("xd") * col("xd")).as("nv2"),
+        sum(col("m") * col("m")).as("nm2"))
+      .withColumn("cos", round(
+        col("dot") / (sqrt(col("nv2")) * sqrt(col("nm2"))), 6))
+      .withColumn("qc", floor(col("cos") * 1e6 + 0.5).cast("long"))
+    val stats = scored.groupBy(col("label").as("s_label"))
+      .agg(count(lit(1)).as("sn"), sum(col("qc")).as("s1"),
+        sum(col("qc") * col("qc")).as("s2"))
+      .select(col("s_label"),
+        (col("s1").cast("double") / col("sn") / 1e6).as("mu"),
+        (sqrt(col("s2").cast("double") / col("sn") -
+          (col("s1").cast("double") / col("sn")) *
+          (col("s1").cast("double") / col("sn"))) / 1e6).as("sigma"))
+    scored.join(broadcast(stats), col("label") === col("s_label"))
+      .withColumn("z",
+        when(col("sigma") > 0,
+          round((col("cos") - col("mu")) / col("sigma"), 4)))
+      .select(col("vec_id"), col("label"), col("cos"), col("z"),
+        (col("z") < -2.0).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embOutliersSql: String =
+    """WITH ex0 AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    unnest(range(len(embedding))) AS dim
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT vec_id, label, dim, e[dim + 1]::DOUBLE AS xd,
+      |    floor(e[dim + 1]::DOUBLE * 1e6 + 0.5)::BIGINT AS q
+      |  FROM ex0),
+      |m AS (
+      |  SELECT label, dim, sum(q)::DOUBLE / count(*) / 1e6 AS m
+      |  FROM ex GROUP BY label, dim),
+      |sc AS (
+      |  SELECT ex.vec_id, ex.label,
+      |    round(sum(ex.xd * m.m) /
+      |      (sqrt(sum(ex.xd * ex.xd)) * sqrt(sum(m.m * m.m))), 6) AS cos
+      |  FROM ex JOIN m ON ex.label = m.label AND ex.dim = m.dim
+      |  GROUP BY ex.vec_id, ex.label),
+      |qs AS (
+      |  SELECT vec_id, label, cos,
+      |    floor(cos * 1e6 + 0.5)::BIGINT AS qc
+      |  FROM sc),
+      |st AS (
+      |  SELECT label, count(*) AS sn,
+      |    sum(qc)::DOUBLE AS s1, sum(qc * qc)::DOUBLE AS s2
+      |  FROM qs GROUP BY label),
+      |st2 AS (
+      |  SELECT label, s1 / sn / 1e6 AS mu,
+      |    sqrt(s2 / sn - (s1 / sn) * (s1 / sn)) / 1e6 AS sigma
+      |  FROM st)
+      |SELECT q.vec_id, q.label, q.cos,
+      |  CASE WHEN st2.sigma > 0
+      |       THEN round((q.cos - st2.mu) / st2.sigma, 4) END AS z,
+      |  CASE WHEN st2.sigma > 0
+      |       THEN round((q.cos - st2.mu) / st2.sigma, 4) END < -2.0
+      |    AS is_outlier
+      |FROM qs q JOIN st2 ON q.label = st2.label
+      |ORDER BY q.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> (embOutliers _),
     "mm_phash" -> (mmPhash _),
     "emb_pca" -> (embPca _),
     "emb_whiten" -> (embWhiten _),
@@ -781,6 +872,7 @@ object SimQueries {
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
+    "emb_outliers" -> embOutliersSql,
     "knn_classify" -> knnClassifySql,
     "knn_brute" -> knnBruteSql,
     "knn_hamming" -> knnHammingSql,

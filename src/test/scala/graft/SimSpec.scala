@@ -1010,4 +1010,30 @@ class SimSpec extends SparkSpec {
     }
     assert(messages(eProj).contains("graft_pca_project"), messages(eProj))
   }
+
+  test("emb_outliers: planted anti-class vector flagged, clean vectors aren't; " +
+      "real corpus scores are finite") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_emb_out").toString
+    // two tight 4-dim clusters; vec 99 carries label "a" but points
+    // OPPOSITE the a-mean — the classic mislabeled-embedding shape
+    val a = (0 until 20).map(i =>
+      (i.toLong, "a", Seq(1f, 0.1f * (i % 3), 0f, 0f)))
+    val b = (20 until 40).map(i =>
+      (i.toLong, "b", Seq(0f, 0f, 1f, 0.1f * (i % 3))))
+    val bad = Seq((99L, "a", Seq(-1f, 0f, 0f, 0f)))
+    (a ++ b ++ bad).toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val out = SimQueries.embOutliers(spark, tmp).collect()
+    assert(out.length === 41)
+    val flagged = out.filter(r => !r.isNullAt(4) && r.getBoolean(4))
+      .map(_.getLong(0)).toSet
+    assert(flagged === Set(99L))
+    // the real corpus: every z defined, outliers a small minority
+    val real = SimQueries.embOutliers(spark, sf).collect()
+    assert(real.length === 500)
+    assert(real.forall(r => !r.isNullAt(3)))
+    val frac = real.count(_.getBoolean(4)).toDouble / real.length
+    assert(frac < 0.1, s"outlier fraction $frac")
+  }
 }
