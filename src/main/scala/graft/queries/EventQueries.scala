@@ -985,7 +985,54 @@ object EventQueries {
       |FROM hh
       |ORDER BY hour""".stripMargin
 
+  /** Concentration audit: the Gini coefficient of per-user event
+    * counts — the "is this corpus power-law?" number a sampling or
+    * rate-limiting decision needs before a crawl/training run. Formula:
+    * G = 2·Σ r·c ∕ (n·Σc) − (n+1)∕n over ascending ranks r; within a
+    * tie group of equal counts any rank permutation leaves Σ r·c
+    * unchanged, so the value is tie-order-independent. The rank is the
+    * scale hazard (a global sort), decomposed as in
+    * mix_curriculum_bounds: rank = (users with a smaller count — a
+    * cumulative over the TINY distinct-count histogram, broadcast back)
+    * + (row_number within this count value — a window parallel across
+    * values). Σ r·c accumulates in DECIMAL(38,0) (q_corr's escrow):
+    * r·c summed over 10⁹ users overflows BIGINT exactly when the
+    * answer matters.
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir).events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy(col("c"))
+      .agg(count(lit(1)).as("nv"))
+      .withColumn("cum_below", coalesce(
+        sum(col("nv")).over(Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("c").as("h_c"), col("cum_below"))
+    counts.join(broadcast(hist), col("c") === col("h_c"))
+      .withColumn("r", col("cum_below") + row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("user_id"))))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("total"),
+        sum(col("r").cast("decimal(38,0)") * col("c")).as("src"))
+      .select(col("n").as("n_users"), col("total").as("n_events"),
+        round(lit(2.0) * col("src").cast("double") /
+            (col("n").cast("double") * col("total").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT c, row_number() OVER (ORDER BY c, user_id) AS r FROM c)
+      |SELECT count(*) AS n_users, sum(c)::BIGINT AS n_events,
+      |  round(2.0 * sum(r * c)::DOUBLE
+      |      / (count(*)::DOUBLE * sum(c)::DOUBLE)
+      |    - (count(*) + 1)::DOUBLE / count(*)::DOUBLE, 6) AS gini
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> (qGini _),
     "q_concurrency" -> (qConcurrency _),
     "q_ohlc" -> (qOhlc _),
     "q_attribution" -> (qAttribution _),
@@ -1005,6 +1052,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_gini" -> qGiniSql,
     "q_concurrency" -> qConcurrencySql,
     "q_ohlc" -> qOhlcSql,
     "q_attribution" -> qAttributionSql,

@@ -392,6 +392,25 @@ class EventSpec extends SparkSpec {
     assert(math.abs(click._4 - BigDecimal(57.0 / math.sqrt(48.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
   }
+
+  test("q_gini: zero for equal shares, hand-computed for a skewed " +
+      "fixture, tie-order independent by construction") {
+    // equal shares: users 1..4, two events each → gini exactly 0
+    val equal = fixtureDir((1 to 4).flatMap(u =>
+      Seq(ev(u * 10L, u.toLong, u.toLong, "a"),
+        ev(u * 10L + 1, u + 10L, u.toLong, "a"))))
+    val g0 = EventQueries.qGini(spark, equal).head()
+    assert(g0.getLong(0) === 4L && g0.getLong(1) === 8L)
+    assert(g0.getDouble(2) === 0.0)
+    // skewed: counts [1,1,1,7] asc → S = 1+2+3+4·7 = 34, T = 10, n = 4
+    // G = 2·34/(4·10) − 5/4 = 0.45
+    val skew = fixtureDir(
+      (1 to 7).map(i => ev(100L + i, i.toLong, 1L, "a")) ++
+        Seq(ev(201, 1, 2L, "a"), ev(202, 1, 3L, "a"), ev(203, 1, 4L, "a")))
+    val g1 = EventQueries.qGini(spark, skew).head()
+    assert(g1.getLong(0) === 4L && g1.getLong(1) === 10L)
+    assert(g1.getDouble(2) === 0.45)
+  }
 }
 
 object EventSpec {
