@@ -91,6 +91,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("graft_entropy"),
       info("graft_entropy", "graft_entropy(s) - Shannon entropy (bits/char), milli-bit quantized"),
       arity("graft_entropy", 1)(es => graft.functions.CharEntropy(es.head))),
+    (FunctionIdentifier("graft_deflate_size"),
+      info("graft_deflate_size", "graft_deflate_size(s) - DEFLATE-compressed byte count (level 6)"),
+      arity("graft_deflate_size", 1)(es => graft.functions.DeflateSize(es.head))),
     (FunctionIdentifier("graft_bitmap_and_count"),
       info("graft_bitmap_and_count", "graft_bitmap_and_count(a, b) - popcount of two bitmaps' AND"),
       arity("graft_bitmap_and_count", 2)(es =>

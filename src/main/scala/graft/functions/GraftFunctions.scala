@@ -25,6 +25,7 @@ object GraftFunctions {
     "graft_bloom_contains" -> { case Seq(f, v) => BloomMightContain(f, v) },
     "graft_nfc" -> { case Seq(a) => NfcNormalize(a) },
     "graft_entropy" -> { case Seq(a) => CharEntropy(a) },
+    "graft_deflate_size" -> { case Seq(a) => DeflateSize(a) },
     "graft_lang_best" -> { case Seq(a) =>
       LangMarkerBest(a, LangMarkerBest.DefaultMarkers) },
     "graft_cms_estimate" -> { case Seq(s, v) => CmsEstimate(s, v) },

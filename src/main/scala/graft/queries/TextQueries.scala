@@ -1051,7 +1051,27 @@ object TextQueries {
        |FROM term GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Compression-ratio quality signal (graft.functions.DeflateSize):
+    * deflated bytes ∕ raw bytes per doc, the "too compressible =
+    * boilerplate/spam, incompressible = binary junk" filter the
+    * RefinedWeb/Gopher lineage applies alongside entropy and
+    * repetition. One native codegen pass per row, no shuffle. Rows-only
+    * (DuckDB has no deflate); TextSpec pins a driver-side Deflater
+    * replay plus the repetitive ≪ natural ≪ incompressible ordering.
+    */
+  def textCompress(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        call_function("graft_deflate_size", col("text")).as("z_bytes"))
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          round(col("z_bytes").cast("double") / col("n_bytes"), 4)))
+      .withColumn("keep", col("ratio") >= 0.3 && col("ratio") <= 1.1)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress" -> (textCompress _),
     "text_jsd" -> (textJsd _),
     "text_rrf" -> (textRrf _),
     "text_bm25" -> (textBm25 _),

@@ -543,4 +543,36 @@ class TextSpec extends SparkSpec {
     assert(got === expected)
     assert(got.exists(_._3 > 0.0), "real sources must actually diverge")
   }
+
+  test("text_compress: driver Deflater replay agrees; repetitive text " +
+      "compresses far below natural text") {
+    // engine-vs-driver replay on the real corpus (same JVM, same zlib)
+    val rows = TextQueries.textCompress(spark, sf).collect()
+    assert(rows.length === 500)
+    val texts = graft.util.Tables(spark, sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(25).foreach { r =>
+      val t = texts(r.getLong(0))
+      val want = graft.functions.DeflateSize.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(r.getLong(2) === want, s"doc ${r.getLong(0)}")
+      assert(r.getLong(1) === t.getBytes("UTF-8").length.toLong)
+    }
+    // signal ordering on synthetic extremes
+    import spark.implicits._
+    def ratioOf(s: String): Double = {
+      val out = Seq((1L, s)).toDF("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zr").toString
+      out.write.parquet(s"$tmp/documents.parquet")
+      TextQueries.textCompress(spark, tmp).head().getDouble(3)
+    }
+    val junk = ratioOf("spam " * 400)
+    val natural = ratioOf(texts.values.maxBy(_.length))
+    val binary = ratioOf((0 until 2000).map(i =>
+      (((i * 2654435761L) >>> 16) % 0x4e00 + 0x3400).toChar).mkString)
+    assert(junk < 0.1, s"repeated junk ratio $junk")
+    assert(natural > junk && natural < binary,
+      s"ordering junk=$junk natural=$natural binary=$binary")
+  }
 }
