@@ -339,6 +339,82 @@ object CurationQueries {
        |    + 1)::BIGINT AS n_blocks
        |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Data selection under a token budget — the "cut this corpus to N
+    * tokens, best first" step between scoring and export: docs ordered
+    * by quality (entropy here — the corpus is synthetic word soup, so
+    * the oracle-exact quantized entropy stands in for whatever model
+    * score production uses) and kept greedily while they still fit the
+    * budget (half the corpus's tokens, computed in-plan and broadcast).
+    * The cumulative token count over the global quality order is the
+    * scale hazard; it decomposes like q_gini's rank: tokens in strictly
+    * better score values come from a cumulative over the BOUNDED score
+    * histogram (quantized entropy has ≤ ~2·10⁵ possible values — the
+    * domain, not the corpus, bounds it), the within-value cumsum from a
+    * window parallel across values. A doc is kept iff it fits ENTIRELY
+    * (cum_before + n_toks ≤ budget) — no partial docs, matching how a
+    * training-data cut actually ships.
+    */
+  def mixTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        floor(TextOps.charEntropy(col("text")) * 10000 + 0.5).cast("long")
+          .as("sq"))
+    val budget = docs.agg(
+      floor(sum(col("n_toks")) / 2).cast("long").as("budget"))
+    val hist = docs.groupBy(col("sq")).agg(sum(col("n_toks")).as("tv"))
+      .withColumn("cum_better", coalesce(
+        sum(col("tv")).over(Window.orderBy(col("sq").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("sq").as("h_sq"), col("cum_better"))
+    docs.join(broadcast(hist), col("sq") === col("h_sq"))
+      .withColumn("cum_within", coalesce(
+        sum(col("n_toks")).over(Window.partitionBy(col("sq"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_before", col("cum_better") + col("cum_within"))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_before") + col("n_toks") <= col("budget"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("sq").cast("double") / 10000).as("score"), col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixTokenBudgetSql: String =
+    """WITH e AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE length(text) > 0),
+      |c AS (
+      |  SELECT doc_id, ch, count(*) AS cnt FROM e GROUP BY doc_id, ch),
+      |nn AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY doc_id),
+      |t AS (
+      |  SELECT c.doc_id,
+      |    floor(cnt * log2(nn.n / cnt::DOUBLE) * 1000.0 + 0.5)::BIGINT
+      |      AS milli
+      |  FROM c JOIN nn USING (doc_id)),
+      |h AS (
+      |  SELECT t.doc_id,
+      |    sum(t.milli)::DOUBLE / (max(nn.n) * 1000.0) AS ent
+      |  FROM t JOIN nn USING (doc_id) GROUP BY t.doc_id),
+      |d AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                    x -> x <> ''))::BIGINT AS n_toks,
+      |    floor(coalesce(h.ent, 0.0) * 10000 + 0.5)::BIGINT AS sq
+      |  FROM documents LEFT JOIN h USING (doc_id)),
+      |o AS (
+      |  SELECT doc_id, n_toks, sq,
+      |    (sum(n_toks) OVER (ORDER BY sq DESC, doc_id
+      |                       ROWS UNBOUNDED PRECEDING) - n_toks)
+      |      AS cum_before
+      |  FROM d),
+      |b AS (SELECT sum(n_toks) // 2 AS budget FROM d)
+      |SELECT doc_id, n_toks, sq::DOUBLE / 10000 AS score,
+      |  cum_before::BIGINT AS cum_before
+      |FROM o, b
+      |WHERE cum_before + n_toks <= budget
+      |ORDER BY doc_id""".stripMargin
+
   /** Symmetric int8 quantization of the embedding column with
     * per-vector scale (max|x| / 127) and exact reconstruction-error
     * accounting, reported per label. The scale is one native array pass
@@ -858,6 +934,7 @@ object CurationQueries {
     "sample_stratified" -> (sampleStratified _),
     "pack_sequences" -> (packSequences _),
     "pack_concat" -> (packConcat _),
+    "mix_token_budget" -> (mixTokenBudget _),
     "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
@@ -879,5 +956,6 @@ object CurationQueries {
     "sample_stratified" -> sampleStratifiedSql,
     "pack_sequences" -> packSequencesSql,
     "pack_concat" -> packConcatSql,
+    "mix_token_budget" -> mixTokenBudgetSql,
     "emb_quantize" -> embQuantizeSql)
 }

@@ -299,6 +299,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mix_token_budget: two-phase cumsum equals the naive global window; " +
+      "kept set is the maximal fitting prefix of the quality order") {
+    import org.apache.spark.sql.expressions.Window
+    val got = CurationQueries.mixTokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // naive single-window replay (test-scale only)
+    val docs = graft.util.Tables(spark, sf).documents.select(col("doc_id"),
+      size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+      floor(graft.text.TextOps.charEntropy(col("text")) * 10000 + 0.5)
+        .cast("long").as("sq"))
+    val total = docs.agg(sum(col("n_toks"))).head().getLong(0)
+    val naive = docs.withColumn("cum_before", coalesce(
+        sum(col("n_toks")).over(Window.orderBy(col("sq").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") + col("n_toks") <= lit(total / 2))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === naive.toSeq)
+    assert(got.nonEmpty && got.map(_._2).sum <= total / 2)
+    // prefix semantics: budget 6 of 12 keeps exactly the best doc
+    val tmp = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta"),       // distinct chars → best
+        (2L, "abab abab cdcd cdcd"),
+        (3L, "aaaa aaaa aaaa aaaa"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val small = CurationQueries.mixTokenBudget(spark, tmp).collect()
+    assert(small.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(small.head.getLong(3) === 0L)
+  }
+
   test("sample_weighted: driver-side E-S replay agrees; long docs overrepresented") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf).documents
