@@ -94,23 +94,53 @@ object MinHashIndex {
     */
   def compactSaved(spark: SparkSession, dir: String,
       rowsPerFile: Long = 1L << 20): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def swap(table: String)(rewrite: (DataFrame, String) => Unit): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(s"$dir/$table")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}_tmp")
-      val fs = cur.getFileSystem(conf)
-      rewrite(spark.read.parquet(cur.toString), tmp.toString)
-      fs.delete(cur, true)
-      require(fs.rename(tmp, cur), s"compact: rename $tmp -> $cur failed")
-    }
-    swap("bands") { (df, out) =>
+    swap(spark, dir, "bands") { (df, out) =>
       df.repartition(col("band_id"))
         .write.mode("overwrite").partitionBy("band_id").parquet(out)
     }
-    swap("shingles") { (df, out) =>
+    swap(spark, dir, "shingles") { (df, out) =>
       val nOut = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
       df.repartition(nOut).write.mode("overwrite").parquet(out)
     }
+  }
+
+  /** Takedown maintenance (the governance path a training corpus must
+    * have: DMCA removals, right-to-be-forgotten, contaminated-source
+    * retractions): delete `ids` from the SAVED index so future probes
+    * can never match them. Both tables are rewritten minus the ids —
+    * the removal set ships as an in-list predicate pushed into the
+    * scan (takedown lists are KB-scale against a corpus-scale index;
+    * a lake-scale purge would swap in a broadcast anti-join) — through
+    * the same staged rename [[compactSaved]] uses. Idempotent: removing
+    * an absent id
+    * is a no-op. Note this scrubs the INDEX; scrubbing the exported
+    * corpus shards is the caller's parallel obligation (the
+    * export_manifest checksums change with it).
+    */
+  def removeSaved(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    val drop = ids.toSet
+    swap(spark, dir, "bands") { (df, out) =>
+      df.filter(!col("doc_id").isInCollection(drop))
+        .repartition(col("band_id"))
+        .write.mode("overwrite").partitionBy("band_id").parquet(out)
+    }
+    swap(spark, dir, "shingles") { (df, out) =>
+      df.filter(!col("doc_id").isInCollection(drop))
+        .write.mode("overwrite").parquet(out)
+    }
+  }
+
+  /** Rewrite `<dir>/<table>` through `<dir>/<table>_tmp` + rename:
+    * parquet can't overwrite a path its own plan is lazily reading.
+    */
+  private def swap(spark: SparkSession, dir: String, table: String)(
+      rewrite: (DataFrame, String) => Unit): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}_tmp")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rewrite(spark.read.parquet(cur.toString), tmp.toString)
+    fs.delete(cur, true)
+    require(fs.rename(tmp, cur), s"index rewrite: rename $tmp -> $cur failed")
   }
 
   /** Near-duplicate pairs between a NEW batch and the indexed corpus:

@@ -472,6 +472,17 @@ class DedupSpec extends SparkSpec {
     assert(after === dirs, "exactly one file per band directory after compaction")
     assert(probeSet(graft.dedup.MinHashIndex.load(spark, dir)) === appended,
       "compaction must not change probe results")
+    // takedown: removing the seen ids that matched must silence exactly
+    // those pairs and leave every other pair untouched
+    val removed = appended.map(_._2).take(2).toSeq
+    graft.dedup.MinHashIndex.removeSaved(spark, dir, removed)
+    val afterRemove = probeSet(graft.dedup.MinHashIndex.load(spark, dir))
+    assert(afterRemove === appended.filterNot(p => removed.contains(p._2)),
+      "removal must drop exactly the removed ids' pairs")
+    assert(afterRemove.size < appended.size)
+    // idempotent: removing an absent id changes nothing
+    graft.dedup.MinHashIndex.removeSaved(spark, dir, Seq(-1L))
+    assert(probeSet(graft.dedup.MinHashIndex.load(spark, dir)) === afterRemove)
   }
 
   test("SimHashIndex: probe equals the restricted full run; append ≡ rebuild; " +
