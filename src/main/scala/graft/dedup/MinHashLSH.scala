@@ -109,4 +109,43 @@ object MinHashLSH {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Pair RECALL of the banded-LSH path against exact all-pairs Jaccard
+    * on a deterministic 1∕`sampleMod` sample — the dedup pipeline's
+    * quality gate (knn_recall's analog). The sample bounds the exact
+    * side: its pair count is (n∕sampleMod)², a fixed fraction of n² the
+    * operator of a 10⁹-doc corpus sets via `sampleMod`, while recall
+    * measured on it estimates the corpus miss rate (a pair lands in the
+    * sample iff both endpoints do — uniform over pairs). [[nearDuplicates]]
+    * verifies candidates with exact Jaccard, so LSH pairs ⊆ exact pairs
+    * and precision is 1 BY CONSTRUCTION; recall — the S-curve miss
+    * rate — is the number to watch. One row:
+    * (n_sample, n_exact, n_lsh, recall), recall NULL when the sample
+    * holds no true pair.
+    */
+  def pairRecall(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      tau: Double, sampleMod: Long, seed: Long): DataFrame = {
+    val sample = docs.filter(
+      pmod(graft.ops.ShuffleShard.hashKey(col(idCol), seed),
+        lit(sampleMod)) === 0)
+    val sh = shingled(sample, idCol, textCol, n).localCheckpoint(false)
+    val exact = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
+        col("id_a") < col("id_b"))
+      .withColumn("j", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("j") >= tau)
+      .select("id_a", "id_b")
+    val hits = nearDuplicates(sample, idCol, textCol, n, tau)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    exact.join(hits, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_lsh"))
+      .crossJoin(broadcast(sh.agg(count(lit(1)).as("n_sample"))))
+      .select(col("n_sample"), col("n_exact"), col("n_lsh"),
+        when(col("n_exact") > 0,
+          round(col("n_lsh").cast("double") / col("n_exact"), 4))
+          .as("recall"))
+  }
 }

@@ -696,7 +696,18 @@ object DedupQueries {
        |WHERE containment >= 0.8
        |ORDER BY id_in, id_out""".stripMargin
 
+  /** Dedup-quality gate (graft.dedup.MinHashLSH.pairRecall): LSH pair
+    * recall vs exact all-pairs Jaccard on a deterministic 20% sample
+    * (seeded md5 mod 5). Rows-only: the LSH side has no SQL twin; the
+    * recall VALUE is deterministic and DedupSpec pins it at 1.0 on a
+    * planted-duplicates fixture plus internal consistency here.
+    */
+  def dedupRecall(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.pairRecall(Tables(s, dir).documents, "doc_id", "text",
+      n = 3, tau = 0.7, sampleMod = 5L, seed = 13L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_recall" -> (dedupRecall _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_url" -> (dedupUrl _),
     "dedup_substring" -> (dedupSubstring _),

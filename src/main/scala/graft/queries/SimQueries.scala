@@ -845,7 +845,55 @@ object SimQueries {
       |FROM qs q JOIN st2 ON q.label = st2.label
       |ORDER BY q.vec_id""".stripMargin
 
+  /** Per-dimension embedding-space audit — the "is this embedding
+    * model collapsed?" profiler: mean, variance, and zero fraction per
+    * dimension (dead dims show zero_frac → 1 and var → 0; a collapsed
+    * model shows variance concentrated in a few dims — the check run
+    * before trusting any ANN geometry). Same exactness engineering as
+    * emb_outliers: components quantize to 1e-6 integers, the square
+    * sums escrow in DECIMAL(38,0) (q² ≤ 10¹² per row — BIGINT
+    * saturates near 10⁷ rows), so the one posexplode aggregation is
+    * bit-reproducible and fully SQL-oracled.
+    */
+  def embDimStats(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("q", floor(col("x").cast("double") * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s1"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("s2"),
+        sum(when(col("q") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        round(col("s1").cast("double") / col("n") / 1e6, 6).as("mean"),
+        round((col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) *
+          (col("s1").cast("double") / col("n"))) / 1e12, 6).as("variance"),
+        round(col("n_zero").cast("double") / col("n"), 4).as("zero_frac"))
+      .orderBy(col("dim"))
+  }
+
+  val embDimStatsSql: String =
+    """WITH ex0 AS (
+      |  SELECT embedding AS e, unnest(range(len(embedding))) AS dim
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT dim, floor(e[dim + 1]::DOUBLE * 1e6 + 0.5)::BIGINT AS q
+      |  FROM ex0)
+      |SELECT dim::BIGINT AS dim, count(*) AS n,
+      |  round(sum(q)::DOUBLE / count(*) / 1e6, 6) AS mean,
+      |  round((sum(q * q)::DOUBLE / count(*) -
+      |    (sum(q)::DOUBLE / count(*)) * (sum(q)::DOUBLE / count(*)))
+      |    / 1e12, 6) AS variance,
+      |  round(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+      |    AS zero_frac
+      |FROM ex
+      |GROUP BY dim
+      |ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_stats" -> (embDimStats _),
     "emb_outliers" -> (embOutliers _),
     "mm_phash" -> (mmPhash _),
     "emb_pca" -> (embPca _),
@@ -872,6 +920,7 @@ object SimQueries {
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
+    "emb_dim_stats" -> embDimStatsSql,
     "emb_outliers" -> embOutliersSql,
     "knn_classify" -> knnClassifySql,
     "knn_brute" -> knnBruteSql,

@@ -424,7 +424,43 @@ object SourceQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Gzip'd legacy text corpus round-trip: documents written as
+    * TSV lines with gzip codec (one .gz per output partition), read
+    * back through the plain text source — Hadoop decompresses by
+    * extension — and aggregated against the original parquet. The
+    * scale note IS the operator's lesson: .gz is NOT splittable, one
+    * file = one task regardless of file size, so the WRITE side
+    * controls parallelism for every future reader (a production
+    * corpus keeps .gz files ~100 MB; bzip2 or indexed zstd are the
+    * splittable alternatives when single files must be large).
+    */
+  def sourceGzip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Staging.dir(s, "gzip_source")
+    Tables(s, dir).documents
+      .select(concat_ws("\t", col("doc_id"), col("lang"),
+        col("n_chars")).as("value"))
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "gzip").text(out)
+    graft.sources.Readers.text(s, out)
+      .select(split(col("value"), "\t").as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("lang"),
+        col("p").getItem(2).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+  }
+
+  val sourceGzipSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_gzip" -> (sourceGzip _),
     "source_avro" -> (sourceAvro _),
     "source_orc" -> (sourceOrc _),
     "bucket_join" -> (bucketJoin _),
@@ -438,6 +474,7 @@ object SourceQueries {
     "source_jsonl" -> (sourceJsonl _))
 
   val oracleSql: Map[String, String] = Map(
+    "source_gzip" -> sourceGzipSql,
     "source_avro" -> sourceAvroSql,
     "source_orc" -> sourceOrcSql,
     "bucket_join" -> bucketJoinSql,

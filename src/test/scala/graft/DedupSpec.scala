@@ -485,6 +485,26 @@ class DedupSpec extends SparkSpec {
     assert(probeSet(graft.dedup.MinHashIndex.load(spark, dir)) === afterRemove)
   }
 
+  test("dedup_recall: exact-copy fixture scores recall 1.0; real-corpus " +
+      "gate is internally consistent and bounded") {
+    import spark.implicits._
+    // 10 disjoint-vocabulary texts, 3 of them with exact copies —
+    // identical shingle sets ALWAYS collide, so recall must be exactly 1
+    val texts = (0 until 10).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((100L, texts(0)), (101L, texts(1)), (102L, texts(2)))
+    val r = graft.dedup.MinHashLSH.pairRecall(docs.toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, tau = 0.7, sampleMod = 1L, seed = 13L).head()
+    assert(r.getLong(0) === 13L && r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 1.0)
+    // the registered 20%-sample gate on the real corpus
+    val q = graft.queries.DedupQueries.dedupRecall(spark, sf).head()
+    assert(q.getLong(0) > 0 && q.getLong(2) <= q.getLong(1))
+    if (q.getLong(1) > 0)
+      assert(q.getDouble(3) >= 0.5 && q.getDouble(3) <= 1.0,
+        s"recall ${q.getDouble(3)}")
+  }
+
   test("SimHashIndex: probe equals the restricted full run; append ≡ rebuild; " +
       "compaction probe-invariant") {
     val docs = graft.util.Tables(spark, sf).documents

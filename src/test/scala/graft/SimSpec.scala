@@ -1011,6 +1011,22 @@ class SimSpec extends SparkSpec {
     assert(messages(eProj).contains("graft_pca_project"), messages(eProj))
   }
 
+  test("emb_dim_stats: dead dim and constant dim report exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dimstats").toString
+    // dim 0 varies, dim 1 dead (all zero), dim 2 constant 0.5
+    Seq((1L, "a", Seq(1f, 0f, 0.5f)), (2L, "a", Seq(2f, 0f, 0.5f)),
+        (3L, "b", Seq(3f, 0f, 0.5f)), (4L, "b", Seq(6f, 0f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val rows = SimQueries.embDimStats(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows(0L) === ((4L, 3.0, 3.5, 0.0)))   // mean 3, var 3.5
+    assert(rows(1L) === ((4L, 0.0, 0.0, 1.0)))   // dead dim
+    assert(rows(2L) === ((4L, 0.5, 0.0, 0.0)))   // constant dim
+  }
+
   test("emb_outliers: planted anti-class vector flagged, clean vectors aren't; " +
       "real corpus scores are finite") {
     import spark.implicits._

@@ -74,6 +74,17 @@ class SourceSpec extends SparkSpec {
     assert(row.getLong(1) < row.getLong(0))
   }
 
+  test("gzip text round-trips through the plain text source; one .gz per partition") {
+    import spark.implicits._
+    val out = graft.util.Staging.dir(spark, "gzip_spec")
+    (1 to 100).map(i => s"line$i").toDF("value").repartition(3)
+      .write.mode("overwrite").option("compression", "gzip").text(out)
+    assert(graft.util.Staging.countFiles(spark, out, ".gz") === 3L)
+    val back = graft.sources.Readers.text(spark, out)
+      .collect().map(_.getString(0)).toSet
+    assert(back === (1 to 100).map(i => s"line$i").toSet)
+  }
+
   test("Readers.avro: header-sniffed schema, Utf8→String, [null,T] union nulls") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
