@@ -782,6 +782,55 @@ object Streams {
     * [[graft.dedup.MinHashIndex.compactSaved]]'s rewrite absorbs on its
     * regular cadence.
     */
+  // ---- continuous data-quality monitoring --------------------------------
+
+  /** q_constraints run continuously: per micro-batch every predicate
+    * check aggregates to one (check_name, n_checked, n_violations) row,
+    * plus optional referential integrity as a stream-static broadcast
+    * join against a dim snapshot (parent keys deduped — q_constraints'
+    * dirty-parent rule); the per-batch audit lands in
+    * `outDir/batch=<id>` (batchId-keyed idempotence). This is the gate
+    * a landing pipeline runs BEFORE admitting a batch downstream — the
+    * audit rows are the alerting surface, the batch ids the replay
+    * cursor. Checks are (name, violation-predicate) pairs evaluated in
+    * ONE aggregation pass over the batch; the referential check adds
+    * one broadcast join.
+    */
+  def constraintsStream(stream: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      referential: Option[(String, DataFrame, String)], outDir: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checks.nonEmpty || referential.nonEmpty, "no checks given")
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val shared = batch.localCheckpoint(false)
+        try {
+          val predRows = checks.map { case (nm, pred) =>
+            shared.agg(count(lit(1)).as("n_checked"),
+              coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+                .as("n_violations"))
+              .select(lit(nm).as("check_name"), col("n_checked"),
+                col("n_violations"))
+          }
+          val refRows = referential.map { case (fk, dim, pk) =>
+            shared.filter(col(fk).isNotNull)
+              .join(broadcast(dim.select(col(pk)).distinct()),
+                col(fk) === col(pk), "left")
+              .agg(count(lit(1)).as("n_checked"),
+                coalesce(sum(when(col(pk).isNull, 1L).otherwise(0L)),
+                  lit(0L)).as("n_violations"))
+              .select(lit(s"$fk -> $pk").as("check_name"),
+                col("n_checked"), col("n_violations"))
+          }
+          (predRows ++ refRows).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        } finally graft.util.Caches.release(shared)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   def dedupIndexStream(docs: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int, tau: Double, outDir: String,
       checkpointDir: Option[String] = None)

@@ -942,4 +942,41 @@ class StreamSpec extends SparkSpec {
       .select("new_id").distinct().collect().map(_.getLong(0)).toSet
     assert(probeHits === Set(90L, 91L, 92L))
   }
+
+  test("constraintsStream: per-batch audit rows — clean batch all zero, " +
+      "dirty batch counts each planted violation") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = Seq(1L, 2L).toDF("k")
+    val out = graft.util.Staging.dir(spark, "dq_stream")
+    val ms = MemoryStream[(Long, java.lang.Long, Double)]
+    val q = Streams.constraintsStream(
+      ms.toDS().toDF("event_id", "user_id", "value"),
+      checks = Seq(
+        "user_id complete" -> col("user_id").isNull,
+        "value non-negative" -> (col("value") < 0)),
+      referential = Some(("user_id", dim, "k")), out)
+    try {
+      // batch 0: clean
+      ms.addData(Seq((1L, java.lang.Long.valueOf(1L), 5.0),
+        (2L, java.lang.Long.valueOf(2L), 0.0)))
+      q.processAllAvailable()
+      // batch 1: one null fk, one dangling fk, one negative value
+      ms.addData(Seq((3L, null.asInstanceOf[java.lang.Long], 1.0),
+        (4L, java.lang.Long.valueOf(99L), -2.0),
+        (5L, java.lang.Long.valueOf(1L), 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(3), r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows((0, "user_id complete")) === ((2L, 0L)))
+    assert(rows((0, "value non-negative")) === ((2L, 0L)))
+    assert(rows((0, "user_id -> k")) === ((2L, 0L)))
+    assert(rows((1, "user_id complete")) === ((3L, 1L)))
+    assert(rows((1, "value non-negative")) === ((3L, 1L)))
+    // referential checks only non-null fks; 99 dangles
+    assert(rows((1, "user_id -> k")) === ((2L, 1L)))
+  }
 }
