@@ -415,6 +415,82 @@ object CurationQueries {
       |WHERE cum_before + n_toks <= budget
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source corpus report card — the one-page summary a data lead
+    * reads before deciding source mix weights: per source, volume
+    * (docs/tokens/chars), exact-duplicate mass (normKey classes WITHIN
+    * the source — cross-source overlap is dedup_source_matrix's job),
+    * and mean quantized entropy (the quality proxy). One pass computes
+    * the per-doc signals map-side (tokens, entropy — both native or
+    * codegen'd), then two aggregations: (source, normKey) → class
+    * sizes → per-source dup mass, and the per-source moment rollup;
+    * the join between them is |sources|-scale. Every float is
+    * fixed-point floored identically in the oracle.
+    */
+  def qSourceQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("source"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        floor(TextOps.charEntropy(col("text")) * 10000 + 0.5).cast("long")
+          .as("eq"),
+        graft.dedup.Dedup.normKey(col("text")).as("k"))
+    val dup = docs.groupBy(col("source"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+        .as("dup_docs"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"), sum(col("eq")).as("sum_eq"))
+      .join(dup, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round4(col("n_chars_total").cast("double") / col("n_docs"))
+          .as("mean_chars"),
+        round4(col("sum_eq").cast("double") / col("n_docs") / 10000)
+          .as("mean_entropy"),
+        round4(col("dup_docs").cast("double") / col("n_docs"))
+          .as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  val qSourceQualitySql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+       |  FROM documents WHERE length(text) > 0),
+       |c AS (
+       |  SELECT doc_id, ch, count(*) AS cnt FROM e GROUP BY doc_id, ch),
+       |nn AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY doc_id),
+       |t AS (
+       |  SELECT c.doc_id,
+       |    floor(cnt * log2(nn.n / cnt::DOUBLE) * 1000.0 + 0.5)::BIGINT
+       |      AS milli
+       |  FROM c JOIN nn USING (doc_id)),
+       |h AS (
+       |  SELECT t.doc_id,
+       |    sum(t.milli)::DOUBLE / (max(nn.n) * 1000.0) AS ent
+       |  FROM t JOIN nn USING (doc_id) GROUP BY t.doc_id),
+       |d AS (
+       |  SELECT source, doc_id, n_chars,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                    x -> x <> ''))::BIGINT AS n_toks,
+       |    floor(coalesce(h.ent, 0.0) * 10000 + 0.5)::BIGINT AS eq,
+       |    ${DedupQueries.normKeySql} AS k
+       |  FROM documents LEFT JOIN h USING (doc_id)),
+       |dup AS (
+       |  SELECT source,
+       |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_docs
+       |  FROM (SELECT source, k, count(*) AS cnt FROM d GROUP BY source, k)
+       |  GROUP BY source)
+       |SELECT d.source, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+       |  floor(sum(n_chars)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+       |    AS mean_chars,
+       |  floor(sum(eq)::DOUBLE / count(*) / 10000 * 10000 + 0.5) / 10000
+       |    AS mean_entropy,
+       |  floor(max(dup.dup_docs)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+       |    AS dup_frac
+       |FROM d JOIN dup ON d.source = dup.source
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   /** Symmetric int8 quantization of the embedding column with
     * per-vector scale (max|x| / 127) and exact reconstruction-error
     * accounting, reported per label. The scale is one native array pass
@@ -935,6 +1011,7 @@ object CurationQueries {
     "pack_sequences" -> (packSequences _),
     "pack_concat" -> (packConcat _),
     "mix_token_budget" -> (mixTokenBudget _),
+    "q_source_quality" -> (qSourceQuality _),
     "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
@@ -957,5 +1034,6 @@ object CurationQueries {
     "pack_sequences" -> packSequencesSql,
     "pack_concat" -> packConcatSql,
     "mix_token_budget" -> mixTokenBudgetSql,
+    "q_source_quality" -> qSourceQualitySql,
     "emb_quantize" -> embQuantizeSql)
 }

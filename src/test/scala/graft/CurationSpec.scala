@@ -330,6 +330,33 @@ class CurationSpec extends SparkSpec {
     assert(small.head.getLong(3) === 0L)
   }
 
+  test("q_source_quality: planted duplicate mass and driver-replayed " +
+      "entropy means report exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srcq").toString
+    val a = Seq("alpha beta gamma", "alpha beta gamma", "delta epsilon zeta",
+      "eta theta iota")                       // one dup class of 2 → mass 2/4
+    val b = Seq("kappa lambda mu", "nu xi omicron")   // no dups
+    (a.zipWithIndex.map { case (t, i) => (i.toLong, "A", t, t.length) } ++
+      b.zipWithIndex.map { case (t, i) => (100L + i, "B", t, t.length) })
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = CurationQueries.qSourceQuality(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("A").getLong(1) === 4L && rows("B").getLong(1) === 2L)
+    assert(rows("A").getDouble(5) === 0.5 && rows("B").getDouble(5) === 0.0)
+    // mean entropy: driver replay of the quantized per-doc values
+    def meanEq(texts: Seq[String]): Double = {
+      val eqs = texts.map(t => math.floor(
+        graft.functions.CharEntropy.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          * 10000 + 0.5).toLong)
+      math.floor(eqs.sum.toDouble / eqs.length / 10000 * 10000 + 0.5) / 10000
+    }
+    assert(rows("A").getDouble(4) === meanEq(a))
+    assert(rows("B").getDouble(4) === meanEq(b))
+  }
+
   test("sample_weighted: driver-side E-S replay agrees; long docs overrepresented") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf).documents
