@@ -262,4 +262,69 @@ object Multimodal {
       })
     }
   }
+
+  /** One thumbnail row: decoded source dims, the fixed-size thumb's
+    * luma content, and the re-encoded payload size.
+    */
+  final case class Thumb(
+      media_id: Long, src_w: Int, src_h: Int, thumb_w: Int, thumb_h: Int,
+      luma_sum: Long, thumb_bytes: Long, decoded: Boolean)
+
+  /** Vision-encoder preprocessing: REAL decode + resize of the image
+    * rows to a fixed `target`×`target` input. The resize is integer
+    * BOX AVERAGING, not Graphics2D filtering: thumb pixel (tx, ty) =
+    * ⌊mean⌋ over its exact source box [tx·w∕tw, (tx+1)·w∕tw) ×
+    * [ty·h∕th, (ty+1)·h∕th) — every intermediate is integer, so the
+    * result is bit-reproducible across partitionings AND independently
+    * replayable by the spec from the synthesis arithmetic (the same
+    * spec-exactness contract mm_audio holds; a library scaler would
+    * reduce the oracle to "some bytes came out"). The thumb re-encodes
+    * as a real PNG (the bytes a downstream encoder would ingest);
+    * non-image rows take the metadata fallback with `decoded = false`.
+    * Map-only at any scale, same batch loop as decodeFeatures.
+    */
+  def thumbnails(media: Dataset[MediaRecord], target: Int = 8): Dataset[Thumb] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map { m =>
+        val real =
+          if (m.format == "png" || m.format == "gif")
+            PngCodec.decodeGray(m.bytes).map { case (w, h, px) =>
+              val tw = math.min(target, w)
+              val th = math.min(target, h)
+              val thumb = new Array[Int](tw * th)
+              var ty = 0
+              while (ty < th) {
+                var tx = 0
+                while (tx < tw) {
+                  val x0 = tx * w / tw; val x1 = (tx + 1) * w / tw
+                  val y0 = ty * h / th; val y1 = (ty + 1) * h / th
+                  var acc = 0L
+                  var y = y0
+                  while (y < h.min(y1.max(y0 + 1))) {
+                    var x = x0
+                    while (x < w.min(x1.max(x0 + 1))) {
+                      acc += px(y * w + x); x += 1
+                    }
+                    y += 1
+                  }
+                  val cnt = (x1.max(x0 + 1) - x0).toLong *
+                    (y1.max(y0 + 1) - y0)
+                  thumb(ty * tw + tx) = (acc / cnt).toInt
+                  tx += 1
+                }
+                ty += 1
+              }
+              val png = PngCodec.encodeGray(tw, th, thumb)
+              Thumb(m.media_id, w, h, tw, th,
+                thumb.iterator.map(_.toLong).sum, png.length.toLong,
+                decoded = true)
+            }
+          else None
+        real.getOrElse(Thumb(m.media_id, m.width, m.height, 0, 0, 0L, 0L,
+          decoded = false))
+      })
+    }
+  }
 }

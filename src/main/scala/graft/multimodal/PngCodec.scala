@@ -64,6 +64,26 @@ object PngCodec {
     bos.toByteArray
   }
 
+  /** Encode a row-major gray plane as a real PNG (the thumbnail
+    * re-encode path).
+    */
+  def encodeGray(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = px(y * w + x) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Textured gray value for perceptual-hash tests: unlike [[pixel]]
     * (one global gradient phase-shifted by id — every doc LOOKS the
     * same to a frequency-domain hash), this pattern draws per-id

@@ -892,7 +892,22 @@ object SimQueries {
       |GROUP BY dim
       |ORDER BY dim""".stripMargin
 
+  /** Thumbnail preprocessing over the real image rows — the
+    * vision-encoder input step (graft.multimodal.Multimodal.thumbnails):
+    * REAL ImageIO decode, integer box-average resize to 8×8, real PNG
+    * re-encode, map-only. Rows-only (codec-backed) but SPEC-EXACT for
+    * png rows: the resize arithmetic is replayed independently from the
+    * synthesis pattern, the mm_audio contract. GIF rows thumbnail their
+    * poster (first) frame.
+    */
+  def mmThumb(s: SparkSession, dir: String): DataFrame =
+    Multimodal.thumbnails(Multimodal.mediaTable(Tables(s, dir).documents))
+      .toDF()
+      .filter(col("decoded"))
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_thumb" -> (mmThumb _),
     "emb_dim_stats" -> (embDimStats _),
     "emb_outliers" -> (embOutliers _),
     "mm_phash" -> (mmPhash _),

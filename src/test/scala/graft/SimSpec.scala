@@ -1011,6 +1011,49 @@ class SimSpec extends SparkSpec {
     assert(messages(eProj).contains("graft_pca_project"), messages(eProj))
   }
 
+  test("mm_thumb: box-average resize replayed exactly from the synthesis " +
+      "pattern; gif rows thumbnail the poster frame") {
+    val rows = SimQueries.mmThumb(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.nonEmpty)
+    val metas = graft.util.Tables(spark, sf).documents
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var replayed = 0
+    metas.toSeq.sortBy(_._1).foreach { case (id, nc) =>
+      if (nc % 5 == 0 && replayed < 20 && rows.contains(id)) {
+        val w = (16 + nc % 32).toInt
+        val h = (16 + (nc * 7) % 32).toInt
+        val tw = math.min(8, w); val th = math.min(8, h)
+        var luma = 0L
+        for (ty <- 0 until th; tx <- 0 until tw) {
+          val x0 = tx * w / tw; val x1 = (tx + 1) * w / tw
+          val y0 = ty * h / th; val y1 = (ty + 1) * h / th
+          var acc = 0L; var cnt = 0L
+          for (y <- y0 until math.max(y1, y0 + 1);
+               x <- x0 until math.max(x1, x0 + 1)) {
+            acc += graft.multimodal.PngCodec.pixel(id, x, y); cnt += 1
+          }
+          luma += acc / cnt
+        }
+        val r = rows(id)
+        assert((r.getInt(1), r.getInt(2)) === ((w, h)), s"dims of $id")
+        assert((r.getInt(3), r.getInt(4)) === ((tw, th)))
+        assert(r.getLong(5) === luma, s"luma of $id")
+        assert(r.getLong(6) > 0, "re-encoded PNG must be non-empty")
+        replayed += 1
+      }
+    }
+    assert(replayed === 20, "expected 20 png rows replayed")
+    // gif rows (n_chars % 5 == 3) decode their poster frame
+    val gifIds = metas.filter(_._2 % 5 == 3).keySet
+    assert(gifIds.exists(rows.contains), "gif rows must thumbnail")
+    gifIds.filter(rows.contains).take(5).foreach { id =>
+      val r = rows(id)
+      assert(r.getBoolean(7) && r.getLong(6) > 0)
+    }
+  }
+
   test("emb_dim_stats: dead dim and constant dim report exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dimstats").toString
