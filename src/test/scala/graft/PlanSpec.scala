@@ -349,4 +349,28 @@ class PlanSpec extends SparkSpec {
       s"a doc-scale global window would add a second SinglePartition, found $n:\n" +
         plan.take(1200))
   }
+
+  test("emb_outliers: KB-scale mean and stat tables join by broadcast") {
+    val plan = planOf(SimQueries.embOutliers(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never sort-merge against the KB tables:\n${plan.take(1500)}")
+  }
+
+  test("q_gini / mix_token_budget: ranks ride the value-histogram " +
+      "decomposition — within-value windows hash-partition, only the " +
+      "bounded histogram cumsum may single-partition") {
+    // allowance of 2: the bounded histogram cumsum plus (q_gini only)
+    // the final one-row scalar aggregate — a corpus-scale global window
+    // would add a third
+    Seq(
+      planOf(graft.queries.EventQueries.qGini(spark, sf)) -> "c",
+      planOf(CurationQueries.mixTokenBudget(spark, sf)) -> "sq"
+    ).foreach { case (plan, key) =>
+      assert(plan.contains(s"Exchange hashpartitioning($key"),
+        plan.take(1200))
+      val n = "Exchange SinglePartition".r.findAllIn(plan).size
+      assert(n <= 2, s"found $n SinglePartition exchanges:\n${plan.take(1200)}")
+    }
+  }
 }
