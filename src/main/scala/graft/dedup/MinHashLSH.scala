@@ -128,13 +128,32 @@ object MinHashLSH {
     val sample = docs.filter(
       pmod(graft.ops.ShuffleShard.hashKey(col(idCol), seed),
         lit(sampleMod)) === 0)
-    val sh = shingled(sample, idCol, textCol, n).localCheckpoint(false)
-    val exact = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
-        col("id_a") < col("id_b"))
-      .withColumn("j", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+    // exact side as a SPARSE POSTING EQUI-JOIN, not an all-pairs
+    // cartesian: |A∩B| = the (id_a, id_b) pair count of the
+    // shingle-hash self-join — pairs sharing NO shingle have J = 0 < τ
+    // and drop out by construction, everything else is exact. Cost is
+    // Σ_g df(g)² over sample shingles instead of n²·(array ops): a
+    // first probe of the cartesian spelling measured 32 s at sf0.1
+    // (the Jaccard predicate lands inside the nested-loop join
+    // condition); this shape is sub-second. Shingles are hashed to
+    // longs map-side (the hashGrams lesson) so the posting join
+    // shuffles 8-byte keys, not trigram strings.
+    val sh = shingled(sample, idCol, textCol, n)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shingles"), g => xxhash64(g)))
+          .as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .localCheckpoint(false)
+    val posts = sh.select(col("doc_id"), col("sz"), explode(col("hs")).as("g"))
+    val exact = posts
+      .select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("g"))
+      .join(posts.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("ni"))
+      .withColumn("j", round(col("ni").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ni")).cast("double"), 4))
       .filter(col("j") >= tau)
       .select("id_a", "id_b")
     val hits = nearDuplicates(sample, idCol, textCol, n, tau)
