@@ -82,6 +82,24 @@ object SimHashIndex {
     require(fs.rename(tmp, cur), s"compact: rename $tmp -> $cur failed")
   }
 
+  /** Takedown maintenance — MinHashIndex.removeSaved's twin for the
+    * fingerprint index: rewrite the block table minus `ids` via the
+    * same staged swap. Idempotent on absent ids.
+    */
+  def removeSaved(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    val drop = ids.toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/blocks")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/blocks_tmp")
+    val fs = cur.getFileSystem(conf)
+    spark.read.parquet(cur.toString)
+      .filter(!col("doc_id").isInCollection(drop))
+      .repartition(col("block_id"))
+      .write.mode("overwrite").partitionBy("block_id").parquet(tmp.toString)
+    fs.delete(cur, true)
+    require(fs.rename(tmp, cur), s"remove: rename $tmp -> $cur failed")
+  }
+
   /** Near-duplicate pairs between a NEW batch and the indexed corpus:
     * (new_id, seen_id, hamming ≤ maxDist). The batch is fingerprinted
     * map-side; candidates ride the (block_id, block_val) equi-join;

@@ -545,6 +545,15 @@ class DedupSpec extends SparkSpec {
     assert(blockFiles() < before, "compaction must shrink block files")
     assert(probeSet(graft.dedup.SimHashIndex.load(spark, dir)) === probed,
       "compaction must not change probe results")
+    // takedown parity with MinHashIndex.removeSaved
+    val removed = probed.map(_._2).take(1).toSeq
+    if (removed.nonEmpty) {
+      graft.dedup.SimHashIndex.removeSaved(spark, dir, removed)
+      val afterRm = probeSet(graft.dedup.SimHashIndex.load(spark, dir))
+      assert(afterRm === probed.filterNot(p => removed.contains(p._2)))
+      graft.dedup.SimHashIndex.removeSaved(spark, dir, Seq(-1L))
+      assert(probeSet(graft.dedup.SimHashIndex.load(spark, dir)) === afterRm)
+    }
     // buildCodes: the same index machinery over arbitrary 64-bit codes
     import spark.implicits._
     val codes = Seq((1L, 0x00FFL), (2L, 0x00FEL), (3L, -1L))

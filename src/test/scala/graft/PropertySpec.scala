@@ -359,4 +359,56 @@ class PropertySpec extends AnyFunSuite {
       }
     }, 12)
   }
+
+  test("pack_concat: dense offsets and token conservation on arbitrary corpora") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.chooseNum(0, 9))
+    checkProp(forAll(gen) { lens =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_pc_prop").toString
+      lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(k => s"w${i}_$k").mkString(" "))
+      }.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val rows = graft.queries.CurationQueries.packConcat(spark, tmp)
+        .collect()
+      var ok = rows.length == lens.length
+      var expect = 0L
+      rows.sortBy(_.getLong(2)).foreach { r =>
+        ok &&= r.getLong(2) == expect
+        expect += r.getLong(1) + 1
+      }
+      ok && expect == lens.map(_ + 1L).sum
+    }, 6)
+  }
+
+  test("mix_token_budget: kept set equals a driver-side greedy-prefix replay") {
+    import spark.implicits._
+    // varied vocab richness → varied entropies; some zero-length docs
+    val docGen = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cd", "xyz", "qq")))
+    checkProp(forAll(Gen.listOfN(10, docGen)) { docs =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tb_prop").toString
+      docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val kept = graft.queries.CurationQueries.mixTokenBudget(spark, tmp)
+        .collect().map(_.getLong(0)).toSet
+      // driver replay: order by (quantized entropy desc, id), greedy prefix
+      val scored = docs.zipWithIndex.map { case (ws, i) =>
+        val text = ws.mkString(" ")
+        val eq = math.floor(graft.functions.CharEntropy.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text))
+          * 10000 + 0.5).toLong
+        (i.toLong, ws.length.toLong, eq)
+      }
+      val budget = scored.map(_._2).sum / 2
+      var cum = 0L
+      val want = scala.collection.mutable.Set[Long]()
+      scored.sortBy(d => (-d._3, d._1)).foreach { case (id, nt, _) =>
+        if (cum + nt <= budget) want += id
+        cum += nt
+      }
+      kept == want.toSet
+    }, 6)
+  }
 }
