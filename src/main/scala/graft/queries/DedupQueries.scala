@@ -706,7 +706,60 @@ object DedupQueries {
     MinHashLSH.pairRecall(Tables(s, dir).documents, "doc_id", "text",
       n = 3, tau = 0.7, sampleMod = 5L, seed = 13L)
 
+  /** WITHIN-document repeated-segment removal — the cheapest dedup
+    * pass in the CCNet line-dedup family and the only one that is
+    * purely map-side: each doc's fixed 10-word segments are deduped
+    * keep-first INSIDE the row (`array_distinct` iterates input order
+    * appending unseen — first-occurrence stable), so the plan has NO
+    * exchange at all before the result ORDER BY. Complements
+    * dedup_paragraph (global first-occurrence, one shuffle) and its
+    * frequency mode (boilerplate removal): run THIS first at 100 TB —
+    * it shrinks the corpus for free before anything that shuffles.
+    * Output per doc: segment counts, dup fraction, and the md5 of the
+    * reassembled kept text (segments in original order).
+    */
+  def dedupInline(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        SegmentDedup.windowSegments(col("text"), 10).as("segs"))
+      .withColumn("kept", array_distinct(col("segs")))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        when(size(col("segs")) > 0,
+          floor((size(col("segs")) - size(col("kept")))
+            .cast("double") / size(col("segs")) * 10000 + 0.5) / 10000)
+          .otherwise(lit(0.0)).as("dup_frac"),
+        md5(array_join(col("kept"), " ")).as("sig"))
+      .orderBy(col("doc_id"))
+
+  val dedupInlineSql: String =
+    """WITH segd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 1 THEN
+      |      [array_to_string(toks[i:least(i + 9, len(toks))], ' ')
+      |       FOR i IN range(1, len(toks) + 1, 10)]
+      |    ELSE [] END AS segs
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |                      x -> x <> '') AS toks
+      |        FROM documents)),
+      |k AS (
+      |  SELECT doc_id, segs,
+      |    [segs[i] FOR i IN range(1, len(segs) + 1)
+      |     IF NOT list_contains(segs[1:i-1], segs[i])] AS kept
+      |  FROM segd)
+      |SELECT doc_id, len(segs)::BIGINT AS n_segs, len(kept)::BIGINT AS n_kept,
+      |  CASE WHEN len(segs) > 0
+      |    THEN floor((len(segs) - len(kept))::DOUBLE / len(segs) * 10000
+      |           + 0.5) / 10000
+      |    ELSE 0.0 END AS dup_frac,
+      |  md5(array_to_string(kept, ' ')) AS sig
+      |FROM k
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_inline" -> (dedupInline _),
     "dedup_recall" -> (dedupRecall _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_url" -> (dedupUrl _),
@@ -729,6 +782,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_inline" -> dedupInlineSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_url" -> dedupUrlSql,
     "dedup_substring" -> dedupSubstringSql,

@@ -485,6 +485,33 @@ class DedupSpec extends SparkSpec {
     assert(probeSet(graft.dedup.MinHashIndex.load(spark, dir)) === afterRemove)
   }
 
+  test("dedup_inline: planted within-doc repeats collapse keep-first; " +
+      "the plan's only exchange is the result ORDER BY") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inline").toString
+    val w = (1 to 10).map("a" + _).mkString(" ")   // one 10-word segment
+    val v = (1 to 10).map("b" + _).mkString(" ")
+    Seq(
+      (1L, s"$w $w $v"),    // segs [w, w, v] → kept [w, v]
+      (2L, v),              // no repeats
+      (3L, s"$w $w $w"))    // fully repeated → kept [w]
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.queries.DedupQueries.dedupInline(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(rows(1L)._1 === 3L && rows(1L)._2 === 2L)
+    assert(rows(1L)._3 === 0.3333)
+    assert(rows(2L) === ((1L, 1L, 0.0,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(v))))
+    assert(rows(3L) === ((3L, 1L, 0.6667,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(w))))
+    assert(rows(1L)._4 ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$w $v"))
+    // map-side contract: the one exchange is the final rangepartitioning
+    val plan = planOf(graft.queries.DedupQueries.dedupInline(spark, sf))
+    assert("Exchange".r.findAllIn(plan).size === 1, plan.take(1000))
+  }
+
   test("dedup_recall: exact-copy fixture scores recall 1.0; real-corpus " +
       "gate is internally consistent and bounded") {
     import spark.implicits._
