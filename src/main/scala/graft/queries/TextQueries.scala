@@ -1070,7 +1070,54 @@ object TextQueries {
       .withColumn("keep", col("ratio") >= 0.3 && col("ratio") <= 1.1)
       .orderBy(col("doc_id"))
 
+  /** Vocabulary coverage audit — the tokenizer-design number: what
+    * fraction of token OCCURRENCES do the top-k types cover (k = 10 /
+    * 100 / 1000)? A head-heavy curve says a small vocab + byte
+    * fallback suffices; a flat one predicts OOV pain. Each k rides a
+    * TakeOrderedAndProject over the type counts — top-k needs no
+    * global sort or single-partition window at ANY vocabulary size —
+    * and the one-row total broadcasts. Ties break on the token string
+    * in both engines.
+    */
+  def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir).documents
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    Seq(10, 100, 1000).map { k =>
+      counts.orderBy(col("cnt").desc, col("tok")).limit(k)
+        .agg(count(lit(1)).as("n_types"),
+          coalesce(sum(col("cnt")), lit(0L)).as("covered"))
+        .crossJoin(broadcast(total))
+        .select(lit(k.toLong).as("top_k"), col("n_types"), col("covered"),
+          col("total"),
+          (floor(col("covered").cast("double") / col("total") * 10000
+            + 0.5) / 10000).as("coverage"))
+    }.reduce(_ unionByName _).orderBy(col("top_k"))
+  }
+
+  val textVocabCoverageSql: String =
+    """WITH c AS (
+      |  SELECT tok, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                              x -> x <> '')) AS tok
+      |    FROM documents)
+      |  GROUP BY tok),
+      |t AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+      |r AS (
+      |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+      |  FROM c)
+      |SELECT ks.k AS top_k, count(*) AS n_types,
+      |  sum(cnt)::BIGINT AS covered, max(t.total) AS total,
+      |  floor(sum(cnt)::DOUBLE / max(t.total) * 10000 + 0.5) / 10000
+      |    AS coverage
+      |FROM r, (SELECT unnest([10, 100, 1000]::BIGINT[]) AS k) ks, t
+      |WHERE r.rn <= ks.k
+      |GROUP BY ks.k
+      |ORDER BY top_k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> (textVocabCoverage _),
     "text_compress" -> (textCompress _),
     "text_jsd" -> (textJsd _),
     "text_rrf" -> (textRrf _),
@@ -1100,6 +1147,7 @@ object TextQueries {
     "text_cooc_pmi" -> textCoocPmiSql,
     "text_pagerank" -> textPagerankSql,
     "text_lmscore" -> textLmscoreSql,
+    "text_vocab_coverage" -> textVocabCoverageSql,
     "text_entropy" -> textEntropySql,
     "text_chunk" -> textChunkSql,
     "text_normalize" -> textNormalizeSql,

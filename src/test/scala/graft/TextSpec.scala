@@ -544,6 +544,24 @@ class TextSpec extends SparkSpec {
     assert(got.exists(_._3 > 0.0), "real sources must actually diverge")
   }
 
+  test("text_vocab_coverage: monotone in k, full coverage once k >= vocab, " +
+      "top-k rides TakeOrdered (no global-window rank)") {
+    val rows = TextQueries.textVocabCoverage(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(10L, 100L, 1000L))
+    val covs = rows.map(_.getDouble(4))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b })
+    val vocab = graft.util.Tables(spark, sf).documents
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === math.min(r.getLong(0), vocab))
+      if (r.getLong(0) >= vocab) assert(r.getDouble(4) === 1.0)
+    }
+    val plan = planOf(TextQueries.textVocabCoverage(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+    assert(!plan.contains("Window"), "rank must not plan a global window")
+  }
+
   test("text_compress: driver Deflater replay agrees; repetitive text " +
       "compresses far below natural text") {
     // engine-vs-driver replay on the real corpus (same JVM, same zlib)
