@@ -1031,7 +1031,85 @@ object EventQueries {
       |    - (count(*) + 1)::DOUBLE / count(*)::DOUBLE, 6) AS gini
       |FROM r""".stripMargin
 
+  /** Point-in-time-correct temporal join — the feature-leakage guard of
+    * ML feature generation: every purchase is attributed to the user's
+    * state VALID AT ITS EVENT TIME (q_scd2's gaps-and-islands intervals
+    * over the non-purchase events, [from, to) half-open), never to a
+    * later state. The join is an equi-join on user_id with the range
+    * predicate as a join filter (each user's interval list is small and
+    * non-overlapping, so a purchase matches at most one; purchases
+    * before the user's first state row keep a NULL state → 'unknown').
+    * Same-second state flips produce zero-length [x, x) intervals that
+    * match nothing — deterministic in both engines at the es
+    * second-resolution contract q_scd2 already documents. Revenue in
+    * integer cents (q_mom's escrow).
+    */
+  def qStateAtEvent(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+    val stEv = e.filter(col("event_type") =!= "purchase")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = stEv
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull
+          || lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = runs.groupBy(col("user_id").as("i_user"), col("run_id"))
+      .agg(max(col("event_type")).as("state"), min(col("es")).as("from_s"))
+      .withColumn("to_s", lead(col("from_s"), 1).over(
+        Window.partitionBy(col("i_user")).orderBy(col("run_id"))))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("es"),
+        round(col("value") * 100).cast("long").as("cents"))
+    purchases.join(intervals,
+        purchases("user_id") === intervals("i_user") &&
+          col("es") >= col("from_s") &&
+          (col("to_s").isNull || col("es") < col("to_s")), "left")
+      .groupBy(coalesce(col("state"), lit("unknown")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
+      .orderBy(col("state"))
+  }
+
+  val qStateAtEventSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    floor(epoch(ts))::BIGINT AS es, value
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, es,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id
+      |  FROM (
+      |    SELECT *,
+      |      CASE WHEN lag(event_type) OVER w IS NULL
+      |             OR lag(event_type) OVER w <> event_type
+      |           THEN 1 ELSE 0 END AS chg
+      |    FROM e WHERE event_type <> 'purchase'
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+      |iv AS (
+      |  SELECT user_id AS i_user, state, from_s,
+      |    lead(from_s) OVER (PARTITION BY user_id ORDER BY run_id) AS to_s
+      |  FROM (
+      |    SELECT user_id, run_id, max(event_type) AS state,
+      |      min(es) AS from_s
+      |    FROM runs GROUP BY user_id, run_id)),
+      |p AS (
+      |  SELECT user_id, es, round(value * 100)::BIGINT AS cents
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT coalesce(iv.state, 'unknown') AS state,
+      |  count(*) AS n_purchases, sum(p.cents)::BIGINT AS rev_cents
+      |FROM p LEFT JOIN iv
+      |  ON p.user_id = iv.i_user AND p.es >= iv.from_s
+      |     AND (iv.to_s IS NULL OR p.es < iv.to_s)
+      |GROUP BY 1
+      |ORDER BY state""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_state_at_event" -> (qStateAtEvent _),
     "q_gini" -> (qGini _),
     "q_concurrency" -> (qConcurrency _),
     "q_ohlc" -> (qOhlc _),
@@ -1052,6 +1130,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_state_at_event" -> qStateAtEventSql,
     "q_gini" -> qGiniSql,
     "q_concurrency" -> qConcurrencySql,
     "q_ohlc" -> qOhlcSql,

@@ -393,6 +393,37 @@ class EventSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
   }
 
+  test("q_state_at_event: purchases take the state valid AT event time " +
+      "(no future leakage); pre-state purchases are 'unknown'; conserved") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sae").toString
+    // user 1: view at t=10, click at t=30; purchases at t=5 (unknown —
+    // before any state), t=20 (view — the LATER click must not leak
+    // back), t=40 (click)
+    Seq(
+      Ev(1, ts(10), 1, "view", 1.0), Ev(2, ts(30), 1, "click", 1.0),
+      Ev(3, ts(5), 1, "purchase", 2.0), Ev(4, ts(20), 1, "purchase", 3.0),
+      Ev(5, ts(40), 1, "purchase", 4.0),
+      // user 2: no state events at all → purchase stays unknown
+      Ev(6, ts(15), 2, "purchase", 5.0))
+      .toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = EventQueries.qStateAtEvent(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "unknown" -> ((2L, 700L)),   // t=5 (200c) + user 2 (500c)
+      "view" -> ((1L, 300L)),
+      "click" -> ((1L, 400L))))
+    // conservation on the real corpus: every purchase lands exactly once
+    val real = EventQueries.qStateAtEvent(spark, sf).collect()
+    val nPurch = graft.util.Tables(spark, sf).events
+      .filter(col("event_type") === "purchase").count()
+    assert(real.map(_.getLong(1)).sum === nPurch)
+  }
+
+  private def ts(minute: Long): Timestamp =
+    new Timestamp(1700000000000L + minute * 60000L)
+
   test("q_gini: zero for equal shares, hand-computed for a skewed " +
       "fixture, tie-order independent by construction") {
     // equal shares: users 1..4, two events each → gini exactly 0
