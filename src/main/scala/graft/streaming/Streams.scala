@@ -758,6 +758,30 @@ object Streams {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  // ---- stream-static temporal enrich -------------------------------------
+
+  /** q_state_at_event's streaming twin: a fact STREAM (purchases)
+    * joined LEFT against a STATIC state-interval table at event time —
+    * point-in-time feature lookup for online scoring. Structured
+    * Streaming supports stream-static joins with arbitrary predicates
+    * NATIVELY: no state store, no watermark, append mode — each
+    * micro-batch joins against the (small, broadcastable) interval
+    * snapshot, so this is one declarative join, not a foreachBatch
+    * workaround. Contract columns: stream (user_id, es, …) ⋈ intervals
+    * (i_user, state, from_s, to_s half-open, NULL to_s = open); a fact
+    * with no covering interval keeps state 'unknown'. Refreshing the
+    * dimension (a new SCD2 snapshot) is a restart-with-new-static —
+    * the standard stream-static contract.
+    */
+  def stateAtEventStream(facts: DataFrame, intervals: DataFrame): DataFrame =
+    facts.join(intervals,
+        facts("user_id") === intervals("i_user") &&
+          facts("es") >= intervals("from_s") &&
+          (intervals("to_s").isNull || facts("es") < intervals("to_s")),
+        "left")
+      .drop("i_user", "from_s", "to_s")
+      .withColumn("state", coalesce(col("state"), lit("unknown")))
+
   // ---- streaming ingestion with online near-dup filtering ---------------
 
   /** Streaming corpus ingestion with ONLINE near-duplicate filtering —

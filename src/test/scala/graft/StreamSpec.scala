@@ -943,6 +943,35 @@ class StreamSpec extends SparkSpec {
     assert(probeHits === Set(90L, 91L, 92L))
   }
 
+  test("stateAtEventStream: point-in-time state lookup on a stream equals " +
+      "the batch join; no covering interval → 'unknown'") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val intervals = Seq(
+      (1L, "view", 10L, Some(30L)), (1L, "click", 30L, None))
+      .toDF("i_user", "state", "from_s", "to_s")
+      .select(col("i_user"), col("state"), col("from_s"),
+        col("to_s").cast("long").as("to_s"))
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = Streams.stateAtEventStream(
+        ms.toDS().toDF("user_id", "es", "cents"), intervals)
+      .writeStream.format("memory").queryName("sae").outputMode("append")
+      .start()
+    try {
+      ms.addData(Seq((1L, 5L, 100L), (1L, 20L, 200L)))
+      q.processAllAvailable()
+      // boundary cases across a second batch: es == from_s of the open
+      // run (inclusive), es == to_s of the closed one (exclusive)
+      ms.addData(Seq((1L, 30L, 300L), (2L, 50L, 400L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sae").collect()
+      .map(r => (r.getLong(1), r.getString(3))).toSet
+    assert(got === Set((5L, "unknown"), (20L, "view"),
+      (30L, "click"), (50L, "unknown")))
+  }
+
   test("constraintsStream: per-batch audit rows — clean batch all zero, " +
       "dirty batch counts each planted violation") {
     implicit val ctx = spark.sqlContext
