@@ -70,17 +70,8 @@ object SimHashIndex {
   /** Rewrite accreted per-append files to one per block directory via
     * the staged-swap pattern; probe results are byte-identical.
     */
-  def compactSaved(spark: SparkSession, dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/blocks")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/blocks_tmp")
-    val fs = cur.getFileSystem(conf)
-    spark.read.parquet(cur.toString)
-      .repartition(col("block_id"))
-      .write.mode("overwrite").partitionBy("block_id").parquet(tmp.toString)
-    fs.delete(cur, true)
-    require(fs.rename(tmp, cur), s"compact: rename $tmp -> $cur failed")
-  }
+  def compactSaved(spark: SparkSession, dir: String): Unit =
+    swap(spark, dir)(_.repartition(col("block_id")))
 
   /** Takedown maintenance — MinHashIndex.removeSaved's twin for the
     * fingerprint index: rewrite the block table minus `ids` via the
@@ -88,16 +79,24 @@ object SimHashIndex {
     */
   def removeSaved(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     val drop = ids.toSet
-    val conf = spark.sparkContext.hadoopConfiguration
+    swap(spark, dir)(df =>
+      df.filter(!col("doc_id").isInCollection(drop))
+        .repartition(col("block_id")))
+  }
+
+  /** Rewrite `<dir>/blocks` through `<dir>/blocks_tmp` + rename —
+    * parquet can't overwrite a path its own plan is lazily reading
+    * (MinHashIndex's private swap, specialized to the one-table index).
+    */
+  private def swap(spark: SparkSession, dir: String)(
+      rewrite: DataFrame => DataFrame): Unit = {
     val cur = new org.apache.hadoop.fs.Path(s"$dir/blocks")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/blocks_tmp")
-    val fs = cur.getFileSystem(conf)
-    spark.read.parquet(cur.toString)
-      .filter(!col("doc_id").isInCollection(drop))
-      .repartition(col("block_id"))
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rewrite(spark.read.parquet(cur.toString))
       .write.mode("overwrite").partitionBy("block_id").parquet(tmp.toString)
     fs.delete(cur, true)
-    require(fs.rename(tmp, cur), s"remove: rename $tmp -> $cur failed")
+    require(fs.rename(tmp, cur), s"index rewrite: rename $tmp -> $cur failed")
   }
 
   /** Near-duplicate pairs between a NEW batch and the indexed corpus:

@@ -46,19 +46,27 @@ case class DeflateSize(child: Expression) extends UnaryExpression {
 
 object DeflateSize {
 
+  // one native zlib state + scratch buffer per task thread, reused via
+  // reset(): deflateInit allocates ~256 KB of native window per call,
+  // which would otherwise be paid (and freed) once PER ROW in the
+  // codegen hot loop; reset() restarts the stream with identical output
+  private val local = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(6))
+  private val buf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
   /** Static so generated code calls it directly (stays inside
     * whole-stage codegen).
     */
   def compute(u: UTF8String): Long = {
     val bytes = u.getBytes
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val out = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(out)
-      total
-    } finally d.end()
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val out = buf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(out)
+    total
   }
 }

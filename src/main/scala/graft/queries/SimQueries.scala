@@ -771,27 +771,39 @@ object SimQueries {
     * explode + two aggregations.
     */
   def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    // Exactness: the cosine to the label MEAN equals the cosine to the
+    // label SUM vector (the 1/(n*1e6) scale cancels), so every
+    // cross-row sum is INTEGER -- per-(label,dim) component sums,
+    // per-vector X*SQ dot products, per-label sum(SQ^2) norms --
+    // escrowed in DECIMAL(38,0) where BIGINT would wrap (X*SQ reaches
+    // ~1e21 at 1e9 rows/label; qc^2 sums wrap past ~9e6 rows). No
+    // float ever crosses rows, so aggregation order cannot drift a
+    // bit in either engine.
+    val dec = "decimal(38,0)"
     val ex = Tables(s, dir).embeddings
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
-      .withColumn("xd", col("x").cast("double"))
-      .withColumn("q", floor(col("xd") * 1e6 + 0.5).cast("long"))
+      .withColumn("q", floor(col("x").cast("double") * 1e6 + 0.5)
+        .cast("long"))
     val means = ex.groupBy(col("label").as("m_label"), col("dim").as("m_dim"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-      .select(col("m_label"), col("m_dim"),
-        (col("sq").cast("double") / col("n") / 1e6).as("m"))
+      .agg(sum(col("q")).as("sqm"))
+    val labelNorm = means.groupBy(col("m_label").as("n_label"))
+      .agg(sum(col("sqm").cast(dec) * col("sqm")).as("nm2q"))
     val scored = ex.join(broadcast(means),
         col("label") === col("m_label") && col("dim") === col("m_dim"))
       .groupBy(col("vec_id"), col("label"))
-      .agg(sum(col("xd") * col("m")).as("dot"),
-        sum(col("xd") * col("xd")).as("nv2"),
-        sum(col("m") * col("m")).as("nm2"))
-      .withColumn("cos", round(
-        col("dot") / (sqrt(col("nv2")) * sqrt(col("nm2"))), 6))
+      .agg(sum(col("q").cast(dec) * col("sqm")).as("dotq"),
+        sum(col("q").cast(dec) * col("q")).as("nv2q"))
+      .join(broadcast(labelNorm), col("label") === col("n_label"))
+      .withColumn("cos",
+        when(col("nv2q") > 0 && col("nm2q") > 0,
+          round(col("dotq").cast("double") /
+            (sqrt(col("nv2q").cast("double")) *
+              sqrt(col("nm2q").cast("double"))), 6)))
       .withColumn("qc", floor(col("cos") * 1e6 + 0.5).cast("long"))
     val stats = scored.groupBy(col("label").as("s_label"))
-      .agg(count(lit(1)).as("sn"), sum(col("qc")).as("s1"),
-        sum(col("qc") * col("qc")).as("s2"))
+      .agg(count(col("qc")).as("sn"), sum(col("qc")).as("s1"),
+        sum(col("qc").cast(dec) * col("qc")).as("s2"))
       .select(col("s_label"),
         (col("s1").cast("double") / col("sn") / 1e6).as("mu"),
         (sqrt(col("s2").cast("double") / col("sn") -
@@ -812,25 +824,32 @@ object SimQueries {
       |    unnest(range(len(embedding))) AS dim
       |  FROM embeddings),
       |ex AS (
-      |  SELECT vec_id, label, dim, e[dim + 1]::DOUBLE AS xd,
+      |  SELECT vec_id, label, dim,
       |    floor(e[dim + 1]::DOUBLE * 1e6 + 0.5)::BIGINT AS q
       |  FROM ex0),
       |m AS (
-      |  SELECT label, dim, sum(q)::DOUBLE / count(*) / 1e6 AS m
+      |  SELECT label, dim, sum(q)::BIGINT AS sqm
       |  FROM ex GROUP BY label, dim),
+      |ln AS (
+      |  SELECT label, sum(sqm::HUGEINT * sqm) AS nm2q
+      |  FROM m GROUP BY label),
       |sc AS (
       |  SELECT ex.vec_id, ex.label,
-      |    round(sum(ex.xd * m.m) /
-      |      (sqrt(sum(ex.xd * ex.xd)) * sqrt(sum(m.m * m.m))), 6) AS cos
+      |    CASE WHEN sum(ex.q::HUGEINT * ex.q) > 0 AND max(ln.nm2q) > 0
+      |      THEN round(sum(ex.q::HUGEINT * m.sqm)::DOUBLE /
+      |        (sqrt(sum(ex.q::HUGEINT * ex.q)::DOUBLE) *
+      |         sqrt(max(ln.nm2q)::DOUBLE)), 6)
+      |    END AS cos
       |  FROM ex JOIN m ON ex.label = m.label AND ex.dim = m.dim
+      |       JOIN ln ON ex.label = ln.label
       |  GROUP BY ex.vec_id, ex.label),
       |qs AS (
       |  SELECT vec_id, label, cos,
       |    floor(cos * 1e6 + 0.5)::BIGINT AS qc
       |  FROM sc),
       |st AS (
-      |  SELECT label, count(*) AS sn,
-      |    sum(qc)::DOUBLE AS s1, sum(qc * qc)::DOUBLE AS s2
+      |  SELECT label, count(qc) AS sn,
+      |    sum(qc)::DOUBLE AS s1, sum(qc::HUGEINT * qc)::DOUBLE AS s2
       |  FROM qs GROUP BY label),
       |st2 AS (
       |  SELECT label, s1 / sn / 1e6 AS mu,

@@ -95,9 +95,12 @@ object Readers {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val first = fs.listStatus(p).map(_.getPath)
+    val avroFiles = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.endsWith(".avro"))
-      .minBy(_.getName.toString)
+    if (avroFiles.isEmpty)
+      sys.error(s"Readers.avro: no .avro container files under $path " +
+        "to sniff the writer schema from")
+    val first = avroFiles.minBy(_.getName.toString)
     val in = fs.open(first)
     val header =
       try {

@@ -784,28 +784,6 @@ object Streams {
 
   // ---- streaming ingestion with online near-dup filtering ---------------
 
-  /** Streaming corpus ingestion with ONLINE near-duplicate filtering —
-    * [[graft.dedup.MinHashIndex]]'s day-2 loop (probe → admit → append)
-    * run at micro-batch cadence, the shape a continuously-crawling
-    * pipeline needs: every arriving batch is (1) deduped within itself
-    * (a doc near-dup of a smaller-id batch mate drops — SemDeDup's
-    * order-free keep rule, greedy across chains), (2) probed against
-    * the SAVED index (map-only until the band equi-join, band-pruned
-    * reads), (3) its admitted docs appended to the index so the NEXT
-    * batch sees them as already-seen, and (4) written to
-    * `outDir/batch=<id>`. Nothing old is ever re-read beyond the
-    * band-pruned probe; per batch the work is proportional to the
-    * batch, not the corpus.
-    *
-    * Restart semantics: the parquet OUTPUT is batchId-keyed idempotent
-    * (overwrite per batch dir), but the index APPEND is at-least-once —
-    * a batch retried after its append landed re-appends the same
-    * band/shingle rows. That cannot change admissions (probe candidate
-    * ids are distinct()-ed, and a duplicate shingle row yields the same
-    * match it duplicates), it only bloats the index files — which
-    * [[graft.dedup.MinHashIndex.compactSaved]]'s rewrite absorbs on its
-    * regular cadence.
-    */
   // ---- continuous data-quality monitoring --------------------------------
 
   /** q_constraints run continuously: per micro-batch every predicate
@@ -855,40 +833,83 @@ object Streams {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming corpus ingestion with ONLINE near-duplicate filtering —
+    * [[graft.dedup.MinHashIndex]]'s day-2 loop (probe → admit → append)
+    * run at micro-batch cadence, the shape a continuously-crawling
+    * pipeline needs: every arriving batch is (1) deduped within itself
+    * (a doc near-dup of a smaller-id batch mate drops — SemDeDup's
+    * order-free keep rule, greedy across chains), (2) probed against
+    * the SAVED index (map-only until the band equi-join, band-pruned
+    * reads), (3) its admitted docs appended to the index so the NEXT
+    * batch sees them as already-seen, and (4) written to
+    * `outDir/batch=<id>`. Nothing old is ever re-read beyond the
+    * band-pruned probe; per batch the work is proportional to the
+    * batch, not the corpus.
+    *
+    * Restart semantics: the parquet OUTPUT is batchId-keyed idempotent
+    * (overwrite per batch dir), and so are ADMISSIONS across a retry:
+    * a batch replayed AFTER its append landed sees its own docs in the
+    * index, so the probe result is filtered to `new_id =!= seen_id` —
+    * ids are stable across retries, so a doc can never be rejected as
+    * a duplicate of itself (the retry replays the same admit set and
+    * overwrites the same output dir). The re-appended band/shingle
+    * rows only bloat the index files, which
+    * [[graft.dedup.MinHashIndex.compactSaved]]'s rewrite absorbs on
+    * its regular cadence; duplicate index rows cannot change later
+    * admissions (candidate ids are distinct()-ed and a duplicate
+    * shingle row yields the same match it duplicates). The per-batch
+    * body is [[dedupIndexBatch]], exposed so the retry contract is
+    * directly testable.
+    */
   def dedupIndexStream(docs: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int, tau: Double, outDir: String,
       checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.dedup.{MinHashIndex, MinHashLSH}
     val writer = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // pin the batch: four consumers (intra pairs, probe, anti-joins)
-        val pinned = batch.localCheckpoint(false)
-        // admit-set pinned too: the append and the parquet write below
-        // MUST agree on it, and truncating lineage here also keeps the
-        // write from re-running the whole probe
-        var admitted: DataFrame = null
-        try {
-          val intra = MinHashLSH.nearDuplicates(pinned, idCol, textCol, n, tau)
-            .select(col("id_b").as("graft_drop")).distinct()
-          val batchKept = pinned.join(intra,
-            pinned(idCol) === intra("graft_drop"), "left_anti")
-          val dupOfSeen = MinHashIndex
-            .probe(MinHashIndex.load(spark, indexDir), batchKept,
-              idCol, textCol, n, tau)
-            .select(col("new_id")).distinct()
-          admitted = batchKept.join(dupOfSeen,
-              batchKept(idCol) === dupOfSeen("new_id"), "left_anti")
-            .localCheckpoint(false)
-          MinHashIndex.append(admitted, indexDir, idCol, textCol, n)
-          admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        } finally {
-          graft.util.Caches.release(pinned)
-          if (admitted != null) graft.util.Caches.release(admitted)
-        }
+        dedupIndexBatch(batch, indexDir, idCol, textCol, n, tau,
+          s"$outDir/batch=$batchId")
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
+  /** One micro-batch of [[dedupIndexStream]]: intra-dedup, probe,
+    * append admitted, overwrite `batchDir`. Idempotent under replay —
+    * see the retry contract on [[dedupIndexStream]].
+    */
+  private[graft] def dedupIndexBatch(batch: DataFrame, indexDir: String,
+      idCol: String, textCol: String, n: Int, tau: Double,
+      batchDir: String): Unit = {
+    import graft.dedup.{MinHashIndex, MinHashLSH}
+    val spark = batch.sparkSession
+    // pin the batch: four consumers (intra pairs, probe, anti-joins)
+    val pinned = batch.localCheckpoint(false)
+    // admit-set pinned too: the append and the parquet write below
+    // MUST agree on it, and truncating lineage here also keeps the
+    // write from re-running the whole probe
+    var admitted: DataFrame = null
+    try {
+      val intra = MinHashLSH.nearDuplicates(pinned, idCol, textCol, n, tau)
+        .select(col("id_b").as("graft_drop")).distinct()
+      val batchKept = pinned.join(intra,
+        pinned(idCol) === intra("graft_drop"), "left_anti")
+      val dupOfSeen = MinHashIndex
+        .probe(MinHashIndex.load(spark, indexDir), batchKept,
+          idCol, textCol, n, tau)
+        // retry idempotence: a replayed batch whose append already
+        // landed must not reject its own docs as duplicates of
+        // themselves
+        .filter(col("new_id") =!= col("seen_id"))
+        .select(col("new_id")).distinct()
+      admitted = batchKept.join(dupOfSeen,
+          batchKept(idCol) === dupOfSeen("new_id"), "left_anti")
+        .localCheckpoint(false)
+      MinHashIndex.append(admitted, indexDir, idCol, textCol, n)
+      admitted.write.mode("overwrite").parquet(batchDir)
+    } finally {
+      graft.util.Caches.release(pinned)
+      if (admitted != null) graft.util.Caches.release(admitted)
+    }
   }
 }

@@ -943,6 +943,34 @@ class StreamSpec extends SparkSpec {
     assert(probeHits === Set(90L, 91L, 92L))
   }
 
+  test("dedupIndexBatch: a retried batch (append already landed) replays " +
+      "the same admissions — docs are never rejected as their own dups") {
+    import spark.implicits._
+    val idxDir = graft.util.Staging.dir(spark, "dedup_retry_idx")
+    val outDir = graft.util.Staging.dir(spark, "dedup_retry_out")
+    graft.dedup.MinHashIndex.save(
+      graft.dedup.MinHashIndex.build(
+        Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3),
+      idxDir)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"),     // dup of seen → reject
+      (11L, "one two three four five")).toDF("doc_id", "text")
+    def run(): Set[Long] = {
+      Streams.dedupIndexBatch(batch, idxDir, "doc_id", "text",
+        n = 3, tau = 0.8, s"$outDir/batch=0")
+      spark.read.parquet(s"$outDir/batch=0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val first = run()
+    assert(first === Set(11L))
+    // the crash-after-append retry: 11's bands are now IN the index;
+    // without the self-match filter this replay would admit nothing
+    val retried = run()
+    assert(retried === first,
+      "retry must replay identical admissions, not self-reject")
+  }
+
   test("stateAtEventStream: point-in-time state lookup on a stream equals " +
       "the batch join; no covering interval → 'unknown'") {
     implicit val ctx = spark.sqlContext
