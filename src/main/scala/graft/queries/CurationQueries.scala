@@ -604,6 +604,45 @@ object CurationQueries {
        |  bit_xor(row_sig) AS checksum
        |FROM h GROUP BY shard ORDER BY shard""".stripMargin
 
+  private val SplitSeed = 31L
+
+  /** Deterministic train/val/test split (97∕2∕1) — the export step
+    * every training pipeline runs and the one place leakage between
+    * splits is unfixable later: assignment is a pure function of the
+    * doc id (seeded md5 bucket mod 100), so re-running any subset of
+    * the corpus reproduces the same split, new docs never move old
+    * ones, and a doc can never sit in two splits. Reports per-split
+    * volume plus the key-sum audit sample_shard uses (pins the hash,
+    * not just the routing). Map-side assignment, one aggregation.
+    */
+  def mixSplit(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .withColumn("bucket",
+        pmod(ShuffleShard.hashKey(col("doc_id"), SplitSeed), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 97, "train")
+          .when(col("bucket") < 99, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("bucket")).as("sum_bucket"))
+      .orderBy(col("split"))
+
+  val mixSplitSql: String =
+    s"""WITH b AS (
+       |  SELECT n_chars,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$SplitSeed'), 1, 8))
+       |      ::BIGINT % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 97 THEN 'train'
+       |            WHEN bucket < 99 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       |  sum(bucket)::BIGINT AS sum_bucket
+       |FROM b
+       |GROUP BY 1
+       |ORDER BY split""".stripMargin
+
   private val CurriculumSeed = 11L
   private val CurriculumPhases = 4
 
@@ -998,6 +1037,7 @@ object CurationQueries {
     "mix_dsir" -> (mixDsir _),
     "pipeline_e2e" -> (pipelineE2e _),
     "sample_shard" -> (sampleShard _),
+    "mix_split" -> (mixSplit _),
     "export_manifest" -> (exportManifest _),
     "sample_weighted" -> (sampleWeighted _),
     "mix_curriculum" -> (mixCurriculum _),
@@ -1018,6 +1058,7 @@ object CurationQueries {
     "mix_dsir" -> mixDsirSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,
+    "mix_split" -> mixSplitSql,
     "export_manifest" -> exportManifestSql,
     "sample_weighted" -> sampleWeightedSql,
     "mix_curriculum" -> mixCurriculumSql,

@@ -330,6 +330,19 @@ class CurationSpec extends SparkSpec {
     assert(small.head.getLong(3) === 0L)
   }
 
+  test("mix_split: disjoint-exhaustive 97/2/1 split, deterministic and " +
+      "stable under re-runs") {
+    val rows = CurationQueries.mixSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = graft.util.Tables(spark, sf).documents.count()
+    assert(rows.values.sum === n, "splits must partition the corpus")
+    assert(rows.keySet.subsetOf(Set("train", "val", "test")))
+    assert(rows("train").toDouble / n > 0.9, s"train share ${rows("train")}/$n")
+    // determinism: a second run is byte-identical
+    assert(CurationQueries.mixSplit(spark, sf).collect().toSeq ===
+      CurationQueries.mixSplit(spark, sf).collect().toSeq)
+  }
+
   test("q_source_quality: planted duplicate mass and driver-replayed " +
       "entropy means report exactly") {
     import spark.implicits._
