@@ -1031,7 +1031,141 @@ object CurationQueries {
        |FROM classes
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus snapshot diff — the "what changed since the last crawl"
+    * audit run before any re-training decision: two corpus versions
+    * compared by CONTENT HASH, each doc classified
+    * added / removed / changed / unchanged, rolled up per source. The
+    * new version is a deterministic function of the old one (a re-crawl
+    * in miniature): docs with id % 31 = 0 vanished, id % 13 = 0 pages
+    * were edited, and id % 17 = 3 pages gained a v2 copy under a fresh
+    * id — so the oracle can replay the exact transform.
+    *
+    * Scale (100 TB): the diff ships 16-byte md5 digests through one
+    * doc_id-co-partitioned FULL OUTER join — never the bodies; in a
+    * real lake the OLD side's hashes come straight off the published
+    * manifest (export_manifest stores them), so only the new crawl is
+    * ever hashed, and the dominant `unchanged` mass is anti-joined away
+    * before any downstream re-processing.
+    */
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documents
+    val old = base.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text")).as("h_a"))
+    val newV = base.filter(col("doc_id") % 31 =!= 0)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
+      .unionByName(base.filter(col("doc_id") % 17 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("text", concat(col("text"), lit(" v2"))))
+      .select(col("doc_id"), col("source").as("src_b"),
+        md5(col("text")).as("h_b"))
+    old.join(newV, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") === col("h_b"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("doc_id"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val qCorpusDiffSql: String =
+    """WITH old AS (
+      |  SELECT doc_id, source, md5(text) AS h FROM documents),
+      |newv AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+      |             ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 31 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, md5(text || ' v2')
+      |  FROM documents WHERE doc_id % 17 = 3)
+      |SELECT coalesce(o.source, n.source) AS source,
+      |  CASE WHEN o.h IS NULL THEN 'added'
+      |       WHEN n.h IS NULL THEN 'removed'
+      |       WHEN o.h = n.h THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  count(*) AS n_docs,
+      |  sum(coalesce(o.doc_id, n.doc_id))::BIGINT AS sum_ids
+      |FROM old o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Packing-efficiency report — the accounting that justifies packing
+    * at all: for the three canonical sequence layouts at block size 512
+    * (each doc contributes n_toks + 1 positions, the EOS convention of
+    * pack_concat), the padding and truncation bill:
+    *
+    *  - `truncate_per_doc` — one block per doc, overflow DROPPED (the
+    *    BERT-era layout): pays both pad (short docs) and dropped tokens
+    *    (long docs);
+    *  - `pad_per_doc` — each doc alone in ⌈n/512⌉ blocks (no
+    *    cross-doc attention, no loss): pays pad on every doc's last
+    *    block;
+    *  - `concat` — one global stream chunked into blocks (the GPT
+    *    layout pack_concat materializes): pad only in the final block,
+    *    the information-theoretic floor.
+    *
+    * Everything is a closed-form integer function of the per-doc token
+    * count, so the whole report is ONE corpus scan + one partial-agg
+    * exchange, melted to a row per strategy; pad_frac is the single
+    * float, computed once per row. At 100 TB the report is what picks
+    * the strategy BEFORE the (byte-multiplying) packing job runs.
+    */
+  def packStats(s: SparkSession, dir: String): DataFrame = {
+    val cap = 512
+    val one = Tables(s, dir).documents
+      .select((size(TextOps.tokens(col("text"))) + 1).cast("long").as("n"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok"),
+        sum(ceil(col("n").cast("double") / cap).cast("long")).as("blk_pad"),
+        sum(least(col("n"), lit(cap.toLong))).as("kept_trunc"))
+    one.select(
+        expr(s"""stack(3,
+          |'concat', ceil(tok / ${cap}D), tok, 0L,
+          |'pad_per_doc', blk_pad, tok, 0L,
+          |'truncate_per_doc', n_docs, kept_trunc, tok - kept_trunc
+          |)""".stripMargin)
+          .as(Seq("strategy", "n_blocks", "n_kept_tokens", "n_dropped_tokens")))
+      .withColumn("n_blocks", col("n_blocks").cast("long"))
+      .withColumn("n_pad_tokens",
+        col("n_blocks") * cap - col("n_kept_tokens"))
+      .withColumn("pad_frac",
+        round(col("n_pad_tokens").cast("double") / (col("n_blocks") * cap), 6))
+      .select(col("strategy"), col("n_blocks"), col("n_kept_tokens"),
+        col("n_dropped_tokens"), col("n_pad_tokens"), col("pad_frac"))
+      .orderBy(col("strategy"))
+  }
+
+  val packStatsSql: String =
+    """WITH d AS (
+      |  SELECT (len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                          x -> x <> '')) + 1)::BIGINT AS n
+      |  FROM documents),
+      |agg AS (
+      |  SELECT count(*) AS n_docs, sum(n)::BIGINT AS tok,
+      |    sum(ceil(n::DOUBLE / 512)::BIGINT)::BIGINT AS blk_pad,
+      |    sum(least(n, 512))::BIGINT AS kept_trunc
+      |  FROM d),
+      |m AS (
+      |  SELECT 'concat' AS strategy, ceil(tok / 512.0)::BIGINT AS n_blocks,
+      |    tok AS n_kept_tokens, 0::BIGINT AS n_dropped_tokens FROM agg
+      |  UNION ALL
+      |  SELECT 'pad_per_doc', blk_pad, tok, 0::BIGINT FROM agg
+      |  UNION ALL
+      |  SELECT 'truncate_per_doc', n_docs, kept_trunc,
+      |    (tok - kept_trunc)::BIGINT FROM agg)
+      |SELECT strategy, n_blocks, n_kept_tokens, n_dropped_tokens,
+      |  (n_blocks * 512 - n_kept_tokens)::BIGINT AS n_pad_tokens,
+      |  round((n_blocks * 512 - n_kept_tokens)::DOUBLE / (n_blocks * 512), 6)
+      |    AS pad_frac
+      |FROM m
+      |ORDER BY strategy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_stats" -> (packStats _),
+    "q_corpus_diff" -> (qCorpusDiff _),
     "mix_dedup_weight" -> (mixDedupWeight _),
     "pack_bestfit" -> (packBestfit _),
     "mix_dsir" -> (mixDsir _),
@@ -1055,6 +1189,8 @@ object CurationQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
+    "pack_stats" -> packStatsSql,
+    "q_corpus_diff" -> qCorpusDiffSql,
     "mix_dsir" -> mixDsirSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,

@@ -758,6 +758,76 @@ object DedupQueries {
       |FROM k
       |ORDER BY doc_id""".stripMargin
 
+  /** Takedown propagation — the right-to-be-forgotten / DMCA fold: a
+    * small takedown list names documents (here doc_id % 97 = 0), and
+    * compliance requires removing not just the named docs but every
+    * NEAR-DUPLICATE of them still in the corpus (the copy survives the
+    * takedown otherwise). Closure = the named docs' connected
+    * components over the verified exact-Jaccard pair graph (the same
+    * graph dedup_clusters labels); report per source: directly-named
+    * removals, propagated near-dup removals, docs kept, and an
+    * identity audit sum over the removed ids.
+    *
+    * Scale (100 TB): the takedown list is KB-scale → the seed-label
+    * set rides a BROADCAST semi-join against the component labels; the
+    * label table itself is the linear CC output (near-clique
+    * components, a handful of min-propagation rounds), and the final
+    * membership join is one doc_id equi-join. Nothing here rescans
+    * text: the pair graph is the dedup pipeline's existing artifact —
+    * in production you'd probe the saved MinHash index
+    * (MinHashIndex.probe) with just the named docs instead of
+    * rebuilding it.
+    *
+    * The oracle replays the closure as a recursive CTE reachability
+    * from the seed set over the exact pair graph — transitive closure
+    * and component membership agree on undirected graphs.
+    */
+  def qTakedownPropagate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text", n = 3, tau = 0.7)
+    val labels = ConnectedComponents.labels(pairs.select(col("id_a"), col("id_b")))
+    val seeds = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+    val seedLabels = labels.join(seeds, labels("id") === seeds("doc_id"))
+      .select(col("label")).distinct()
+    val propagated = labels.join(broadcast(seedLabels), Seq("label"))
+      .select(col("id").as("doc_id"))
+    val removed = propagated.unionByName(seeds).distinct()
+      .withColumn("reason",
+        when(col("doc_id") % 97 === 0, "seed").otherwise("near-dup"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(when(col("reason") === "seed", 1)).as("n_seed"),
+        count(when(col("reason") === "near-dup", 1)).as("n_propagated"),
+        count(when(col("reason").isNull, 1)).as("n_kept"),
+        coalesce(sum(when(col("reason").isNotNull, col("doc_id"))), lit(0L))
+          .as("sum_removed_ids"))
+      .orderBy(col("source"))
+  }
+
+  val qTakedownPropagateSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (${jaccardPairsSql(0.7).replace("ORDER BY id_a, id_b", "")}),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(v) AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+       |  UNION
+       |  SELECT e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |removed AS (
+       |  SELECT v AS doc_id,
+       |    CASE WHEN v % 97 = 0 THEN 'seed' ELSE 'near-dup' END AS reason
+       |  FROM reach)
+       |SELECT d.source,
+       |  count(CASE WHEN r.reason = 'seed' THEN 1 END) AS n_seed,
+       |  count(CASE WHEN r.reason = 'near-dup' THEN 1 END) AS n_propagated,
+       |  count(CASE WHEN r.reason IS NULL THEN 1 END) AS n_kept,
+       |  coalesce(sum(CASE WHEN r.reason IS NOT NULL THEN d.doc_id END), 0)::BIGINT
+       |    AS sum_removed_ids
+       |FROM documents d LEFT JOIN removed r USING (doc_id)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_inline" -> (dedupInline _),
     "dedup_recall" -> (dedupRecall _),
@@ -767,6 +837,7 @@ object DedupQueries {
     "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_lines" -> (dedupLines _),
+    "q_takedown_propagate" -> (qTakedownPropagate _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_bloom" -> (dedupBloom _),
@@ -782,6 +853,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_takedown_propagate" -> qTakedownPropagateSql,
     "dedup_inline" -> dedupInlineSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_url" -> dedupUrlSql,

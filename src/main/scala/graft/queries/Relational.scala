@@ -978,7 +978,67 @@ object Relational {
       |  FROM lineitem)
       |ORDER BY check_name""".stripMargin
 
+  /** Incremental materialized-view maintenance — the shape every
+    * production aggregation pipeline converges to: a stored rollup
+    * (per month × status: count, revenue, key min/max) is REFRESHED by
+    * merging the delta's partial aggregates into the stored state, not
+    * by recomputing history. Day-0 builds the MV over months before
+    * 2000-01 and persists it (a real parquet round-trip — the state
+    * genuinely leaves the plan and comes back); the refresh aggregates
+    * ONLY the delta, unions the two state tables, and re-aggregates
+    * with the MERGE functions (sum of counts, sum of sums, min of
+    * mins, max of maxes). The oracle is the FULL recompute off orders
+    * — the hash match proves the incremental algebra exactly.
+    *
+    * What makes an aggregate maintainable this way is partial-agg
+    * algebra: count/sum/min/max carry their own merge; avg must be
+    * stored as (sum, count); COUNT(DISTINCT) needs a mergeable sketch
+    * (agg_hll_rollup is exactly that shape); MEDIAN/percentiles need
+    * GK/t-digest state (agg_sketches). Revenue stays in integer cents
+    * so base+delta merge order cannot drift a float sum.
+    *
+    * Scale (100 TB): refresh cost is proportional to the DELTA, never
+    * the history — the stored MV is month×status-sized (KB–MB), the
+    * delta aggregate is one partial-agg exchange, and the merge is a
+    * group-key-scale re-aggregation. This is also the
+    * foreachBatch-side pattern of a streaming rollup sink.
+    */
+  def qMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Staging.dir(s, "mv_refresh")
+    def aggState(df: DataFrame): DataFrame = df
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    val orders = Tables(s, dir).orders
+    val cutoff = to_timestamp(lit("2000-01-01"))
+    // day-0: build and STORE the view over history
+    aggState(orders.filter(col("o_orderdate") < cutoff))
+      .write.mode("overwrite").parquet(out)
+    // refresh: partial-agg the delta only, merge into the stored state
+    s.read.parquet(out)
+      .unionByName(aggState(orders.filter(col("o_orderdate") >= cutoff)))
+      .groupBy(col("o_month"), col("o_orderstatus"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("cents")).as("cents"),
+        min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"))
+      .orderBy(col("o_month"), col("o_orderstatus"))
+  }
+
+  val qMvRefreshSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
+      |  count(*) AS n_orders,
+      |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_refresh" -> (qMvRefresh _),
     "q_constraints" -> (qConstraints _),
     "q_profile" -> (qProfile _),
     "q_corr" -> (qCorr _),
@@ -1008,6 +1068,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_mv_refresh" -> qMvRefreshSql,
     "q_constraints" -> qConstraintsSql,
     "q_profile" -> qProfileSql,
     "q_corr" -> qCorrSql,

@@ -925,7 +925,132 @@ object SimQueries {
       .filter(col("decoded"))
       .orderBy(col("media_id"))
 
+  /** Matryoshka truncation audit (Kusupati arXiv:2205.13147) — the
+    * "how many dimensions do I actually need" study behind every
+    * dimension-budget decision (MRL-trained models serve the PREFIX of
+    * the embedding at reduced cost): for each budget d ∈ {8,16,32,64}
+    * and each probe query (vec_id % 50 = 0), the top-10 neighbors by
+    * prefix-d cosine, reported as overlap@10 against the full-dim
+    * top-10 plus the integer-quantized cosine mass of the truncated
+    * top-10. Rankings compare ROUNDED (1e-6) cosines with vec_id
+    * tiebreaks, so order is engine- and partition-exact, which is what
+    * lets an ANN-adjacent op carry a full hash oracle.
+    *
+    * Scale (100 TB): the probe set is KB-scale → broadcast; each
+    * budget is one corpus scan (the slice materializes BEFORE the
+    * native dot — the §8 HOF lesson); per-(query,budget) top-10 rides
+    * row_number → WindowGroupLimit, so the limit applies before the
+    * exchange. Cost = |budgets| linear scans, no quadratic anywhere.
+    */
+  def embMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = Seq(8, 16, 32, 64)
+    val emb = Tables(s, dir).embeddings
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = budgets.map { d =>
+      val q = probes
+        .withColumn("q_t", slice(col("q_emb"), 1, d))
+        .withColumn("q_norm", graft.sim.Vectors.normD(col("q_t")))
+        .select(col("q_id"), col("q_t"), col("q_norm"))
+      val c = emb
+        .select(col("vec_id").as("c_id"),
+          slice(col("embedding"), 1, d).as("c_t"))
+        .withColumn("c_norm", graft.sim.Vectors.normD(col("c_t")))
+      c.join(broadcast(q), col("c_id") =!= col("q_id"))
+        .select(col("q_id"), lit(d).as("d"), col("c_id"),
+          round(graft.sim.Vectors.cosineWithNorms(
+            graft.sim.Vectors.dotD(col("q_t"), col("c_t")),
+            col("q_norm"), col("c_norm")), 6).as("cos"))
+    }.reduce(_ unionByName _)
+    val top = scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"),
+        col("d")).orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rk") <= 10)
+    val fullTop = top.filter(col("d") === 64)
+      .select(col("q_id").as("f_q"), col("c_id").as("f_c"))
+    top.join(fullTop,
+        top("q_id") === fullTop("f_q") && top("c_id") === fullTop("f_c"),
+        "left")
+      .groupBy(col("q_id"), col("d"))
+      .agg(count(col("f_c")).as("overlap10"),
+        sum(floor(col("cos") * 1e6 + 0.5).cast("long")).as("sum_qcos"))
+      .orderBy(col("q_id"), col("d"))
+  }
+
+  val embMatryoshkaSql: String =
+    """WITH b(d) AS (VALUES (8), (16), (32), (64)),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe
+      |      FROM embeddings WHERE vec_id % 50 = 0),
+      |sc AS (
+      |  SELECT q.q_id, b.d, c.vec_id AS c_id,
+      |    round(list_sum(list_transform(range(1, b.d + 1),
+      |            i -> q.qe[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+      |      (sqrt(list_sum(list_transform(range(1, b.d + 1),
+      |            i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+      |       sqrt(list_sum(list_transform(range(1, b.d + 1),
+      |            i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))),
+      |      6) AS cos
+      |  FROM q, b, embeddings c
+      |  WHERE c.vec_id <> q.q_id),
+      |rk AS (
+      |  SELECT q_id, d, c_id, cos, row_number() OVER (
+      |    PARTITION BY q_id, d ORDER BY cos DESC, c_id) AS r
+      |  FROM sc),
+      |top AS (SELECT q_id, d, c_id, cos FROM rk WHERE r <= 10),
+      |ft AS (SELECT q_id, c_id FROM top WHERE d = 64)
+      |SELECT t.q_id, t.d, count(f.c_id) AS overlap10,
+      |  sum(floor(t.cos * 1e6 + 0.5)::BIGINT)::BIGINT AS sum_qcos
+      |FROM top t LEFT JOIN ft f ON t.q_id = f.q_id AND t.c_id = f.c_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Pairwise-cosine histogram on a deterministic 1/3 sample — the
+    * threshold-calibration tool run BEFORE picking a SemDeDup /
+    * embedding-dedup τ: the histogram's high-cos tail shows where the
+    * near-dup mass separates from the background bulk (this corpus:
+    * bulk near 0, nothing above 0.6 — why dedup_embedding runs at
+    * τ=0.4). Buckets are 0.05 wide over rounded cosines; the id-modulo
+    * sample BOUNDS the quadratic side at any corpus size (the
+    * dedup_recall move — calibration needs the distribution's shape,
+    * not every pair).
+    */
+  def embCosHist(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", graft.sim.Vectors.normD(col("embedding")))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(floor(round(graft.sim.Vectors.cosineWithNorms(
+          graft.sim.Vectors.dotD(col("va"), col("vb")),
+          col("na"), col("nb")), 6) * 20).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
+  val embCosHistSql: String =
+    """SELECT floor(cos * 20)::BIGINT AS bucket, count(*) AS n_pairs FROM (
+      |  SELECT round(
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(a.embedding,
+      |        x -> x::DOUBLE * x::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(b.embedding,
+      |        x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id % 3 = 0 AND b.vec_id % 3 = 0
+      |    AND a.vec_id < b.vec_id)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_matryoshka" -> (embMatryoshka _),
+    "emb_cos_hist" -> (embCosHist _),
     "mm_thumb" -> (mmThumb _),
     "emb_dim_stats" -> (embDimStats _),
     "emb_outliers" -> (embOutliers _),
@@ -954,6 +1079,8 @@ object SimQueries {
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
+    "emb_matryoshka" -> embMatryoshkaSql,
+    "emb_cos_hist" -> embCosHistSql,
     "emb_dim_stats" -> embDimStatsSql,
     "emb_outliers" -> embOutliersSql,
     "knn_classify" -> knnClassifySql,

@@ -459,7 +459,166 @@ object SourceQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Late-data backfill via DYNAMIC partition overwrite — the daily
+    * production shape: a bad load corrupted some partitions of a
+    * published, date-partitioned table, and the fix must replace ONLY
+    * those partitions in place. Here the first publish writes every
+    * order month but zeroes prices and drops odd order keys in the
+    * "bad" months (a partial, corrupt load); the backfill recomputes
+    * just those months and writes them with
+    * `partitionOverwriteMode=dynamic`, which replaces exactly the
+    * partitions present in the incoming frame and leaves the other ~68
+    * month directories untouched. The oracle is the clean per-month
+    * aggregate straight off orders, so the hash match proves three
+    * things at once: the bad partitions were fully replaced (counts —
+    * dropped rows restored), correctly replaced (sums — zeroed prices
+    * fixed), and nothing else was clobbered (STATIC overwrite mode
+    * would have deleted all 80 partitions and left only the rewritten
+    * ones — a row-count mismatch).
+    *
+    * Scale (100 TB): the write cost is proportional to the CORRECTED
+    * data only, never the table; readers keep partition-pruning the
+    * same layout; no table-wide lock or copy. The mode rides the
+    * WRITER option (not session conf), so concurrent queries in the
+    * same session are unaffected.
+    */
+  def sourceBackfill(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Staging.dir(s, "backfill")
+    val orders = Tables(s, dir).orders
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val isBad = month(col("o_orderdate")).isin(3, 8)
+    // publish v1: bad months arrive truncated (odd keys missing) with
+    // zeroed prices; good months arrive clean
+    orders.filter(!isBad)
+      .unionByName(orders.filter(isBad)
+        .filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", lit(0.0)))
+      .repartition(col("o_month"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(out)
+    // backfill: recompute ONLY the bad months, dynamic overwrite
+    orders.filter(isBad)
+      .repartition(col("o_month"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_month").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy(col("o_month"))
+  }
+
+  val sourceBackfillSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total,
+      |  sum(o_orderkey)::BIGINT AS sum_keys
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Schema evolution under `mergeSchema` — the mid-corpus column add
+    * every long-lived lake hits: batch 1 (even order keys) was written
+    * before `o_orderpriority` existed; batch 2 (odd keys) carries it.
+    * A plain parquet read takes ONE footer's schema — whichever file
+    * gets sampled — so the old column set can silently win and the new
+    * column vanish; `mergeSchema=true` unions the footers and
+    * null-fills the pre-evolution rows, which is exactly what the
+    * aggregate sees (`coalesce` folds them into a 'pre-evolution'
+    * bucket). The oracle replays the same split + null-fill from the
+    * original orders table.
+    *
+    * Scale (100 TB): mergeSchema reads EVERY footer (a driver-side
+    * file-listing-scale cost, the reason it is off by default) — at
+    * production scale you pin the merged schema once in a catalog
+    * (`.schema(...)` on the read) and keep the per-query cost zero;
+    * the null-fill semantics this query proves are identical either
+    * way.
+    */
+  def sourceEvolve(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Staging.dir(s, "evolve")
+    val orders = Tables(s, dir).orders
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("append").parquet(out)
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy(col("priority"))
+  }
+
+  val sourceEvolveSql: String =
+    """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+      |                '(pre-evolution)') AS priority,
+      |  count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
+      |  sum(o_orderkey)::BIGINT AS sum_keys
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Manifest-pinned read — the reproducibility primitive every
+    * published training set needs: consumers read the EXACT file list
+    * the manifest names (`spark.read.parquet(files*)` with `basePath`
+    * so the partition column survives), never a directory listing. A
+    * directory read re-lists at every run — late-arriving files,
+    * half-written compactions, or eventually-consistent object-store
+    * listings silently change the dataset between epochs; the manifest
+    * freezes it. Here the corpus is sharded by the seeded md5 key (the
+    * sample_shard / export_manifest layout), the manifest pins shards
+    * {0,5,10,15}, and the oracle replays the shard arithmetic as a
+    * WHERE — the hash match proves the pinned file set carries exactly
+    * the pinned id population, no more (no stray-directory bleed), no
+    * less (no dropped file).
+    *
+    * Scale (100 TB): planning is O(|manifest|) with ZERO listing RPCs
+    * (the object-store listing problem); the FileIndex is built from
+    * the given paths directly. The manifest itself is the KB-scale
+    * export_manifest artifact.
+    */
+  def sourceManifest(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Staging.dir(s, "manifest_src")
+    val assigned = graft.ops.ShuffleShard.assign(
+      Tables(s, dir).documents, "doc_id", 42L, 16)
+    graft.ops.ShuffleShard.writeShards(assigned, 16, out)
+    val pinned = Seq(0L, 5L, 10L, 15L)
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = pinned.flatMap { sh =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/shard=$sh"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString)
+    }.sorted
+    s.read.option("basePath", out).parquet(files: _*)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("shard"))
+  }
+
+  val sourceManifestSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT AS k
+      |  FROM documents)
+      |SELECT k % 16 AS shard, count(*) AS n_docs,
+      |  sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+      |FROM h
+      |WHERE k % 16 IN (0, 5, 10, 15)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_manifest" -> (sourceManifest _),
+    "source_backfill" -> (sourceBackfill _),
+    "source_evolve" -> (sourceEvolve _),
     "source_gzip" -> (sourceGzip _),
     "source_avro" -> (sourceAvro _),
     "source_orc" -> (sourceOrc _),
@@ -474,6 +633,9 @@ object SourceQueries {
     "source_jsonl" -> (sourceJsonl _))
 
   val oracleSql: Map[String, String] = Map(
+    "source_manifest" -> sourceManifestSql,
+    "source_backfill" -> sourceBackfillSql,
+    "source_evolve" -> sourceEvolveSql,
     "source_gzip" -> sourceGzipSql,
     "source_avro" -> sourceAvroSql,
     "source_orc" -> sourceOrcSql,

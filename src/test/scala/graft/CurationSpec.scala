@@ -428,4 +428,47 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq((1L, 2L, 2L), (3L, 1L, 1L), (10L, 5L, 3L)))
   }
+
+  test("pack_stats: closed-form replay from the per-doc token counts; " +
+    "concat is the padding floor") {
+    import org.apache.spark.sql.functions._
+    val ns = graft.util.Tables(spark, sf).documents
+      .select((size(graft.text.TextOps.tokens(col("text"))) + 1)
+        .cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    val cap = 512L
+    val tok = ns.sum
+    val got = graft.queries.CurationQueries.packStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val concatBlocks = (tok + cap - 1) / cap
+    assert(got("concat") ===
+      ((concatBlocks, tok, 0L, concatBlocks * cap - tok)))
+    val padBlocks = ns.map(n => (n + cap - 1) / cap).sum
+    assert(got("pad_per_doc") === ((padBlocks, tok, 0L, padBlocks * cap - tok)))
+    val kept = ns.map(math.min(_, cap)).sum
+    assert(got("truncate_per_doc") ===
+      ((ns.length.toLong, kept, tok - kept, ns.length * cap - kept)))
+    // the floor: concat can never pad more than the per-doc layouts
+    assert(got("concat")._4 <= got("pad_per_doc")._4)
+  }
+
+  test("q_corpus_diff: statuses replay the planted transform exactly and " +
+    "partition the id universe") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sf).documents
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val removed = ids.filter(_ % 31 == 0)
+    val changed = ids.filter(i => i % 31 != 0 && i % 13 == 0)
+    val added = ids.filter(_ % 17 == 3).map(_ + 10000000L)
+    val unchanged = ids.filter(i => i % 31 != 0 && i % 13 != 0)
+    val got = graft.queries.CurationQueries.qCorpusDiff(spark, sf).collect()
+      .groupBy(_.getString(1))
+      .map { case (st, rs) =>
+        st -> (rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum) }
+    assert(got("removed") === ((removed.size.toLong, removed.sum)))
+    assert(got("changed") === ((changed.size.toLong, changed.sum)))
+    assert(got("added") === ((added.size.toLong, added.sum)))
+    assert(got("unchanged") === ((unchanged.size.toLong, unchanged.sum)))
+  }
 }

@@ -720,4 +720,36 @@ class DedupSpec extends SparkSpec {
         s"keep_id must be the min doc_id of the page's members: $g")
     }
   }
+
+  test("q_takedown_propagate: closure equals driver-side BFS from the seed " +
+    "set; every named doc removed; corpus conserved") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sf).documents
+    val pairs = graft.dedup.MinHashLSH
+      .nearDuplicates(docs, "doc_id", "text", n = 3, tau = 0.7)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b) =>
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val seeds = docs.select(col("doc_id")).collect()
+      .map(_.getLong(0)).filter(_ % 97 == 0)
+    val removed = scala.collection.mutable.Set[Long](seeds.toIndexedSeq: _*)
+    var frontier = seeds.toList
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj).filterNot(removed).distinct
+      next.foreach(removed += _)
+      frontier = next
+    }
+    val got = graft.queries.DedupQueries.qTakedownPropagate(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum === seeds.length,
+      "every doc on the takedown list must be removed as a seed")
+    assert(got.map(r => r.getLong(1) + r.getLong(2)).sum === removed.size.toLong,
+      "removed count must equal the BFS closure")
+    assert(got.map(_.getLong(4)).sum === removed.sum,
+      "removed-id audit sum must equal the BFS closure's")
+    assert(got.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum ===
+      docs.count(), "seed + propagated + kept must conserve the corpus")
+  }
 }

@@ -325,4 +325,24 @@ class RelationalSpec extends SparkSpec {
     assert(dirty("lineitem.l_orderkey -> orders.o_orderkey") === ((2L, 1L)))
     assert(dirty("lineitem.l_quantity in [1,50]") === ((2L, 1L)))
   }
+
+  test("q_mv_refresh: stored-state merge equals the one-shot aggregate " +
+    "(the incremental-maintenance algebra)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Relational.qMvRefresh(spark, sf).collect()
+    val want = graft.util.Tables(spark, sf).orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_month"), col("o_orderstatus")).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+    // both sides of the cutoff must actually contribute — otherwise the
+    // merge path was never exercised
+    assert(got.exists(_.getString(0) < "2000-01") &&
+      got.exists(_.getString(0) >= "2000-01"))
+  }
 }

@@ -1095,4 +1095,69 @@ class SimSpec extends SparkSpec {
     val frac = real.count(_.getBoolean(4)).toDouble / real.length
     assert(frac < 0.1, s"outlier fraction $frac")
   }
+
+  test("emb_matryoshka: full-dim overlap is exactly 10; mean overlap grows " +
+    "with budget; d=8 top-10 matches a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val rows = SimQueries.embMatryoshka(spark, sf).collect()
+    assert(rows.filter(_.getInt(1) == 64).forall(_.getLong(2) === 10L),
+      "the full budget must trivially agree with itself")
+    val byD = rows.groupBy(_.getInt(1))
+      .map { case (d, rs) => d -> rs.map(_.getLong(2)).sum.toDouble / rs.length }
+    assert(byD(8) <= byD(16) + 0.5 && byD(16) <= byD(32) + 0.5 &&
+      byD(32) <= byD(64), s"overlap should grow with budget: $byD")
+    // independent replay: collect vectors, rank prefix-8 cosine driver-side
+    val vecs = graft.util.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // Spark's round(x, 6) = BigDecimal.valueOf(x).setScale(6, HALF_UP);
+    // replaying with anything else (e.g. rint's half-even) would make
+    // the spec flaky on an exact 7th-decimal tie
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos8(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 8).foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble }
+      round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val qIds = vecs.keys.filter(_ % 50 == 0)
+    qIds.foreach { q =>
+      val want = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos8(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(10)
+        .map { case (_, s) => math.floor(s * 1e6 + 0.5).toLong }.sum
+      val got = rows.find(r => r.getLong(0) == q && r.getInt(1) == 8).get.getLong(3)
+      assert(got === want, s"query $q d=8 top-10 cosine mass")
+    }
+  }
+
+  test("emb_cos_hist: exact driver-side replay of the sampled pair histogram") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.util.Tables(spark, sf).embeddings
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble }
+      java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val want = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+    } yield math.floor(cosD(vecs(i)._2, vecs(j)._2) * 20).toLong)
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val got = SimQueries.embCosHist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.sum === vecs.length.toLong * (vecs.length - 1) / 2,
+      "every sampled pair lands in exactly one bucket")
+  }
 }

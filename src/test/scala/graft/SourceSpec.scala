@@ -130,4 +130,91 @@ class SourceSpec extends SparkSpec {
       else assert(r.getString(2) === s"note$i")
     }
   }
+
+  test("source_backfill: final state equals the clean recompute; bad months " +
+    "fully restored") {
+    import org.apache.spark.sql.functions._
+    val got = SourceQueries.sourceBackfill(spark, sf).collect()
+    val want = graft.util.Tables(spark, sf).orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy(col("o_month")).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+    // the corrupted load zeroed prices in months 3 and 8 — a surviving
+    // zero-sum month would mean the dynamic overwrite missed a partition
+    got.filter(r => r.getString(0).endsWith("-03") || r.getString(0).endsWith("-08"))
+      .foreach(r => assert(r.getDouble(2) > 0.0))
+  }
+
+  test("dynamic partition overwrite replaces ONLY the incoming partitions; " +
+    "untouched partition files survive byte-identical") {
+    import org.apache.spark.sql.functions._
+    val out = graft.util.Staging.dir(spark, "backfill_spec")
+    val df = spark.range(0, 100)
+      .select(col("id"), (col("id") % 4).cast("string").as("p"))
+    df.write.mode("overwrite").partitionBy("p").parquet(out)
+    def listing(p: String): Seq[(String, Long, Long)] = {
+      val d = new org.apache.hadoop.fs.Path(s"$out/p=$p")
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(d).filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .toSeq.sortBy(_._1)
+    }
+    val before = listing("1")
+    // dynamic overwrite of partitions 2 and 3 only, with changed content
+    df.filter(col("p").isin("2", "3")).withColumn("id", col("id") + 1000)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p").parquet(out)
+    assert(listing("1") === before) // same names, lengths, mtimes — untouched
+    val back = spark.read.parquet(out)
+    assert(back.count() === 100) // static mode would have dropped p=0 and p=1
+    assert(back.filter(col("p") === "2").agg(min(col("id"))).head().getLong(0) >= 1000)
+    assert(back.filter(col("p") === "1").agg(max(col("id"))).head().getLong(0) < 1000)
+  }
+
+  test("source_evolve: mergeSchema surfaces the late column, null-fills " +
+    "pre-evolution rows") {
+    import org.apache.spark.sql.functions._
+    val t = graft.util.Tables(spark, sf).orders
+    val rows = SourceQueries.sourceEvolve(spark, sf).collect()
+    val pre = rows.filter(_.getString(0) == "(pre-evolution)")
+    assert(pre.length === 1)
+    assert(pre.head.getLong(1) ===
+      t.filter(col("o_orderkey") % 2 === 0).count())
+    assert(rows.map(_.getLong(1)).sum === t.count())
+    // and the mechanism itself: a two-batch dir where only batch 2 has
+    // the column — merged read must carry it, old rows must be null
+    val out = graft.util.Staging.dir(spark, "evolve_spec")
+    spark.range(0, 5).select(col("id")).write.mode("append").parquet(out)
+    spark.range(5, 10).select(col("id"), lit("v2").as("tag"))
+      .write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.schema.fieldNames.toSet === Set("id", "tag"))
+    assert(merged.filter(col("id") < 5).filter(col("tag").isNull).count() === 5)
+    assert(merged.filter(col("tag") === "v2").count() === 5)
+  }
+
+  test("source_manifest: the pinned file list carries exactly the pinned " +
+    "shard population — no bleed, no loss") {
+    import org.apache.spark.sql.functions._
+    val got = SourceQueries.sourceManifest(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 5L, 10L, 15L))
+    val assigned = graft.ops.ShuffleShard.assign(
+      graft.util.Tables(spark, sf).documents, "doc_id", 42L, 16)
+    val want = assigned.filter(col("shard").isin(0L, 5L, 10L, 15L))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids"))
+      .orderBy(col("shard")).collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) === w.getLong(0))
+      assert(g.getLong(1) === w.getLong(1))
+      assert(g.getLong(3) === w.getLong(2))
+    }
+    // the manifest read must be a strict subset of the directory read
+    assert(got.map(_.getLong(1)).sum <
+      graft.util.Tables(spark, sf).documents.count())
+  }
 }

@@ -17,14 +17,16 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
 # CPU-minutes on the ~100× pair count (the Spark side prefix-filters;
 # the oracle deliberately doesn't). dedup_containment (r8) is the same
 # class: its uncapped quadratic twin runs 25M list_intersect pairs at
-# the 5,000-doc corpus. All four stay fully checked at sf0.01 by the
-# driver gate; every other oracle runs here.
+# the 5,000-doc corpus. q_takedown_propagate (r8) composes that same
+# quadratic pairs CTE with the recursive reachability closure, so it
+# joins the list for BOTH reasons. All five stay fully checked at
+# sf0.01 by the driver gate; every other oracle runs here.
 # no tee: piping would make the pipeline status tee's 0 and swallow the
 # checker's failure exit under set -e — write, then show, then exit
 # with the checker's own status so CI sees a mismatch as a failure
 st=0
 python3 tools/check_oracle.py /root/testdata/sf0.1 "$OUT" \
-  --skip dedup_clusters,dedup_keep_best,dedup_ngram_jaccard,dedup_containment \
+  --skip dedup_clusters,dedup_keep_best,dedup_ngram_jaccard,dedup_containment,q_takedown_propagate \
   > CORRECTNESS_SF01.txt || st=$?
 cat CORRECTNESS_SF01.txt
 exit $st
