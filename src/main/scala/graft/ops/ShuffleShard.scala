@@ -39,6 +39,21 @@ object ShuffleShard {
     df.withColumn("shuffle_key", hashKey(col(idCol), seed))
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
 
+  /** Adds (bucket, split) columns: the mix_split 97∕2∕1
+    * train∕val∕test assignment as a pure function of the id (seeded
+    * md5 bucket mod 100). Factored here so the batch query
+    * (CurationQueries.mixSplit) and the streaming ingest path
+    * (Streams.splitStream) consume the IDENTICAL arithmetic — a doc
+    * must land in the same split whether it arrives in a bulk load or
+    * on the live feed, or the eval set silently leaks into training.
+    */
+  def splitAssign(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("bucket", pmod(hashKey(col(idCol), seed), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 97, "train")
+          .when(col("bucket") < 99, "val")
+          .otherwise("test"))
+
   /** Writes one parquet directory per shard value, rows ordered by the
     * shuffle key within each file — the physical layout a data loader
     * streams sequentially. One exchange, sort local to each shard.

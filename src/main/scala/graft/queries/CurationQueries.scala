@@ -604,7 +604,10 @@ object CurationQueries {
        |  bit_xor(row_sig) AS checksum
        |FROM h GROUP BY shard ORDER BY shard""".stripMargin
 
-  private val SplitSeed = 31L
+  /** Public: streaming ingestion (Streams.splitStream callers) must use
+    * the SAME seed or batch and stream assign docs to different splits.
+    */
+  val SplitSeed = 31L
 
   /** Deterministic train/val/test split (97∕2∕1) — the export step
     * every training pipeline runs and the one place leakage between
@@ -616,13 +619,7 @@ object CurationQueries {
     * not just the routing). Map-side assignment, one aggregation.
     */
   def mixSplit(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents
-      .withColumn("bucket",
-        pmod(ShuffleShard.hashKey(col("doc_id"), SplitSeed), lit(100L)))
-      .withColumn("split",
-        when(col("bucket") < 97, "train")
-          .when(col("bucket") < 99, "val")
-          .otherwise("test"))
+    ShuffleShard.splitAssign(Tables(s, dir).documents, "doc_id", SplitSeed)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         sum(col("bucket")).as("sum_bucket"))

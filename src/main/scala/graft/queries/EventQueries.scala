@@ -1108,7 +1108,129 @@ object EventQueries {
       |GROUP BY 1
       |ORDER BY state""".stripMargin
 
+  /** Multi-touch (linear) attribution — the credit model last-touch
+    * q_attribution can't express: every click in the purchase's 7-day
+    * lookback shares the revenue EQUALLY. Fractional credit is where
+    * float would drift, so credit is integer MICRO-CENTS: each touch
+    * gets (cents·10⁶) div n, and the division remainder goes whole to
+    * the MOST RECENT touch (deterministic, revenue-conserving — the
+    * per-purchase credits sum back to cents·10⁶ exactly; "remainder to
+    * last" is the standard allocation fix-up). Purchases with no
+    * in-window click credit campaign −1 in full. Revenue sums escrow
+    * in DECIMAL(38,0): micro-cents reach ~10²⁰ at 10⁹ purchases.
+    *
+    * Scale (100 TB): purchase×click pairs ride ONE user_id equi-join
+    * with the range predicate as a join filter; fan-out is the user's
+    * in-window click count (bounded by behavior, not corpus size); the
+    * per-purchase window partitions on p_id — keys at purchase
+    * cardinality, no skew pile-up.
+    */
+  def qAttributionMulti(s: SparkSession, dir: String): DataFrame = {
+    val e = attributionEvents(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("es").as("p_es"), col("cents"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("es").as("c_es"), col("campaign"))
+    val pairs = p.join(c,
+      col("user_id") === col("c_user") && col("c_es") <= col("p_es") &&
+        col("p_es") - col("c_es") <= AttrLookbackS, "left")
+    val w = Window.partitionBy(col("p_id"))
+    val latestFirst = Window.partitionBy(col("p_id"))
+      .orderBy(col("c_es").desc, col("c_id").desc)
+    pairs
+      .withColumn("n", count(col("c_id")).over(w))
+      .withColumn("rk", row_number().over(latestFirst))
+      .withColumn("credit_micro",
+        // `div`, not `/`: Spark's `/` on BIGINT is true (double)
+        // division; div keeps the arithmetic integer end-to-end
+        when(col("c_id").isNull, col("cents") * 1000000L)
+          .otherwise(expr("(cents * 1000000) div n") +
+            when(col("rk") === 1,
+              pmod(col("cents") * 1000000L, col("n"))).otherwise(0L)))
+      .select(coalesce(col("campaign"), lit(-1L)).as("campaign"),
+        col("credit_micro"), col("c_id"))
+      .groupBy(col("campaign"))
+      .agg(count(col("c_id")).as("n_touches"),
+        sum(col("credit_micro").cast("decimal(38,0)")).as("revenue_micro"))
+      .orderBy(col("campaign"))
+  }
+
+  val qAttributionMultiSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    floor(epoch(ts))::BIGINT AS es,
+       |    CASE WHEN event_type = 'click' THEN
+       |      regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT % 10 END
+       |      AS campaign,
+       |    CASE WHEN event_type = 'purchase' THEN
+       |      round(value * 100)::BIGINT END AS cents
+       |  FROM events
+       |  WHERE event_type IN ('click', 'purchase')),
+       |p AS (SELECT user_id, event_id AS p_id, es AS p_es, cents
+       |      FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id AS c_user, event_id AS c_id, es AS c_es, campaign
+       |      FROM e WHERE event_type = 'click'),
+       |pairs AS (
+       |  SELECT p.*, c.c_id, c.c_es, c.campaign
+       |  FROM p LEFT JOIN c
+       |    ON p.user_id = c.c_user AND c.c_es <= p.p_es
+       |       AND p.p_es - c.c_es <= $AttrLookbackS),
+       |credited AS (
+       |  SELECT coalesce(campaign, -1) AS campaign, c_id,
+       |    CASE WHEN c_id IS NULL THEN cents * 1000000
+       |         ELSE (cents * 1000000) // count(c_id) OVER w
+       |              + CASE WHEN row_number() OVER
+       |                  (PARTITION BY p_id ORDER BY c_es DESC, c_id DESC) = 1
+       |                THEN (cents * 1000000) % (count(c_id) OVER w)
+       |                ELSE 0 END
+       |    END AS credit_micro
+       |  FROM pairs
+       |  WINDOW w AS (PARTITION BY p_id))
+       |SELECT campaign, count(c_id) AS n_touches,
+       |  sum(credit_micro)::DECIMAL(38,0) AS revenue_micro
+       |FROM credited
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** Skew report — the diagnostic run BEFORE q_skew_join's salting is
+    * tuned: the top-10 heaviest join/groupBy keys with their absolute
+    * count, parts-per-million share (integer division — exact), and
+    * the salt factor that key needs (⌈count ∕ mean-per-key⌉ — how many
+    * subtasks the hot key must split into for its partitions to look
+    * average). One key-cardinality aggregate + a one-row broadcast of
+    * the totals + TakeOrdered — at 100 TB this is a minutes-long scan
+    * that saves the hours-long skewed shuffle it diagnoses; AQE's
+    * skew-join handles the JOIN side at runtime, but groupBy hotspots
+    * and the salt factor still need the offline number.
+    */
+  def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.join(broadcast(totals)) // one-row totals: broadcast, never a shuffle
+      .select(col("user_id"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("ppm"),
+        ceil(col("cnt") * col("n_keys") / col("total").cast("double"))
+          .cast("long").as("salt_factor"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val qSkewReportSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT sum(cnt)::BIGINT AS total, count(*) AS n_keys FROM c)
+      |SELECT user_id, cnt, (cnt * 1000000) // total AS ppm,
+      |  ceil(cnt * n_keys / total::DOUBLE)::BIGINT AS salt_factor
+      |FROM c, t
+      |ORDER BY cnt DESC, user_id
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report" -> (qSkewReport _),
+    "q_attribution_multi" -> (qAttributionMulti _),
     "q_state_at_event" -> (qStateAtEvent _),
     "q_gini" -> (qGini _),
     "q_concurrency" -> (qConcurrency _),
@@ -1130,6 +1252,8 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_skew_report" -> qSkewReportSql,
+    "q_attribution_multi" -> qAttributionMultiSql,
     "q_state_at_event" -> qStateAtEventSql,
     "q_gini" -> qGiniSql,
     "q_concurrency" -> qConcurrencySql,

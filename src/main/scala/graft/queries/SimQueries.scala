@@ -1048,7 +1048,84 @@ object SimQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Embedding drift monitor — the dense-space twin of text_jsd's
+    * distribution drift: per label, the cosine between the centroid of
+    * the even-id half and the centroid of the odd-id half of the
+    * corpus (in production: yesterday's crawl vs today's, or old
+    * encoder vs re-embedded). A drifting corpus/encoder pulls the two
+    * centroids apart; a stable one keeps cos ≈ 1. Exactness is the
+    * emb_outliers escrow: centroid cosine = cosine of the SUM vectors
+    * (the 1∕n scales cancel), component sums are 1e-6-quantized
+    * integers, and the cross products ride DECIMAL(38,0) — no float
+    * crosses rows, so a drift ALERT can never flip on partition order.
+    *
+    * Scale (100 TB): two partial-aggregatable passes (per
+    * (label, half, dim) sums → per-label combine), output at label
+    * cardinality. The halves read ONE table here only because the test
+    * corpus is one table; the shape is two independent scans merged at
+    * vocab scale.
+    */
+  def embDrift(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ex = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("q", floor(col("x").cast("double") * 1e6 + 0.5).cast("long"))
+      .withColumn("half", pmod(col("vec_id"), lit(2L)))
+    val byDim = ex.groupBy(col("label"), col("dim"))
+      .agg(sum(when(col("half") === 0, col("q"))).as("sa"),
+        sum(when(col("half") === 1, col("q"))).as("sb"))
+    val cosines = byDim.groupBy(col("label"))
+      .agg(sum(col("sa").cast(dec) * col("sb")).as("dot"),
+        sum(col("sa").cast(dec) * col("sa")).as("na2"),
+        sum(col("sb").cast(dec) * col("sb")).as("nb2"))
+      .select(col("label"),
+        when(col("na2") > 0 && col("nb2") > 0,
+          round(col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) *
+              sqrt(col("nb2").cast("double"))), 6)).as("cos_drift"))
+    val ns = Tables(s, dir).embeddings
+      .groupBy(col("label").as("n_label"))
+      .agg(count(when(pmod(col("vec_id"), lit(2L)) === 0, 1)).as("n_a"),
+        count(when(pmod(col("vec_id"), lit(2L)) === 1, 1)).as("n_b"))
+    cosines.join(broadcast(ns), col("label") === col("n_label"))
+      .select(col("label"), col("n_a"), col("n_b"), col("cos_drift"))
+      .orderBy(col("label"))
+  }
+
+  val embDriftSql: String =
+    """WITH ex0 AS (
+      |  SELECT vec_id, label, vec_id % 2 AS half, embedding AS e,
+      |    unnest(range(len(embedding))) AS dim
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label, half, dim,
+      |    floor(e[dim + 1]::DOUBLE * 1e6 + 0.5)::BIGINT AS q
+      |  FROM ex0),
+      |bd AS (
+      |  SELECT label, dim,
+      |    sum(CASE WHEN half = 0 THEN q END)::BIGINT AS sa,
+      |    sum(CASE WHEN half = 1 THEN q END)::BIGINT AS sb
+      |  FROM ex GROUP BY 1, 2),
+      |cosines AS (
+      |  SELECT label,
+      |    CASE WHEN sum(sa::HUGEINT * sa) > 0 AND sum(sb::HUGEINT * sb) > 0
+      |      THEN round(sum(sa::HUGEINT * sb)::DOUBLE /
+      |        (sqrt(sum(sa::HUGEINT * sa)::DOUBLE) *
+      |         sqrt(sum(sb::HUGEINT * sb)::DOUBLE)), 6)
+      |    END AS cos_drift
+      |  FROM bd GROUP BY 1),
+      |ns AS (
+      |  SELECT label,
+      |    count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+      |    count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
+      |  FROM embeddings GROUP BY 1)
+      |SELECT c.label, ns.n_a, ns.n_b, c.cos_drift
+      |FROM cosines c JOIN ns ON c.label = ns.label
+      |ORDER BY c.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_drift" -> (embDrift _),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_cos_hist" -> (embCosHist _),
     "mm_thumb" -> (mmThumb _),
@@ -1079,6 +1156,7 @@ object SimQueries {
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
+    "emb_drift" -> embDriftSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_cos_hist" -> embCosHistSql,
     "emb_dim_stats" -> embDimStatsSql,

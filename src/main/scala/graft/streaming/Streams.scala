@@ -782,6 +782,22 @@ object Streams {
       .drop("i_user", "from_s", "to_s")
       .withColumn("state", coalesce(col("state"), lit("unknown")))
 
+  /** Train/val/test assignment on the ingest stream — the streaming
+    * half of mix_split's contract: the split is a pure function of the
+    * doc id (seeded md5 bucket mod 100, graft.ops.ShuffleShard
+    * .splitAssign), so a document gets the SAME assignment whether it
+    * arrives in a bulk load or on the live feed, and a replayed /
+    * re-delivered doc can never migrate between splits (at-least-once
+    * delivery is idempotent on the assignment). Stateless map-side
+    * projection: no state store, no watermark, works in append mode at
+    * any rate. Callers MUST pass the same seed as the batch path
+    * (CurationQueries.SplitSeed) — a seed mismatch silently leaks eval
+    * docs into training, which is why the seed is a required argument
+    * rather than a default.
+    */
+  def splitStream(docs: DataFrame, idCol: String, seed: Long): DataFrame =
+    graft.ops.ShuffleShard.splitAssign(docs, idCol, seed)
+
   // ---- streaming ingestion with online near-dup filtering ---------------
 
   // ---- continuous data-quality monitoring --------------------------------

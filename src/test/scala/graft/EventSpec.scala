@@ -442,6 +442,55 @@ class EventSpec extends SparkSpec {
     assert(g1.getLong(0) === 4L && g1.getLong(1) === 10L)
     assert(g1.getDouble(2) === 0.45)
   }
+
+  test("q_attribution_multi: equal split in integer micro-cents, " +
+    "remainder to the latest touch, revenue conserved") {
+    val dir = fixtureDirP(Seq(
+      // user 1: three clicks (k=3,4,5) then a 1.00 purchase →
+      // 100e6 micro / 3 = 33,333,333 each, remainder 1 to the LATEST
+      // click (k=5)
+      evp(1, 0, 1, "click", 0.0, k = 3),
+      evp(2, 5, 1, "click", 0.0, k = 4),
+      evp(3, 10, 1, "click", 0.0, k = 5),
+      evp(4, 20, 1, "purchase", 1.0),
+      // user 2: no click → -1 gets the full 2.00
+      evp(5, 0, 2, "purchase", 2.0)))
+    val got = EventQueries.qAttributionMulti(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).longValueExact())).toSeq
+    assert(got === Seq(
+      (-1L, 0L, 200000000L),
+      (3L, 1L, 33333333L),
+      (4L, 1L, 33333333L),
+      (5L, 1L, 33333334L)))
+    // conservation on the real corpus: credits sum back to the exact
+    // purchase revenue in micro-cents — the property integer division
+    // plus remainder-to-latest was chosen to guarantee
+    import org.apache.spark.sql.functions._
+    val micro = EventQueries.qAttributionMulti(spark, sf)
+      .agg(sum(col("revenue_micro"))).head().getDecimal(0)
+    val cents = EventQueries.attributionEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("cents"))).head().getLong(0)
+    assert(micro.longValueExact() === cents * 1000000L)
+  }
+
+  test("q_skew_report: driver-side replay of top keys, ppm and salt factor") {
+    import org.apache.spark.sql.functions._
+    val counts = graft.util.Tables(spark, sf).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val nKeys = counts.length.toLong
+    val want = counts.sortBy { case (u, c) => (-c, u) }.take(10)
+      .map { case (u, c) =>
+        (u, c, c * 1000000L / total,
+          math.ceil(c.toDouble * nKeys / total).toLong) }
+    val got = EventQueries.qSkewReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.forall(_._4 >= 1L), "salt factor is at least 1")
+  }
 }
 
 object EventSpec {

@@ -1134,6 +1134,33 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("emb_drift: identical halves give cos 1, orthogonal halves cos 0; " +
+    "real corpus all defined") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    Seq(
+      // label 0: even and odd halves identical → drift cos 1.0
+      (0L, Seq(1f, 0f, 2f), 0), (1L, Seq(1f, 0f, 2f), 0),
+      (2L, Seq(3f, 0f, 6f), 0), (3L, Seq(3f, 0f, 6f), 0),
+      // label 1: halves orthogonal → drift cos 0.0
+      (10L, Seq(1f, 0f, 0f), 1), (11L, Seq(0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = SimQueries.embDrift(spark, tmp).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(0) === ((2L, 2L, 1.0)))
+    assert(got(1) === ((1L, 1L, 0.0)))
+    // real corpus: every label has both halves and a defined cosine ≤ 1
+    val real = SimQueries.embDrift(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(!r.isNullAt(3) && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("emb_cos_hist: exact driver-side replay of the sampled pair histogram") {
     import org.apache.spark.sql.functions._
     val vecs = graft.util.Tables(spark, sf).embeddings

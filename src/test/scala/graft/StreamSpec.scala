@@ -1036,4 +1036,35 @@ class StreamSpec extends SparkSpec {
     // referential checks only non-null fks; 99 dangles
     assert(rows((1, "user_id -> k")) === ((2L, 1L)))
   }
+
+  test("splitStream: stream assignment equals the batch mix_split " +
+      "arithmetic; a re-delivered doc never migrates") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val seed = graft.queries.CurationQueries.SplitSeed
+    val ms = MemoryStream[Long]
+    val q = Streams.splitStream(ms.toDS().toDF("doc_id"), "doc_id", seed)
+      .writeStream.format("memory").queryName("splits").outputMode("append")
+      .start()
+    try {
+      ms.addData(0L until 300L)
+      q.processAllAvailable()
+      // re-delivery in a later batch: same doc, same assignment
+      ms.addData(Seq(7L, 42L, 287L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("splits").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val batch = graft.ops.ShuffleShard
+      .splitAssign((0L until 300L).toDF("doc_id"), "doc_id", seed)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.foreach { case (id, sp) =>
+      assert(sp === batch(id), s"doc $id stream split != batch split") }
+    // re-delivered docs appear twice with identical assignments
+    assert(got.count(_._1 == 42L) === 2)
+    assert(got.filter(_._1 == 42L).map(_._2).distinct.length === 1)
+    // all three splits are actually exercised (id 287 is the first test-split id)
+    assert(got.map(_._2).distinct.sorted === Seq("test", "train", "val"))
+  }
 }
