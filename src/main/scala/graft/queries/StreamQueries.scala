@@ -399,7 +399,38 @@ object StreamQueries {
       |GROUP BY c.user_id
       |ORDER BY c.user_id""".stripMargin
 
+  /** The split-assignment transform under Streams.splitStream, run in
+    * batch mode over the documents table (the same shared-code pattern
+    * as stream_window_agg); the streaming execution — memory-stream
+    * micro-batches, re-delivery idempotence — is StreamSpec-gated. The
+    * oracle proves the md5-bucket arithmetic; the spec proves batch ≡
+    * stream on the same arithmetic.
+    */
+  def streamSplit(s: SparkSession, dir: String): DataFrame =
+    Streams.splitStream(Tables(s, dir).documents, "doc_id",
+        CurationQueries.SplitSeed)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+        sum(col("bucket")).as("sum_bucket"))
+      .orderBy(col("split"))
+
+  val streamSplitSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':${CurationQueries.SplitSeed}'), 1, 8))
+       |      ::BIGINT % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 97 THEN 'train'
+       |            WHEN bucket < 99 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+       |  sum(bucket)::BIGINT AS sum_bucket
+       |FROM b
+       |GROUP BY 1
+       |ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_split" -> (streamSplit _),
     "stream_outer_join" -> (streamOuterJoin _),
     "stream_latest" -> (streamLatest _),
     "stream_topk" -> (streamTopk _),
@@ -415,6 +446,7 @@ object StreamQueries {
     "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_split" -> streamSplitSql,
     "stream_outer_join" -> streamOuterJoinSql,
     "stream_latest" -> streamLatestSql,
     "stream_topk" -> streamTopkSql,

@@ -1116,7 +1116,60 @@ object TextQueries {
       |GROUP BY ks.k
       |ORDER BY top_k""".stripMargin
 
+  /** Corpus-level duplicated-n-gram fractions for n = 1..4 — the
+    * RefinedWeb/Gopher CORPUS health metrics beside text_repetition's
+    * per-doc ones: of all n-gram OCCURRENCES in the corpus, what share
+    * belongs to grams that occur more than once (dup_ppm, integer
+    * parts-per-million — exact), plus total and distinct gram counts.
+    * Rising dup fractions across crawls = boilerplate/mirror growth;
+    * the n = 1 row doubles as a type/token ratio. Four passes, each ONE
+    * (gram)-keyed partial-agg exchange folded to a single row — the
+    * gram stream is never collected, and the per-n rollup is a free
+    * union. dup_occ·10⁶ stays under 2⁶³ to ~10¹² occurrences per gram
+    * size; past that, escrow the product in DECIMAL(38,0) (the q_corr
+    * move).
+    */
+  def textDupGrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+    (1 to 4).map { n =>
+      docs.select(explode(TextOps.wordNgramsAll(col("toks"), n)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_occurrences"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"))
+        .select(lit(n).as("n"), col("n_occurrences"), col("n_distinct"),
+          expr("(dup_occ * 1000000) div n_occurrences").as("dup_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("n"))
+  }
+
+  val textDupGramsSql: String =
+    s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+       |g AS (
+       |  SELECT 1 AS n, unnest(toks) AS gram FROM t
+       |  UNION ALL
+       |  SELECT 2, unnest([array_to_string(toks[i:i+1], ' ')
+       |                    FOR i IN range(1, len(toks))])
+       |  FROM t WHERE len(toks) >= 2
+       |  UNION ALL
+       |  SELECT 3, unnest([array_to_string(toks[i:i+2], ' ')
+       |                    FOR i IN range(1, len(toks) - 1)])
+       |  FROM t WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT 4, unnest([array_to_string(toks[i:i+3], ' ')
+       |                    FOR i IN range(1, len(toks) - 2)])
+       |  FROM t WHERE len(toks) >= 4),
+       |c AS (SELECT n, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+       |SELECT n, sum(cnt)::BIGINT AS n_occurrences, count(*) AS n_distinct,
+       |  ((sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1000000)
+       |   // sum(cnt))::BIGINT AS dup_ppm
+       |FROM c
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dup_grams" -> (textDupGrams _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "text_compress" -> (textCompress _),
     "text_jsd" -> (textJsd _),
@@ -1141,6 +1194,7 @@ object TextQueries {
     "text_readability" -> (textReadability _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_dup_grams" -> textDupGramsSql,
     "text_jsd" -> textJsdSql,
     "text_rrf" -> textRrfSql,
     "text_bm25" -> textBm25Sql,

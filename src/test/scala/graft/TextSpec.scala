@@ -593,4 +593,26 @@ class TextSpec extends SparkSpec {
     assert(natural > junk && natural < binary,
       s"ordering junk=$junk natural=$natural binary=$binary")
   }
+
+  test("text_dup_grams: hand-computed fixture at every n; corpus dup " +
+    "fraction falls as n grows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupgrams").toString
+    Seq((0L, "a b a b", "en", "s", 7L), (1L, "c d", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.textDupGrams(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // n=1: occ {a,b,a,b,c,d}=6, distinct 4, dup occ 4 → 666666 ppm
+    // n=2: occ {ab,ba,ab,cd}=4, distinct 3, dup occ 2 → 500000 ppm
+    // n=3: occ {aba,bab}=2, no dups; n=4: occ {abab}=1, no dups
+    assert(got.toSeq === Seq(
+      (1, 6L, 4L, 666666L), (2, 4L, 3L, 500000L),
+      (3, 2L, 2L, 0L), (4, 1L, 1L, 0L)))
+    val real = TextQueries.textDupGrams(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(real(1) >= real(4),
+      "longer grams cannot duplicate more than unigrams on natural text")
+    assert(real.values.forall(p => p >= 0 && p <= 1000000L))
+  }
 }
