@@ -116,4 +116,84 @@ object ConnectedComponents {
     * truncates lineage, so unpersisted blocks cannot be recomputed.
     */
   def release(df: DataFrame): Unit = graft.util.Caches.release(df)
+
+  /** The large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the LOG-ROUND
+    * scale path beside [[labels]]' min-propagation: propagation needs
+    * one round per unit of graph DIAMETER, which is fine for the
+    * near-clique components duplicate clusters form but melts on chain
+    * graphs (a winnow/containment chain of re-quoted fragments can be
+    * thousands of hops long); star alternation contracts the graph in
+    * O(log² n) rounds regardless of diameter.
+    *
+    * Per round, each operation is one aggregation + one equi-join over
+    * the edge set, all hash-partitioned:
+    *  - **large-star**: every node connects its LARGER neighbors to its
+    *    neighborhood minimum (edges stay canonical u > v);
+    *  - **small-star**: every node connects its smaller neighbors and
+    *    itself to their minimum.
+    * The fixed point is a star forest — every node holds a direct edge
+    * to its component's minimum — read off as the label table.
+    * Convergence is an EXACT edge-set equality check (count + except —
+    * graph-scale, not corpus-scale), and non-convergence throws, the
+    * same fail-loudly contract as [[labels]].
+    */
+  def labelsStar(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    var e = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(false)
+    var eCount = e.count()
+    if (eCount == 0) return e.select(col("u").as("id"), col("v").as("label"))
+    var converged = false
+    var it = 0
+    while (it < maxIters && !converged) {
+      // large-star: per node n over the SYMMETRIZED neighborhood,
+      // m = min(Γ(n) ∪ {n}); emit (x, m) for x ∈ Γ(n), x > n. The
+      // result is canonical by construction (x > n ≥ m).
+      val sym = e.select(col("u").as("n"), col("v").as("x"))
+        .unionByName(e.select(col("v").as("n"), col("u").as("x")))
+      val mins = sym.groupBy(col("n")).agg(min(col("x")).as("mn"))
+        .select(col("n"), least(col("n"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("n"))
+        .filter(col("x") > col("n"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: canonical edges already give each node exactly its
+      // SMALLER neighbors; m = min(Γ⁻(u)); emit (x, m) for
+      // x ∈ Γ⁻(u) ∪ {u}, x ≠ m — still canonical (x > m after filter)
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smins, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .unionByName(smins.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(false)
+      val newCount = small.count()
+      // both sides are distinct sets: equal counts + empty difference
+      // ⟺ identical edge sets ⟺ star-forest fixed point
+      converged = newCount == eCount && small.except(e).isEmpty
+      e = small
+      eCount = newCount
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star alternation did not converge in $maxIters rounds " +
+          s"($eCount edges); raise maxIters")
+    e.select(col("u").as("id"), col("v").as("label"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
+  }
+
+  /** [[clusters]] over the star-alternation labels — same output
+    * contract, log-round scale path.
+    */
+  def clustersStar(edges: DataFrame, maxIters: Int = 30): DataFrame =
+    labelsStar(edges, maxIters)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
 }

@@ -214,6 +214,65 @@ object Multimodal {
     })
   }
 
+  /** Per-clip voice-activity segmentation summary (see
+    * [[audioSegments]]); `first_active` is −1 when no frame clears the
+    * activity threshold.
+    */
+  final case class AudioSegments(media_id: Long, n_frames: Int,
+      n_active: Int, n_segments: Int, longest_run: Int, first_active: Int)
+
+  /** Voice-activity segmentation over the same 20 ms frame grid as
+    * [[audioFeatures]] — the pass that turns raw audio into the speech
+    * RUNS a transcription/diarization pipeline actually consumes: a
+    * frame is ACTIVE iff its energy exceeds the clip's mean frame
+    * energy, decided in pure integer arithmetic
+    * (e·nFrames > Σe — no float threshold to drift), and segments are
+    * the maximal active runs. Per clip: frame/active counts, segment
+    * count, longest run, first active frame.
+    *
+    * Scale: map-only per clip like [[audioFeatures]] — energies,
+    * threshold and run-walk all live inside one executor-side pass
+    * over the decoded samples; nothing per-frame ever leaves the task.
+    * Overflow headroom: e ≤ 160·32768² ≈ 1.7e11, so e·nFrames stays
+    * under 2⁶³ to ~50 million frames per clip (~12 days of 16 kHz
+    * audio) — a single clip past that should be chunked upstream
+    * anyway.
+    */
+  def audioSegments(media: Dataset[MediaRecord]): Dataset[AudioSegments] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("format") === "wav").mapPartitions(_.flatMap { m =>
+      WavCodec.decodeSamples(m.bytes).map { case (_, s) =>
+        val nFrames = s.length / AudioFrameSamples
+        val e = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0L
+          var j = f * AudioFrameSamples
+          val end = j + AudioFrameSamples
+          while (j < end) { acc += s(j).toLong * s(j); j += 1 }
+          e(f) = acc
+          f += 1
+        }
+        val total = e.sum
+        var nActive = 0; var nSeg = 0; var longest = 0; var run = 0
+        var first = -1
+        var i = 0
+        while (i < nFrames) {
+          if (e(i) * nFrames > total) {
+            if (first < 0) first = i
+            nActive += 1
+            run += 1
+            if (run == 1) nSeg += 1
+            if (run > longest) longest = run
+          } else run = 0
+          i += 1
+        }
+        AudioSegments(m.media_id, nFrames, nActive, nSeg, longest, first)
+      }
+    })
+  }
+
   /** One sampled frame of a media payload. For REAL decoded frames
     * (`decoded = true`) `n_units` is the frame's pixel count and
     * `checksum` its pixel sum; for byte-window fallback frames

@@ -114,6 +114,24 @@ object DedupQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** dedup_clusters through the O(log²n)-round large-star/small-star
+    * alternation (ConnectedComponents.clustersStar) instead of
+    * min-label propagation — the knn_graph/knn_graph_cell twin pattern
+    * applied to clustering: same pair graph, same output contract,
+    * byte-identical to the same recursive-CTE oracle, but rounds scale
+    * with log² n instead of graph DIAMETER (the difference between
+    * near-clique dup clusters, where propagation wins on constant
+    * factors, and the thousand-hop quote/containment chains a 100 TB
+    * crawl also contains, where propagation is a thousand sequential
+    * jobs and star alternation is ~a dozen).
+    */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(Tables(s, dir).documents,
+      "doc_id", "text", n = 3, tau = 0.7)
+    ConnectedComponents.clustersStar(pairs.select(col("id_a"), col("id_b")))
+      .orderBy(col("cluster_id"))
+  }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE
        |pairs AS (
@@ -847,6 +865,7 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_cell" -> (dedupEmbeddingCell _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -869,6 +888,8 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    // the star-alternation twin shares the oracle — byte-identical by contract
+    "dedup_clusters_star" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_embedding_cell" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,

@@ -531,6 +531,18 @@ object SimQueries {
       .toDF()
       .orderBy(col("media_id"))
 
+  /** Voice-activity segmentation per wav clip
+    * (Multimodal.audioSegments) — rows-only like mm_audio (no audio
+    * decode in DuckDB) but spec-EXACT: the synthesized sample pattern
+    * is public arithmetic, so SimSpec replays every clip's segment
+    * walk independently of the codec.
+    */
+  def mmVad(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioSegments(
+        Multimodal.mediaTable(Tables(s, dir).documents))
+      .toDF()
+      .orderBy(col("media_id"))
+
   /** Frame sampling over the first 20 payloads: 4 byte-window "frames"
     * per item, per-frame size + checksum — png rows window REAL PNG
     * bytes now, so the oracle is rows-only; the partition invariant
@@ -1153,6 +1165,7 @@ object SimQueries {
     "emb_centroids" -> (embCentroids _),
     "mm_meta" -> (mmMeta _),
     "mm_audio" -> (mmAudio _),
+    "mm_vad" -> (mmVad _),
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(

@@ -721,6 +721,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("labelsStar: parity with min-propagation on a 60-hop path (where " +
+    "propagation would need 60 rounds), a forest fixture, and the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 60-hop path: diameter 60 — the star alternation must converge in
+    // its default 30 rounds (log²-ish), which min-propagation could not
+    val path = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val starPath = labelMap(graft.dedup.ConnectedComponents.labelsStar(path))
+    assert(starPath.keySet === (0L to 60L).toSet)
+    assert(starPath.values.toSet === Set(0L), "one component rooted at 0")
+    // forest: two components + an isolated edge, shuffled ids
+    val forest = Seq((9L, 3L), (3L, 7L), (12L, 14L), (14L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val star = labelMap(graft.dedup.ConnectedComponents.labelsStar(forest))
+    val prop = labelMap(graft.dedup.ConnectedComponents.labels(forest))
+    assert(star === prop)
+    assert(star(9L) === 3L && star(12L) === 11L && star(21L) === 20L)
+    // real corpus pair graph: byte-identical cluster summaries
+    val a = graft.queries.DedupQueries.dedupClusters(spark, sf).collect()
+    val b = graft.queries.DedupQueries.dedupClustersStar(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("q_takedown_propagate: closure equals driver-side BFS from the seed " +
     "set; every named doc removed; corpus conserved") {
     import org.apache.spark.sql.functions._

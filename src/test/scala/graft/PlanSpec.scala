@@ -373,4 +373,44 @@ class PlanSpec extends SparkSpec {
       assert(n <= 2, s"found $n SinglePartition exchanges:\n${plan.take(1200)}")
     }
   }
+
+  test("emb_matryoshka: probes broadcast (never a shuffled cartesian); " +
+    "top-10 rides WindowGroupLimit") {
+    val plan = planOf(SimQueries.embMatryoshka(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the KB probe set must broadcast against each corpus scan")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-(query,budget) top-10 must apply before the exchange")
+  }
+
+  test("q_skew_report: one-row totals broadcast; top-10 via TakeOrdered, " +
+    "no global sort") {
+    val plan = planOf(graft.queries.EventQueries.qSkewReport(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 1-row totals join must broadcast")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("q_attribution_multi: purchase-click pairs ride ONE user_id " +
+    "equi-join with the range predicate as join filter") {
+    val plan = planOf(graft.queries.EventQueries.qAttributionMulti(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the lookback predicate must ride the equi-join, not a nested loop:\n" +
+        plan.take(1200))
+  }
+
+  test("q_corpus_diff: digest compare is one co-partitioned full-outer " +
+    "join; no body column crosses the exchange") {
+    val plan = planOf(CurationQueries.qCorpusDiff(spark, sf))
+    assert(plan.contains("FullOuter"), plan.take(1200))
+    // text must be consumed map-side by md5() and never shuffled: the
+    // exchange rows carry (doc_id, source, 32-char digest) only
+    val exIdx = plan.indexOf("Exchange hashpartitioning(doc_id")
+    assert(exIdx >= 0, plan.take(1200))
+    assert(!plan.substring(0, exIdx).contains("text#"),
+      "the diff join must ship digests, not document bodies")
+  }
 }

@@ -635,6 +635,45 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("mm_vad: every clip's segment walk equals an independent replay " +
+    "of the sample arithmetic") {
+    import graft.multimodal.{Multimodal, WavCodec}
+    val out = SimQueries.mmVad(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))).toMap
+    val wavDocs = graft.util.Tables(spark, sf).documents
+      .select("doc_id", "n_chars").collect()
+      .filter(_.getLong(1) % 5 === 2L)
+    assert(out.size === wavDocs.length)
+    val hop = Multimodal.AudioFrameSamples
+    wavDocs.foreach { r =>
+      val (id, nc) = (r.getLong(0), r.getLong(1))
+      val n = (256 + (nc * 3) % 512).toInt
+      val s = Array.tabulate(n)(i => WavCodec.sample(id, i))
+      val nf = n / hop
+      val energies = (0 until nf).map { f =>
+        (f * hop until (f + 1) * hop).map(i => s(i).toLong * s(i)).sum }
+      val total = energies.sum
+      val active = energies.map(_ * nf > total)
+      // functional run-walk, independent of the imperative query code
+      val runs = active.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      val expect = (nf, active.count(identity), runs.length,
+        if (runs.isEmpty) 0 else runs.max,
+        active.indexOf(true))
+      assert(out(id) === expect, s"clip $id segmentation diverges")
+    }
+    // non-degenerate: activity detected somewhere, and the threshold
+    // actually splits frames (sf0.001 clips are 1-4 frames, so multi-
+    // segment clips only appear at larger SFs)
+    assert(out.values.exists(_._3 >= 1), "expected an active segment")
+    assert(out.values.exists(s => s._2 < s._1),
+      "expected some inactive frames")
+  }
+
   test("WavCodec round-trip: real javax.sound decode recovers every sample") {
     val bytes = graft.multimodal.WavCodec.synthesize(7L, 300, 8000)
     assert(bytes.length === 44 + 600, "canonical PCM16 header + data")

@@ -9,7 +9,7 @@
 set -e
 OUT=${1:-/tmp/verify_sf01}
 sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
-# dedup_clusters / dedup_keep_best: their DuckDB twins compute the pair
+# dedup_clusters (+ its _star twin) / dedup_keep_best: their DuckDB twins compute the pair
 # graph's transitive closure with a RECURSIVE CTE — fine at sf0.01,
 # intractable at sf0.1 (the sweep hung >15 min there).
 # dedup_ngram_jaccard joined them when the driver regenerated sf0.1
@@ -26,7 +26,7 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
 # with the checker's own status so CI sees a mismatch as a failure
 st=0
 python3 tools/check_oracle.py /root/testdata/sf0.1 "$OUT" \
-  --skip dedup_clusters,dedup_keep_best,dedup_ngram_jaccard,dedup_containment,q_takedown_propagate \
+  --skip dedup_clusters,dedup_clusters_star,dedup_keep_best,dedup_ngram_jaccard,dedup_containment,q_takedown_propagate \
   > CORRECTNESS_SF01.txt || st=$?
 cat CORRECTNESS_SF01.txt
 exit $st
