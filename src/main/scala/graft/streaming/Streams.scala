@@ -723,6 +723,44 @@ object Streams {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming incremental materialized-view maintenance —
+    * q_mv_refresh's foreachBatch face. Each micro-batch's PARTIAL
+    * aggregate (whatever `partial` computes: count/sum/min/max state
+    * per group key) lands append-only in `stateDir/batch=<id>`;
+    * batchId-keyed overwrite gives replay idempotence (a restarted
+    * batch rewrites ITS OWN partial, it can never double-count — the
+    * multiSink restart contract applied to aggregation state). The
+    * VIEW is a read-time merge: [[readMv]] unions every batch partial
+    * and re-aggregates with the MERGE functions (sum-of-counts,
+    * sum-of-sums, min-of-mins, max-of-maxes — the q_mv_refresh
+    * algebra). Periodic compaction (fold many batch partials into one
+    * dir — source_compact's move applied to state) bounds the partial
+    * count; each partial is group-key-scale, so the merge stays
+    * KB–MB-sized however long the stream runs.
+    */
+  def mvRefreshStream(stream: DataFrame, stateDir: String,
+      partial: DataFrame => DataFrame,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        partial(batch).write.mode("overwrite")
+          .parquet(s"$stateDir/batch=$batchId")
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
+  /** The current view over [[mvRefreshStream]] state: union of all
+    * batch partials (partition discovery surfaces `batch`; `merge`
+    * must group by the view keys and apply the merge aggregates,
+    * dropping the batch column).
+    */
+  def readMv(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      merge: DataFrame => DataFrame): DataFrame =
+    merge(spark.read.parquet(stateDir).drop("batch"))
+
   // ---- streaming ANN enrichment -----------------------------------------
 
   /** Streaming ANN enrichment: arriving query vectors get their top-k

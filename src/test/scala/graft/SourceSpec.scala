@@ -217,4 +217,30 @@ class SourceSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum <
       graft.util.Tables(spark, sf).documents.count())
   }
+
+  test("source_codecs: all four codecs round-trip identically; zstd and " +
+    "gzip really compress smaller than snappy") {
+    import org.apache.spark.sql.functions._
+    val rows = SourceQueries.sourceCodecs(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("gzip", "lz4", "snappy", "zstd"))
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .distinct.length === 1, "codec choice must never change values")
+    // size signal: measure the written bytes per codec directly
+    def bytesUnder(c: String): Long = {
+      val out = graft.util.Staging.dir(spark, s"codecsz_$c")
+      graft.util.Tables(spark, sf).lineitem
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", c).parquet(out)
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    val (sn, zs, gz) = (bytesUnder("snappy"), bytesUnder("zstd"),
+      bytesUnder("gzip"))
+    assert(zs < sn && gz < sn,
+      s"expected zstd ($zs) and gzip ($gz) below snappy ($sn)")
+  }
 }

@@ -1037,6 +1037,44 @@ class StreamSpec extends SparkSpec {
     assert(rows((1, "user_id -> k")) === ((2L, 1L)))
   }
 
+  test("mvRefreshStream: read-time merge of batch partials equals the " +
+      "one-shot aggregate; a replayed batch cannot double-count") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stateDir = graft.util.Staging.dir(spark, "mv_stream")
+    def partial(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    def merge(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.groupBy(col("k")).agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    val batch1 = Seq(("a", 10L), ("a", 20L), ("b", 5L))
+    val batch2 = Seq(("a", 1L), ("c", 7L))
+    val ms = MemoryStream[(String, Long)]
+    val q = Streams.mvRefreshStream(
+      ms.toDS().toDF("k", "v"), stateDir, partial)
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    def view(): Map[String, (Long, Long, Long, Long)] =
+      Streams.readMv(spark, stateDir, merge).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = view()
+    val want = partial((batch1 ++ batch2).toDF("k", "v")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    assert(got("a") === ((3L, 31L, 1L, 20L)))
+    // replay: batch 1 restarts and rewrites ITS OWN partial — the
+    // view must not change (overwrite, never append)
+    partial(batch1.toDF("k", "v")).write.mode("overwrite")
+      .parquet(s"$stateDir/batch=0")
+    assert(view() === want, "a replayed batch must not double-count")
+  }
+
   test("splitStream: stream assignment equals the batch mix_split " +
       "arithmetic; a re-delivered doc never migrates") {
     implicit val ctx = spark.sqlContext
