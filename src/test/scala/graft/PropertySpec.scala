@@ -411,4 +411,88 @@ class PropertySpec extends AnyFunSuite {
       kept == want.toSet
     }, 6)
   }
+
+  test("labelsStar equals driver-side union-find on arbitrary random graphs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    checkProp(forAll(gen) { edges =>
+      edges.isEmpty || {
+        val got = graft.dedup.ConnectedComponents
+          .labelsStar(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // canonical min-label per component
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val byRoot = nodes.groupBy(find)
+        val want = byRoot.flatMap { case (_, ns) =>
+          val m = ns.min; ns.map(_ -> m) }.toMap
+        got == want
+      }
+    }, 30)
+  }
+
+  test("splitAssign: deterministic, exhaustive, and 97/2/1-shaped on " +
+    "arbitrary id sets") {
+    import spark.implicits._
+    val gen = Gen.listOfN(200, Gen.choose(0L, 1000000L)).map(_.distinct)
+    checkProp(forAll(gen) { ids =>
+      ids.isEmpty || {
+        val a = graft.ops.ShuffleShard
+          .splitAssign(ids.toDF("doc_id"), "doc_id", 31L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        a.forall { case (_, b, s) =>
+          b >= 0 && b < 100 &&
+            s == (if (b < 97) "train" else if (b < 99) "val" else "test")
+        } && a.length == ids.length
+      }
+    }, 8)
+  }
+
+  test("pack_stats: query equals the driver closed forms on generated " +
+    "corpora INCLUDING docs past the block size (the truncation branch " +
+    "no test-corpus doc reaches)") {
+    import spark.implicits._
+    val cap = 512L
+    // word counts spanning the 512 boundary: the real corpora top out
+    // below it, so n_dropped_tokens > 0 only ever happens here
+    val gen = Gen.listOfN(8, Gen.choose(1, 1400))
+    checkProp(forAll(gen) { lens =>
+      lens.nonEmpty && {
+        val dir = java.nio.file.Files.createTempDirectory("graft_packgen").toString
+        lens.zipWithIndex.map { case (len, i) =>
+          (i.toLong, (1 to len).map("w" + _).mkString(" "), "en", "s", len.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val got = graft.queries.CurationQueries.packStats(spark, dir)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        val ns = lens.map(_ + 1L) // +1 EOS
+        val tok = ns.sum
+        val concatBlocks = (tok + cap - 1) / cap
+        val padBlocks = ns.map(n => (n + cap - 1) / cap).sum
+        val kept = ns.map(math.min(_, cap)).sum
+        got("concat") == ((concatBlocks, tok, 0L, concatBlocks * cap - tok)) &&
+        got("pad_per_doc") == ((padBlocks, tok, 0L, padBlocks * cap - tok)) &&
+        got("truncate_per_doc") ==
+          ((ns.length.toLong, kept, tok - kept, ns.length * cap - kept)) &&
+        (!lens.exists(_ >= 512) || got("truncate_per_doc")._3 > 0)
+      }
+    }, 4)
+  }
 }
