@@ -1228,7 +1228,101 @@ object EventQueries {
       |ORDER BY cnt DESC, user_id
       |LIMIT 10""".stripMargin
 
+  /** Day-of-week seasonality profile — the decomposition read BEFORE
+    * trusting q_anomaly's rolling z-scores (a Monday spike that
+    * happens every Monday is seasonality, not anomaly): per
+    * (event_type, dow): count, integer-ppm share within the type, and
+    * the signed ppm deviation from the uniform 1∕7 — all integer
+    * arithmetic off one (type, dow)-keyed partial agg + a
+    * type-cardinality broadcast, so the profile is partition-exact.
+    * ISO day numbering (1 = Monday) on both engines.
+    */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables(s, dir).events
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow_sun1"))
+      .agg(count(lit(1)).as("n_events"))
+      // Spark dayofweek is 1=Sunday; fold to ISO 1=Monday..7=Sunday
+      .withColumn("dow", (pmod(col("dow_sun1") + 5, lit(7)) + 1).cast("int"))
+      .drop("dow_sun1")
+    val totals = byDow.groupBy(col("event_type").as("t_type"))
+      .agg(sum(col("n_events")).as("n_total"))
+    byDow.join(broadcast(totals), col("event_type") === col("t_type"))
+      .select(col("event_type"), col("dow"), col("n_events"),
+        expr("(n_events * 1000000) div n_total").as("share_ppm"),
+        (expr("(n_events * 1000000) div n_total") -
+          lit(1000000L / 7)).as("dev_ppm"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val qSeasonalitySql: String =
+    """WITH d AS (
+      |  SELECT event_type, isodow(ts)::INT AS dow, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(n_events)::BIGINT AS n_total
+      |      FROM d GROUP BY 1)
+      |SELECT d.event_type, d.dow, d.n_events,
+      |  (d.n_events * 1000000) // t.n_total AS share_ppm,
+      |  ((d.n_events * 1000000) // t.n_total - 142857) AS dev_ppm
+      |FROM d JOIN t ON d.event_type = t.event_type
+      |ORDER BY 1, 2""".stripMargin
+
+  /** The Pareto cut — "what fraction of users drive 80% of events":
+    * user counts fold to a (cnt → n_users) HISTOGRAM (bounded by the
+    * max per-user activity, not user cardinality — the q_gini
+    * decomposition), heaviest-first running shares accumulate over the
+    * histogram only, and the answer is the smallest user-ppm whose
+    * event share reaches each threshold {50, 80, 90, 99}%. No global
+    * sort over users anywhere; everything after the first aggregate is
+    * histogram-scale. Integer ppm end-to-end.
+    */
+  def qPareto(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables(s, dir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy(col("cnt").desc) // histogram-scale window
+    val cum = hist
+      .withColumn("cum_events", sum(col("cnt") * col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_users", sum(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = cum.agg(max(col("cum_events")).as("tot_e"),
+      max(col("cum_users")).as("tot_u"))
+    val shares = cum.crossJoin(broadcast(totals))
+      .select(expr("(cum_events * 1000000) div tot_e").as("event_ppm"),
+        expr("(cum_users * 1000000) div tot_u").as("user_ppm"))
+    // all four thresholds ride ONE pass: a 4-row broadcast against the
+    // histogram-scale share table, never a re-run of the base aggregate
+    import s.implicits._
+    val thresholds = Seq(500000L, 800000L, 900000L, 990000L).toDF("thr")
+    shares.join(broadcast(thresholds), col("event_ppm") >= col("thr"))
+      .groupBy((col("thr") / 10000L).cast("long").as("event_pct"))
+      .agg(min(col("user_ppm")).as("user_ppm"))
+      .orderBy(col("event_pct"))
+  }
+
+  val qParetoSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |h AS (SELECT cnt, count(*) AS n_users FROM c GROUP BY 1),
+      |cum AS (
+      |  SELECT cnt,
+      |    sum(cnt * n_users) OVER (ORDER BY cnt DESC
+      |      ROWS UNBOUNDED PRECEDING) AS cum_events,
+      |    sum(n_users) OVER (ORDER BY cnt DESC
+      |      ROWS UNBOUNDED PRECEDING) AS cum_users
+      |  FROM h),
+      |t AS (SELECT max(cum_events) AS tot_e, max(cum_users) AS tot_u FROM cum),
+      |s AS (
+      |  SELECT ((cum_events * 1000000) // tot_e)::BIGINT AS event_ppm,
+      |         ((cum_users * 1000000) // tot_u)::BIGINT AS user_ppm
+      |  FROM cum, t)
+      |SELECT (thr // 10000)::BIGINT AS event_pct,
+      |  (SELECT min(user_ppm) FROM s WHERE event_ppm >= thr) AS user_ppm
+      |FROM (SELECT unnest([500000, 800000, 900000, 990000]) AS thr)
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> (qSeasonality _),
+    "q_pareto" -> (qPareto _),
     "q_skew_report" -> (qSkewReport _),
     "q_attribution_multi" -> (qAttributionMulti _),
     "q_state_at_event" -> (qStateAtEvent _),
@@ -1252,6 +1346,8 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_seasonality" -> qSeasonalitySql,
+    "q_pareto" -> qParetoSql,
     "q_skew_report" -> qSkewReportSql,
     "q_attribution_multi" -> qAttributionMultiSql,
     "q_state_at_event" -> qStateAtEventSql,

@@ -443,6 +443,55 @@ class EventSpec extends SparkSpec {
     assert(g1.getDouble(2) === 0.45)
   }
 
+  test("q_seasonality: ISO dow mapping pinned; per-type shares fill 1e6 ppm " +
+    "up to floor rounding") {
+    // 1700000000000 ms = 2023-11-14 (Tuesday) UTC; +1d = Wednesday
+    val dir = fixtureDir(Seq(
+      ev(1, 0, 1, "click"), ev(2, 0, 2, "click"), // Tue
+      ev(3, 1440, 1, "click"), // Wed
+      ev(4, 2 * 1440, 1, "view"))) // Thu
+    val got = EventQueries.qSeasonality(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("click", 2)) === ((2L, 666666L))) // Tuesday = ISO 2
+    assert(got(("click", 3)) === ((1L, 333333L)))
+    assert(got(("view", 4)) === ((1L, 1000000L)))
+    // real corpus: every type's shares fill the million up to floor loss
+    val real = EventQueries.qSeasonality(spark, sf).collect()
+      .groupBy(_.getString(0))
+    real.foreach { case (t, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(s <= 1000000L && s > 1000000L - 7, s"$t shares sum $s")
+      rows.foreach(r => assert(r.getLong(4) === r.getLong(3) - 142857L))
+    }
+  }
+
+  test("q_pareto: driver-side replay of the histogram-decomposed " +
+    "heaviest-first curve") {
+    import org.apache.spark.sql.functions._
+    val counts = graft.util.Tables(spark, sf).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(_.getLong(1)).sorted.reverse
+    val totE = counts.sum
+    val totU = counts.length.toLong
+    // replay over the (cnt -> n_users) histogram, heaviest first
+    val hist = counts.groupBy(identity).map { case (c, xs) =>
+      (c, xs.length.toLong) }.toSeq.sortBy(-_._1)
+    var cumE = 0L; var cumU = 0L
+    val shares = hist.map { case (c, n) =>
+      cumE += c * n; cumU += n
+      (cumE * 1000000L / totE, cumU * 1000000L / totU) }
+    def cut(thr: Long): Long =
+      shares.filter(_._1 >= thr).map(_._2).min
+    val got = EventQueries.qPareto(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(50L -> cut(500000L), 80L -> cut(800000L),
+      90L -> cut(900000L), 99L -> cut(990000L)))
+    // monotone: more events need at least as many users
+    assert(got(50L) <= got(80L) && got(80L) <= got(90L) &&
+      got(90L) <= got(99L))
+  }
+
   test("q_attribution_multi: equal split in integer micro-cents, " +
     "remainder to the latest touch, revenue conserved") {
     val dir = fixtureDirP(Seq(
