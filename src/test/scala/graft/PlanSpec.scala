@@ -402,6 +402,19 @@ class PlanSpec extends SparkSpec {
         plan.take(1200))
   }
 
+  test("q_pareto: only the bounded histogram cumsum may single-partition; " +
+    "thresholds join by broadcast") {
+    val plan = planOf(graft.queries.EventQueries.qPareto(spark, sf))
+    // the user-count aggregate must hash-partition; the heaviest-first
+    // cumsum runs over the (cnt -> n_users) histogram whose cardinality
+    // is bounded by max per-user activity, so its SinglePartition
+    // window is the q_gini shape, not a corpus sort
+    assert(plan.contains("Exchange hashpartitioning(user_id"), plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 4-row threshold table must broadcast")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("q_corpus_diff: digest compare is one co-partitioned full-outer " +
     "join; no body column crosses the exchange") {
     val plan = planOf(CurationQueries.qCorpusDiff(spark, sf))
