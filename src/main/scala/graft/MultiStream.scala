@@ -23,9 +23,17 @@ import graft.pipeline.MultiSpec
   * `-format` names any registered Spark DataSource (parquet default;
   * json/csv/orc/text all work) — the Spark-native stand-in for the
   * reference's pluggable OutputFormat classes (MapStreamJob.java:402),
-  * whose realistic uses are exactly these serialization swaps. Branch
-  * writes are submitted concurrently (MultiPipeline.write), where the
-  * reference pays one sequential MR job per spec.
+  * whose realistic uses are exactly these serialization swaps.
+  * `-outputformat` accepts the reference's own spellings on top:
+  * `TextOutputFormat` (the default class in its usage text) routes to
+  * the text writer, `PartitionByKeyField` (the repo's one custom
+  * OutputFormat — key-named output directories) routes to a
+  * `write.partitionBy("key")` dynamic-partition write, and the
+  * cluster-plumbing flags with no local analog (`-dfs -jt
+  * -additionalconfspec -mapdebug -reducedebug -verbose -info -debug`)
+  * parse-and-ignore so a full reference invocation line runs as-is.
+  * Branch writes are submitted concurrently (MultiPipeline.write),
+  * where the reference pays one sequential MR job per spec.
   */
 object MultiStream {
 
@@ -33,6 +41,7 @@ object MultiStream {
     var input = ""; var output = ""; var column = ""
     var format = "parquet"; var numReduceTasks = -1
     var inputFormat = ""; var inputTagged = false
+    var outputFormat = ""
     val specs = scala.collection.mutable.ListBuffer.empty[String]
     val env = scala.collection.mutable.Map.empty[String, String]
     val jobconf = scala.collection.mutable.Map.empty[String, String]
@@ -89,6 +98,32 @@ object MultiStream {
         case "-partitioner" => partitioner = args(i + 1); i += 2
         case "-inputformat" | "-inputreader" =>
           inputFormat = args(i + 1); i += 2
+        // the reference's -outputformat (MapStreamJob.java:402, usage:
+        // "TextOutputFormat(default)|JavaClassName"): the two classes a
+        // reference invocation realistically names are TextOutputFormat
+        // and the repo's own PartitionByKeyField; any registered Spark
+        // DataSource name is also accepted (the serialization swaps the
+        // pluggable-OutputFormat mechanism exists for). Resolved after
+        // parsing — unknown specs error loudly there
+        case "-outputformat" => outputFormat = args(i + 1); i += 2
+        // cluster-plumbing options with NO local-Spark analog
+        // (MapStreamJob.java:393-422): accepted so a full reference
+        // invocation line parses, logged and ignored — there is no DFS /
+        // JobTracker / per-task debug script in a single-JVM session
+        case f @ ("-dfs" | "-jt" | "-additionalconfspec" | "-mapdebug" |
+                  "-reducedebug") =>
+          System.err.println(
+            s"[multistream] $f ignored: cluster plumbing with no " +
+              "local-Spark analog")
+          i += 2
+        case f @ ("-verbose" | "-info" | "-debug") =>
+          System.err.println(s"[multistream] $f ignored (always-on WARN log)")
+          i += 1
+        // -cacheFile "uri#link": the DFS-side sibling of -file; locally
+        // the path part is shipped like -file (the #link alias is the
+        // basename here — ShippedPipe resolves children by basename)
+        case "-cacheFile" =>
+          ship += args(i + 1).split("#").head; i += 2
         // the reference's -inputtagged bool flag (MapStreamJob.java:431;
         // declared for its mappers' multi-input runs): each record is
         // prefixed with its source file, so a child script can tell
@@ -103,8 +138,11 @@ object MultiStream {
         case other =>
           sys.error(s"unknown option '$other' (want -input -output " +
             "-column -format -multiple -mapred -cmdenv -numReduceTasks " +
-            "-jobconf/-D -file/-files -archives/-cacheArchive " +
-            "-partitioner -inputformat -inputtagged)")
+            "-jobconf/-D -file/-files -archives/-cacheArchive -cacheFile " +
+            "-partitioner -inputformat -outputformat -inputtagged; " +
+            "accepted-and-ignored cluster flags: -dfs -jt " +
+            "-additionalconfspec -mapdebug -reducedebug -verbose -info " +
+            "-debug)")
       }
     }
     require(input.nonEmpty, "-input is required")
@@ -187,11 +225,31 @@ object MultiStream {
       // count exactly (Hadoop contract: reducer count = task count);
       // native stages take it as the shuffle-partition hint set above
       val nRed = if (numReduceTasks > 0) Some(numReduceTasks) else None
+      // -outputformat resolution: TextOutputFormat → the text writer
+      // (multi-column results tab-fold first, the key\tvalue contract);
+      // PartitionByKeyField → key-per-directory dynamic-partition write
+      // (MultiPipeline.writeBranch documents the exact analog); a Spark
+      // DataSource name → that format. Unknown JavaClassNames fail LOUDLY
+      // — silently writing the default layout under a custom
+      // OutputFormat's name would corrupt a ported pipeline's contract
+      val (outFmt, partByKey) = outputFormat match {
+        case "" => (format, false)
+        case "TextOutputFormat" |
+             "org.apache.hadoop.mapred.TextOutputFormat" => ("text", false)
+        case "PartitionByKeyField" | "partition-by-key" |
+             "org.apache.hadoop.streaming.PartitionByKeyField" =>
+          (format, true)
+        case f if Set("parquet", "json", "csv", "orc", "text", "avro")(f) =>
+          (f, false)
+        case other => sys.error(s"unknown -outputformat '$other' (want " +
+          "TextOutputFormat | PartitionByKeyField | a Spark DataSource " +
+          "name: parquet|json|csv|orc|text|avro)")
+      }
       if (specs.nonEmpty) {
         MultiSpec.pipeline(taggedDf, c, specs.toSeq, env = env.toMap,
             partitionKey = partKey, ship = ship.toSeq, numPartitions = nRed,
             archives = archives.toSeq)
-          .write(output, format)
+          .write(output, outFmt, partitionByKey = partByKey)
         println(s"[multistream] ${specs.size} branch(es) written under $output")
       } else {
         // classic single-pipeline form: mapper → (combiner) → reducer,
@@ -214,7 +272,8 @@ object MultiStream {
               numPartitions = nRed,
               ship = ship.toSeq,
               archives = archives.toSeq)(mapped)
-        reduced.write.mode("overwrite").format(format).save(output)
+        graft.pipeline.MultiPipeline.writeBranch(
+          reduced, output, outFmt, partByKey)
         println(s"[multistream] single pipeline written to $output")
       }
     } finally if (!hadActive) spark.stop()

@@ -63,15 +63,25 @@ final class MultiPipeline private (
     * waiting on shuffle fetch or output commit doesn't serialize the
     * others — the reference pays one full sequential MR job per
     * pipeline here. Set parallelism = 1 for strictly sequential writes.
+    *
+    * `partitionByKey = true` is the `-outputformat PartitionByKeyField`
+    * analog (reference PartitionByKeyField.java:10: route each record
+    * to a directory named by its KEY, write the VALUE only):
+    * `write.partitionBy("key")` gives the same key-per-directory layout
+    * with the key elided from the stored rows — and unlike the
+    * reference's MultipleTextOutputFormat (one open writer per key per
+    * reducer, a known small-file/OOM hazard at high key cardinality)
+    * Spark's dynamic-partition write sorts by partition column inside
+    * each task, holding ONE writer at a time.
     */
   def write(outputHome: String, format: String = "parquet",
-      parallelism: Int = 4): Unit = {
+      parallelism: Int = 4, partitionByKey: Boolean = false): Unit = {
     val planned = run().toSeq
+    def writeOne(name: String, df: DataFrame): Unit =
+      MultiPipeline.writeBranch(df, s"$outputHome/$name", format, partitionByKey)
     try {
       if (parallelism <= 1 || planned.sizeIs <= 1) {
-        planned.foreach { case (name, df) =>
-          df.write.mode("overwrite").format(format).save(s"$outputHome/$name")
-        }
+        planned.foreach { case (name, df) => writeOne(name, df) }
       } else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
@@ -80,9 +90,7 @@ final class MultiPipeline private (
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         try Await.result(
           Future.traverse(planned) { case (name, df) =>
-            Future {
-              df.write.mode("overwrite").format(format).save(s"$outputHome/$name")
-            }
+            Future { writeOne(name, df) }
           }, Duration.Inf)
         finally pool.shutdown()
         ()
@@ -94,4 +102,39 @@ final class MultiPipeline private (
 object MultiPipeline {
   def apply(input: DataFrame, share: Boolean = false): MultiPipeline =
     new MultiPipeline(input, share, ListMap.empty)
+
+  /** One branch write with the Hadoop-Streaming output conventions:
+    *
+    *  - `text` format folds a multi-column result to ONE tab-joined
+    *    line per row first (TextOutputFormat's key\tvalue contract —
+    *    Spark's text source refuses >1 column);
+    *  - `partitionByKey` derives the KEY as the first tab field of the
+    *    record (the reference splits map output on '\t' the same way),
+    *    keeps the remainder as the value, and writes
+    *    `key=<k>/part-…` via a dynamic-partition write.
+    */
+  private[graft] def writeBranch(df: DataFrame, path: String,
+      format: String, partitionByKey: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    if (partitionByKey) {
+      val line = if (df.columns.length == 1) col(df.columns.head)
+        else concat_ws("\t", df.columns.map(n => col(n).cast("string")): _*)
+      val key = substring_index(line, "\t", 1)
+      val keyed = df.select(
+        key.as("key"),
+        // value = line minus "key\t"; a key-only line keeps "" (the
+        // reference writes the empty value line the same way)
+        when(line.contains("\t"),
+          line.substr(length(key) + 2, length(line))).otherwise(lit(""))
+          .as("value"))
+      keyed.write.mode("overwrite").partitionBy("key")
+        .format(if (format == "parquet") "parquet" else "text").save(path)
+    } else if (format == "text" && df.columns.length > 1) {
+      df.select(concat_ws("\t",
+          df.columns.map(n => col(n).cast("string")): _*).as("value"))
+        .write.mode("overwrite").format("text").save(path)
+    } else {
+      df.write.mode("overwrite").format(format).save(path)
+    }
+  }
 }

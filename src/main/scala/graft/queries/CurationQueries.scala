@@ -1035,7 +1035,11 @@ object CurationQueries {
     * new version is a deterministic function of the old one (a re-crawl
     * in miniature): docs with id % 31 = 0 vanished, id % 13 = 0 pages
     * were edited, and id % 17 = 3 pages gained a v2 copy under a fresh
-    * id — so the oracle can replay the exact transform.
+    * id — so the oracle can replay the exact transform. The fresh ids
+    * sit at max(doc_id) + 1 + doc_id (a one-row broadcast aggregate,
+    * not a constant): a fixed offset would collide with surviving real
+    * ids once the corpus outgrows it, breaking the planted
+    * added/changed classification at large SF.
     *
     * Scale (100 TB): the diff ships 16-byte md5 digests through one
     * doc_id-co-partitioned FULL OUTER join — never the bodies; in a
@@ -1046,13 +1050,16 @@ object CurationQueries {
     */
   def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir).documents
+    val maxId = base.agg(max(col("doc_id")).as("max_id"))
     val old = base.select(col("doc_id"), col("source").as("src_a"),
       md5(col("text")).as("h_a"))
     val newV = base.filter(col("doc_id") % 31 =!= 0)
       .withColumn("text", when(col("doc_id") % 13 === 0,
         concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
       .unionByName(base.filter(col("doc_id") % 17 === 3)
-        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .crossJoin(broadcast(maxId))
+        .withColumn("doc_id", col("max_id") + 1L + col("doc_id"))
+        .drop("max_id")
         .withColumn("text", concat(col("text"), lit(" v2"))))
       .select(col("doc_id"), col("source").as("src_b"),
         md5(col("text")).as("h_b"))
@@ -1077,7 +1084,8 @@ object CurationQueries {
       |             ELSE text END) AS h
       |  FROM documents WHERE doc_id % 31 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 10000000, source, md5(text || ' v2')
+      |  SELECT (SELECT max(doc_id) FROM documents) + 1 + doc_id,
+      |    source, md5(text || ' v2')
       |  FROM documents WHERE doc_id % 17 = 3)
       |SELECT coalesce(o.source, n.source) AS source,
       |  CASE WHEN o.h IS NULL THEN 'added'

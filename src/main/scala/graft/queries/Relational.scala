@@ -619,22 +619,58 @@ object Relational {
     * — a running max of day over strictly-higher prices decides
     * survival: survive iff max_day > every higher-price day seen
     * (ties on BOTH dims survive together, joined back for their
-    * count). The one global window runs on the collapsed table; at
-    * 100 TB swap in range-partitioned prefix maxima (the
-    * mix_curriculum_bounds move) if distinct prices themselves blow
-    * up. Oracle replays the identical two-step window in SQL — cheap,
-    * unlike the quadratic spelling.
+    * count). TPC-H totalprice is effectively CONTINUOUS, so |distinct
+    * prices| ≈ |orders| and a global price-ordered window would still
+    * be a corpus sort into ONE partition (the round-8 weak). The
+    * prefix max therefore decomposes exactly like pack_concat's prefix
+    * sum: range-shard the price domain (bounds from a one-row
+    * broadcast aggregate — shard id is monotonic in price, so higher
+    * shards hold strictly higher prices), take the running max WITHIN
+    * each shard in parallel, and fold the shards-above contribution in
+    * from a SkyShards-row broadcast frame. The sharded price table is
+    * localCheckpoint-ed (a slim (price, max_day, shard) projection —
+    * ~20 B/row even when distinct prices ≈ |orders|): its two
+    * consumers (the per-shard window, the shard-base rollup) read the
+    * checkpoint instead of re-running scan+groupBy+bounds. The only
+    * SinglePartition left in the final plan is the SkyShards-row base
+    * window (PlanSpec-pinned); the oracle replays the plain global
+    * window in SQL — DuckDB's single node doesn't care.
     */
+  private val SkyShards = 64
+
   def qSkyline(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir).orders.select(
       col("o_totalprice").as("price"),
       floor(unix_timestamp(col("o_orderdate")) / 86400).as("day"),
       col("o_orderkey"))
     val perPrice = o.groupBy(col("price")).agg(max(col("day")).as("max_day"))
-    val w = Window.orderBy(col("price").desc)
+    val bounds = perPrice.agg(min(col("price")).as("pmin"),
+      max(col("price")).as("pmax"))
+    // floor((p−min)·N ∕ span) is monotone non-decreasing in p under
+    // IEEE rounding, so shard order IS price order; clamp p = pmax
+    // (which lands on N) back into the top shard
+    val sharded = perPrice.crossJoin(broadcast(bounds))
+      .withColumn("shard",
+        when(col("pmax") === col("pmin"), lit(0L)).otherwise(
+          least(lit(SkyShards - 1L), floor(
+            (col("price") - col("pmin")).cast("double") * SkyShards /
+              (col("pmax") - col("pmin")).cast("double")))))
+      .drop("pmin", "pmax")
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("shard"))
+      .orderBy(col("price").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perPrice
-      .withColumn("hi_day", max(col("max_day")).over(w))
+    val local = sharded.withColumn("local_hi", max(col("max_day")).over(wLocal))
+    val bases = sharded.groupBy(col("shard"))
+      .agg(max(col("max_day")).as("smax"))
+      .withColumn("above_hi", max(col("smax")).over(
+        Window.orderBy(col("shard").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("shard"), col("above_hi"))
+    val frontier = local.join(broadcast(bases), "shard")
+      // greatest() ignores NULLs: first row of the top shard has both
+      // sides NULL = no higher price anywhere = survives unconditionally
+      .withColumn("hi_day", greatest(col("local_hi"), col("above_hi")))
       .filter(col("hi_day").isNull || col("max_day") > col("hi_day"))
       .select(col("price"), col("max_day").as("day"))
     o.join(frontier, Seq("price", "day"))

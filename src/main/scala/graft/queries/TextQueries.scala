@@ -227,6 +227,14 @@ object TextQueries {
     * no driver-held weights, no iterations; at 100 TB the only wide
     * ops are vocab-scale shuffles and the per-doc score rollup, and
     * the |langs|-row stats table rides a broadcast.
+    *
+    * Round 9: V and N used to be DRIVER-SIDE COUNTS at plan-build time
+    * — each one a full re-run of the tokenize→tf derivation, with
+    * tf/ct then consumed again in the final job (the corpus tokenized
+    * ~4× per run — two extra full jobs at 100 TB). Now both ride
+    * IN-PLAN one-row aggregates folded into the broadcast priors table
+    * (the tfidf_topterms move), and tf/ct are localCheckpoint-ed so
+    * train + score really is ONE tokenize pass.
     */
   def textNbclassify(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
@@ -234,27 +242,36 @@ object TextQueries {
     val tok = docs.withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"), col("lang").as("dlang"),
         explode(col("toks")).as("term"))
-    // tokenize ONCE: tf carries the true label; ct/class totals derive
+    // tokenize ONCE: tf carries the true label; ct/class totals derive.
+    // localCheckpoint pins the tokenized aggregate — its downstream
+    // consumers shuffle the checkpoint, never re-run the tokenizer
     val tf = tok.groupBy(col("doc_id"), col("dlang"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val ct = tf.groupBy(col("term"), col("dlang"))
       .agg(sum(col("tf")).as("c"))
       .select(col("term"), col("dlang").as("lang"), col("c"))
+      .localCheckpoint() // vocab-scale; feeds classTotals, V and the join
     val classTotals = ct.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
-    val vocabV = ct.select(col("term")).distinct().count() // scalar, KB state
-    val nDocs = docs.count()                               // scalar
+    // V and N as ONE-ROW aggregates INSIDE the plan — never a
+    // driver-side action; they reach every row via the broadcast priors
+    val vocabDf = ct.agg(countDistinct(col("term")).as("vocab_v"))
+    val nDocsDf = docs.agg(count(lit(1)).as("n_docs"))
     val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       .join(classTotals, "lang")
-      .select(col("lang"), col("nl"),
-        floor(log(col("nd").cast("double") / lit(nDocs.toDouble)) *
+      .crossJoin(nDocsDf) // 1-row × |langs|-row: broadcast, never wide
+      .crossJoin(vocabDf)
+      .select(col("lang"), col("nl"), col("vocab_v"),
+        floor(log(col("nd").cast("double") / col("n_docs").cast("double")) *
           lit(1000000.0) + lit(0.5)).as("prior_micro"))
     val perLang = tf.select(col("doc_id"), col("term"), col("tf"))
-      .crossJoin(broadcast(priors.select(col("lang"), col("nl"))))
+      .crossJoin(broadcast(
+        priors.select(col("lang"), col("nl"), col("vocab_v"))))
       .join(ct, Seq("term", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("tf") * floor(log(
           (coalesce(col("c"), lit(0L)) + 1).cast("double") /
-            (col("nl") + vocabV).cast("double")) *
+            (col("nl") + col("vocab_v")).cast("double")) *
           lit(1000000.0) + lit(0.5))).as("ll"))
       .groupBy(col("doc_id"), col("lang")).agg(sum(col("ll")).as("tok_micro"))
     val scored = docs.select(col("doc_id"), col("lang").as("true_lang"))

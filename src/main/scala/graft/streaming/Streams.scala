@@ -761,6 +761,67 @@ object Streams {
       merge: DataFrame => DataFrame): DataFrame =
     merge(spark.read.parquet(stateDir).drop("batch"))
 
+  /** Compact [[mvRefreshStream]] state: fold every existing
+    * `batch=<id>` partial into ONE `batch=<maxId>` partial, so the
+    * partial count (and readMv's union width / small-file count) stays
+    * bounded however long the stream runs — source_compact's move
+    * applied to aggregation state. `mergePartial` must re-aggregate
+    * partial rows to the SAME partial schema (for the q_mv_refresh
+    * algebra: group by the keys; sum the counts, sum the sums, min the
+    * mins, max the maxes) — the result is again a partial, mergeable
+    * with every future batch.
+    *
+    * Single-maintainer contract (the same one every lake compaction
+    * job runs under): call between triggers or while the stream is
+    * stopped. Replay stays safe: the stream's next batchId is strictly
+    * greater than every id folded here, so a restarted batch can only
+    * overwrite a directory compaction already subsumed — never the
+    * compacted state itself.
+    *
+    * Crash-safe staged swap: the merged partial is first written to a
+    * dot-prefixed staging dir NAMED FOR its coverage
+    * (`.compacting_upto=<maxId>` — invisible to partition discovery),
+    * then the covered batch dirs are deleted, then the staging dir is
+    * renamed in. A crash between those steps leaves the staging dir
+    * holding the full merged state, and the NEXT call completes the
+    * swap from the marker before doing anything else (deleting ids
+    * ≤ maxId is idempotent) — no window loses data.
+    *
+    * Returns the number of batch partials folded (0 = nothing to do).
+    */
+  def compactMv(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      mergePartial: DataFrame => DataFrame): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val StagingRe = "\\.compacting_upto=(\\d+)".r
+    val BatchRe = "batch=(\\d+)".r
+    def ls(): Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    def finishSwap(upto: Long): Unit = {
+      ls().foreach {
+        case BatchRe(id) if id.toLong <= upto =>
+          fs.delete(new Path(root, s"batch=$id"), true); ()
+        case _ => ()
+      }
+      fs.rename(new Path(root, s".compacting_upto=$upto"),
+        new Path(root, s"batch=$upto")); ()
+    }
+    // recovery: a marker from a crashed previous call holds the full
+    // merged state for ids <= its maxId — install it first
+    ls().collect { case StagingRe(upto) => upto.toLong }
+      .foreach(finishSwap)
+    val batchIds = ls().collect { case BatchRe(id) => id.toLong }.sorted
+    if (batchIds.size <= 1) return 0
+    val maxId = batchIds.last
+    val merged = mergePartial(spark.read.parquet(stateDir).drop("batch"))
+    merged.write.mode("overwrite")
+      .parquet(s"$stateDir/.compacting_upto=$maxId")
+    finishSwap(maxId)
+    batchIds.size
+  }
+
   // ---- streaming ANN enrichment -----------------------------------------
 
   /** Streaming ANN enrichment: arriving query vectors get their top-k

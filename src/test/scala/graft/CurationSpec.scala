@@ -460,7 +460,10 @@ class CurationSpec extends SparkSpec {
     val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val removed = ids.filter(_ % 31 == 0)
     val changed = ids.filter(i => i % 31 != 0 && i % 13 == 0)
-    val added = ids.filter(_ % 17 == 3).map(_ + 10000000L)
+    // fresh ids offset by max(doc_id)+1 (r9: collision-free at every
+    // corpus size, unlike the old fixed 10M constant)
+    val offset = ids.max + 1
+    val added = ids.filter(_ % 17 == 3).map(_ + offset)
     val unchanged = ids.filter(i => i % 31 != 0 && i % 13 != 0)
     val got = graft.queries.CurationQueries.qCorpusDiff(spark, sf).collect()
       .groupBy(_.getString(1))

@@ -106,6 +106,56 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("dedup_simhash: EXACT pair list value-pinned at sf0.001 (the " +
+    "rows-only query's knn_recall-style value gate)") {
+    // xxhash64 has no DuckDB twin, so this query can't get a SQL
+    // oracle — but the 64-bit fold is deterministic integer
+    // arithmetic, so the exact (id_a, id_b, hamming) set at the test
+    // SF is a constant. Pinning it means a silent regression anywhere
+    // in tokenize → hash → sign-fold → block-LSH → verify cannot hide
+    // behind the rows-only status.
+    val got = DedupQueries.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = Set[(Long, Long, Int)](
+      (0L, 82L, 0), (8L, 12L, 2), (8L, 120L, 2), (8L, 360L, 1),
+      (12L, 360L, 1), (16L, 369L, 2), (26L, 176L, 0), (45L, 487L, 2),
+      (56L, 157L, 1), (77L, 459L, 2), (99L, 174L, 1), (110L, 242L, 3),
+      (110L, 467L, 2), (119L, 425L, 3), (120L, 360L, 3), (144L, 161L, 2),
+      (197L, 246L, 3), (211L, 404L, 2), (229L, 263L, 2), (245L, 401L, 3),
+      (260L, 391L, 0), (261L, 296L, 3), (270L, 329L, 1), (306L, 387L, 3),
+      (349L, 411L, 0), (387L, 457L, 3), (474L, 498L, 3))
+    assert(got === expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+  }
+
+  test("SimHash64 native expression equals the composable " +
+    "functions._ formulation (independent fold arithmetic)") {
+    import org.apache.spark.sql.functions._
+    // the composable spelling: hash every token with the BUILTIN
+    // xxhash64 (same seed-42 contract the native expression documents),
+    // fold each bit's ±1 count with a higher-order aggregate, OR the
+    // sign bits — 64 interpreted passes, which is exactly why
+    // production uses the native one-pass expression; equality here
+    // proves the native fold against independently-spelled arithmetic
+    val docs = graft.util.Tables(spark, sf).documents.limit(20)
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val hs = transform(col("toks"), t => xxhash64(t))
+    val composable = (0 until 64).map { b =>
+      val cnt = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1))
+      when(cnt > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    graft.functions.GraftFunctions.register(spark)
+    val rows = docs.select(
+      call_function("graft_simhash64", col("toks")).as("native"),
+      composable.as("composed")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      s"native ${r.getLong(0)} != composable ${r.getLong(1)}"))
+  }
+
   test("ConnectedComponents: known graph resolves to min-label clusters") {
     import spark.implicits._
     // components: {1,2,3} (chain), {10,11}, isolated pair {20,21}

@@ -316,6 +316,68 @@ class MultiSpecSpec extends SparkSpec {
     assert(bySrc("lineitem") === Set("l1"))
   }
 
+  test("a FULL reference invocation line parses: -outputformat " +
+    "PartitionByKeyField + every cluster flag (MapStreamJob.java:393-437)") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graft_of_in").toString
+    spark.range(0, 30)
+      .select(concat(pmod(col("id"), lit(3)), lit("\tv"), col("id"))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_of_out").toString
+    // the exact option surface a reference user would port, cluster
+    // plumbing included — all of it must PARSE and run
+    MultiStream.main(Array(
+      "-dfs", "local", "-jt", "local",
+      "-additionalconfspec", "none.xml",
+      "-mapdebug", "debug.sh", "-reducedebug", "debug.sh",
+      "-verbose", "-info",
+      "-input", in,
+      "-output", out,
+      "-inputformat", "text",
+      "-outputformat", "PartitionByKeyField",
+      "-numReduceTasks", "2",
+      "-multiple", "byk|/bin/cat|NONE"))
+    // key-per-directory layout: key=<k>/… with the VALUE only (the
+    // reference's generateActualKey returns null = key elided)
+    val byk = spark.read.parquet(s"$out/byk")
+    assert(byk.columns.toSeq === Seq("value", "key"))
+    assert(byk.select("key").distinct().count() === 3)
+    assert(byk.count() === 30)
+    val k1 = byk.where(col("key") === "1").select("value")
+      .collect().map(_.getString(0)).toSet
+    assert(k1 === (0 until 30).filter(_ % 3 == 1).map(i => s"v$i").toSet)
+    // unknown OutputFormat class names fail loudly, never silently
+    // fall back to the default layout
+    val e = intercept[RuntimeException] {
+      MultiStream.main(Array(
+        "-input", in, "-output", out,
+        "-outputformat", "com.example.MyOutputFormat",
+        "-multiple", "x|/bin/cat|NONE"))
+    }
+    assert(e.getMessage.contains("-outputformat"))
+  }
+
+  test("-outputformat TextOutputFormat writes tab-folded text lines") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graft_oft_in").toString
+    spark.range(0, 5).select(concat(lit("w"), col("id")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_oft_out").toString
+    MultiStream.main(Array(
+      "-input", in, "-output", out,
+      "-outputformat", "TextOutputFormat",
+      // wc emits a multi-column result: the text writer must tab-fold
+      // it to one line (the TextOutputFormat key\tvalue contract)
+      "-multiple", "wc|/bin/cat|wc",
+      "-multiple", "raw|/bin/cat|NONE"))
+    val raw = spark.read.text(s"$out/raw").collect().map(_.getString(0)).toSet
+    assert(raw === (0 until 5).map(i => s"w$i").toSet)
+    val wc = spark.read.text(s"$out/wc").collect().map(_.getString(0))
+    assert(wc.length === 1 && wc.head.split("\t").length >= 2,
+      s"wc row must fold to one tab-joined line: ${wc.mkString}")
+  }
+
   test("MultiStream CLI classic -mapper form honors -inputtagged") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("graft_tagc_in").toString

@@ -415,6 +415,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q_skyline: prefix max rides shard partitioning — no " +
+    "price-cardinality frame hits SinglePartition") {
+    val plan = planOf(Relational.qSkyline(spark, sf))
+    // per-shard running max must hash-partition on shard; bounds live
+    // behind the checkpoint, so the ONLY SinglePartition allowed in the
+    // final plan is the 64-row shard-base window
+    assert(plan.contains("Exchange hashpartitioning(shard"), plan.take(1200))
+    val n = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(n <= 1,
+      s"a distinct-price global window would add SinglePartition " +
+        s"exchanges, found $n:\n${plan.take(1200)}")
+  }
+
+  test("text_nbclassify: tokenizer runs ONCE — behind the checkpoint, " +
+    "never in the scoring plan; V and N ride the broadcast priors") {
+    val plan = planOf(graft.queries.TextQueries.textNbclassify(spark, sf))
+    // tf/ct are localCheckpoint-ed: the final DAG consumes checkpointed
+    // partitions (Scan ExistingRDD), so the tokenize expression must
+    // not appear anywhere in the scoring job's plan
+    assert(!plan.contains("split(lower("),
+      "tokenize leaked into the scoring plan — V/N regressed to " +
+        "re-derivations:\n" + plan.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2,
+      "tf and ct must both come from checkpoints:\n" + plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the |langs|-row priors must broadcast:\n" + plan.take(1200))
+  }
+
   test("q_corpus_diff: digest compare is one co-partitioned full-outer " +
     "join; no body column crosses the exchange") {
     val plan = planOf(CurationQueries.qCorpusDiff(spark, sf))

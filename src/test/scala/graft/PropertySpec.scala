@@ -228,6 +228,17 @@ class PropertySpec extends AnyFunSuite {
       assert(node.get("queries").has("q_broken") === false,
         "failed queries must not appear as timings")
     }
+    // the raw drift-audit artifact: 3 sweep passes per good query,
+    // empty array (never fabricated timings) for the broken one
+    val raw = graft.Bench.measureRaw(spark, "/nonexistent",
+      Map("q_ok" -> good, "q_broken" -> bad))
+    assert(raw("q_ok").length === graft.Bench.Passes)
+    assert(raw("q_broken").isEmpty)
+    val rawLine = graft.Bench.renderRaw(raw, "/nonexistent")
+    val rawNode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rawLine)
+    assert(rawNode.get("queries").get("q_ok").size() === graft.Bench.Passes)
+    assert(rawNode.get("queries").get("q_broken").size() === 0)
+    assert(graft.Bench.minima(raw)("q_ok") === raw("q_ok").min)
   }
 
   test("shard hash: deterministic, all shards hit, no gross skew") {

@@ -909,6 +909,27 @@ class SimSpec extends SparkSpec {
       "top-4 components must beat the uniform-variance share")
   }
 
+  test("Pca.fit spectrum VALUE-PINNED at sf0.001 (emb_pca/emb_whiten's " +
+    "rows-only value gate)") {
+    // the covariance is integer-rounded before the eigensolve and
+    // Jacobi sweeps are deterministic, so the spectrum at the test SF
+    // is a constant — pinning the top-4 eigenvalues (the ones emb_pca/
+    // emb_whiten project onto) and the full trace means a silent
+    // regression in moments → covariance → Jacobi cannot hide behind
+    // the rows-only driver status
+    import graft.sim.Pca
+    val corpus = graft.util.Tables(spark, sf).embeddings
+    val m = Pca.fit(corpus, "embedding", dim = 64, k = 4)
+    val expectedTop4 = Seq(0.028886203374, 0.026926549805,
+      0.025828362549, 0.025264695636)
+    m.eigenvalues.take(4).zip(expectedTop4).zipWithIndex.foreach {
+      case ((got, want), i) =>
+        assert(math.abs(got - want) < 1e-11, s"eigenvalue $i: $got != $want")
+    }
+    assert(math.abs(m.eigenvalues.sum - 0.998312864001) < 1e-10,
+      s"trace drifted: ${m.eigenvalues.sum}")
+  }
+
   test("DiverseSample: per-cell quota honored, farthest-first rule " +
       "matches the full assignment, rerun-deterministic") {
     import graft.sim.{DiverseSample, Knn}

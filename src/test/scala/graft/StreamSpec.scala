@@ -1073,6 +1073,30 @@ class StreamSpec extends SparkSpec {
     partial(batch1.toDF("k", "v")).write.mode("overwrite")
       .parquet(s"$stateDir/batch=0")
     assert(view() === want, "a replayed batch must not double-count")
+
+    // compaction: folds both partials into ONE batch=<maxId> dir, view
+    // unchanged — the small-file/partial-count bound the doc promises
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mvDirs: Set[String] = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(Streams.compactMv(spark, stateDir, merge) === 2)
+    assert(mvDirs === Set("batch=1"), s"staged swap left: $mvDirs")
+    assert(view() === want, "compaction must not change the view")
+    // idempotent no-op on a single partial
+    assert(Streams.compactMv(spark, stateDir, merge) === 0)
+    assert(view() === want)
+    // crash recovery: a marker dir left by a crash BETWEEN staging and
+    // swap (worst case: old batch dirs still present alongside the
+    // full merged staging) must be installed, not merged twice
+    partial((batch1 ++ batch2).toDF("k", "v")).write.mode("overwrite")
+      .parquet(s"$stateDir/.compacting_upto=5")
+    // simulate the crash leaving a stale covered batch dir behind
+    fs.rename(new org.apache.hadoop.fs.Path(root, "batch=1"),
+      new org.apache.hadoop.fs.Path(root, "batch=3"))
+    assert(Streams.compactMv(spark, stateDir, merge) === 0)
+    assert(mvDirs === Set("batch=5"), s"recovery left: $mvDirs")
+    assert(view() === want, "recovered swap must hold the same view")
   }
 
   test("splitStream: stream assignment equals the batch mix_split " +
