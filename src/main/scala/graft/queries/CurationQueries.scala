@@ -579,16 +579,13 @@ object CurationQueries {
     * AND independent of row order on the wire — any engine re-reading
     * the shard in any order reproduces it (a sum would need escrowed
     * overflow semantics; a concat-then-hash would need a global sort).
+    * The shard rollup itself is [[graft.ops.Manifest.partial]] — the
+    * SAME definition manifest_incremental merges and
+    * Streams.manifestStream maintains at micro-batch cadence.
     */
   def exportManifest(s: SparkSession, dir: String): DataFrame =
-    ShuffleShard.assign(Tables(s, dir).documents, "doc_id", ShardSeed, NShards)
-      .select(col("shard"), col("n_chars"),
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-          col("text"))), 1, 15), 16, 10).cast("long").as("row_sig"))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("n_chars")).as("n_bytes"),
-        expr("bit_xor(row_sig)").as("checksum"))
+    graft.ops.Manifest.partial(Tables(s, dir).documents,
+        "doc_id", "text", "n_chars", ShardSeed, NShards)
       .orderBy(col("shard"))
 
   val exportManifestSql: String =
@@ -603,6 +600,104 @@ object CurationQueries {
        |SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
        |  bit_xor(row_sig) AS checksum
        |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Incremental manifest maintenance, proven against the one-shot
+    * export: the corpus splits into two halves (doc parity — any
+    * disjoint cover works), each half rolls up its OWN manifest
+    * partial, and [[graft.ops.Manifest.merge]] folds them — counts
+    * and bytes sum, XOR checksums XOR — into a manifest that must
+    * equal export_manifest's one-shot rollup EXACTLY (same driver
+    * oracle SQL). This is the algebra that makes a published manifest
+    * maintainable at 100 TB: appending a crawl batch = merging its
+    * KB-scale partial (one scan of the NEW data only), a takedown
+    * re-XORs the removed rows' signatures out — the full-corpus
+    * re-manifest never runs. Streams.manifestStream is the same
+    * partial/merge pair at micro-batch cadence.
+    */
+  def manifestIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    def part(d: DataFrame): DataFrame = graft.ops.Manifest.partial(
+      d, "doc_id", "text", "n_chars", ShardSeed, NShards)
+    graft.ops.Manifest.merge(
+        part(docs.filter(col("doc_id") % 2 === 0))
+          .unionByName(part(docs.filter(col("doc_id") % 2 =!= 0))))
+      .orderBy(col("shard"))
+  }
+
+  /** The merge must reproduce the one-shot manifest bit-for-bit, so the
+    * oracle IS export_manifest's.
+    */
+  val manifestIncrementalSql: String = exportManifestSql
+
+  /** Shard-level corpus change detection off MANIFESTS ALONE — the
+    * step before q_corpus_diff in a real lake: two published snapshots
+    * are first compared shard-by-shard (row/byte deltas + XOR checksum
+    * mismatch), and only shards flagged `changed` ever get the
+    * row-level digest diff. Against the same planted re-crawl as
+    * q_corpus_diff; at 100 TB this reads two nShards-row manifests —
+    * nothing else — and typically clears the vast unchanged majority
+    * of shards from the expensive pass. Integer deltas, 0∕1 changed
+    * flag via null-safe checksum compare (a shard empty on one side is
+    * `changed` by definition).
+    */
+  def manifestDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documents
+    def mf(d: DataFrame): DataFrame = graft.ops.Manifest.partial(
+      d, "doc_id", "text", "n_chars", ShardSeed, NShards)
+    val old = mf(base).select(col("shard"),
+      col("n_rows").as("old_rows"), col("n_bytes").as("old_bytes"),
+      col("checksum").as("old_sum"))
+    val neu = mf(recrawled(base)).select(col("shard"),
+      col("n_rows").as("new_rows"), col("n_bytes").as("new_bytes"),
+      col("checksum").as("new_sum"))
+    old.join(neu, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("old_rows"), lit(0L)).as("old_rows"),
+        coalesce(col("new_rows"), lit(0L)).as("new_rows"),
+        (coalesce(col("new_rows"), lit(0L)) -
+          coalesce(col("old_rows"), lit(0L))).as("rows_delta"),
+        (coalesce(col("new_bytes"), lit(0L)) -
+          coalesce(col("old_bytes"), lit(0L))).as("bytes_delta"),
+        when(col("old_sum") <=> col("new_sum"), lit(0L)).otherwise(lit(1L))
+          .as("changed"))
+      .orderBy(col("shard"))
+  }
+
+  val manifestDiffSql: String =
+    s"""WITH newv AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+       |         ELSE text END AS text, n_chars
+       |  FROM documents WHERE doc_id % 31 <> 0
+       |  UNION ALL
+       |  SELECT (SELECT max(doc_id) FROM documents) + 1 + doc_id,
+       |    text || ' v2', n_chars
+       |  FROM documents WHERE doc_id % 17 = 3),
+       |mo AS (
+       |  SELECT
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
+       |      % $NShards AS shard,
+       |    count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+       |    bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+       |      1, 15))::BIGINT) AS checksum
+       |  FROM documents GROUP BY 1),
+       |mn AS (
+       |  SELECT
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
+       |      % $NShards AS shard,
+       |    count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+       |    bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+       |      1, 15))::BIGINT) AS checksum
+       |  FROM newv GROUP BY 1)
+       |SELECT coalesce(mo.shard, mn.shard) AS shard,
+       |  coalesce(mo.n_rows, 0) AS old_rows,
+       |  coalesce(mn.n_rows, 0) AS new_rows,
+       |  (coalesce(mn.n_rows, 0) - coalesce(mo.n_rows, 0)) AS rows_delta,
+       |  (coalesce(mn.n_bytes, 0) - coalesce(mo.n_bytes, 0)) AS bytes_delta,
+       |  CASE WHEN mo.checksum IS NOT DISTINCT FROM mn.checksum
+       |       THEN 0 ELSE 1 END::BIGINT AS changed
+       |FROM mo FULL OUTER JOIN mn ON mo.shard = mn.shard
+       |ORDER BY shard""".stripMargin
 
   /** Public: streaming ingestion (Streams.splitStream callers) must use
     * the SAME seed or batch and stream assign docs to different splits.
@@ -1048,12 +1143,16 @@ object CurationQueries {
     * ever hashed, and the dominant `unchanged` mass is anti-joined away
     * before any downstream re-processing.
     */
-  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir).documents
+  /** The planted deterministic re-crawl both diff queries replay:
+    * id % 31 = 0 vanished, id % 13 = 0 edited, id % 17 = 3 re-added
+    * under a collision-free fresh id (max + 1 + id). All OTHER columns
+    * ride along unchanged (n_chars deliberately stays the OLD
+    * metadata — the planted edit models a crawler that hasn't
+    * re-measured, and both engines share the convention).
+    */
+  private def recrawled(base: DataFrame): DataFrame = {
     val maxId = base.agg(max(col("doc_id")).as("max_id"))
-    val old = base.select(col("doc_id"), col("source").as("src_a"),
-      md5(col("text")).as("h_a"))
-    val newV = base.filter(col("doc_id") % 31 =!= 0)
+    base.filter(col("doc_id") % 31 =!= 0)
       .withColumn("text", when(col("doc_id") % 13 === 0,
         concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
       .unionByName(base.filter(col("doc_id") % 17 === 3)
@@ -1061,6 +1160,13 @@ object CurationQueries {
         .withColumn("doc_id", col("max_id") + 1L + col("doc_id"))
         .drop("max_id")
         .withColumn("text", concat(col("text"), lit(" v2"))))
+  }
+
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documents
+    val old = base.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text")).as("h_a"))
+    val newV = recrawled(base)
       .select(col("doc_id"), col("source").as("src_b"),
         md5(col("text")).as("h_b"))
     old.join(newV, Seq("doc_id"), "full_outer")
@@ -1178,6 +1284,8 @@ object CurationQueries {
     "sample_shard" -> (sampleShard _),
     "mix_split" -> (mixSplit _),
     "export_manifest" -> (exportManifest _),
+    "manifest_incremental" -> (manifestIncremental _),
+    "manifest_diff" -> (manifestDiff _),
     "sample_weighted" -> (sampleWeighted _),
     "mix_curriculum" -> (mixCurriculum _),
     "mix_curriculum_bounds" -> (mixCurriculumBounds _),
@@ -1201,6 +1309,8 @@ object CurationQueries {
     "sample_shard" -> sampleShardSql,
     "mix_split" -> mixSplitSql,
     "export_manifest" -> exportManifestSql,
+    "manifest_incremental" -> manifestIncrementalSql,
+    "manifest_diff" -> manifestDiffSql,
     "sample_weighted" -> sampleWeightedSql,
     "mix_curriculum" -> mixCurriculumSql,
     // the bounds variant is byte-identical to ntile by construction,

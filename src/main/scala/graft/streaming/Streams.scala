@@ -822,6 +822,37 @@ object Streams {
     batchIds.size
   }
 
+  /** Streaming manifest maintenance — export_manifest's incremental
+    * face, the missing half of the admission loop: [[dedupIndexStream]]
+    * admits crawl batches into the corpus, and the PUBLISHED manifest
+    * (per-shard row count / byte volume / XOR content checksum that
+    * consumers validate deliveries against) must track those admissions
+    * without ever re-scanning the corpus. Each micro-batch rolls up its
+    * own nShards-row manifest partial ([[graft.ops.Manifest.partial]] —
+    * the IDENTICAL arithmetic the batch query runs); because counts and
+    * bytes sum and XOR checksums XOR, the current manifest is the merge
+    * of the partials ([[readManifest]]), and [[compactMv]] folds the
+    * accumulated batch partials on whatever cadence bounds the state
+    * dir. Per batch the cost is one scan of the BATCH; the state is
+    * nShards rows per batch — KB-scale forever. Replay-idempotent via
+    * mvRefreshStream's batchId-keyed overwrite.
+    */
+  def manifestStream(docs: DataFrame, stateDir: String, idCol: String,
+      textCol: String, bytesCol: String, seed: Long, nShards: Int,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    mvRefreshStream(docs, stateDir,
+      b => graft.ops.Manifest.partial(b, idCol, textCol, bytesCol,
+        seed, nShards),
+      checkpointDir)
+
+  /** The published manifest over [[manifestStream]] state: merge of
+    * every batch partial, one row per shard.
+    */
+  def readManifest(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    readMv(spark, stateDir, graft.ops.Manifest.merge)
+
   // ---- streaming ANN enrichment -----------------------------------------
 
   /** Streaming ANN enrichment: arriving query vectors get their top-k

@@ -535,6 +535,67 @@ class DedupSpec extends SparkSpec {
     assert(probeSet(graft.dedup.MinHashIndex.load(spark, dir)) === afterRemove)
   }
 
+  test("SnapshotIndex: pinned readers survive compaction and takedown " +
+      "swaps; pointer-loss falls back to max published epoch; " +
+      "retention retires old epochs") {
+    import graft.dedup.{MinHashIndex, SnapshotIndex}
+    val docs = graft.util.Tables(spark, sf).documents
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    def probeSet(idx: MinHashIndex.Index) =
+      MinHashIndex.probe(idx, fresh, "doc_id", "text", n = 3, tau = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapidx").toString
+    SnapshotIndex.init(
+      MinHashIndex.build(seen, "doc_id", "text", n = 3), spark, dir)
+    assert(SnapshotIndex.currentEpoch(spark, dir) === 0L)
+    val snap0 = SnapshotIndex.load(spark, dir)
+    val at0 = probeSet(snap0.index)
+    assert(at0.nonEmpty)
+
+    // compact publishes epoch 1; the PINNED epoch-0 snapshot still
+    // probes identically AFTERWARDS (its files were retained), and a
+    // fresh load sees epoch 1 with the same results
+    assert(SnapshotIndex.compact(spark, dir) === 1L)
+    assert(probeSet(snap0.index) === at0,
+      "reader pinned to epoch 0 must survive the compaction swap")
+    val snap1 = SnapshotIndex.load(spark, dir)
+    assert(snap1.epoch === 1L)
+    assert(probeSet(snap1.index) === at0, "compaction preserves probes")
+
+    // takedown publishes epoch 2: the new epoch never matches the
+    // removed ids; the epoch-1 reader STILL sees them (isolation)
+    val removed = at0.map(_._2).take(2).toSeq
+    assert(SnapshotIndex.remove(spark, dir, removed) === 2L)
+    val snap2 = SnapshotIndex.load(spark, dir)
+    assert(probeSet(snap2.index) ===
+      at0.filterNot(p => removed.contains(p._2)))
+    assert(probeSet(snap1.index) === at0,
+      "epoch-1 reader must still see the pre-takedown corpus")
+    // retention: publish(2) retires epochs < 1 — epoch 0 is gone,
+    // epoch 1 survives one more cycle
+    assert(SnapshotIndex.publishedEpochs(spark, dir) === Seq(1L, 2L))
+    // audit read of a specific published epoch
+    assert(probeSet(SnapshotIndex.loadEpoch(spark, dir, 1L).index) === at0)
+    intercept[IllegalArgumentException] {
+      SnapshotIndex.loadEpoch(spark, dir, 0L)
+    }
+
+    // crash-window fallback: losing _CURRENT resolves to the max
+    // published epoch (exactly what the pointer was about to name)
+    new java.io.File(s"$dir/_CURRENT").delete()
+    assert(SnapshotIndex.currentEpoch(spark, dir) === 2L)
+
+    // appends land inside the current epoch and the next compact
+    // carries them forward
+    val day2 = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+    SnapshotIndex.append(spark, day2, dir, "doc_id", "text", n = 3)
+    val withDay2 = probeSet(SnapshotIndex.load(spark, dir).index)
+    assert(SnapshotIndex.compact(spark, dir) === 3L)
+    assert(probeSet(SnapshotIndex.load(spark, dir).index) === withDay2,
+      "compaction must carry appended admissions forward")
+  }
+
   test("dedup_inline: planted within-doc repeats collapse keep-first; " +
       "the plan's only exchange is the result ORDER BY") {
     import spark.implicits._

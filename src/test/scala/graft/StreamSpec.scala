@@ -1099,6 +1099,43 @@ class StreamSpec extends SparkSpec {
     assert(view() === want, "recovered swap must hold the same view")
   }
 
+  test("manifestStream: streamed batch partials merge to the EXACT " +
+      "batch export_manifest; compaction preserves the manifest") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stateDir = graft.util.Staging.dir(spark, "manifest_stream")
+    val docs = graft.util.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the crawl arrives in three uneven batches
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = Streams.manifestStream(
+      ms.toDS().toDF("doc_id", "text", "n_chars"), stateDir,
+      "doc_id", "text", "n_chars", seed = 42L, nShards = 16)
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def manifest(): Seq[(Long, Long, Long, Long)] =
+      Streams.readManifest(spark, stateDir).orderBy(col("shard"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val want = graft.queries.CurationQueries.exportManifest(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(manifest() === want,
+      "streamed manifest must equal the one-shot export bit-for-bit")
+    // compacting the three batch partials into one changes nothing
+    assert(Streams.compactMv(spark, stateDir,
+      graft.ops.Manifest.merge) === 3)
+    assert(manifest() === want, "compaction must preserve the manifest")
+  }
+
   test("splitStream: stream assignment equals the batch mix_split " +
       "arithmetic; a re-delivered doc never migrates") {
     implicit val ctx = spark.sqlContext
