@@ -853,6 +853,44 @@ object Streams {
       stateDir: String): DataFrame =
     readMv(spark, stateDir, graft.ops.Manifest.merge)
 
+  /** Streaming takedown — the governance loop at micro-batch cadence:
+    * each arriving batch of doc ids is scrubbed from the
+    * snapshot-isolated dedup index ([[graft.dedup.SnapshotIndex.remove]]
+    * — ONE published epoch per non-empty batch, so in-flight probe jobs
+    * finish on the snapshot they pinned and the next load sees the
+    * scrub), and an audit record (doc_id, epoch) lands in
+    * `auditDir/batch=<id>` — the compliance trail a takedown pipeline
+    * must keep. Ids are collected driver-side per batch: takedown lists
+    * are KB-scale by nature (the removeSaved in-list contract); a
+    * lake-scale purge would swap in a broadcast anti-join rewrite.
+    *
+    * Replay: a retried batch re-removes the same ids (removal is
+    * idempotent — absent ids no-op) and re-publishes an epoch; the
+    * audit output is batchId-keyed overwrite, so the trail never
+    * duplicates. The extra epoch from a retry only advances retention.
+    */
+  def takedownStream(ids: DataFrame, indexDir: String, auditDir: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = ids.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val idCol = batch.columns.head
+        val list = batch.select(col(idCol).cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (list.nonEmpty) {
+          val epoch = graft.dedup.SnapshotIndex
+            .remove(batch.sparkSession, indexDir, list)
+          val spark = batch.sparkSession
+          import spark.implicits._
+          list.map(i => (i, epoch)).toDF("doc_id", "epoch")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$auditDir/batch=$batchId")
+        }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   // ---- streaming ANN enrichment -----------------------------------------
 
   /** Streaming ANN enrichment: arriving query vectors get their top-k

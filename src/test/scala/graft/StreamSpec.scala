@@ -1136,6 +1136,52 @@ class StreamSpec extends SparkSpec {
     assert(manifest() === want, "compaction must preserve the manifest")
   }
 
+  test("takedownStream: each batch scrubs the snapshot index under a " +
+      "fresh epoch; audit trail lands; pinned readers keep their view") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.dedup.{MinHashIndex, SnapshotIndex}
+    val docs = graft.util.Tables(spark, sf).documents
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    def probeSet(idx: MinHashIndex.Index): Set[(Long, Long)] =
+      MinHashIndex.probe(idx, fresh, "doc_id", "text", n = 3, tau = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-tdstream").toString
+    val audit = java.nio.file.Files.createTempDirectory("graft-tdaudit").toString
+    SnapshotIndex.init(
+      MinHashIndex.build(seen, "doc_id", "text", n = 3), spark, dir)
+    val before = probeSet(SnapshotIndex.load(spark, dir).index)
+    assert(before.size >= 2, "need at least two matched seen ids")
+    val Seq(t1, t2) = before.map(_._2).toSeq.sorted.take(2)
+    val ms = MemoryStream[Long]
+    val q = Streams.takedownStream(ms.toDS().toDF("doc_id"), dir, audit)
+    var pinned: SnapshotIndex.Snapshot = null
+    try {
+      ms.addData(Seq(t1)); q.processAllAvailable()
+      // pin between the batches: this reader must survive exactly one
+      // further publish (retention = 1) and keep the epoch-1 view
+      pinned = SnapshotIndex.load(spark, dir)
+      assert(pinned.epoch === 1L)
+      ms.addData(Seq(t2)); q.processAllAvailable()
+    } finally q.stop()
+    // two non-empty batches = two published epochs past 0
+    assert(SnapshotIndex.currentEpoch(spark, dir) === 2L)
+    val after = probeSet(SnapshotIndex.load(spark, dir).index)
+    assert(after === before.filterNot(p => p._2 == t1 || p._2 == t2),
+      "exactly the taken-down ids' pairs must vanish")
+    // the mid-stream reader still sees the epoch-1 corpus (t1 gone,
+    // t2 present) — isolated from the second scrub
+    assert(probeSet(pinned.index) === before.filterNot(_._2 == t1),
+      "pinned reader must be isolated from the later scrub")
+    // audit trail: one (doc_id, epoch) row per removal, batch-keyed
+    val trail = spark.read.parquet(audit)
+      .select(col("doc_id"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trail === Set((t1, 1L), (t2, 2L)))
+  }
+
   test("splitStream: stream assignment equals the batch mix_split " +
       "arithmetic; a re-delivered doc never migrates") {
     implicit val ctx = spark.sqlContext
