@@ -34,6 +34,16 @@ object Bench {
 
   val Passes = 3
 
+  /** Wall-clock budget for the whole measure phase: sweeps after the
+    * FIRST are skipped once this is exceeded (sweep 1 always completes
+    * — every query must get at least one timing). The default keeps a
+    * steal-slowed 3-sweep run well inside the driver's patience; the
+    * first clean 3-sweep capture measured ~16 min of sweeps under
+    * heavy co-tenant load, ~9 min quiet.
+    */
+  val BudgetS: Long =
+    sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toLong).getOrElse(1080L)
+
   /** Raw per-pass timings per query, in `Passes` full sweeps over the
     * surface. A query that throws in a pass records no timing for it;
     * a query with NO successful pass gets an empty vector (the -1
@@ -61,13 +71,25 @@ object Bench {
     val names = queries.keys.toSeq.sorted
     val acc = scala.collection.mutable.Map.empty[String, Vector[Double]]
     names.foreach(n => acc(n) = Vector.empty)
+    val t0 = System.nanoTime()
+    def elapsedS = (System.nanoTime() - t0) / 1e9
     var p = 0
-    while (p < passes) {
+    var lastSweepS = 0.0
+    // a sweep only starts if the PREVIOUS sweep's duration still fits
+    // inside the budget — predictive, so a steal-slowed run degrades to
+    // sweep-ordered min-of-2 instead of overshooting the wall clock
+    while (p < passes && (p == 0 || elapsedS + lastSweepS < BudgetS)) {
+      val s0 = elapsedS
       names.foreach { n =>
         once(n, queries(n)).foreach(t => acc(n) = acc(n) :+ t)
       }
+      lastSweepS = elapsedS - s0
       p += 1
     }
+    if (p < passes)
+      System.err.println(s"[bench] budget ${BudgetS}s: stopped after $p " +
+        s"sweep(s) (${elapsedS.toInt}s elapsed, last sweep " +
+        s"${lastSweepS.toInt}s) — later sweeps skipped")
     names.map(n => n -> (acc(n): Seq[Double])).toMap
   }
 

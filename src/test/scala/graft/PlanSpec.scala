@@ -444,6 +444,31 @@ class PlanSpec extends SparkSpec {
       "the |langs|-row priors must broadcast:\n" + plan.take(1200))
   }
 
+  test("manifest family: row signatures fold map-side — the exchanges " +
+    "carry nShards-row partials, never document bodies") {
+    Seq(
+      planOf(CurationQueries.exportManifest(spark, sf)),
+      planOf(CurationQueries.manifestIncremental(spark, sf)),
+      planOf(CurationQueries.manifestDiff(spark, sf))
+    ).foreach { plan =>
+      // the md5 row_sig and the bit_xor partial must both run below
+      // the shard exchange: past it only (shard, count, sum, xor) rows
+      // exist, so no text column may appear above any exchange.
+      // lastIndexOf: the incremental/diff variants also re-aggregate
+      // MERGED partials above the exchange (exchange-free — AQE reuses
+      // the child partitioning), which is fine; the pin is that the
+      // corpus-scale rollup partial-aggregates map-side
+      val i = plan.lastIndexOf("partial_bit_xor")
+      val j = plan.lastIndexOf("Exchange hashpartitioning(shard")
+      assert(i >= 0 && j >= 0 && i > j, // plan prints top-down
+        "bit_xor must partial-aggregate below the shard exchange:\n" +
+          plan.take(1200))
+      val exIdx = plan.indexOf("Exchange")
+      assert(exIdx >= 0 && !plan.substring(0, exIdx).contains("text#"),
+        "document bodies must never cross an exchange:\n" + plan.take(1200))
+    }
+  }
+
   test("q_corpus_diff: digest compare is one co-partitioned full-outer " +
     "join; no body column crosses the exchange") {
     val plan = planOf(CurationQueries.qCorpusDiff(spark, sf))
