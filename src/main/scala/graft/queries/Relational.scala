@@ -705,6 +705,14 @@ object Relational {
     * 2, bounded per row, never corpus². All supports are integer
     * counts; lift's single division runs on identical integer operands
     * in both engines (round 6). Top-100 by lift with a full tiebreak.
+    *
+    * Round 9: N rides an IN-PLAN one-row aggregate broadcast into the
+    * lift projection (it was a driver-side count that re-ran the
+    * corpus distinct as an extra full job per run — the
+    * text_nbclassify defect in miniature), and the shared (okey, part)
+    * distinct localCheckpoints so its three consumers (item counts,
+    * both self-join sides) shuffle the checkpoint instead of
+    * re-deriving the corpus distinct.
     */
   private val BasketMinSupport = 2
 
@@ -712,7 +720,8 @@ object Relational {
     val li = Tables(s, dir).lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
-    val nOrders = li.select(col("okey")).distinct().count() // scalar
+      .localCheckpoint()
+    val nOrdersDf = li.agg(countDistinct(col("okey")).as("n_orders"))
     val itemCounts = li.groupBy(col("part")).agg(count(lit(1)).as("c"))
     val pairs = li.as("a")
       .join(li.as("b"), col("a.okey") === col("b.okey") &&
@@ -723,8 +732,9 @@ object Relational {
     pairs
       .join(itemCounts.select(col("part").as("part_a"), col("c").as("ca")), "part_a")
       .join(itemCounts.select(col("part").as("part_b"), col("c").as("cb")), "part_b")
+      .crossJoin(broadcast(nOrdersDf))
       .select(col("part_a"), col("part_b"), col("nab"),
-        round((col("nab") * nOrders).cast("double") /
+        round((col("nab") * col("n_orders")).cast("double") /
           (col("ca") * col("cb")).cast("double"), 6).as("lift"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(100)
