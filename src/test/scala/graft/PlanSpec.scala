@@ -298,9 +298,15 @@ class PlanSpec extends SparkSpec {
 
   test("q_basket: pair explode rides the orderkey equi-join, no cartesian") {
     val plan = planOf(Relational.qBasket(spark, sf))
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
+    assert(!plan.contains("CartesianProduct"),
       "basket pairs must join on orderkey:\n" + plan.take(800))
+    // exactly ONE nested-loop join is allowed: the 1-row n_orders
+    // broadcast (r9 — N in-plan instead of a driver action); the pair
+    // self-join itself must stay an equi-join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"only the 1-row totals broadcast may nested-loop, found $bnlj:\n" +
+        plan.take(800))
     assert(plan.contains("TakeOrderedAndProject"),
       "top-100 must not global-sort:\n" + plan.take(800))
   }
