@@ -1065,8 +1065,22 @@ object Streams {
   private[graft] def dedupIndexBatch(batch: DataFrame, indexDir: String,
       idCol: String, textCol: String, n: Int, tau: Double,
       batchDir: String): Unit = {
-    import graft.dedup.{MinHashIndex, MinHashLSH}
     val spark = batch.sparkSession
+    dedupIndexBatchOn(batch, idCol, textCol, n, tau, batchDir,
+      graft.dedup.MinHashIndex.load(spark, indexDir),
+      admitted =>
+        graft.dedup.MinHashIndex.append(admitted, indexDir, idCol, textCol, n))
+  }
+
+  /** The admission body shared by the flat and snapshot-isolated
+    * streams: intra-dedup the batch, probe `index`, append survivors
+    * via `appendFn`, overwrite `batchDir` with the admit set.
+    */
+  private[graft] def dedupIndexBatchOn(batch: DataFrame, idCol: String,
+      textCol: String, n: Int, tau: Double, batchDir: String,
+      index: graft.dedup.MinHashIndex.Index,
+      appendFn: DataFrame => Unit): Unit = {
+    import graft.dedup.{MinHashIndex, MinHashLSH}
     // pin the batch: four consumers (intra pairs, probe, anti-joins)
     val pinned = batch.localCheckpoint(false)
     // admit-set pinned too: the append and the parquet write below
@@ -1079,8 +1093,7 @@ object Streams {
       val batchKept = pinned.join(intra,
         pinned(idCol) === intra("graft_drop"), "left_anti")
       val dupOfSeen = MinHashIndex
-        .probe(MinHashIndex.load(spark, indexDir), batchKept,
-          idCol, textCol, n, tau)
+        .probe(index, batchKept, idCol, textCol, n, tau)
         // retry idempotence: a replayed batch whose append already
         // landed must not reject its own docs as duplicates of
         // themselves
@@ -1089,11 +1102,39 @@ object Streams {
       admitted = batchKept.join(dupOfSeen,
           batchKept(idCol) === dupOfSeen("new_id"), "left_anti")
         .localCheckpoint(false)
-      MinHashIndex.append(admitted, indexDir, idCol, textCol, n)
+      appendFn(admitted)
       admitted.write.mode("overwrite").parquet(batchDir)
     } finally {
       graft.util.Caches.release(pinned)
       if (admitted != null) graft.util.Caches.release(admitted)
     }
+  }
+
+  /** [[dedupIndexStream]] over a SNAPSHOT-ISOLATED index
+    * ([[graft.dedup.SnapshotIndex]]) — the variant that tolerates a
+    * compaction or takedown publishing a new epoch WHILE the stream
+    * runs: each micro-batch pins the current epoch for its probe (the
+    * flat variant's probe dereferences deleted parquet if compactSaved
+    * swaps mid-batch), and appends its admissions into whatever epoch
+    * is current at append time — if an epoch advanced mid-batch, the
+    * new epoch already carried the old admissions forward, so the
+    * append lands consistently either way. Same retry contract as the
+    * flat stream (self-match filter + batchId-keyed output overwrite).
+    */
+  def dedupIndexStreamSnapshot(docs: DataFrame, indexRoot: String,
+      idCol: String, textCol: String, n: Int, tau: Double, outDir: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val snap = graft.dedup.SnapshotIndex.load(spark, indexRoot)
+        dedupIndexBatchOn(batch, idCol, textCol, n, tau,
+          s"$outDir/batch=$batchId", snap.index,
+          admitted => graft.dedup.SnapshotIndex.append(
+            spark, admitted, indexRoot, idCol, textCol, n))
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 }

@@ -943,6 +943,53 @@ class StreamSpec extends SparkSpec {
     assert(probeHits === Set(90L, 91L, 92L))
   }
 
+  test("dedupIndexStreamSnapshot: same admissions as the flat stream, " +
+      "with a mid-stream compaction publishing a new epoch under it") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.{MinHashIndex, SnapshotIndex}
+    def txt(words: String*): String = words.mkString(" ")
+    val tA = txt("alpha", "beta", "gamma", "delta", "epsilon")
+    val tC = txt("red", "green", "blue", "cyan", "magenta")
+    val tD = txt("north", "south", "east", "west", "center")
+    val tE = txt("iron", "copper", "zinc", "nickel", "cobalt")
+    val root = graft.util.Staging.dir(spark, "dedup_snap_idx")
+    val outDir = graft.util.Staging.dir(spark, "dedup_snap_out")
+    SnapshotIndex.init(
+      MinHashIndex.build(Seq((0L, tA)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3), spark, root)
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.dedupIndexStreamSnapshot(
+      ms.toDS().toDF("doc_id", "text"), root,
+      "doc_id", "text", n = 3, tau = 0.8, outDir)
+    try {
+      // batch 0: 10 dup-of-seen (reject), 11/12 same new text (11
+      // admitted, 12 intra-dropped), 13 unique (admitted)
+      ms.addData(Seq((10L, tA), (11L, tC), (12L, tC), (13L, tD)))
+      q.processAllAvailable()
+      // a MAINTENANCE compaction publishes epoch 1 while the stream is
+      // live — the next batch must probe the new epoch (which carried
+      // batch 0's admissions forward) without missing anything
+      assert(SnapshotIndex.compact(spark, root) === 1L)
+      // batch 1: 20 dup of 11's text (reject via carried-forward
+      // admissions), 21 unique (admitted)
+      ms.addData(Seq((20L, tC), (21L, tE)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(outDir)
+      .select("batch", "doc_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSet
+    assert(admitted === Set(0 -> 11L, 0 -> 13L, 1 -> 21L),
+      "snapshot stream must admit exactly what the flat stream admits")
+    // the current epoch's index answers probes for every admitted text
+    val probeHits = MinHashIndex.probe(
+        SnapshotIndex.load(spark, root).index,
+        Seq((90L, tC), (91L, tD), (92L, tE)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, tau = 0.8)
+      .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(probeHits === Set(90L, 91L, 92L))
+  }
+
   test("dedupIndexBatch: a retried batch (append already landed) replays " +
       "the same admissions — docs are never rejected as their own dups") {
     import spark.implicits._
