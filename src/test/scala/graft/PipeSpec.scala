@@ -184,6 +184,31 @@ class PipeSpec extends SparkSpec {
     }
   }
 
+  test("agg_sketches + agg_hll_rollup: outputs VALUE-PINNED at sf0.001 " +
+    "(the rows-only queries' exact gates)") {
+    // both sketches are deterministic AND partition-invariant here
+    // (DeterminismSweep pins 32-vs-7-partition byte equality), so the
+    // exact outputs at the test SF are constants — pinning them means
+    // a silent regression in signature hashing, register merge, or GK
+    // compaction cannot hide behind the rows-only driver status
+    val sk = PipeQueries.aggSketches(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(sk === Set(
+      ("A", 10L, 25.0, 48.0),
+      ("N", 10L, 26.0, 48.0),
+      ("R", 10L, 25.0, 48.0)), s"agg_sketches drifted: $sk")
+    val hll = PipeQueries.aggHllRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(hll === Set(
+      ("click", 15L, 102L, 15L),
+      ("error", 15L, 86L, 15L),
+      ("purchase", 15L, 96L, 15L),
+      ("signup", 15L, 101L, 15L),
+      ("view", 15L, 95L, 15L)), s"agg_hll_rollup drifted: $hll")
+  }
+
   test("agg_percentiles: exact tail order p50 <= p95 <= p99 <= max") {
     import org.apache.spark.sql.functions._
     val li = graft.util.Tables(spark, sf).lineitem

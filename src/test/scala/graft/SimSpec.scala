@@ -930,6 +930,23 @@ class SimSpec extends SparkSpec {
       s"trace drifted: ${m.eigenvalues.sum}")
   }
 
+  test("sample_diverse: output VALUE-PINNED at sf0.001 (size, id-sum " +
+    "digest, and the exact farthest-first head of cell 0)") {
+    // the centroid fit and the farthest-first cut are deterministic,
+    // so the kept set at the test SF is a constant; the digest + exact
+    // head pin means a silent drift in the fit, the cosine, or the
+    // quota rank cannot hide behind the rows-only driver status
+    val kept = SimQueries.sampleDiverse(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(kept.length === 256, s"kept ${kept.length}")
+    assert(kept.map(_._1).sum === 65495L, "kept-id digest drifted")
+    val cell0 = kept.filter(_._2 == 0).sortBy(_._3).take(3)
+      .map(t => (t._1, t._3, t._4)).toSeq
+    assert(cell0 === Seq(
+      (367L, 1L, 0.179216), (214L, 2L, 0.251948), (93L, 3L, 0.281643)),
+      s"cell-0 farthest-first head drifted: $cell0")
+  }
+
   test("DiverseSample: per-cell quota honored, farthest-first rule " +
       "matches the full assignment, rerun-deterministic") {
     import graft.sim.{DiverseSample, Knn}
