@@ -699,6 +699,129 @@ object CurationQueries {
        |FROM mo FULL OUTER JOIN mn ON mo.shard = mn.shard
        |ORDER BY shard""".stripMargin
 
+  /** Data-constrained mix allocation — the "how many epochs does each
+    * source get" computation of budget-limited pretraining (Muennighoff
+    * et al., arXiv:2305.16264: repeating data beyond a few epochs stops
+    * paying, so a token budget B is split toward QUALITY weight w_s but
+    * each source s is CAPPED at CapR epochs of its own T_s tokens).
+    * That is exact water-filling with per-source caps:
+    * a_s = min(cap_s, λ·w_s) with λ set so Σ a_s = B. Solved here with
+    * NO floats and NO iteration: sources sort by the quantized
+    * cap∕weight ratio; a prefix scan over that |sources|-row frame
+    * decides who is capped via the CROSS-MULTIPLIED integer test
+    * cap_s·(W−cumw) < (B−cumcap)·w_s (exact — division never happens),
+    * and the uncapped remainder splits by integer `div`. Products
+    * escrow in DECIMAL(38,0): cap·W crosses BIGINT at lake scale (the
+    * q_corr move). Every frame is source-cardinality (the q_pareto
+    * histogram convention — bounded by the catalog, not the corpus);
+    * the only corpus-scale work is the per-source token/weight rollup,
+    * one partial-aggregatable scan.
+    *
+    * Budget B = 2·ΣT (train for ~2 "epochs" of the whole corpus),
+    * CapR = 3 (no source repeats more than 3×), weight = character
+    * mass (stand-in for whatever quality mass production uses).
+    * Allocations floor, so Σ a_s ≤ B with loss < |uncapped sources|
+    * units (spec-pinned).
+    */
+  private val McCapEpochs = 3L
+  private val McBudgetEpochs = 2L
+
+  def mixDataConstrained(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val perSource = Tables(s, dir).documents
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("t"),
+        col("n_chars").as("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("t")).as("t_tokens"), sum(col("w")).as("weight"))
+      .withColumn("cap_tokens", col("t_tokens") * McCapEpochs)
+    val totals = perSource.agg(
+      (sum(col("t_tokens")) * McBudgetEpochs).as("budget"),
+      sum(col("weight")).as("w_total"))
+    // ascending quantized cap/weight ratio = water-filling order: the
+    // smaller the cap relative to demanded share, the sooner it binds
+    val wOrd = Window.orderBy(col("r_micro"), col("source"))
+    val scanned = perSource.crossJoin(broadcast(totals))
+      .withColumn("r_micro", expr("(cap_tokens * 1000000) div weight"))
+      .withColumn("cumcap_before", coalesce(
+        sum(col("cap_tokens")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cumw_before", coalesce(
+        sum(col("weight")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // exact integer water-filling test, cross-multiplied: capped iff
+      // this source's cap undershoots its share of what remains after
+      // every smaller-ratio source took its cap
+      .withColumn("capped",
+        (col("cap_tokens").cast(dec) * (col("w_total") - col("cumw_before")))
+          < ((col("budget") - col("cumcap_before")).cast(dec) * col("weight")))
+    val cappedTotals = scanned.groupBy()
+      .agg(coalesce(sum(when(col("capped"), col("cap_tokens"))), lit(0L))
+          .as("cap_sum"),
+        coalesce(sum(when(col("capped"), col("weight"))), lit(0L))
+          .as("w_capped"))
+    scanned.crossJoin(broadcast(cappedTotals))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens")).otherwise(
+          expr("(CAST(budget - cap_sum AS DECIMAL(38,0)) * weight) " +
+            "div (w_total - w_capped)")))
+      .select(col("source"), col("t_tokens"), col("weight"),
+        col("capped").cast("long").as("capped"),
+        col("alloc_tokens"),
+        expr("(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000) div t_tokens")
+          .as("epochs_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val mixDataConstrainedSql: String =
+    s"""WITH per_source AS (
+       |  SELECT source,
+       |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             x -> x <> ''))) AS BIGINT) AS t_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS weight
+       |  FROM documents GROUP BY source),
+       |caps AS (
+       |  SELECT *, t_tokens * $McCapEpochs AS cap_tokens FROM per_source),
+       |tot AS (
+       |  SELECT CAST(sum(t_tokens) * $McBudgetEpochs AS BIGINT) AS budget,
+       |    CAST(sum(weight) AS BIGINT) AS w_total
+       |  FROM per_source),
+       |scanned AS (
+       |  SELECT c.*, t.budget, t.w_total,
+       |    (cap_tokens * 1000000) // weight AS r_micro,
+       |    coalesce(sum(cap_tokens) OVER (
+       |      ORDER BY (cap_tokens * 1000000) // weight, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cumcap_before,
+       |    coalesce(sum(weight) OVER (
+       |      ORDER BY (cap_tokens * 1000000) // weight, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cumw_before
+       |  FROM caps c CROSS JOIN tot t),
+       |flagged AS (
+       |  SELECT *,
+       |    (cap_tokens::HUGEINT * (w_total - cumw_before))
+       |      < ((budget - cumcap_before)::HUGEINT * weight) AS capped
+       |  FROM scanned),
+       |ct AS (
+       |  SELECT coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0)
+       |      AS cap_sum,
+       |    coalesce(sum(CASE WHEN capped THEN weight END), 0) AS w_capped
+       |  FROM flagged)
+       |SELECT source, t_tokens, weight,
+       |  CASE WHEN capped THEN 1 ELSE 0 END::BIGINT AS capped,
+       |  CASE WHEN capped THEN cap_tokens
+       |       ELSE CAST(((budget - cap_sum)::HUGEINT * weight)
+       |                 // (w_total - w_capped) AS BIGINT) END
+       |    AS alloc_tokens,
+       |  CAST((CASE WHEN capped THEN cap_tokens
+       |             ELSE CAST(((budget - cap_sum)::HUGEINT * weight)
+       |                       // (w_total - w_capped) AS BIGINT)
+       |        END::HUGEINT * 1000000) // t_tokens AS BIGINT) AS epochs_ppm
+       |FROM flagged CROSS JOIN ct
+       |ORDER BY source""".stripMargin
+
   /** Public: streaming ingestion (Streams.splitStream callers) must use
     * the SAME seed or batch and stream assign docs to different splits.
     */
@@ -1286,6 +1409,7 @@ object CurationQueries {
     "export_manifest" -> (exportManifest _),
     "manifest_incremental" -> (manifestIncremental _),
     "manifest_diff" -> (manifestDiff _),
+    "mix_data_constrained" -> (mixDataConstrained _),
     "sample_weighted" -> (sampleWeighted _),
     "mix_curriculum" -> (mixCurriculum _),
     "mix_curriculum_bounds" -> (mixCurriculumBounds _),
@@ -1311,6 +1435,7 @@ object CurationQueries {
     "export_manifest" -> exportManifestSql,
     "manifest_incremental" -> manifestIncrementalSql,
     "manifest_diff" -> manifestDiffSql,
+    "mix_data_constrained" -> mixDataConstrainedSql,
     "sample_weighted" -> sampleWeightedSql,
     "mix_curriculum" -> mixCurriculumSql,
     // the bounds variant is byte-identical to ntile by construction,

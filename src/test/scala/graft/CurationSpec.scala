@@ -330,6 +330,49 @@ class CurationSpec extends SparkSpec {
     assert(small.head.getLong(3) === 0L)
   }
 
+  test("mix_data_constrained: hand-computed water-filling with binding " +
+      "caps; corpus run conserves the budget and honors every cap") {
+    import spark.implicits._
+    // fixture engineered so BOTH branches fire: 'hot' demands far more
+    // than its 3-epoch cap (tiny corpus, huge weight), 'mid' caps too,
+    // 'big' absorbs the remainder uncapped.
+    //   hot: T=2,  w=1000, cap=6    big: T=100, w=100, cap=300
+    //   mid: T=10, w=50,   cap=30   B = 2*112 = 224, W = 1150
+    // water-filling (ratio order hot, mid, big):
+    //   hot capped (6*1150 < 224*1000), mid capped (30*150 < 218*50),
+    //   big uncapped: alloc = (224-36)*100 div 100 = 188 → 1.88 epochs
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mdc").toString
+    Seq(
+      (1L, "hot", "a b", 1000L),
+      (2L, "mid", (1 to 10).map("m" + _).mkString(" "), 50L),
+      (3L, "big", (1 to 100).map("b" + _).mkString(" "), 100L))
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = CurationQueries.mixDataConstrained(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("big", 100L, 100L, 0L, 188L, 1880000L),
+      ("hot", 2L, 1000L, 1L, 6L, 3000000L),
+      ("mid", 10L, 50L, 1L, 30L, 3000000L)), s"got $got")
+    // the fixture's single uncapped source takes the exact remainder
+    assert(got.map(_._5).sum === 224L)
+    // corpus run: every cap honored, budget conserved up to floor loss
+    val corpus = CurationQueries.mixDataConstrained(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (t, capped, alloc, ppm) =>
+      assert(alloc <= 3 * t, "cap violated")
+      assert(ppm <= 3000000L)
+      if (capped == 1L) assert(alloc === 3 * t)
+    }
+    val budget = 2L * corpus.map(_._1).sum
+    val total = corpus.map(_._3).sum
+    val nUncapped = corpus.count(_._2 == 0L)
+    assert(total <= budget && budget - total < math.max(1, nUncapped),
+      s"budget $budget vs allocated $total (uncapped $nUncapped)")
+  }
+
   test("mix_split: disjoint-exhaustive 97/2/1 split, deterministic and " +
       "stable under re-runs") {
     val rows = CurationQueries.mixSplit(spark, sf).collect()
