@@ -596,6 +596,41 @@ class DedupSpec extends SparkSpec {
       "compaction must carry appended admissions forward")
   }
 
+  test("Epochs is artifact-agnostic: a plain parquet table gets the " +
+      "same publish/pin/retire/fallback guarantees the index does") {
+    import spark.implicits._
+    import graft.util.Epochs
+    val dir = java.nio.file.Files.createTempDirectory("graft-epochs").toString
+    // epoch 0: any artifact shape — here one plain parquet table
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"${Epochs.epochPath(dir, 0L)}/t")
+    Epochs.publish(spark, dir, 0L)
+    assert(Epochs.current(spark, dir) === 0L)
+    // an UNPUBLISHED half-written epoch is invisible
+    Seq((9L, "junk")).toDF("id", "v")
+      .write.parquet(s"${Epochs.epochPath(dir, 7L)}/t")
+    assert(Epochs.current(spark, dir) === 0L)
+    assert(Epochs.published(spark, dir) === Seq(0L))
+    // (the junk epoch stays on disk, unpublished — invisible forever)
+    // rewriteToNext: the generic maintenance loop
+    val e1 = Epochs.rewriteToNext(spark, dir) { (cur, next) =>
+      spark.read.parquet(s"$cur/t").filter($"id" =!= 2L)
+        .write.parquet(s"$next/t")
+    }
+    assert(e1 === 1L && Epochs.current(spark, dir) === 1L)
+    assert(spark.read.parquet(s"${Epochs.epochPath(dir, 1L)}/t")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // retention: a second rewrite retires epoch 0
+    val e2 = Epochs.rewriteToNext(spark, dir) { (cur, next) =>
+      spark.read.parquet(s"$cur/t").write.parquet(s"$next/t")
+    }
+    assert(e2 === 2L)
+    assert(Epochs.published(spark, dir) === Seq(1L, 2L))
+    // pointer-loss crash window: fallback = max published
+    new java.io.File(s"$dir/_CURRENT").delete()
+    assert(Epochs.current(spark, dir) === 2L)
+  }
+
   test("dedup_inline: planted within-doc repeats collapse keep-first; " +
       "the plan's only exchange is the result ORDER BY") {
     import spark.implicits._
