@@ -34,6 +34,21 @@ object Bench {
 
   val Passes = 3
 
+  /** Declared super-linear VALIDATOR queries (SCALING.md's BY-DESIGN
+    * table): exact-quadratic ground-truth twins whose cost is the
+    * honest n² price, not a plan property under measurement — their
+    * registered scale paths (knn_*_cell, dedup_*_cell,
+    * mix_curriculum_bounds, agg_sketches' GK) are the entries whose
+    * minima matter. These run in sweep 1 ONLY: re-timing a declared
+    * n² validator twice more buys no steal protection worth its
+    * wall-clock (its min never comes from luck), and the ~50 s saved
+    * is what lets three FULL sweeps of the real surface fit the
+    * driver's 1080 s budget on a stolen box.
+    */
+  val SinglePassQueries: Set[String] = Set(
+    "knn_classify", "knn_graph", "knn_brute", "dedup_embedding",
+    "dedup_semantic", "agg_equidepth", "mix_curriculum", "dedup_recall")
+
   /** Wall-clock budget for the whole measure phase: sweeps after the
     * FIRST are skipped once this is exceeded (sweep 1 always completes
     * — every query must get at least one timing). The default keeps a
@@ -81,7 +96,8 @@ object Bench {
     while (p < passes && (p == 0 || elapsedS + lastSweepS < BudgetS)) {
       val s0 = elapsedS
       names.foreach { n =>
-        once(n, queries(n)).foreach(t => acc(n) = acc(n) :+ t)
+        if (p == 0 || !SinglePassQueries.contains(n))
+          once(n, queries(n)).foreach(t => acc(n) = acc(n) :+ t)
       }
       lastSweepS = elapsedS - s0
       p += 1

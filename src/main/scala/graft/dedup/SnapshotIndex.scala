@@ -73,11 +73,43 @@ object SnapshotIndex {
 
   /** Append admissions into the CURRENT epoch (additive, the flat
     * index's retry contract — see class doc).
+    *
+    * Epoch-advance handling: if a compaction/takedown published a new
+    * epoch between resolving the current epoch and the append landing,
+    * the new epoch's rewrite may have listed the old epoch's files
+    * BEFORE this append's files appeared — those admissions would
+    * silently vanish when the old epoch retires. So after each append
+    * the current epoch is re-read and, if it advanced, the admissions
+    * are re-appended into the new epoch (looping until stable).
+    * Duplicate appends are harmless by the retry contract (probe
+    * results are distinct-ed). This closes the publish-before-recheck
+    * half of the race; the residual window — a rewrite that lists
+    * files before the append lands and publishes only after the
+    * re-check — is closed by the single-maintainer cadence the
+    * streaming face documents (run compact/remove between drained
+    * batches, like [[graft.streaming.Streams.compactMv]]).
     */
   def append(spark: SparkSession, newDocs: DataFrame, dir: String,
       idCol: String, textCol: String, n: Int): Unit =
-    MinHashIndex.append(newDocs,
-      Epochs.epochPath(dir, Epochs.current(spark, dir)), idCol, textCol, n)
+    appendFrom(spark, newDocs, dir, Epochs.current(spark, dir),
+      idCol, textCol, n)
+
+  /** [[append]] starting from an already-resolved epoch — exposed for
+    * the race spec (simulates an epoch published between resolution
+    * and append).
+    */
+  private[graft] def appendFrom(spark: SparkSession, newDocs: DataFrame,
+      dir: String, startEpoch: Long, idCol: String, textCol: String,
+      n: Int): Unit = {
+    var e = startEpoch
+    var stable = false
+    while (!stable) {
+      MinHashIndex.append(newDocs, Epochs.epochPath(dir, e),
+        idCol, textCol, n)
+      val now = Epochs.current(spark, dir)
+      if (now == e) stable = true else e = now
+    }
+  }
 
   /** Compact the current epoch's accreted files into epoch N+1 and
     * publish it. Readers pinned to N keep their files (retention);

@@ -111,7 +111,11 @@ object MultiPipeline {
     *  - `partitionByKey` derives the KEY as the first tab field of the
     *    record (the reference splits map output on '\t' the same way),
     *    keeps the remainder as the value, and writes
-    *    `key=<k>/part-…` via a dynamic-partition write.
+    *    `key=<k>/part-…` via a dynamic-partition write — HONORING the
+    *    requested format: the keyed (key, value) frame writes under
+    *    any DataSource format (the text special case exists only
+    *    because Spark's text source refuses two columns, so there the
+    *    value column alone carries the line).
     */
   private[graft] def writeBranch(df: DataFrame, path: String,
       format: String, partitionByKey: Boolean): Unit = {
@@ -128,7 +132,7 @@ object MultiPipeline {
           line.substr(length(key) + 2, length(line))).otherwise(lit(""))
           .as("value"))
       keyed.write.mode("overwrite").partitionBy("key")
-        .format(if (format == "parquet") "parquet" else "text").save(path)
+        .format(format).save(path)
     } else if (format == "text" && df.columns.length > 1) {
       df.select(concat_ws("\t",
           df.columns.map(n => col(n).cast("string")): _*).as("value"))

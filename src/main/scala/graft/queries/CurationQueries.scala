@@ -743,7 +743,11 @@ object CurationQueries {
     // smaller the cap relative to demanded share, the sooner it binds
     val wOrd = Window.orderBy(col("r_micro"), col("source"))
     val scanned = perSource.crossJoin(broadcast(totals))
-      .withColumn("r_micro", expr("(cap_tokens * 1000000) div weight"))
+      // decimal escrow on the product: cap_tokens × 1e6 overflows
+      // BIGINT above ~9.2e12 cap tokens (inside 100 TB range); the
+      // QUOTIENT (≈ ratio × 1e6) stays tiny, so div back to BIGINT
+      .withColumn("r_micro",
+        expr("(CAST(cap_tokens AS DECIMAL(38,0)) * 1000000) div weight"))
       .withColumn("cumcap_before", coalesce(
         sum(col("cap_tokens")).over(
           wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -789,13 +793,13 @@ object CurationQueries {
        |  FROM per_source),
        |scanned AS (
        |  SELECT c.*, t.budget, t.w_total,
-       |    (cap_tokens * 1000000) // weight AS r_micro,
+       |    (cap_tokens::HUGEINT * 1000000) // weight AS r_micro,
        |    coalesce(sum(cap_tokens) OVER (
-       |      ORDER BY (cap_tokens * 1000000) // weight, source
+       |      ORDER BY (cap_tokens::HUGEINT * 1000000) // weight, source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      AS cumcap_before,
        |    coalesce(sum(weight) OVER (
-       |      ORDER BY (cap_tokens * 1000000) // weight, source
+       |      ORDER BY (cap_tokens::HUGEINT * 1000000) // weight, source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      AS cumw_before
        |  FROM caps c CROSS JOIN tot t),

@@ -80,11 +80,67 @@ object DedupQueries {
 
   /** SimHash Hamming ≤ 3 pairs — rows-only oracle (xxhash64 has no DuckDB
     * twin); invariants (symmetry, hamming bound, permuted-copy collision)
-    * are spec-tested.
+    * are spec-tested. The PAIR stage (everything after fingerprinting)
+    * is fully oracled separately by [[dedupCodePairs]].
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDuplicates(Tables(s, dir).documents, "doc_id", "text", maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** The 64-bit-code PAIR STAGE under a full DuckDB oracle — the half
+    * of dedup_simhash and mm_phash that IS exact integer arithmetic
+    * (their code-PRODUCING halves — xxhash64 fingerprints, JDK image
+    * decode — have no SQL twin, which is why those two are rows-only).
+    * Codes are planted deterministically from doc_id with arithmetic
+    * both engines compute bit-identically in BIGINT (no overflow, no
+    * hash library): each group of 4 docs shares a multiplicative-hash
+    * base code spread over bits 0..62, and variants 1..3 flip one bit
+    * in blocks 0/1/2 — so within-group pairs sit at Hamming 1–2 and
+    * cross-group pairs are pseudo-random-far. The Spark side runs the
+    * PRODUCTION pigeonhole operator ([[SimHash.pairsOf]]: 4-block
+    * posexplode → (block_id, block_val) equi-join → xor+popcount
+    * verify); the oracle computes the SEMANTIC ground truth (all pairs
+    * at Hamming ≤ 3) directly — green means the banded join is exactly
+    * complete and exactly sound on this corpus, at sf0.01 and the
+    * sf0.1 sweep, not just on the spec's pinned sf0.001 list.
+    *
+    * Scale: the Spark side is the indexed path (candidates ∝ block
+    * collisions, not n²); only the DuckDB oracle is quadratic, and
+    * oracles run at toy SF by construction.
+    */
+  def dedupCodePairs(s: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = col("doc_id") % 4
+    // two 31-bit multiplicative hashes (Knuth 2654435761 and a second
+    // odd constant), composed into bits 0..30 and 32..62: all products
+    // stay < 2^63 for doc_id < ~8.6e9, so BIGINT never wraps in either
+    // engine (Spark wraps silently, DuckDB errors — neither happens)
+    val h1 = (g * 2654435761L) % 2147483647L
+    val h2 = (g * 40503L + 1597334677L) % 2147483647L
+    val base = h1 * 4294967296L + h2
+    val flip = when(v === 1, 1L).when(v === 2, 2097152L) // 2^21
+      .when(v === 3, 4398046511104L) // 2^42
+      .otherwise(0L)
+    val codes = Tables(s, dir).documents
+      .select(col("doc_id"), base.bitwiseXOR(flip).as("sim"))
+    SimHash.pairsOf(codes, maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupCodePairsSql: String =
+    """WITH codes AS (
+      |  SELECT doc_id,
+      |    xor(((doc_id // 4) * 2654435761) % 2147483647 * 4294967296
+      |          + ((doc_id // 4) * 40503 + 1597334677) % 2147483647,
+      |        CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 2097152
+      |             WHEN 3 THEN 4398046511104 ELSE 0 END) AS sim
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+      |FROM codes a, codes b
+      |WHERE a.doc_id < b.doc_id
+      |  AND bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Inverted-index exact n-gram Jaccard — same oracle SQL as minhash
     * (both report exact pairs ≥ 0.7), but completeness here is
@@ -863,6 +919,7 @@ object DedupQueries {
     "dedup_exact_count" -> (dedupExactCount _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_code_pairs" -> (dedupCodePairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -886,6 +943,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_count" -> dedupExactCountSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_code_pairs" -> dedupCodePairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     // the star-alternation twin shares the oracle — byte-identical by contract

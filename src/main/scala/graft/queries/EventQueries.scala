@@ -273,27 +273,29 @@ object EventQueries {
     * CDC-compaction semantics (keep / update / insert / delete all
     * exercised). Both halves are one WindowGroupLimit latest-per-key
     * over the SAME user_id exchange shape as stream_latest; the apply
-    * itself is a single full outer join on user_id. The split point is
-    * derived from the data's own time bounds (two scalar aggregates,
-    * driver-held config state) so the query is self-contained at any
-    * SF.
+    * itself is a single full outer join on user_id. The split point
+    * rides IN-PLAN as a one-row broadcast aggregate joined into both
+    * halves (the q_basket move, Relational.scala's N) — no driver
+    * collect, no separate plan-build job re-scanning the corpus.
     */
   def qCdcApply(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).events
       .select(col("user_id"), col("event_type"), col("value"),
         col("ts"), col("event_id"))
-    val bounds = e.agg(min(unix_timestamp(col("ts"))).as("lo"),
-      max(unix_timestamp(col("ts"))).as("hi")).collect()(0)
-    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val mid = e
+      .agg(min(unix_timestamp(col("ts"))).as("lo"),
+        max(unix_timestamp(col("ts"))).as("hi"))
+      .select(expr("lo + (hi - lo) div 2").as("graft_mid"))
+    val eb = e.crossJoin(broadcast(mid))
     def latest(df: DataFrame): DataFrame = df
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type"), col("value"))
-    val base = latest(e.filter(unix_timestamp(col("ts")) <= mid))
+    val base = latest(eb.filter(unix_timestamp(col("ts")) <= col("graft_mid")))
       .select(col("user_id"), col("value").as("base_value"))
-    val change = latest(e.filter(unix_timestamp(col("ts")) > mid))
+    val change = latest(eb.filter(unix_timestamp(col("ts")) > col("graft_mid")))
       .select(col("user_id"), col("event_type").as("chg_type"),
         col("value").as("chg_value"))
     base.join(change, Seq("user_id"), "full_outer")

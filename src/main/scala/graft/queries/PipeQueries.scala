@@ -252,8 +252,13 @@ object PipeQueries {
     * exact counts). The sketch table is written partitioned by day, so
     * the range filter prunes partitions at the scan (the
     * source_partitioned contract); the query here rolls up the last
-    * half of the day range, derived from the data like q_cdc_apply's
-    * midpoint. Rows-only: DuckDB has no datasketches-compatible HLL;
+    * half of the day range. The day bounds come from the KB-scale
+    * SKETCH table (|days|×|types| rows — every day with events has a
+    * row), NOT a second corpus scan, and stay a driver-side literal
+    * deliberately: a literal midpoint is what static partition pruning
+    * needs (an in-plan broadcast fold would demote the pruned scan to
+    * a post-filter full read — spec-pinned the other way). Rows-only:
+    * DuckDB has no datasketches-compatible HLL;
     * PipeSpec pins sparse-mode exactness (lossless below the sketch's
     * coupon capacity), a 2% relative-error bound vs exact at corpus
     * scale, rerun determinism, and the partition-pruned scan.
@@ -265,7 +270,8 @@ object PipeQueries {
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         count(lit(1)).as("n_events"))
       .write.mode("overwrite").partitionBy("day").parquet(stage)
-    val bounds = ev.agg(min(col("day")), max(col("day"))).collect()(0)
+    val bounds = s.read.parquet(stage)
+      .agg(min(col("day")), max(col("day"))).collect()(0)
     val mid = java.time.LocalDate.ofEpochDay(
       bounds.getDate(0).toLocalDate.toEpochDay +
         (bounds.getDate(1).toLocalDate.toEpochDay -

@@ -746,7 +746,10 @@ object SimQueries {
     * point), then pairs ride the SimHash 4-block pigeonhole equi-join.
     * Rows-only (JDK codec output has no SQL twin); SimSpec pins
     * completeness (all 6·64 within-group pairs, Hamming ≤ 3) and zero
-    * cross-group false positives.
+    * cross-group false positives. The PAIR stage itself — the exact
+    * operator this query calls after decode — carries a full DuckDB
+    * oracle as [[graft.queries.DedupQueries.dedupCodePairs]]
+    * (pairs-given-codes vs the quadratic semantic ground truth).
     */
   def mmPhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1017,19 +1020,42 @@ object SimQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
-  /** Pairwise-cosine histogram on a deterministic 1/3 sample — the
-    * threshold-calibration tool run BEFORE picking a SemDeDup /
+  /** The calibration histogram's hard pair cap: the id-modulo sample
+    * is sized so the quadratic side never exceeds ~this many cosine
+    * evaluations REGARDLESS of corpus size (sampleMod =
+    * ⌈n/√(2·budget)⌉ ⇒ pairs ≈ (n/sampleMod)²/2 ≤ budget). 5e5 pairs
+    * is seconds of work on one executor — and √(2·5e5) = 1000 exactly,
+    * so the modulus arithmetic (⌈n/1000.0⌉) is bit-identical between
+    * Spark and the DuckDB oracle.
+    */
+  val embCosHistPairBudget: Long = 500000L
+
+  /** Pairwise-cosine histogram on a deterministic id-modulo sample —
+    * the threshold-calibration tool run BEFORE picking a SemDeDup /
     * embedding-dedup τ: the histogram's high-cos tail shows where the
     * near-dup mass separates from the background bulk (this corpus:
     * bulk near 0, nothing above 0.6 — why dedup_embedding runs at
-    * τ=0.4). Buckets are 0.05 wide over rounded cosines; the id-modulo
-    * sample BOUNDS the quadratic side at any corpus size (the
-    * dedup_recall move — calibration needs the distribution's shape,
-    * not every pair).
+    * τ=0.4). Buckets are 0.05 wide over rounded cosines.
+    *
+    * Scale: the sample modulus is DERIVED IN-PLAN from the corpus
+    * count against [[embCosHistPairBudget]] (one-row broadcast
+    * aggregate, the q_basket move — no driver collect, no extra
+    * plan-build job): sampleMod = max(1, ⌈n/√(2·budget)⌉), so the
+    * sampled side is ~√(2·budget) rows and the self-join is a CONSTANT
+    * ≤ budget pairs at any corpus size — 10⁹ vectors cost the same
+    * histogram work as 10⁵ (calibration needs the distribution's
+    * shape, not every pair). The modulus replays exactly in the SQL
+    * oracle.
     */
   def embCosHist(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir).embeddings
-      .filter(col("vec_id") % 3 === 0)
+    val all = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val smod = all.agg(
+      greatest(lit(1L),
+        ceil(count(lit(1)).cast("double") /
+          sqrt(lit(2.0 * embCosHistPairBudget)))).as("smod"))
+    val emb = all.crossJoin(broadcast(smod))
+      .filter(col("vec_id") % col("smod") === 0)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", graft.sim.Vectors.normD(col("embedding")))
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
@@ -1046,7 +1072,14 @@ object SimQueries {
   }
 
   val embCosHistSql: String =
-    """SELECT floor(cos * 20)::BIGINT AS bucket, count(*) AS n_pairs FROM (
+    """WITH m AS (
+      |  SELECT greatest(1, CAST(ceil(count(*) /
+      |    sqrt(2.0 * 500000)) AS BIGINT)) AS smod
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, embedding FROM embeddings, m
+      |  WHERE vec_id % m.smod = 0)
+      |SELECT floor(cos * 20)::BIGINT AS bucket, count(*) AS n_pairs FROM (
       |  SELECT round(
       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
       |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
@@ -1054,9 +1087,8 @@ object SimQueries {
       |        x -> x::DOUBLE * x::DOUBLE))) *
       |     sqrt(list_sum(list_transform(b.embedding,
       |        x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
-      |  FROM embeddings a, embeddings b
-      |  WHERE a.vec_id % 3 = 0 AND b.vec_id % 3 = 0
-      |    AND a.vec_id < b.vec_id)
+      |  FROM s a, s b
+      |  WHERE a.vec_id < b.vec_id)
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 

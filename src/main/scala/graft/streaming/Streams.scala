@@ -785,7 +785,12 @@ object Streams {
     * renamed in. A crash between those steps leaves the staging dir
     * holding the full merged state, and the NEXT call completes the
     * swap from the marker before doing anything else (deleting ids
-    * ≤ maxId is idempotent) — no window loses data.
+    * ≤ maxId is idempotent) — no window loses data. A crash DURING
+    * the staging write leaves a marker dir WITHOUT the `_SUCCESS`
+    * job-commit flag; recovery distinguishes the two cases by that
+    * flag — a committed marker is installed, an uncommitted one is
+    * deleted and the batch dirs (all still present, since deletion
+    * only ever happens after commit) are re-merged from scratch.
     *
     * Returns the number of batch partials folded (0 = nothing to do).
     */
@@ -809,9 +814,15 @@ object Streams {
         new Path(root, s"batch=$upto")); ()
     }
     // recovery: a marker from a crashed previous call holds the full
-    // merged state for ids <= its maxId — install it first
-    ls().collect { case StagingRe(upto) => upto.toLong }
-      .foreach(finishSwap)
+    // merged state for ids <= its maxId ONLY if its write committed
+    // (_SUCCESS present) — install committed markers, discard partial
+    // ones (their covered batch dirs are all still present, because
+    // deletion only ever happens after commit, so nothing is lost)
+    ls().collect { case StagingRe(upto) => upto.toLong }.foreach { upto =>
+      val marker = new Path(root, s".compacting_upto=$upto")
+      if (fs.exists(new Path(marker, "_SUCCESS"))) finishSwap(upto)
+      else { fs.delete(marker, true); () }
+    }
     val batchIds = ls().collect { case BatchRe(id) => id.toLong }.sorted
     if (batchIds.size <= 1) return 0
     val maxId = batchIds.last
@@ -1115,11 +1126,18 @@ object Streams {
     * compaction or takedown publishing a new epoch WHILE the stream
     * runs: each micro-batch pins the current epoch for its probe (the
     * flat variant's probe dereferences deleted parquet if compactSaved
-    * swaps mid-batch), and appends its admissions into whatever epoch
-    * is current at append time — if an epoch advanced mid-batch, the
-    * new epoch already carried the old admissions forward, so the
-    * append lands consistently either way. Same retry contract as the
-    * flat stream (self-match filter + batchId-keyed output overwrite).
+    * swaps mid-batch), and appends its admissions via
+    * [[graft.dedup.SnapshotIndex.append]], which re-appends into the
+    * new epoch when one published mid-append (duplicates are harmless
+    * by the retry contract). That re-append closes the common race;
+    * the residual window (a rewrite that listed the old epoch's files
+    * before the append landed AND publishes only after the re-check)
+    * is governed by the single-maintainer cadence: run compact/remove
+    * between drained batches — `processAllAvailable()` then maintain —
+    * exactly [[compactMv]]'s contract. READS need no cadence (that is
+    * the point of the snapshot); only the append-vs-rewrite overlap
+    * does. Same retry contract as the flat stream (self-match filter +
+    * batchId-keyed output overwrite).
     */
   def dedupIndexStreamSnapshot(docs: DataFrame, indexRoot: String,
       idCol: String, textCol: String, n: Int, tau: Double, outDir: String,

@@ -594,6 +594,32 @@ class DedupSpec extends SparkSpec {
     assert(SnapshotIndex.compact(spark, dir) === 3L)
     assert(probeSet(SnapshotIndex.load(spark, dir).index) === withDay2,
       "compaction must carry appended admissions forward")
+
+    // epoch-advance race: an appender that resolved epoch 3, then had
+    // a compaction publish epoch 4 underneath it, must re-append into
+    // the NEW epoch — its admissions may be absent from epoch 4's
+    // rewrite (listed before the append landed) and would otherwise
+    // vanish when epoch 3 retires. appendFrom(…, startEpoch=3) after
+    // the compact simulates exactly that interleaving.
+    val day3 = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+    val staleEpoch = SnapshotIndex.currentEpoch(spark, dir)
+    assert(SnapshotIndex.compact(spark, dir) === staleEpoch + 1)
+    SnapshotIndex.appendFrom(spark, day3, dir, staleEpoch,
+      "doc_id", "text", n = 3)
+    val withDay3 = probeSet(SnapshotIndex.load(spark, dir).index)
+    // the current epoch (which never saw day3 in its rewrite) must
+    // now probe day3's docs — the re-append landed them
+    val day3Direct = MinHashIndex.probe(
+      MinHashIndex.build(day3, "doc_id", "text", n = 3),
+      fresh, "doc_id", "text", n = 3, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(day3Direct.subsetOf(withDay3),
+      "admissions appended across an epoch advance must be probeable " +
+        "in the new epoch")
+    // and the next compact (which retires the stale epoch) keeps them
+    assert(SnapshotIndex.compact(spark, dir) === staleEpoch + 2)
+    assert(probeSet(SnapshotIndex.load(spark, dir).index) === withDay3,
+      "retiring the stale epoch must not lose re-appended admissions")
   }
 
   test("Epochs is artifact-agnostic: a plain parquet table gets the " +
@@ -734,6 +760,85 @@ class DedupSpec extends SparkSpec {
     val ci = graft.dedup.SimHashIndex.buildCodes(codes, checkpoint = false)
     val hits = ci.blocks.select(col("doc_id")).distinct().count()
     assert(hits === 3L)
+  }
+
+  test("dedup_code_pairs: the pigeonhole pair stage is exactly the " +
+      "planted within-group pair set — complete AND sound") {
+    val n = graft.util.Tables(spark, sf).documents.count()
+    val got = graft.queries.DedupQueries.dedupCodePairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every group of 4 contributes exactly C(4,2) = 6 pairs: base↔variant
+    // at Hamming 1, variant↔variant at Hamming 2; nothing cross-group
+    assert(got.length === (n / 4 * 6).toInt,
+      s"expected all within-group pairs, got ${got.length}")
+    got.foreach { case (a, b, h) =>
+      assert(a / 4 === b / 4, s"cross-group false positive: ($a, $b)")
+      val expected = if (a % 4 == 0) 1 else 2
+      assert(h === expected, s"pair ($a, $b) hamming $h != $expected")
+    }
+  }
+
+  test("SimHashSnapshot: pinned readers survive compaction and takedown " +
+      "swaps; epoch-advance appends land in the new epoch; retention " +
+      "retires old epochs") {
+    import graft.dedup.{SimHashIndex, SimHashSnapshot}
+    val docs = graft.util.Tables(spark, sf).documents
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    def probeSet(idx: SimHashIndex.Index) =
+      SimHashIndex.probe(idx, fresh, "doc_id", "text", maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-shsnap").toString
+    SimHashSnapshot.init(
+      SimHashIndex.build(seen, "doc_id", "text"), spark, dir)
+    assert(SimHashSnapshot.currentEpoch(spark, dir) === 0L)
+    val snap0 = SimHashSnapshot.load(spark, dir)
+    val at0 = probeSet(snap0.index)
+    assert(at0.nonEmpty)
+
+    // compact publishes epoch 1; the PINNED epoch-0 snapshot still
+    // probes identically AFTERWARDS; a fresh load sees epoch 1
+    assert(SimHashSnapshot.compact(spark, dir) === 1L)
+    assert(probeSet(snap0.index) === at0,
+      "reader pinned to epoch 0 must survive the compaction swap")
+    val snap1 = SimHashSnapshot.load(spark, dir)
+    assert(snap1.epoch === 1L)
+    assert(probeSet(snap1.index) === at0, "compaction preserves probes")
+
+    // takedown publishes epoch 2: the new epoch never matches the
+    // removed ids; the epoch-1 reader STILL sees them (isolation)
+    val removed = at0.map(_._2).take(2).toSeq
+    assert(SimHashSnapshot.remove(spark, dir, removed) === 2L)
+    val snap2 = SimHashSnapshot.load(spark, dir)
+    assert(probeSet(snap2.index) ===
+      at0.filterNot(p => removed.contains(p._2)))
+    assert(probeSet(snap1.index) === at0,
+      "epoch-1 reader must still see the pre-takedown corpus")
+    assert(SimHashSnapshot.publishedEpochs(spark, dir) === Seq(1L, 2L))
+    assert(probeSet(SimHashSnapshot.loadEpoch(spark, dir, 1L).index) === at0)
+    intercept[IllegalArgumentException] {
+      SimHashSnapshot.loadEpoch(spark, dir, 0L)
+    }
+    // crash-window fallback: losing _CURRENT resolves to max published
+    new java.io.File(s"$dir/_CURRENT").delete()
+    assert(SimHashSnapshot.currentEpoch(spark, dir) === 2L)
+
+    // epoch-advance append race: an appender that resolved epoch 2,
+    // then had a compaction publish epoch 3 underneath it, must
+    // re-append into the NEW epoch (the SnapshotIndex.appendFrom
+    // contract — duplicates harmless, probe distincts)
+    val readmitted = docs.filter(col("doc_id").isInCollection(removed.toSet))
+    val stale = SimHashSnapshot.currentEpoch(spark, dir)
+    assert(SimHashSnapshot.compact(spark, dir) === stale + 1)
+    SimHashSnapshot.appendFrom(spark, readmitted, dir, stale,
+      "doc_id", "text")
+    assert(probeSet(SimHashSnapshot.load(spark, dir).index) === at0,
+      "re-admitted docs appended across an epoch advance must probe " +
+        "in the new epoch")
+    // the next compact (which retires the stale epoch) keeps them
+    assert(SimHashSnapshot.compact(spark, dir) === stale + 2)
+    assert(probeSet(SimHashSnapshot.load(spark, dir).index) === at0,
+      "retiring the stale epoch must not lose re-appended admissions")
   }
 
   test("dedup_semantic: keep rule matches the quadratic pair set exactly") {

@@ -358,6 +358,25 @@ class MultiSpecSpec extends SparkSpec {
     assert(e.getMessage.contains("-outputformat"))
   }
 
+  test("partitionByKey writes honor the requested DataSource format — " +
+      "csv/json/orc are not silently coerced to text") {
+    import spark.implicits._
+    val df = Seq("1\tv1", "2\tv2", "1\tv9").toDF("value")
+    for (fmt <- Seq("csv", "json", "orc", "text")) {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_pbk_$fmt").toString
+      graft.pipeline.MultiPipeline.writeBranch(df, out, fmt,
+        partitionByKey = true)
+      val back = spark.read.format(fmt).load(out)
+      val valCol = back.columns.filterNot(_ == "key").head
+      assert(back.count() === 3, s"$fmt: row count")
+      assert(back.select(col("key")).distinct().count() === 2, s"$fmt: keys")
+      val k1 = back.where(col("key") === "1").select(col(valCol))
+        .collect().map(_.getString(0)).toSet
+      assert(k1 === Set("v1", "v9"), s"$fmt: key=1 values")
+    }
+  }
+
   test("-outputformat TextOutputFormat writes tab-folded text lines") {
     import org.apache.spark.sql.functions._
     val in = java.nio.file.Files.createTempDirectory("graft_oft_in").toString

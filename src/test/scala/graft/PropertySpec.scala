@@ -239,6 +239,16 @@ class PropertySpec extends AnyFunSuite {
     assert(rawNode.get("queries").get("q_ok").size() === graft.Bench.Passes)
     assert(rawNode.get("queries").get("q_broken").size() === 0)
     assert(graft.Bench.minima(raw)("q_ok") === raw("q_ok").min)
+    // declared n² validators are timed in sweep 1 ONLY (their minima
+    // never come from steal-free luck; the saved wall-clock is what
+    // keeps 3 full sweeps of the real surface inside the budget)
+    val oneValidator = graft.Bench.SinglePassQueries.head
+    val rawV = graft.Bench.measureRaw(spark, "/nonexistent",
+      Map("q_ok" -> good, oneValidator -> good))
+    assert(rawV("q_ok").length === graft.Bench.Passes)
+    assert(rawV(oneValidator).length === 1,
+      "a declared validator must be timed once, not per sweep")
+    assert(graft.Bench.minima(rawV)(oneValidator) >= 0.0)
   }
 
   test("shard hash: deterministic, all shards hit, no gross skew") {

@@ -299,6 +299,76 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("IvfPqSnapshot: searches pinned to an epoch survive compaction " +
+      "and takedown swaps; appends land in the current epoch; " +
+      "retention retires old epochs") {
+    import graft.sim.{IvfPqIndex, IvfPqSnapshot}
+    val e = graft.util.Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 5)
+    val day1 = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val day2 = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val index = graft.sim.IvfPqIndex.fit(day1, "vec_id", "embedding",
+      c = 8, m = 8, ks = 16, iters = 2)
+    def searchSeq(idx: IvfPqIndex): Seq[Seq[Any]] =
+      idx.search(q, e, "vec_id", "embedding", 5, nProbe = 4,
+          rerankFactor = 5)
+        .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_snap").toString
+    IvfPqSnapshot.init(index, spark, dir)
+    assert(IvfPqSnapshot.currentEpoch(spark, dir) === 0L)
+
+    // day-2 ingestion lands in the current epoch; search must equal
+    // the SAME frozen models encoding the whole corpus at once
+    IvfPqSnapshot.append(spark, dir, day2, "vec_id", "embedding")
+    val withDay2 = searchSeq(IvfPqSnapshot.load(spark, dir).index)
+    val allAtOnce = searchSeq(IvfPqIndex.fitWith(e, "vec_id", "embedding",
+      index.centroids, index.model))
+    assert(withDay2 === allAtOnce,
+      "epoch append must equal encoding the union with the same models")
+
+    // compact publishes epoch 1: the search handle pinned to epoch 0
+    // keeps its files; a fresh load sees epoch 1, results identical,
+    // and the new epoch's cell dirs are one file each
+    val pinned = IvfPqSnapshot.load(spark, dir)
+    assert(pinned.epoch === 0L)
+    assert(IvfPqSnapshot.compact(spark, dir) === 1L)
+    assert(searchSeq(pinned.index) === withDay2,
+      "search pinned to epoch 0 must survive the compaction swap")
+    val snap1 = IvfPqSnapshot.load(spark, dir)
+    assert(snap1.epoch === 1L)
+    assert(searchSeq(snap1.index) === withDay2)
+    val cellDirs1 = new java.io.File(s"$dir/epoch=1/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs1.nonEmpty)
+    cellDirs1.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName}: expected 1 compacted file, got ${files.length}")
+    }
+
+    // takedown publishes epoch 2: the removed id can never be returned
+    // under the new epoch; the epoch-1 search still sees it
+    val removedId = withDay2.head(2).asInstanceOf[Long]
+    assert(IvfPqSnapshot.remove(spark, dir, Seq(removedId)) === 2L)
+    val snap2 = IvfPqSnapshot.load(spark, dir)
+    val afterRm = searchSeq(snap2.index)
+    assert(!afterRm.exists(r => r(2) == removedId),
+      "a taken-down id must never appear under the new epoch")
+    assert(searchSeq(snap1.index) === withDay2,
+      "epoch-1 search must still see the pre-takedown corpus")
+    // retention: publish(2) retires epochs < 1
+    assert(IvfPqSnapshot.publishedEpochs(spark, dir) === Seq(1L, 2L))
+    assert(searchSeq(IvfPqSnapshot.loadEpoch(spark, dir, 1L).index)
+      === withDay2)
+    intercept[IllegalArgumentException] {
+      IvfPqSnapshot.loadEpoch(spark, dir, 0L)
+    }
+    // crash-window fallback: losing _CURRENT resolves to max published
+    new java.io.File(s"$dir/_CURRENT").delete()
+    assert(IvfPqSnapshot.currentEpoch(spark, dir) === 2L)
+    assert(searchSeq(IvfPqSnapshot.load(spark, dir).index) === afterRm)
+  }
+
   test("PqCodes native encoder matches the distributed encode argmin") {
     // the map-only native encoder is the scale path; the
     // explode/join/groupBy formulation stays the oracle — codes must
@@ -1238,13 +1308,23 @@ class SimSpec extends SparkSpec {
     }
   }
 
-  test("emb_cos_hist: exact driver-side replay of the sampled pair histogram") {
+  test("emb_cos_hist: exact driver-side replay of the sampled pair " +
+      "histogram; the in-plan modulus caps pairs at the budget") {
     import org.apache.spark.sql.functions._
-    val vecs = graft.util.Tables(spark, sf).embeddings
-      .filter(col("vec_id") % 3 === 0)
+    val all = graft.util.Tables(spark, sf).embeddings
+    val n = all.count()
+    // the in-plan arithmetic, replayed: sampleMod = max(1, ceil(n/1000))
+    // (sqrt(2 * 5e5) = 1000 exactly — the budget was chosen for that)
+    val budget = SimQueries.embCosHistPairBudget
+    assert(math.sqrt(2.0 * budget) === 1000.0)
+    val smod = math.max(1L, math.ceil(n / 1000.0).toLong)
+    val vecs = all
+      .filter(col("vec_id") % smod === 0)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
+    assert(vecs.length.toLong * (vecs.length - 1) / 2 <= budget,
+      s"sampled self-join must respect the $budget-pair budget")
     def cosD(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       a.indices.foreach { i =>

@@ -1144,6 +1144,24 @@ class StreamSpec extends SparkSpec {
     assert(Streams.compactMv(spark, stateDir, merge) === 0)
     assert(mvDirs === Set("batch=5"), s"recovery left: $mvDirs")
     assert(view() === want, "recovered swap must hold the same view")
+    // crash recovery, harder case: a crash DURING the staging write
+    // leaves an UNCOMMITTED marker (no _SUCCESS) holding garbage.
+    // Recovery must DISCARD it and re-merge from the batch dirs (all
+    // still present — deletion only happens after commit), NOT install
+    // the partial state over them.
+    fs.rename(new org.apache.hadoop.fs.Path(root, "batch=5"),
+      new org.apache.hadoop.fs.Path(root, "batch=2"))
+    partial(Seq.empty[(String, Long)].toDF("k", "v")).write
+      .mode("overwrite").parquet(s"$stateDir/batch=4")
+    // the torn write: one corrupt partial row, no job-commit marker
+    partial(Seq(("ZZZ", 999L)).toDF("k", "v")).write.mode("overwrite")
+      .parquet(s"$stateDir/.compacting_upto=7")
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      ".compacting_upto=7/_SUCCESS"), false)
+    assert(Streams.compactMv(spark, stateDir, merge) === 2)
+    assert(mvDirs === Set("batch=4"), s"torn-write recovery left: $mvDirs")
+    assert(view() === want,
+      "a torn staging write must be discarded, never installed")
   }
 
   test("manifestStream: streamed batch partials merge to the EXACT " +
