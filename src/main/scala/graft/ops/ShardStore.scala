@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.util.Epochs
+
+/** Epoch-published shard exports — training-job reproducibility for
+  * the export tree itself: a training run that starts reading shards
+  * MUST finish on the byte-identical corpus it started with, and a
+  * rerun next month must be able to read the SAME epoch again, even
+  * though the exporter keeps publishing fresh epochs as crawl batches
+  * are admitted. The flat export (ShuffleShard.writeShards to a live
+  * path) has the same mid-scan reader race every staged swap has;
+  * here each publish lands a complete artifact — the shard tree PLUS
+  * the manifest consumers validate deliveries against — under
+  * `epoch=<N+1>/` and becomes current only when whole
+  * ([[graft.util.Epochs]]).
+  *
+  * The manifest is written FROM the assigned frame with
+  * [[Manifest.partial]] — the identical arithmetic export_manifest
+  * oracles — so shards and manifest can never disagree about what was
+  * published.
+  *
+  * At 100 TB: one publish = the export's own shuffle (unavoidable —
+  * it IS the export) + an nShards-row manifest rollup on the same
+  * scan's frame; readers pin one directory tree, a swap moves a
+  * pointer file. Retention bounds disk at ~(retain+1)× one export.
+  */
+object ShardStore {
+
+  /** A pinned read handle: `shards` plans read only `epoch`'s files. */
+  final case class Pinned(shards: DataFrame, manifest: DataFrame,
+      epoch: Long, dir: String)
+
+  /** Publish `docs` as the next epoch's shard tree + manifest.
+    * Returns the published epoch (0 for a fresh store).
+    */
+  def publish(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, bytesCol: String, seed: Long,
+      nShards: Int, retainEpochs: Int = 1): Long = {
+    val next = Epochs.published(spark, dir).lastOption.fold(0L)(_ + 1)
+    val assigned = ShuffleShard.assign(docs, idCol, seed, nShards)
+    ShuffleShard.writeShards(assigned, nShards,
+      s"${Epochs.epochPath(dir, next)}/shards")
+    Manifest.partial(docs, idCol, textCol, bytesCol, seed, nShards)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${Epochs.epochPath(dir, next)}/manifest")
+    Epochs.publish(spark, dir, next, retainEpochs)
+    next
+  }
+
+  def currentEpoch(spark: SparkSession, dir: String): Long =
+    Epochs.current(spark, dir)
+
+  def publishedEpochs(spark: SparkSession, dir: String): Seq[Long] =
+    Epochs.published(spark, dir)
+
+  /** Pin the current epoch: the returned plans list only its files,
+    * so later publishes (and their retirements, within retention)
+    * cannot disturb a run that already started.
+    */
+  def readShards(spark: SparkSession, dir: String): Pinned =
+    readShardsAt(spark, dir, Epochs.current(spark, dir))
+
+  /** Read a SPECIFIC published epoch — the reproduce-last-month's-
+    * training-run path. Fails loudly on an unpublished/retired epoch
+    * rather than returning a partial tree.
+    */
+  def readShardsAt(spark: SparkSession, dir: String, epoch: Long): Pinned = {
+    require(Epochs.published(spark, dir).contains(epoch),
+      s"epoch $epoch is not published under $dir")
+    val base = Epochs.epochPath(dir, epoch)
+    Pinned(spark.read.parquet(s"$base/shards"),
+      spark.read.parquet(s"$base/manifest"), epoch, dir)
+  }
+
+  /** Delivery validation — the consumer-side handshake: recompute the
+    * manifest arithmetic over the shards actually read and compare to
+    * the published manifest. Returns per-shard rows with an `ok` flag
+    * (empty mismatch set = the delivery is bit-complete).
+    */
+  def validate(pinned: Pinned, idCol: String, textCol: String,
+      bytesCol: String, seed: Long, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val recomputed = Manifest.partial(
+        pinned.shards.drop("shard", "shuffle_key"),
+        idCol, textCol, bytesCol, seed, nShards)
+      .withColumnsRenamed(Map("n_rows" -> "got_rows",
+        "n_bytes" -> "got_bytes", "checksum" -> "got_checksum"))
+    pinned.manifest.join(recomputed, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_rows"), col("n_bytes"), col("checksum"),
+        (col("n_rows") <=> col("got_rows") &&
+          col("n_bytes") <=> col("got_bytes") &&
+          col("checksum") <=> col("got_checksum")).as("ok"))
+  }
+}

@@ -1049,28 +1049,70 @@ object Relational {
     * group-key-scale re-aggregation. This is also the
     * foreachBatch-side pattern of a streaming rollup sink.
     */
+  /** The MV partial-aggregate algebra shared by [[qMvRefresh]],
+    * [[qMvCompact]] and the streaming face's specs: per (month,
+    * status) — count, integer-cent revenue, key min/max.
+    */
+  private[graft] def mvPartial(df: DataFrame): DataFrame = df
+    .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+      col("o_orderstatus"))
+    .agg(count(lit(1)).as("n_orders"),
+      sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"))
+
+  /** Re-aggregate partial rows back to the SAME partial schema — the
+    * merge half of the algebra (sums sum, mins min, maxes max).
+    */
+  private[graft] def mvMerge(df: DataFrame): DataFrame = df
+    .groupBy(col("o_month"), col("o_orderstatus"))
+    .agg(sum(col("n_orders")).as("n_orders"),
+      sum(col("cents")).as("cents"),
+      min(col("min_key")).as("min_key"),
+      max(col("max_key")).as("max_key"))
+
   def qMvRefresh(s: SparkSession, dir: String): DataFrame = {
     val out = graft.util.Staging.dir(s, "mv_refresh")
-    def aggState(df: DataFrame): DataFrame = df
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
-        col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
-        min(col("o_orderkey")).as("min_key"),
-        max(col("o_orderkey")).as("max_key"))
     val orders = Tables(s, dir).orders
     val cutoff = to_timestamp(lit("2000-01-01"))
     // day-0: build and STORE the view over history
-    aggState(orders.filter(col("o_orderdate") < cutoff))
+    mvPartial(orders.filter(col("o_orderdate") < cutoff))
       .write.mode("overwrite").parquet(out)
     // refresh: partial-agg the delta only, merge into the stored state
-    s.read.parquet(out)
-      .unionByName(aggState(orders.filter(col("o_orderdate") >= cutoff)))
-      .groupBy(col("o_month"), col("o_orderstatus"))
-      .agg(sum(col("n_orders")).as("n_orders"),
-        sum(col("cents")).as("cents"),
-        min(col("min_key")).as("min_key"),
-        max(col("max_key")).as("max_key"))
+    mvMerge(s.read.parquet(out)
+        .unionByName(mvPartial(orders.filter(col("o_orderdate") >= cutoff))))
+      .orderBy(col("o_month"), col("o_orderstatus"))
+  }
+
+  /** The streaming-MV STATE lifecycle under the full hash oracle —
+    * the registered query face of [[graft.streaming.Streams.compactMv]]
+    * and `readMv`: three disjoint "micro-batches" of orders land their
+    * partials in the exact `batch=<id>` state layout
+    * `mvRefreshStream` writes, `compactMv` folds them through its
+    * crash-safe staged swap (exercising marker naming, covered-dir
+    * deletion and the rename-in), and the output is `readMv`'s
+    * read-time merge of the compacted state. The oracle is the full
+    * one-shot recompute — a hash match proves partial → compact →
+    * merge is EXACTLY the direct aggregate, so the MV state algebra
+    * itself carries an oracle row, not just spec pins.
+    *
+    * Scale: each batch partial is one partial-agg scan of its slice
+    * (together: one corpus pass, identical to the direct aggregate's
+    * exchange); state and merge are group-key-scale (KB–MB). The
+    * compaction is the small-file bound that lets the stream run
+    * forever — here it must also be invisible to the view.
+    */
+  def qMvCompact(s: SparkSession, dir: String): DataFrame = {
+    val stateDir = graft.util.Staging.dir(s, "mv_compact")
+    val orders = Tables(s, dir).orders
+    // three deterministic disjoint slices = three micro-batches
+    (0 until 3).foreach { b =>
+      mvPartial(orders.filter(pmod(col("o_orderkey"), lit(3)) === b))
+        .write.mode("overwrite").parquet(s"$stateDir/batch=$b")
+    }
+    val folded = graft.streaming.Streams.compactMv(s, stateDir, mvMerge)
+    require(folded == 3, s"expected to fold 3 batch partials, got $folded")
+    graft.streaming.Streams.readMv(s, stateDir, mvMerge)
       .orderBy(col("o_month"), col("o_orderstatus"))
   }
 
@@ -1085,6 +1127,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mv_refresh" -> (qMvRefresh _),
+    "q_mv_compact" -> (qMvCompact _),
     "q_constraints" -> (qConstraints _),
     "q_profile" -> (qProfile _),
     "q_corr" -> (qCorr _),
@@ -1115,6 +1158,9 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_mv_refresh" -> qMvRefreshSql,
+    // the state-lifecycle face shares the oracle: partial -> compact ->
+    // merge must equal the one-shot recompute bit-for-bit
+    "q_mv_compact" -> qMvRefreshSql,
     "q_constraints" -> qConstraintsSql,
     "q_profile" -> qProfileSql,
     "q_corr" -> qCorrSql,

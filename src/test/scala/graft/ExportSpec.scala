@@ -97,6 +97,62 @@ class ExportSpec extends SparkSpec {
     assert(disorder.isEmpty, "rows out of shuffle_key order inside a shard file")
   }
 
+  test("ShardStore: a pinned training run survives a new publish; a " +
+      "past epoch reproduces exactly; manifests validate the delivery") {
+    import graft.ops.ShardStore
+    val docs = util.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+    val v2 = docs // next crawl admitted the missing tenth
+    val dir = Files.createTempDirectory("graft-shardstore").toString
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val v1Ids = ids(v1)
+
+    assert(ShardStore.publish(spark, dir, v1, "doc_id", "text", "n_chars",
+      seed = 42L, nShards = 8) === 0L)
+    val run = ShardStore.readShards(spark, dir) // training starts here
+    assert(run.epoch === 0L)
+    assert(ids(run.shards) === v1Ids)
+
+    // the exporter publishes the next crawl mid-training
+    assert(ShardStore.publish(spark, dir, v2, "doc_id", "text", "n_chars",
+      seed = 42L, nShards = 8) === 1L)
+    assert(ids(run.shards) === v1Ids,
+      "a pinned run must keep reading its epoch after a new publish")
+    assert(run.manifest.count() === 8L)
+    // fresh readers see the new corpus
+    val now = ShardStore.readShards(spark, dir)
+    assert(now.epoch === 1L && ids(now.shards) === ids(v2))
+
+    // reproduce-last-month's-run: the old epoch reads back exactly
+    assert(ids(ShardStore.readShardsAt(spark, dir, 0L).shards) === v1Ids)
+
+    // delivery validation: recomputed manifest matches the published
+    // one shard-for-shard on both epochs
+    Seq(run, now).foreach { p =>
+      val bad = ShardStore.validate(p, "doc_id", "text", "n_chars",
+        seed = 42L, nShards = 8).filter(!col("ok"))
+      assert(bad.isEmpty, s"epoch ${p.epoch}: delivery validation failed")
+    }
+    // a corrupted delivery is CAUGHT: drop one doc from the read frame
+    val torn = run.copy(shards = run.shards.filter(col("doc_id") =!= v1Ids.head))
+    assert(ShardStore.validate(torn, "doc_id", "text", "n_chars",
+      seed = 42L, nShards = 8).filter(!col("ok")).count() >= 1L)
+
+    // retention: one more publish retires epoch 0; reading it fails
+    // loudly, never returns a partial tree
+    assert(ShardStore.publish(spark, dir, v1, "doc_id", "text", "n_chars",
+      seed = 42L, nShards = 8) === 2L)
+    assert(ShardStore.publishedEpochs(spark, dir) === Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      ShardStore.readShardsAt(spark, dir, 0L)
+    }
+    // crash-window fallback: losing _CURRENT resolves to max published
+    new java.io.File(s"$dir/_CURRENT").delete()
+    assert(ShardStore.currentEpoch(spark, dir) === 2L)
+  }
+
   test("SourceMixture.mix materializes exactly mixStats' copy counts") {
     val docs = util.Tables(spark, sf).documents
     val weights = Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 0.25)
