@@ -1096,10 +1096,12 @@ object Relational {
     * merge is EXACTLY the direct aggregate, so the MV state algebra
     * itself carries an oracle row, not just spec pins.
     *
-    * Scale: each batch partial is one partial-agg scan of its slice
-    * (together: one corpus pass, identical to the direct aggregate's
-    * exchange); state and merge are group-key-scale (KB–MB). The
-    * compaction is the small-file bound that lets the stream run
+    * Scale: in production each batch arrives ONCE and its partial is
+    * one partial-agg pass over only that batch (the mvRefreshStream
+    * path); simulating the batches from one stored table costs this
+    * query face three filtered scans — a fixture artifact, not the
+    * operator's cost. State and merge are group-key-scale (KB–MB);
+    * the compaction is the small-file bound that lets the stream run
     * forever — here it must also be invisible to the view.
     */
   def qMvCompact(s: SparkSession, dir: String): DataFrame = {
