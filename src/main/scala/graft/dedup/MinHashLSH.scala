@@ -124,10 +124,35 @@ object MinHashLSH {
     * holds no true pair.
     */
   def pairRecall(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      tau: Double, sampleMod: Long, seed: Long): DataFrame = {
-    val sample = docs.filter(
+      tau: Double, sampleMod: Long, seed: Long): DataFrame =
+    pairRecallOn(docs.filter(
       pmod(graft.ops.ShuffleShard.hashKey(col(idCol), seed),
-        lit(sampleMod)) === 0)
+        lit(sampleMod)) === 0), idCol, textCol, n, tau)
+
+  /** [[pairRecall]] with the modulus DERIVED IN-PLAN from the corpus
+    * count against a constant pair budget (the emb_cos_hist
+    * parameterization): sampleMod = max(1, ⌈n∕√(2·pairBudget)⌉) rides
+    * a one-row broadcast aggregate, so the sampled side is
+    * ~√(2·pairBudget) rows and the exact side is ≤ pairBudget pairs at
+    * ANY corpus size — no operator duty to grow a knob with n. The
+    * sample stays a pure function of (id, seed) given the corpus
+    * count, so reruns reproduce it.
+    */
+  def pairRecallBudget(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, pairBudget: Long, seed: Long): DataFrame = {
+    val smod = docs.agg(
+      greatest(lit(1L),
+        ceil(count(lit(1)).cast("double") /
+          sqrt(lit(2.0 * pairBudget)))).as("graft_smod"))
+    val sample = docs.crossJoin(broadcast(smod))
+      .filter(pmod(graft.ops.ShuffleShard.hashKey(col(idCol), seed),
+        col("graft_smod")) === 0)
+      .drop("graft_smod")
+    pairRecallOn(sample, idCol, textCol, n, tau)
+  }
+
+  private def pairRecallOn(sample: DataFrame, idCol: String,
+      textCol: String, n: Int, tau: Double): DataFrame = {
     // exact side as a SPARSE POSTING EQUI-JOIN, not an all-pairs
     // cartesian: |A∩B| = the (id_a, id_b) pair count of the
     // shingle-hash self-join — pairs sharing NO shingle have J = 0 < τ

@@ -1401,7 +1401,196 @@ object CurationQueries {
       |FROM m
       |ORDER BY strategy""".stripMargin
 
+  /** Mid-epoch training resume cursor — the checkpoint-restart
+    * primitive a data loader needs: given the deterministic shard
+    * layout (sample_shard / [[graft.ops.ShuffleShard]]: seeded md5 key,
+    * key mod N shard, in-shard key order) and a global consumed-unit
+    * offset T (units = chars here; any per-doc integer cost column
+    * works the same), find the exact (shard, doc, skip-within-doc)
+    * cursor so a restarted run continues at token T+1 without
+    * re-reading or re-randomizing anything. Probes are the 1/8..7/8
+    * points of the total, derived IN-PLAN from a one-row aggregate.
+    *
+    * Plan shape at 100 TB: within-shard running totals are windows
+    * PARTITIONED BY shard (parallel across shards); the only
+    * single-partition window is the per-shard prefix sum over nShards
+    * rows; probes ride a broadcast nested-loop join (7 rows × corpus,
+    * map-side). A production loader would additionally prune shards
+    * whose [chars_before_shard, +shard_chars) range excludes T — the
+    * manifest-level skip this query's per-shard totals already provide.
+    */
+  def qResumeCursor(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ShuffleShard.assign(
+        Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
+        "doc_id", ShardSeed, NShards)
+    val wShard = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    val inShard = assigned
+      .withColumn("cum_in_shard", sum(col("n_chars")).over(wShard))
+      .withColumn("row_in_shard", row_number().over(wShard).cast("long"))
+    val wPrefix = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = assigned.groupBy(col("shard"))
+      .agg(sum(col("n_chars")).as("shard_chars"),
+        count(lit(1)).as("shard_docs"))
+      .withColumn("chars_before_shard",
+        coalesce(sum(col("shard_chars")).over(wPrefix), lit(0L)))
+      .withColumn("docs_before_shard",
+        coalesce(sum(col("shard_docs")).over(wPrefix), lit(0L)))
+      .select(col("shard"), col("chars_before_shard"),
+        col("docs_before_shard"))
+    val global = inShard.join(broadcast(prefix), "shard")
+      .withColumn("cum_after",
+        col("chars_before_shard") + col("cum_in_shard"))
+      .withColumn("cum_before", col("cum_after") - col("n_chars"))
+      .withColumn("docs_before",
+        col("docs_before_shard") + col("row_in_shard") - 1)
+    val probes = s.range(1, 8).toDF("k")
+      .crossJoin(broadcast(
+        assigned.agg(sum(col("n_chars")).as("total_chars"))))
+      .select(col("k"), expr("(total_chars * k) div 8").as("t_offset"))
+    global.join(broadcast(probes),
+        col("t_offset") >= col("cum_before") &&
+          col("t_offset") < col("cum_after"))
+      .select(col("k"), col("t_offset"), col("shard"), col("doc_id"),
+        (col("t_offset") - col("cum_before")).as("skip_units"),
+        col("docs_before"))
+      .orderBy(col("k"))
+  }
+
+  /** The oracle replays the md5 key + one global window ordered by
+    * (shard, key, doc_id) — provably equal to the two-level Spark plan.
+    */
+  val qResumeCursorSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, n_chars,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
+       |      AS key
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_chars, key, key % $NShards AS shard FROM a),
+       |c AS (
+       |  SELECT *,
+       |    sum(n_chars) OVER (ORDER BY shard, key, doc_id)::BIGINT AS cum_after,
+       |    (row_number() OVER (ORDER BY shard, key, doc_id) - 1)::BIGINT
+       |      AS docs_before
+       |  FROM b),
+       |d AS (SELECT *, cum_after - n_chars AS cum_before FROM c),
+       |t AS (SELECT sum(n_chars)::BIGINT AS total_chars FROM documents),
+       |p AS (
+       |  SELECT k, (total_chars * k) // 8 AS t_offset
+       |  FROM t, range(1, 8) r(k))
+       |SELECT p.k, p.t_offset, d.shard, d.doc_id,
+       |  (p.t_offset - d.cum_before)::BIGINT AS skip_units, d.docs_before
+       |FROM p JOIN d
+       |  ON p.t_offset >= d.cum_before AND p.t_offset < d.cum_after
+       |ORDER BY p.k""".stripMargin
+
+  /** Within-source perplexity-band pruning (the CCNet/Gopher "drop the
+    * weird tails" filter): keep each source's docs whose bigram-LM
+    * score (text_lmscore's EXACT quantized definition — one model, one
+    * arithmetic) lies inside the [p10, p90] band; report per source
+    * what was kept/pruned and the band edges. Exact quantiles without a
+    * corpus sort: scores are 1e-4-quantized integers with a BOUNDED
+    * value range, so the edges come from a histogram-decomposed cumsum
+    * — GROUP BY (source, q) first (partial-aggregatable), then windows
+    * over the bounded histogram, never over docs. Edge rule: lo = min q
+    * with cum ≥ ⌈n/10⌉, hi = min q with cum ≥ ⌈9n/10⌉ — pure integer
+    * arithmetic, identical in both engines.
+    *
+    * At 100 TB: two linear scans (one to build the histogram, one to
+    * classify — the unavoidable two-pass shape of an exact-quantile
+    * filter), a bounded-cardinality histogram exchange, and a
+    * |sources|-row broadcast back. Nothing sorts the corpus.
+    */
+  def mixPerplexityBand(s: SparkSession, dir: String): DataFrame = {
+    val model = TextQueries.lmModel(s, dir)
+    val scored = Tables(s, dir).documents
+      .select(col("source"), col("n_chars"),
+        floor(graft.text.BigramLm.score(col("text"), model) * 10000 + 0.5)
+          .cast("long").as("q"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("q"))
+    val wAll = Window.partitionBy(col("source"))
+    val edges = scored.groupBy(col("source"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_src", sum(col("cnt")).over(wAll))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("cum") >= expr("(n_src + 9) div 10"), col("q")))
+          .as("lo_q"),
+        min(when(col("cum") >= expr("(n_src * 9 + 9) div 10"), col("q")))
+          .as("hi_q"))
+    scored.join(broadcast(edges), "source")
+      .withColumn("band",
+        when(col("q") < col("lo_q"), lit("low"))
+          .when(col("q") > col("hi_q"), lit("high"))
+          .otherwise(lit("keep")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("band") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("band") === "low", 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("band") === "high", 1L).otherwise(0L)).as("n_high"),
+        max(col("lo_q")).as("lo_q"), max(col("hi_q")).as("hi_q"),
+        sum(when(col("band") === "keep", col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Replays text_lmscore's model CTEs, then the identical histogram
+    * cumsum edge arithmetic.
+    */
+  val mixPerplexityBandSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, string_split(lower(text), '') AS a FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest([a[i] || a[i + 1] FOR i IN range(1, len(a))]) AS g
+      |  FROM ch WHERE len(a) >= 2),
+      |model AS (SELECT g, count(*) AS cg FROM occ GROUP BY g),
+      |pref AS (
+      |  SELECT substr(g, 1, 1) AS c1, sum(cg) AS cp
+      |  FROM model GROUP BY c1),
+      |dtab AS (SELECT doc_id, g, count(*) AS cd FROM occ GROUP BY doc_id, g),
+      |terms AS (
+      |  SELECT d.doc_id,
+      |    floor(d.cd * log2(m.cg::DOUBLE / p.cp) * 1000.0 + 0.5)::BIGINT
+      |      AS milli,
+      |    d.cd
+      |  FROM dtab d
+      |  JOIN model m USING (g)
+      |  JOIN pref p ON substr(d.g, 1, 1) = p.c1),
+      |h AS (
+      |  SELECT doc_id, sum(milli)::DOUBLE / (sum(cd) * 1000.0) AS score
+      |  FROM terms GROUP BY doc_id),
+      |sc AS (
+      |  SELECT d.source, d.n_chars,
+      |    floor(coalesce(h.score, 0.0) * 10000 + 0.5)::BIGINT AS q
+      |  FROM documents d LEFT JOIN h USING (doc_id)),
+      |cum AS (
+      |  SELECT source, q, cnt,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY q) AS cum,
+      |    sum(cnt) OVER (PARTITION BY source) AS n_src
+      |  FROM (SELECT source, q, count(*) AS cnt FROM sc GROUP BY source, q)),
+      |edges AS (
+      |  SELECT source,
+      |    min(CASE WHEN cum >= (n_src + 9) // 10 THEN q END) AS lo_q,
+      |    min(CASE WHEN cum >= (n_src * 9 + 9) // 10 THEN q END) AS hi_q
+      |  FROM cum GROUP BY source)
+      |SELECT sc.source, count(*) AS n_docs,
+      |  sum(CASE WHEN q BETWEEN lo_q AND hi_q THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_keep,
+      |  sum(CASE WHEN q < lo_q THEN 1 ELSE 0 END)::BIGINT AS n_low,
+      |  sum(CASE WHEN q > hi_q THEN 1 ELSE 0 END)::BIGINT AS n_high,
+      |  max(lo_q)::BIGINT AS lo_q, max(hi_q)::BIGINT AS hi_q,
+      |  sum(CASE WHEN q BETWEEN lo_q AND hi_q THEN n_chars ELSE 0 END)::BIGINT
+      |    AS kept_chars
+      |FROM sc JOIN edges USING (source)
+      |GROUP BY sc.source
+      |ORDER BY sc.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resume_cursor" -> (qResumeCursor _),
+    "mix_perplexity_band" -> (mixPerplexityBand _),
     "pack_stats" -> (packStats _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "mix_dedup_weight" -> (mixDedupWeight _),
@@ -1430,6 +1619,8 @@ object CurationQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_resume_cursor" -> qResumeCursorSql,
+    "mix_perplexity_band" -> mixPerplexityBandSql,
     "pack_stats" -> packStatsSql,
     "q_corpus_diff" -> qCorpusDiffSql,
     "mix_dsir" -> mixDsirSql,

@@ -770,15 +770,21 @@ object DedupQueries {
        |WHERE containment >= 0.8
        |ORDER BY id_in, id_out""".stripMargin
 
-  /** Dedup-quality gate (graft.dedup.MinHashLSH.pairRecall): LSH pair
-    * recall vs exact all-pairs Jaccard on a deterministic 20% sample
-    * (seeded md5 mod 5). Rows-only: the LSH side has no SQL twin; the
-    * recall VALUE is deterministic and DedupSpec pins it at 1.0 on a
-    * planted-duplicates fixture plus internal consistency here.
+  /** Dedup-quality gate (graft.dedup.MinHashLSH.pairRecallBudget): LSH
+    * pair recall vs exact Jaccard on a deterministic seeded-hash
+    * sample whose modulus is DERIVED IN-PLAN from the corpus count
+    * against a constant 5e5-pair budget (r10 — the emb_cos_hist
+    * parameterization, retiring the operator-set sampleMod knob): the
+    * exact side is ≤ budget pairs at ANY corpus size, with no duty to
+    * grow anything with n. At the test SFs: n ≤ 1000 ⇒ smod 1 (full
+    * corpus), n = 5000 ⇒ smod 5 (the old 20% sample). Rows-only: the
+    * LSH side has no SQL twin; the recall VALUE is deterministic and
+    * DedupSpec pins it at 1.0 on a planted-duplicates fixture, pins
+    * the budget arithmetic, plus internal consistency here.
     */
   def dedupRecall(s: SparkSession, dir: String): DataFrame =
-    MinHashLSH.pairRecall(Tables(s, dir).documents, "doc_id", "text",
-      n = 3, tau = 0.7, sampleMod = 5L, seed = 13L)
+    MinHashLSH.pairRecallBudget(Tables(s, dir).documents, "doc_id", "text",
+      n = 3, tau = 0.7, pairBudget = 500000L, seed = 13L)
 
   /** WITHIN-document repeated-segment removal — the cheapest dedup
     * pass in the CCNet line-dedup family and the only one that is

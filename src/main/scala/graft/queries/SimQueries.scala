@@ -1168,7 +1168,73 @@ object SimQueries {
       |FROM cosines c JOIN ns ON c.label = ns.label
       |ORDER BY c.label""".stripMargin
 
+  /** Nearest-class-mean assignment share — the domain-mixture audit a
+    * curation pipeline runs to see how the labeled taxonomy holds up
+    * under its own centroids (label drift, cluster bleed, the NCM
+    * confusion matrix): each vector is assigned to the nearest
+    * per-label mean (emb_centroids' EXACT 1e-6-rounded arithmetic) and
+    * the (true label × assigned label) counts are reported.
+    *
+    * Engine-exact argmin without a window or a per-vector exchange:
+    * all |labels| centroids ride ONE collected row through a broadcast
+    * crossJoin; per vector the candidate array maps each centroid to
+    * the integer key dist_q·16+label (per-DIM squared deltas quantized
+    * to 1e-9 units and summed as integers, so the sum is
+    * order-invariant — no float-accumulation drift between engines or
+    * partitionings) and array_min picks the winner, ties broken by
+    * smaller label. Map-side after a KB broadcast; the only exchanges
+    * are the centroid build (64·|labels| partial-agg rows) and the
+    * final |labels|² count — the 100 TB shape of every
+    * assign-to-codebook pass (IVF routing, NCM classify, domain mix).
+    */
+  def embNcmShare(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("label").as("clabel"),
+        expr("transform(dc, p -> p.c)").as("cvec"))
+      .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))
+        .as("cents"))
+    e.crossJoin(broadcast(cents))
+      .select(col("label"),
+        pmod(array_min(expr(
+          """transform(cents, c ->
+            |  aggregate(zip_with(embedding, c.cvec, (x, m) ->
+            |      CAST(floor((CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)
+            |        * 1000000000 + 0.5) AS BIGINT)),
+            |    0L, (a, b) -> a + b) * 16 + CAST(c.clabel AS BIGINT))"""
+            .stripMargin)), lit(16L)).as("assigned"))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  val embNcmShareSql: String =
+    """WITH cent AS (
+      |  SELECT label AS clabel, i AS dim,
+      |    round(avg(embedding[i]::DOUBLE), 6) AS c
+      |  FROM embeddings, range(1, 65) t(i)
+      |  GROUP BY clabel, dim),
+      |dist AS (
+      |  SELECT e.vec_id, e.label, cent.clabel,
+      |    sum(floor((e.embedding[cent.dim]::DOUBLE - cent.c)
+      |          * (e.embedding[cent.dim]::DOUBLE - cent.c)
+      |          * 1000000000 + 0.5)::BIGINT) AS dq
+      |  FROM embeddings e, cent
+      |  GROUP BY e.vec_id, e.label, cent.clabel),
+      |best AS (
+      |  SELECT vec_id, label, min(dq * 16 + clabel) AS b
+      |  FROM dist GROUP BY vec_id, label)
+      |SELECT label, (b % 16)::BIGINT AS assigned, count(*) AS n
+      |FROM best GROUP BY label, assigned
+      |ORDER BY label, assigned""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_ncm_share" -> (embNcmShare _),
     "emb_drift" -> (embDrift _),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_cos_hist" -> (embCosHist _),
@@ -1201,6 +1267,7 @@ object SimQueries {
     "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
+    "emb_ncm_share" -> embNcmShareSql,
     "emb_drift" -> embDriftSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_cos_hist" -> embCosHistSql,

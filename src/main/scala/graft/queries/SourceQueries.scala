@@ -655,7 +655,75 @@ object SourceQueries {
       |  FROM lineitem) a
       |ORDER BY c.codec""".stripMargin
 
+  /** Corrupt-record quarantine on JSON-lines ingest — the
+    * badRecordsPath/dead-letter shape every raw-crawl loader needs: a
+    * malformed line must not kill the job OR silently vanish; it routes
+    * to a quarantine bucket with enough identity (count, byte mass, a
+    * content signature) to chase upstream. The fixture plants
+    * deterministic corruption (docs with doc_id % 23 = 7 lose their
+    * JSON tail — the torn-write shape) in lines built by CONCAT, not
+    * to_json, so the DuckDB oracle reconstructs every byte and the hash
+    * gates both routing and signatures. Parsing is `from_json` over a
+    * text scan with `columnNameOfCorruptRecord` — map-only, no
+    * file-source corrupt-column restriction, ONE pass splits clean
+    * rows (grouped per source) from quarantine (the `_quarantine`
+    * bucket row). The signature is the manifest row_sig arithmetic
+    * (60-bit md5 prefix, bit_xor — order-free, partial-aggregatable).
+    *
+    * At 100 TB: one text scan, one partial-agg exchange at
+    * |sources|+1 cardinality. The quarantine WRITE a production
+    * pipeline adds is the same filtered branch under multi_fanout.
+    */
+  def sourceQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_quarantine_src").toString
+    val line = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+      lit(",\"source\":\""), col("source"), lit("\",\"len\":"),
+      col("n_chars").cast("string"), lit("}"))
+    Tables(s, dir).documents
+      .select(line.as("l"), col("doc_id"))
+      .select(when(pmod(col("doc_id"), lit(23L)) === 7,
+          expr("substring(l, 1, length(l) - 3)"))
+        .otherwise(col("l")).as("value"))
+      .write.mode("overwrite").text(out)
+    val parsed = s.read.text(out).select(col("value"),
+      from_json(col("value"), "doc_id BIGINT, source STRING, len BIGINT, _bad STRING",
+        Map("columnNameOfCorruptRecord" -> "_bad")).as("j"))
+    parsed.select(
+        when(col("j._bad").isNotNull, lit("_quarantine"))
+          .otherwise(col("j.source")).as("bucket"),
+        when(col("j._bad").isNotNull, length(col("value")).cast("long"))
+          .otherwise(col("j.len")).as("len"),
+        conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+          .as("s"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("len")).as("sum_len"),
+        expr("bit_xor(s)").as("sig"))
+      .orderBy(col("bucket"))
+  }
+
+  val sourceQuarantineSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, source, n_chars,
+      |    '{"doc_id":' || doc_id || ',"source":"' || source ||
+      |      '","len":' || n_chars || '}' AS full_line
+      |  FROM documents),
+      |r AS (
+      |  SELECT
+      |    CASE WHEN doc_id % 23 = 7 THEN '_quarantine' ELSE source END
+      |      AS bucket,
+      |    CASE WHEN doc_id % 23 = 7
+      |      THEN substr(full_line, 1, length(full_line) - 3)
+      |      ELSE full_line END AS line,
+      |    (CASE WHEN doc_id % 23 = 7 THEN length(full_line) - 3
+      |      ELSE n_chars END)::BIGINT AS len
+      |  FROM l)
+      |SELECT bucket, count(*) AS n_rows, sum(len)::BIGINT AS sum_len,
+      |  bit_xor(('0x' || substr(md5(line), 1, 15))::BIGINT) AS sig
+      |FROM r GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_quarantine" -> (sourceQuarantine _),
     "source_codecs" -> (sourceCodecs _),
     "source_manifest" -> (sourceManifest _),
     "source_backfill" -> (sourceBackfill _),
@@ -674,6 +742,7 @@ object SourceQueries {
     "source_jsonl" -> (sourceJsonl _))
 
   val oracleSql: Map[String, String] = Map(
+    "source_quarantine" -> sourceQuarantineSql,
     "source_codecs" -> sourceCodecsSql,
     "source_manifest" -> sourceManifestSql,
     "source_backfill" -> sourceBackfillSql,

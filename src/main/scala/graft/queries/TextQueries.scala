@@ -564,6 +564,15 @@ object TextQueries {
   private val lmCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.text.BigramLm.Model]()
 
+  /** The corpus-dir-memoized bigram LM, shared with the curation-side
+    * consumers (mix_perplexity_band prunes on the same score
+    * text_lmscore reports — one model, one definition).
+    */
+  private[queries] def lmModel(s: SparkSession,
+      dir: String): graft.text.BigramLm.Model =
+    lmCache.computeIfAbsent(dir,
+      _ => graft.text.BigramLm.fit(Tables(s, dir).documents, "text"))
+
   /** Statistical-LM quality score (the CCNet perplexity-filter shape):
     * mean char-bigram log2-probability of each doc under the model
     * trained on THIS corpus — spam/binary/repetitive text scores far
@@ -574,8 +583,7 @@ object TextQueries {
     */
   def textLmscore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    val model = lmCache.computeIfAbsent(dir,
-      _ => graft.text.BigramLm.fit(docs, "text"))
+    val model = lmModel(s, dir)
     docs.select(col("doc_id"),
         (floor(graft.text.BigramLm.score(col("text"), model) * 10000 + 0.5)
           .cast("double") / 10000).as("lm_score"))

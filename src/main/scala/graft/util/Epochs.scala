@@ -53,12 +53,18 @@ object Epochs {
   def current(spark: SparkSession, dir: String): Long = {
     val fs = fsOf(spark, dir)
     val ptr = new Path(dir, "_CURRENT")
+    // a concurrent publish rewrites the pointer delete+create, so the
+    // open can race the delete even after exists() — treat FNF exactly
+    // like a missing pointer (fall back to max published, which is the
+    // epoch the new pointer is about to name)
     val fromPtr =
       if (!fs.exists(ptr)) None
       else {
-        val in = fs.open(ptr)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-        finally in.close()
+        try {
+          val in = fs.open(ptr)
+          try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
       }
     fromPtr.getOrElse {
       val pub = published(spark, dir)

@@ -517,4 +517,72 @@ class CurationSpec extends SparkSpec {
     assert(got("added") === ((added.size.toLong, added.sum)))
     assert(got("unchanged") === ((unchanged.size.toLong, unchanged.sum)))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_resume_cursor: cursors replay the exact shard-order prefix walk") {
+    val rows = CurationQueries.qResumeCursor(spark, sf).collect()
+    assert(rows.length === 7)
+    // driver replay of the layout: seeded md5 key, shard = key mod 16,
+    // global order (shard, key, doc_id), half-open char intervals
+    val docs = graft.util.Tables(spark, sf).documents
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def key(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"$id:42").take(8), 16)
+    val ordered = docs
+      .map { case (id, n) => (key(id) % 16, key(id), id, n) }
+      .sortBy { case (sh, k, id, _) => (sh, k, id) }
+    val total = ordered.map(_._4).sum
+    var cum = 0L
+    val walk = ordered.zipWithIndex.map { case ((sh, _, id, n), i) =>
+      val before = cum; cum += n; (sh, id, before, cum, i.toLong)
+    }
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val t = total * k / 8
+      assert(r.getLong(1) === t, s"k=$k offset")
+      val hit = walk.find(w => t >= w._3 && t < w._4).get
+      assert(r.getLong(2) === hit._1, s"k=$k shard")
+      assert(r.getLong(3) === hit._2, s"k=$k doc")
+      assert(r.getLong(4) === t - hit._3, s"k=$k skip")
+      assert(r.getLong(5) === hit._5, s"k=$k docs_before")
+      // the skip must land INSIDE the doc
+      assert(r.getLong(4) >= 0 && r.getLong(4) < hit._4 - hit._3)
+    }
+  }
+
+  test("mix_perplexity_band: edges replay from the oracled lmscore; partition exhaustive") {
+    val out = CurationQueries.mixPerplexityBand(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size === 20)
+    // q per doc recovered from text_lmscore (itself hash-oracled):
+    // lm_score = q/10000 exactly one decimal-quantized step away
+    val q = graft.queries.TextQueries.textLmscore(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(1) * 10000 + 0.5).toLong).toMap
+    val docs = graft.util.Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val sorted = ds.map(d => q(d._1)).sorted
+      val n = sorted.length.toLong
+      val lo = sorted(((n + 9) / 10 - 1).toInt)   // ⌈n/10⌉-th smallest
+      val hi = sorted(((n * 9 + 9) / 10 - 1).toInt)
+      val r = out(src)
+      assert(r.getLong(5) === lo, s"$src lo_q")
+      assert(r.getLong(6) === hi, s"$src hi_q")
+      val keep = ds.filter(d => q(d._1) >= lo && q(d._1) <= hi)
+      assert(r.getLong(1) === n, s"$src n_docs")
+      assert(r.getLong(2) === keep.length.toLong, s"$src n_keep")
+      assert(r.getLong(3) === ds.count(d => q(d._1) < lo).toLong, s"$src n_low")
+      assert(r.getLong(4) === ds.count(d => q(d._1) > hi).toLong, s"$src n_high")
+      assert(r.getLong(7) === keep.map(_._3).sum, s"$src kept_chars")
+      // partition is exhaustive and the band really holds ~80%
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) === n)
+      assert(r.getLong(2) >= (n * 9 + 9) / 10 - (n + 9) / 10 + 1)
+    }
+  }
 }

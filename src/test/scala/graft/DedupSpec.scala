@@ -696,12 +696,36 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", n = 3, tau = 0.7, sampleMod = 1L, seed = 13L).head()
     assert(r.getLong(0) === 13L && r.getLong(1) === 3L && r.getLong(2) === 3L)
     assert(r.getDouble(3) === 1.0)
-    // the registered 20%-sample gate on the real corpus
+    // the registered budget-derived gate on the real corpus: at n=500
+    // the in-plan modulus resolves to 1, so n_sample IS the corpus
     val q = graft.queries.DedupQueries.dedupRecall(spark, sf).head()
-    assert(q.getLong(0) > 0 && q.getLong(2) <= q.getLong(1))
+    assert(q.getLong(0) === 500L, "smod must resolve to 1 at n=500")
+    assert(q.getLong(2) <= q.getLong(1))
     if (q.getLong(1) > 0)
       assert(q.getDouble(3) >= 0.5 && q.getDouble(3) <= 1.0,
         s"recall ${q.getDouble(3)}")
+  }
+
+  test("pairRecallBudget: the in-plan modulus follows ⌈n/√(2·budget)⌉ and " +
+      "samples exactly the seeded-hash congruence class") {
+    import spark.implicits._
+    // 300 docs, budget 50 → smod = ceil(300/10) = 30: the sample is the
+    // ids whose seeded md5 key ≡ 0 (mod 30) — replayed driver-side
+    val docs = (0 until 300)
+      .map(i => (i.toLong, s"v${i}a v${i}b v${i}c v${i}d v${i}e"))
+      .toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def key(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"$id:13").take(8), 16)
+    val wantSample = (0 until 300).count(i => key(i.toLong) % 30 == 0)
+    val r = graft.dedup.MinHashLSH.pairRecallBudget(docs, "doc_id", "text",
+      n = 3, tau = 0.7, pairBudget = 50L, seed = 13L).head()
+    assert(r.getLong(0) === wantSample.toLong,
+      s"sample ${r.getLong(0)} != replayed congruence class $wantSample")
+    // disjoint vocabularies: no true pair in the sample → recall NULL
+    assert(r.getLong(1) === 0L && r.isNullAt(3))
   }
 
   test("SimHashIndex: probe equals the restricted full run; append ≡ rebuild; " +

@@ -486,4 +486,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.substring(0, exIdx).contains("text#"),
       "the diff join must ship digests, not document bodies")
   }
+
+  test("emb_ncm_share: assignment is map-side behind a one-row broadcast; " +
+    "no corpus-side sort-merge or cartesian") {
+    val plan = planOf(SimQueries.embNcmShare(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      "the centroid set must ride a broadcast, never an exchange:\n" +
+        plan.take(1200))
+  }
+
+  test("q_resume_cursor: prefix totals broadcast-hash back; probes ride a " +
+    "bounded nested-loop; nothing goes cartesian") {
+    val plan = planOf(CurationQueries.qResumeCursor(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the nShards-row prefix frame must broadcast:\n" + plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 7-row probe set rides a broadcast NLJ by design:\n" +
+        plan.take(1200))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("mix_perplexity_band: band edges broadcast back to the corpus scan") {
+    val plan = planOf(CurationQueries.mixPerplexityBand(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |sources|-row edge table must broadcast:\n" + plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("source_quarantine: one pass, one aggregation exchange") {
+    val plan = planOf(graft.queries.SourceQueries.sourceQuarantine(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"clean/quarantine split must not add exchanges:\n${plan.take(1200)}")
+  }
 }

@@ -1344,4 +1344,34 @@ class SimSpec extends SparkSpec {
     assert(got.values.sum === vecs.length.toLong * (vecs.length - 1) / 2,
       "every sampled pair lands in exactly one bucket")
   }
+
+  test("emb_ncm_share: argmin replays from the oracled centroids; counts conserve") {
+    // centroids come from emb_centroids' own (hash-oracled) output, so
+    // this replay tests ONLY the broadcast argmin + count stage
+    val cents = SimQueries.embCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val labels = cents.keys.map(_._1).toSeq.distinct.sorted
+    val vecs = graft.util.Tables(spark, sf).embeddings
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def distQ(v: Array[Float], lab: Int): Long =
+      v.indices.map { d =>
+        val diff = v(d).toDouble - cents((lab, d))
+        math.floor(diff * diff * 1e9 + 0.5).toLong
+      }.sum
+    val want = vecs
+      .map { case (lab, v) =>
+        val best = labels.map(l => distQ(v, l) * 16 + l).min
+        (lab, best % 16)
+      }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = SimQueries.embNcmShare(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.map { case ((l, a), n) => (l, a) -> n } ===
+      want.map { case ((l, a), n) => (l, a.toLong) -> n })
+    assert(got.values.sum === vecs.length.toLong,
+      "every vector assigned exactly once")
+    assert(got.keys.forall { case (_, a) => labels.contains(a.toInt) },
+      "assignments stay inside the label set")
+  }
 }

@@ -243,4 +243,36 @@ class SourceSpec extends SparkSpec {
     assert(zs < sn && gz < sn,
       s"expected zstd ($zs) and gzip ($gz) below snappy ($sn)")
   }
+
+  test("source_quarantine: torn lines route to quarantine with exact signatures") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(line: String): Long =
+      java.lang.Long.parseLong(md5hex(line).take(15), 16)
+    val docs = graft.util.Tables(spark, sf).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // driver replay of the fixture + routing + signature arithmetic
+    val want = docs.map { case (id, src, n) =>
+      val full = s"""{"doc_id":$id,"source":"$src","len":$n}"""
+      if (id % 23 == 7) ("_quarantine", (full.length - 3).toLong,
+        sig(full.dropRight(3)))
+      else (src, n, sig(full))
+    }.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.map(_._2).sum,
+        xs.map(_._3).reduce(_ ^ _)))
+    }
+    val got = SourceQueries.sourceQuarantine(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // the planted torn-write class is really present and really torn:
+    // every doc_id % 23 == 7 line is quarantined, nothing else is
+    assert(got("_quarantine")._1 === docs.count(_._1 % 23 == 7).toLong)
+    assert(got.values.map(_._1).sum === docs.length.toLong,
+      "no line lost between clean routing and quarantine")
+  }
 }
