@@ -1401,6 +1401,50 @@ object CurationQueries {
       |FROM m
       |ORDER BY strategy""".stripMargin
 
+  /** The shard-publication lifecycle under the full hash oracle — the
+    * registered query face of [[graft.ops.ShardStore]] (the q_mv_compact
+    * move applied to exports): the corpus PUBLISHES as a real epoch-0
+    * shard tree + manifest (ShuffleShard.writeShards through the
+    * Epochs pointer swap), a consumer PINS the epoch (readShards — the
+    * plans list only that epoch's files) and runs the delivery
+    * handshake (validate: manifest arithmetic recomputed over the
+    * shards actually read vs the published manifest). The oracle is
+    * export_manifest's own SQL with `ok` TRUE — hash-green proves, in
+    * one row set: the published tree is byte-complete (round-tripped
+    * rows reproduce count/bytes/XOR-signature per shard), the manifest
+    * written FROM the assigned frame equals the one recomputed FROM
+    * the files, and the epoch publish/pin plumbing returns exactly the
+    * corpus. A corrupted or partial delivery flips `ok` rows and the
+    * hash. The tmp publish is a fixture artifact; production pays the
+    * export it was already paying, and ExportSpec covers the
+    * concurrency half (pinned-run-survives-publish, retention,
+    * epoch reproduction).
+    */
+  def qShardDelivery(s: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_shard_delivery").toString
+    val docs = Tables(s, dir).documents
+    graft.ops.ShardStore.publish(s, store, docs,
+      "doc_id", "text", "n_chars", ShardSeed, NShards)
+    val pinned = graft.ops.ShardStore.readShards(s, store)
+    graft.ops.ShardStore
+      .validate(pinned, "doc_id", "text", "n_chars", ShardSeed, NShards)
+      .orderBy(col("shard"))
+  }
+
+  val qShardDeliverySql: String =
+    s"""WITH h AS (
+       |  SELECT
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
+       |      % $NShards AS shard,
+       |    n_chars,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT
+       |      AS row_sig
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+       |  bit_xor(row_sig) AS checksum, TRUE AS ok
+       |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Mid-epoch training resume cursor — the checkpoint-restart
     * primitive a data loader needs: given the deterministic shard
     * layout (sample_shard / [[graft.ops.ShuffleShard]]: seeded md5 key,
@@ -1589,6 +1633,7 @@ object CurationQueries {
       |ORDER BY sc.source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_delivery" -> (qShardDelivery _),
     "q_resume_cursor" -> (qResumeCursor _),
     "mix_perplexity_band" -> (mixPerplexityBand _),
     "pack_stats" -> (packStats _),
@@ -1619,6 +1664,7 @@ object CurationQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_shard_delivery" -> qShardDeliverySql,
     "q_resume_cursor" -> qResumeCursorSql,
     "mix_perplexity_band" -> mixPerplexityBandSql,
     "pack_stats" -> packStatsSql,

@@ -1178,14 +1178,20 @@ object SimQueries {
     * Engine-exact argmin without a window or a per-vector exchange:
     * all |labels| centroids ride ONE collected row through a broadcast
     * crossJoin; per vector the candidate array maps each centroid to
-    * the integer key dist_q·16+label (per-DIM squared deltas quantized
-    * to 1e-9 units and summed as integers, so the sum is
+    * the integer key dist_q·1024+label (per-DIM squared deltas
+    * quantized to 1e-9 units and summed as integers, so the sum is
     * order-invariant — no float-accumulation drift between engines or
     * partitionings) and array_min picks the winner, ties broken by
-    * smaller label. Map-side after a KB broadcast; the only exchanges
-    * are the centroid build (64·|labels| partial-agg rows) and the
-    * final |labels|² count — the 100 TB shape of every
-    * assign-to-codebook pass (IVF routing, NCM classify, domain mix).
+    * smaller label. The radix bounds the label space at 1024 classes
+    * (headroom: dist_q ≤ 64 dims · (x−c)² · 1e9 ≈ 2.6e13 for unit-ish
+    * embeddings, ×1024 ≈ 2.7e16 ≪ 2⁶³); past 1024 labels raise the
+    * radix — the packing errors loudly in the spec, never silently
+    * (label ≥ radix would corrupt BOTH engines identically only if
+    * they shared the bug, and the spec's driver replay does not pack).
+    * Map-side after a KB broadcast; the only exchanges are the
+    * centroid build (64·|labels| partial-agg rows) and the final
+    * |labels|² count — the 100 TB shape of every assign-to-codebook
+    * pass (IVF routing, NCM classify, domain mix).
     */
   def embNcmShare(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
@@ -1206,8 +1212,8 @@ object SimQueries {
             |  aggregate(zip_with(embedding, c.cvec, (x, m) ->
             |      CAST(floor((CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)
             |        * 1000000000 + 0.5) AS BIGINT)),
-            |    0L, (a, b) -> a + b) * 16 + CAST(c.clabel AS BIGINT))"""
-            .stripMargin)), lit(16L)).as("assigned"))
+            |    0L, (a, b) -> a + b) * 1024 + CAST(c.clabel AS BIGINT))"""
+            .stripMargin)), lit(1024L)).as("assigned"))
       .groupBy(col("label"), col("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned"))
@@ -1227,9 +1233,9 @@ object SimQueries {
       |  FROM embeddings e, cent
       |  GROUP BY e.vec_id, e.label, cent.clabel),
       |best AS (
-      |  SELECT vec_id, label, min(dq * 16 + clabel) AS b
+      |  SELECT vec_id, label, min(dq * 1024 + clabel) AS b
       |  FROM dist GROUP BY vec_id, label)
-      |SELECT label, (b % 16)::BIGINT AS assigned, count(*) AS n
+      |SELECT label, (b % 1024)::BIGINT AS assigned, count(*) AS n
       |FROM best GROUP BY label, assigned
       |ORDER BY label, assigned""".stripMargin
 

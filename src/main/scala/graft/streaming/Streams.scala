@@ -981,6 +981,51 @@ object Streams {
 
   // ---- continuous data-quality monitoring --------------------------------
 
+  /** source_quarantine run continuously — the dead-letter half of a
+    * streaming JSON-lines ingest: each micro-batch of raw lines parses
+    * under `from_json` with a corrupt-record column; clean rows land
+    * typed in `outDir/clean/batch=<id>`, malformed lines land AS-IS in
+    * `outDir/quarantine/batch=<id>` with byte length and the manifest
+    * row-sig arithmetic (60-bit md5 prefix) — enough identity to chase
+    * the producer without retaining a parser dependency. A torn line
+    * neither kills the query NOR silently vanishes, and both branches
+    * are batchId-keyed overwrites, so an at-least-once replay rewrites
+    * its own dirs rather than duplicating rows. `schemaDdl` is the
+    * CLEAN schema; the corrupt column is appended here so callers
+    * cannot forget it (absent from the schema, Spark would null
+    * malformed rows instead of capturing them).
+    *
+    * Map-only per batch (parse + two filtered writes of one
+    * localCheckpointed batch); no state store, no watermark — the
+    * quarantine trail grows with bad data, not with time.
+    */
+  def quarantineStream(lines: DataFrame, schemaDdl: String, outDir: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = lines.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val shared = batch.localCheckpoint(false)
+        try {
+          val parsed = shared.select(col("value"),
+            from_json(col("value"), s"$schemaDdl, _bad STRING",
+              Map("columnNameOfCorruptRecord" -> "_bad")).as("j"))
+          parsed.filter(col("j._bad").isNull)
+            .select(col("j.*")).drop("_bad")
+            .write.mode("overwrite").parquet(s"$outDir/clean/batch=$batchId")
+          parsed.filter(col("j._bad").isNotNull)
+            .select(col("value").as("line"),
+              length(col("value")).cast("long").as("n_chars"),
+              conv(substring(md5(col("value")), 1, 15), 16, 10)
+                .cast("long").as("sig"))
+            .write.mode("overwrite")
+            .parquet(s"$outDir/quarantine/batch=$batchId")
+        } finally graft.util.Caches.release(shared)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** q_constraints run continuously: per micro-batch every predicate
     * check aggregates to one (check_name, n_checked, n_violations) row,
     * plus optional referential integrity as a stream-static broadcast

@@ -518,6 +518,13 @@ class CurationSpec extends SparkSpec {
     assert(got("unchanged") === ((unchanged.size.toLong, unchanged.sum)))
   }
 
+  test("q_shard_delivery: published epochs validate bit-complete; counts conserve") {
+    val rows = CurationQueries.qShardDelivery(spark, sf).collect()
+    assert(rows.length === 16)
+    assert(rows.forall(_.getBoolean(4)), "every delivered shard must validate")
+    assert(rows.map(_.getLong(1)).sum === 500L, "row conservation across shards")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -1361,8 +1361,8 @@ class SimSpec extends SparkSpec {
       }.sum
     val want = vecs
       .map { case (lab, v) =>
-        val best = labels.map(l => distQ(v, l) * 16 + l).min
-        (lab, best % 16)
+        val best = labels.map(l => distQ(v, l) * 1024 + l).min
+        (lab, best % 1024)
       }
       .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
     val got = SimQueries.embNcmShare(spark, sf).collect()

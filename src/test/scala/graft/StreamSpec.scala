@@ -1277,4 +1277,45 @@ class StreamSpec extends SparkSpec {
     // all three splits are actually exercised (id 287 is the first test-split id)
     assert(got.map(_._2).distinct.sorted === Seq("test", "train", "val"))
   }
+
+  test("quarantineStream: clean rows and torn lines route per batch; " +
+      "signatures replay; a replayed batch rewrites its own dirs") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(line: String): Long =
+      java.lang.Long.parseLong(md5hex(line).take(15), 16)
+    // source_quarantine's exact fixture arithmetic, streamed in halves
+    def full(id: Long) = s"""{"doc_id":$id,"source":"s${id % 3}","len":$id}"""
+    def lineOf(id: Long) =
+      if (id % 23 == 7) full(id).dropRight(3) else full(id)
+    val ids = 0L until 200L
+    val (b0, b1) = (ids.filter(_ % 2 == 0), ids.filter(_ % 2 == 1))
+    val out = graft.util.Staging.dir(spark, "quarantine_stream")
+    val ms = MemoryStream[String]
+    val q = Streams.quarantineStream(ms.toDS().toDF("value"),
+      "doc_id BIGINT, source STRING, len BIGINT", out)
+    try {
+      ms.addData(b0.map(lineOf)); q.processAllAvailable()
+      ms.addData(b1.map(lineOf)); q.processAllAvailable()
+    } finally q.stop()
+    // clean rows: typed, complete, batch-partitioned by arrival parity
+    val clean = spark.read.parquet(s"$out/clean").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("batch")))
+    val wantClean = ids.filterNot(_ % 23 == 7)
+    assert(clean.map(_._1).sorted === wantClean.sorted)
+    clean.foreach { case (id, b) =>
+      assert(b === (id % 2).toInt, s"doc $id landed in batch $b") }
+    // quarantine: every torn line, as-is, with the replayed signature
+    val quar = spark.read.parquet(s"$out/quarantine").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val wantQuar = ids.filter(_ % 23 == 7).map(lineOf)
+    assert(quar.map(_._1).sorted === wantQuar.sorted)
+    quar.foreach { case (line, n, s) =>
+      assert(n === line.length.toLong && s === sig(line)) }
+    // nothing lost between the two routes
+    assert(clean.length + quar.length === ids.length)
+  }
 }
