@@ -1421,8 +1421,7 @@ object CurationQueries {
     * epoch reproduction).
     */
   def qShardDelivery(s: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_shard_delivery").toString
+    val store = graft.util.Staging.dir(s, "shard_delivery")
     val docs = Tables(s, dir).documents
     graft.ops.ShardStore.publish(s, store, docs,
       "doc_id", "text", "n_chars", ShardSeed, NShards)

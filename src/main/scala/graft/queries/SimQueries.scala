@@ -1184,14 +1184,14 @@ object SimQueries {
     * partitionings) and array_min picks the winner, ties broken by
     * smaller label. The radix bounds the label space at 1024 classes
     * (headroom: dist_q ≤ 64 dims · (x−c)² · 1e9 ≈ 2.6e13 for unit-ish
-    * embeddings, ×1024 ≈ 2.7e16 ≪ 2⁶³); past 1024 labels raise the
-    * radix — the packing errors loudly in the spec, never silently
-    * (label ≥ radix would corrupt BOTH engines identically only if
-    * they shared the bug, and the spec's driver replay does not pack).
-    * Map-side after a KB broadcast; the only exchanges are the
-    * centroid build (64·|labels| partial-agg rows) and the final
-    * |labels|² count — the 100 TB shape of every assign-to-codebook
-    * pass (IVF routing, NCM classify, domain mix).
+    * embeddings, ×1024 ≈ 2.7e16 ≪ 2⁶³); a label outside [0, 1024)
+    * RAISES at the centroid build (a raise_error guard on the
+    * label-cardinality frame — zero corpus-side cost), so an
+    * out-of-radix corpus fails loudly instead of silently wrapping
+    * the assignment. Map-side after a KB broadcast; the only
+    * exchanges are the centroid build (64·|labels| partial-agg rows)
+    * and the final |labels|² count — the 100 TB shape of every
+    * assign-to-codebook pass (IVF routing, NCM classify, domain mix).
     */
   def embNcmShare(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
@@ -1201,7 +1201,12 @@ object SimQueries {
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
-      .select(col("label").as("clabel"),
+      .select(
+        when(col("label") < 0 || col("label") >= 1024,
+          raise_error(concat(
+            lit("emb_ncm_share: label outside the 1024-class radix: "),
+            col("label").cast("string"))))
+          .otherwise(col("label")).as("clabel"),
         expr("transform(dc, p -> p.c)").as("cvec"))
       .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))
         .as("cents"))

@@ -675,7 +675,7 @@ object SourceQueries {
     * pipeline adds is the same filtered branch under multi_fanout.
     */
   def sourceQuarantine(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_quarantine_src").toString
+    val out = graft.util.Staging.dir(s, "quarantine_src")
     val line = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
       lit(",\"source\":\""), col("source"), lit("\",\"len\":"),
       col("n_chars").cast("string"), lit("}"))
@@ -688,10 +688,16 @@ object SourceQueries {
     val parsed = s.read.text(out).select(col("value"),
       from_json(col("value"), "doc_id BIGINT, source STRING, len BIGINT, _bad STRING",
         Map("columnNameOfCorruptRecord" -> "_bad")).as("j"))
+    // bad = anything that did not parse to a clean typed row —
+    // malformed (corrupt column set) or a null struct (the
+    // quarantineStream contract; the fixture only produces the former)
+    val bad = col("j").isNull || col("j._bad").isNotNull
     parsed.select(
-        when(col("j._bad").isNotNull, lit("_quarantine"))
-          .otherwise(col("j.source")).as("bucket"),
-        when(col("j._bad").isNotNull, length(col("value")).cast("long"))
+        when(bad, lit("_quarantine")).otherwise(col("j.source"))
+          .as("bucket"),
+        // quarantine rows report the torn line's BYTE mass (the wire
+        // identity); clean rows report their declared len field
+        when(bad, octet_length(col("value")).cast("long"))
           .otherwise(col("j.len")).as("len"),
         conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
           .as("s"))
@@ -714,12 +720,16 @@ object SourceQueries {
       |    CASE WHEN doc_id % 23 = 7
       |      THEN substr(full_line, 1, length(full_line) - 3)
       |      ELSE full_line END AS line,
-      |    (CASE WHEN doc_id % 23 = 7 THEN length(full_line) - 3
+      |    n_chars, doc_id
+      |  FROM l),
+      |r2 AS (
+      |  SELECT bucket, line,
+      |    (CASE WHEN doc_id % 23 = 7 THEN octet_length(encode(line))
       |      ELSE n_chars END)::BIGINT AS len
-      |  FROM l)
+      |  FROM r)
       |SELECT bucket, count(*) AS n_rows, sum(len)::BIGINT AS sum_len,
       |  bit_xor(('0x' || substr(md5(line), 1, 15))::BIGINT) AS sig
-      |FROM r GROUP BY bucket
+      |FROM r2 GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

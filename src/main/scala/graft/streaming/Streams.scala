@@ -985,15 +985,20 @@ object Streams {
     * streaming JSON-lines ingest: each micro-batch of raw lines parses
     * under `from_json` with a corrupt-record column; clean rows land
     * typed in `outDir/clean/batch=<id>`, malformed lines land AS-IS in
-    * `outDir/quarantine/batch=<id>` with byte length and the manifest
-    * row-sig arithmetic (60-bit md5 prefix) — enough identity to chase
-    * the producer without retaining a parser dependency. A torn line
-    * neither kills the query NOR silently vanishes, and both branches
-    * are batchId-keyed overwrites, so an at-least-once replay rewrites
-    * its own dirs rather than duplicating rows. `schemaDdl` is the
-    * CLEAN schema; the corrupt column is appended here so callers
-    * cannot forget it (absent from the schema, Spark would null
-    * malformed rows instead of capturing them).
+    * `outDir/quarantine/batch=<id>` with UTF-8 byte length and the
+    * manifest row-sig arithmetic (60-bit md5 prefix) — enough identity
+    * to chase the producer without retaining a parser dependency. A
+    * torn line neither kills the query NOR silently vanishes — and
+    * neither does a NULL or empty line (a tombstone message, a
+    * producer bug): anything `from_json` cannot turn into a typed row
+    * with a null corrupt column routes to quarantine under the empty
+    * line's identity, so the clean dir can never contain phantom
+    * all-null rows. Both branches are batchId-keyed overwrites, so an
+    * at-least-once replay rewrites its own dirs rather than
+    * duplicating rows. `schemaDdl` is the CLEAN schema; the corrupt
+    * column is appended here so callers cannot forget it (absent from
+    * the schema, Spark would null malformed rows instead of capturing
+    * them).
     *
     * Map-only per batch (parse + two filtered writes of one
     * localCheckpointed batch); no state store, no watermark — the
@@ -1010,13 +1015,19 @@ object Streams {
           val parsed = shared.select(col("value"),
             from_json(col("value"), s"$schemaDdl, _bad STRING",
               Map("columnNameOfCorruptRecord" -> "_bad")).as("j"))
-          parsed.filter(col("j._bad").isNull)
+          // quarantine = anything the parser did not turn into a clean
+          // typed row: malformed (corrupt column set), NULL input (the
+          // struct itself comes back null), or a null line
+          val bad = col("value").isNull || col("j").isNull ||
+            col("j._bad").isNotNull
+          val line = coalesce(col("value"), lit(""))
+          parsed.filter(!bad)
             .select(col("j.*")).drop("_bad")
             .write.mode("overwrite").parquet(s"$outDir/clean/batch=$batchId")
-          parsed.filter(col("j._bad").isNotNull)
-            .select(col("value").as("line"),
-              length(col("value")).cast("long").as("n_chars"),
-              conv(substring(md5(col("value")), 1, 15), 16, 10)
+          parsed.filter(bad)
+            .select(line.as("line"),
+              octet_length(line).cast("long").as("n_bytes"),
+              conv(substring(md5(line), 1, 15), 16, 10)
                 .cast("long").as("sig"))
             .write.mode("overwrite")
             .parquet(s"$outDir/quarantine/batch=$batchId")

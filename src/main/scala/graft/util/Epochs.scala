@@ -53,17 +53,23 @@ object Epochs {
   def current(spark: SparkSession, dir: String): Long = {
     val fs = fsOf(spark, dir)
     val ptr = new Path(dir, "_CURRENT")
-    // a concurrent publish rewrites the pointer delete+create, so the
-    // open can race the delete even after exists() — treat FNF exactly
-    // like a missing pointer (fall back to max published, which is the
-    // epoch the new pointer is about to name)
+    // a concurrent publish swaps the pointer (write-temp → delete →
+    // rename), so the open can race the delete even after exists() —
+    // treat FNF exactly like a missing pointer (fall back to max
+    // published, which is the epoch the new pointer is about to name).
+    // Belt-and-braces: an empty or unparseable pointer (a torn write
+    // from a pre-rename layout, or a foreign file) is ALSO treated as
+    // missing rather than crashing the reader — the rename swap never
+    // produces one, but the fallback is the safe answer either way.
     val fromPtr =
       if (!fs.exists(ptr)) None
       else {
         try {
           val in = fs.open(ptr)
-          try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-          finally in.close()
+          val content =
+            try new String(in.readAllBytes(), "UTF-8").trim
+            finally in.close()
+          content.toLongOption
         } catch { case _: java.io.FileNotFoundException => None }
       }
     fromPtr.getOrElse {
@@ -80,10 +86,17 @@ object Epochs {
       retain: Int = 1): Unit = {
     val fs = fsOf(spark, dir)
     fs.create(new Path(epochPath(dir, epoch), "_PUBLISHED"), true).close()
+    // pointer swap: the content is fully written and closed in a temp
+    // file BEFORE it becomes visible under the pointer name
+    // (delete + rename), so a concurrent reader sees the old full
+    // content, nothing (FNF → max-published fallback), or the new full
+    // content — never a zero-byte or half-written pointer
     val ptr = new Path(dir, "_CURRENT")
-    fs.delete(ptr, false)
-    val out = fs.create(ptr, true)
+    val tmp = new Path(dir, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
     try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
     published(spark, dir).filter(_ < epoch - retain)
       .foreach(e => fs.delete(new Path(epochPath(dir, e)), true))
   }

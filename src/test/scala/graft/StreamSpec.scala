@@ -1299,7 +1299,10 @@ class StreamSpec extends SparkSpec {
       "doc_id BIGINT, source STRING, len BIGINT", out)
     try {
       ms.addData(b0.map(lineOf)); q.processAllAvailable()
-      ms.addData(b1.map(lineOf)); q.processAllAvailable()
+      // batch 1 additionally carries an EMPTY line (tombstone/producer
+      // bug) — it must quarantine under the empty identity, never land
+      // in the clean dir as a phantom all-null row
+      ms.addData(b1.map(lineOf) :+ ""); q.processAllAvailable()
     } finally q.stop()
     // clean rows: typed, complete, batch-partitioned by arrival parity
     val clean = spark.read.parquet(s"$out/clean").collect()
@@ -1308,14 +1311,15 @@ class StreamSpec extends SparkSpec {
     assert(clean.map(_._1).sorted === wantClean.sorted)
     clean.foreach { case (id, b) =>
       assert(b === (id % 2).toInt, s"doc $id landed in batch $b") }
-    // quarantine: every torn line, as-is, with the replayed signature
+    // quarantine: every torn line as-is + the empty line, with UTF-8
+    // byte lengths and the replayed signatures
     val quar = spark.read.parquet(s"$out/quarantine").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val wantQuar = ids.filter(_ % 23 == 7).map(lineOf)
+    val wantQuar = ids.filter(_ % 23 == 7).map(lineOf) :+ ""
     assert(quar.map(_._1).sorted === wantQuar.sorted)
     quar.foreach { case (line, n, s) =>
-      assert(n === line.length.toLong && s === sig(line)) }
+      assert(n === line.getBytes("UTF-8").length.toLong && s === sig(line)) }
     // nothing lost between the two routes
-    assert(clean.length + quar.length === ids.length)
+    assert(clean.length + quar.length === ids.length + 1)
   }
 }
