@@ -49,6 +49,58 @@ object Bench {
     "knn_classify", "knn_graph", "knn_brute", "dedup_embedding",
     "dedup_semantic", "agg_equidepth", "mix_curriculum", "dedup_recall")
 
+  /** Committed sf0.1 minima for the single-pass validators (SCALING.md's
+    * per-query table — refresh when that table regenerates). These are
+    * the steal-guard reference: a single-pass timing has no min-of-3
+    * protection, so a capture that lands in a co-tenant steal window
+    * would read as a multi-second regression (the r10 driver capture
+    * showed knn_graph 22.6 s vs 6.5 s committed — pure steal). If a
+    * validator's timing exceeds [[stealThresholdS]], it gets ONE warm
+    * re-probe and the min is kept; if still over, the query lands in
+    * the JSON's `steal_suspect` array so cross-round comparisons need
+    * no manual adjudication.
+    */
+  val ValidatorRefS: Map[String, Double] = Map(
+    "knn_classify" -> 7.52, "knn_graph" -> 7.07, "knn_brute" -> 0.40,
+    "dedup_embedding" -> 3.38, "dedup_semantic" -> 0.18,
+    "agg_equidepth" -> 2.29, "mix_curriculum" -> 0.16,
+    "dedup_recall" -> 1.81)
+
+  /** 2× the committed minimum, floored at 0.75 s: sub-second entries
+    * sit at the noise floor where a 2× ratio is scheduler jitter, not
+    * steal — never worth a re-probe.
+    */
+  def stealThresholdS(ref: Double): Double = math.max(2.0 * ref, 0.75)
+
+  /** The steal-guard pass (sf0.1 only — the refs are sf0.1 numbers):
+    * warm re-probe of any single-pass validator over its threshold,
+    * returning the augmented raw timings plus the still-over set.
+    */
+  def reprobeValidators(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      raw: Map[String, Seq[Double]])
+      : (Map[String, Seq[Double]], Seq[String]) = {
+    if (!sfDir.contains("sf0.1")) return (raw, Nil)
+    var acc = raw
+    val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
+    SinglePassQueries.toSeq.sorted.foreach { n =>
+      (ValidatorRefS.get(n), acc.getOrElse(n, Nil)) match {
+        case (Some(ref), runs)
+            if runs.nonEmpty && runs.min > stealThresholdS(ref) =>
+          System.err.println(s"[bench] steal-guard: $n " +
+            f"${runs.min}%.2fs > ${stealThresholdS(ref)}%.2fs, re-probing")
+          val t0 = System.nanoTime()
+          try {
+            queries(n)(spark, sfDir).count()
+            acc = acc.updated(n, runs :+ (System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => () }
+          if (acc(n).min > stealThresholdS(ref)) suspects += n
+        case _ => ()
+      }
+    }
+    (acc, suspects.toSeq)
+  }
+
   /** Wall-clock budget for the whole measure phase: sweeps after the
     * FIRST are skipped once this is exceeded (sweep 1 always completes
     * — every query must get at least one timing). The default keeps a
@@ -143,7 +195,8 @@ object Bench {
     * is the signal, sub-noise-floor entries are not.
     */
   def renderLine(results: Map[String, Double], sfDir: String,
-      dec: Int, floorSec: Double): String = {
+      dec: Int, floorSec: Double,
+      stealSuspect: Seq[String] = Nil): String = {
     val failed = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
     val ok = results.values.filter(_ >= 0)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -162,7 +215,13 @@ object Bench {
           "\"n_other_fast\":" + fast.size)
       else Nil)
     val qs = entries.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // steal_suspect only appears when non-empty (and only the full
+    // line passes it) — the short stdout line stays dense
+    val steal =
+      if (stealSuspect.isEmpty) ""
+      else stealSuspect.sorted.map("\"" + _ + "\"")
+        .mkString(""","steal_suspect":[""", ",", "]")
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs$steal,"sf":"$sfDir"}"""
   }
 
   /** The short line for stdout: densest rendering that fits the
@@ -179,10 +238,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
-    val raw = measureRaw(spark, sfDir, SparkEntry.queries)
+    val raw0 = measureRaw(spark, sfDir, SparkEntry.queries)
+    val (raw, stealSuspect) =
+      reprobeValidators(spark, sfDir, SparkEntry.queries, raw0)
     val results = minima(raw)
     val line = shortLine(results, sfDir)
-    val fullLine = renderLine(results, sfDir, 9, 0.0)
+    val fullLine = renderLine(results, sfDir, 9, 0.0, stealSuspect)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
         (fullLine + "\n").getBytes("UTF-8"))

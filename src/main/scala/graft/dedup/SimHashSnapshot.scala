@@ -82,12 +82,14 @@ object SimHashSnapshot {
     */
   def compact(spark: SparkSession, dir: String,
       retainEpochs: Int = 1): Long =
-    Epochs.rewriteToNext(spark, dir, retainEpochs) { (cur, next) =>
-      import org.apache.spark.sql.functions.col
-      spark.read.parquet(s"$cur/blocks")
-        .repartition(col("block_id"))
-        .write.mode("overwrite").partitionBy("block_id")
-        .parquet(s"$next/blocks")
+    Epochs.withMaintenanceLease(spark, dir) {
+      Epochs.rewriteToNextChecked(spark, dir, retainEpochs) { (cur, next) =>
+        import org.apache.spark.sql.functions.col
+        spark.read.parquet(s"$cur/blocks")
+          .repartition(col("block_id"))
+          .write.mode("overwrite").partitionBy("block_id")
+          .parquet(s"$next/blocks")
+      }
     }
 
   /** Takedown into epoch N+1: probes under the new epoch can never
@@ -98,12 +100,14 @@ object SimHashSnapshot {
       retainEpochs: Int = 1): Long = {
     import org.apache.spark.sql.functions.col
     val drop = ids.toSet
-    Epochs.rewriteToNext(spark, dir, retainEpochs) { (cur, next) =>
-      spark.read.parquet(s"$cur/blocks")
-        .filter(!col("doc_id").isInCollection(drop))
-        .repartition(col("block_id"))
-        .write.mode("overwrite").partitionBy("block_id")
-        .parquet(s"$next/blocks")
+    Epochs.withMaintenanceLease(spark, dir) {
+      Epochs.rewriteToNextChecked(spark, dir, retainEpochs) { (cur, next) =>
+        spark.read.parquet(s"$cur/blocks")
+          .filter(!col("doc_id").isInCollection(drop))
+          .repartition(col("block_id"))
+          .write.mode("overwrite").partitionBy("block_id")
+          .parquet(s"$next/blocks")
+      }
     }
   }
 }

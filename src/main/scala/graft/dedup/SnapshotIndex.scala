@@ -83,11 +83,14 @@ object SnapshotIndex {
     * are re-appended into the new epoch (looping until stable).
     * Duplicate appends are harmless by the retry contract (probe
     * results are distinct-ed). This closes the publish-before-recheck
-    * half of the race; the residual window — a rewrite that lists
-    * files before the append lands and publishes only after the
-    * re-check — is closed by the single-maintainer cadence the
-    * streaming face documents (run compact/remove between drained
-    * batches, like [[graft.streaming.Streams.compactMv]]).
+    * half of the race; the other half — a rewrite that lists files
+    * before the append lands and publishes only after the re-check —
+    * is closed mechanically by [[compact]]/[[remove]] rewriting
+    * through [[graft.util.Epochs.rewriteToNextChecked]] (the source
+    * epoch's content signature is re-checked before publish and the
+    * rewrite re-runs over the appended files) under
+    * [[graft.util.Epochs.withMaintenanceLease]] (two concurrent
+    * maintainers fail loudly instead of racing each other).
     */
   def append(spark: SparkSession, newDocs: DataFrame, dir: String,
       idCol: String, textCol: String, n: Int): Unit =
@@ -117,15 +120,17 @@ object SnapshotIndex {
     */
   def compact(spark: SparkSession, dir: String,
       rowsPerFile: Long = 1L << 20, retainEpochs: Int = 1): Long =
-    Epochs.rewriteToNext(spark, dir, retainEpochs) { (cur, next) =>
-      val idx = MinHashIndex.load(spark, cur)
-      idx.bands.repartition(org.apache.spark.sql.functions.col("band_id"))
-        .write.mode("overwrite").partitionBy("band_id")
-        .parquet(s"$next/bands")
-      val nRows = idx.shingles.count()
-      val nOut = math.max(1L, (nRows + rowsPerFile - 1) / rowsPerFile).toInt
-      idx.shingles.repartition(nOut)
-        .write.mode("overwrite").parquet(s"$next/shingles")
+    Epochs.withMaintenanceLease(spark, dir) {
+      Epochs.rewriteToNextChecked(spark, dir, retainEpochs) { (cur, next) =>
+        val idx = MinHashIndex.load(spark, cur)
+        idx.bands.repartition(org.apache.spark.sql.functions.col("band_id"))
+          .write.mode("overwrite").partitionBy("band_id")
+          .parquet(s"$next/bands")
+        val nRows = idx.shingles.count()
+        val nOut = math.max(1L, (nRows + rowsPerFile - 1) / rowsPerFile).toInt
+        idx.shingles.repartition(nOut)
+          .write.mode("overwrite").parquet(s"$next/shingles")
+      }
     }
 
   /** Takedown into epoch N+1: future probes under the new epoch can
@@ -138,14 +143,16 @@ object SnapshotIndex {
       retainEpochs: Int = 1): Long = {
     import org.apache.spark.sql.functions.col
     val drop = ids.toSet
-    Epochs.rewriteToNext(spark, dir, retainEpochs) { (cur, next) =>
-      val idx = MinHashIndex.load(spark, cur)
-      idx.bands.filter(!col("doc_id").isInCollection(drop))
-        .repartition(col("band_id"))
-        .write.mode("overwrite").partitionBy("band_id")
-        .parquet(s"$next/bands")
-      idx.shingles.filter(!col("doc_id").isInCollection(drop))
-        .write.mode("overwrite").parquet(s"$next/shingles")
+    Epochs.withMaintenanceLease(spark, dir) {
+      Epochs.rewriteToNextChecked(spark, dir, retainEpochs) { (cur, next) =>
+        val idx = MinHashIndex.load(spark, cur)
+        idx.bands.filter(!col("doc_id").isInCollection(drop))
+          .repartition(col("band_id"))
+          .write.mode("overwrite").partitionBy("band_id")
+          .parquet(s"$next/bands")
+        idx.shingles.filter(!col("doc_id").isInCollection(drop))
+          .write.mode("overwrite").parquet(s"$next/shingles")
+      }
     }
   }
 }

@@ -14,14 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * The image AND audio paths are REAL: `png` rows carry genuine PNG
   * payloads decoded by the JDK's `javax.imageio`
-  * ([[PngCodec]]), and `wav` rows carry genuine PCM16 RIFF/WAVE
-  * payloads decoded by `javax.sound.sampled` ([[WavCodec]]) — both
-  * synthesized deterministically per doc so the specs verify each
-  * round-trip against codec-independent pattern arithmetic, and `gif`
-  * rows carry genuine ANIMATED GIFs ([[GifCodec]]) whose temporal axis
-  * the frame sampler really decodes. Formats the JDK cannot decode
-  * (jpeg payloads here are not real jpegs; mp4 has no JDK codec) take
-  * the byte-path FALLBACK in
+  * ([[PngCodec]]), `jpeg` rows carry genuine quality-1.0 JPEGs
+  * ([[JpegCodec]] — lossy, so its specs pin a measured per-pixel
+  * tolerance instead of equality), and `wav` rows carry genuine PCM16
+  * RIFF/WAVE payloads decoded by `javax.sound.sampled` ([[WavCodec]])
+  * — each synthesized deterministically per doc so the specs verify
+  * the round-trip against codec-independent pattern arithmetic, and
+  * `gif` rows carry genuine ANIMATED GIFs ([[GifCodec]]) whose
+  * temporal axis the frame sampler really decodes. Only `mp4` (no JDK
+  * codec at all) takes the byte-path FALLBACK in
   * `decodeBatch` — the same degrade-gracefully branch a production
   * pipeline keeps for corrupt or unknown media. Swap the codec calls
   * for JNI/FFI decoders to widen the real set without touching the
@@ -59,9 +60,11 @@ object Multimodal {
     * (deterministic pixel pattern keyed by media_id, dims 16–47 px
     * from n_chars arithmetic — thumbnail-scale so synthesis is a map
     * pass, encoded executor-side in the same batch loop the decoder
-    * uses) and `wav` rows carry a REAL PCM16 WAV payload
-    * (deterministic sample pattern, 256–767 samples at [[WavRate]]);
-    * other formats carry the raw text bytes as their opaque blob.
+    * uses), `jpeg` rows a REAL quality-1.0 JPEG of the same pattern
+    * (dims 64–575 px from the fallback-branch arithmetic), and `wav`
+    * rows carry a REAL PCM16 WAV payload (deterministic sample
+    * pattern, 256–767 samples at [[WavRate]]); only `mp4` carries the
+    * raw text bytes as its opaque blob.
     * Metadata semantics per modality: images state (width, height);
     * audio overloads the same typed slots as (n_samples, sample_rate)
     * — the schema stays one struct, the format column disambiguates.
@@ -92,6 +95,8 @@ object Multimodal {
         m.format match {
           case "png" =>
             m.copy(bytes = PngCodec.synthesize(m.media_id, m.width, m.height))
+          case "jpeg" =>
+            m.copy(bytes = JpegCodec.synthesize(m.media_id, m.width, m.height))
           case "wav" =>
             m.copy(bytes = WavCodec.synthesize(m.media_id, m.width, m.height))
           case "gif" =>
@@ -113,7 +118,10 @@ object Multimodal {
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
       val real = m.format match {
-        case "png" =>
+        // ImageIO decodes BOTH: png losslessly, jpeg within the
+        // quality-1.0 tolerance JpegCodec pins — either way the
+        // checksum is the real decoded pixel sum, not a byte echo
+        case "png" | "jpeg" =>
           PngCodec.decode(m.bytes).map { case (w, h, pixelSum) =>
             MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
               pixelSum, w / 8, h / 8, decoded = true)
@@ -348,7 +356,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.map { m =>
         val real =
-          if (m.format == "png" || m.format == "gif")
+          if (m.format == "png" || m.format == "gif" || m.format == "jpeg")
             PngCodec.decodeGray(m.bytes).map { case (w, h, px) =>
               val tw = math.min(target, w)
               val th = math.min(target, h)

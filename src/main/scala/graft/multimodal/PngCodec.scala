@@ -13,12 +13,13 @@ import javax.imageio.ImageIO
   * echo.
   *
   * This is the image half of the multimodal boundary: PNG is the one
-  * format the JDK encodes AND decodes losslessly. jpeg decoding exists
-  * in the JDK too but lossy round-trips have no independent oracle,
-  * and mp4 has no JDK codec at all — those formats keep the
-  * byte-path fallback in [[Multimodal.decodeFeatures]] (exactly the
-  * fallback a production pipeline runs for undecodable media). Swap
-  * [[decode]] for a JNI/FFI decoder to widen the real set.
+  * format the JDK encodes AND decodes losslessly; JPEG goes through
+  * the same [[decode]] with a measured lossy tolerance ([[JpegCodec]]
+  * — its oracle is a per-pixel error band, not equality). Only mp4
+  * (no JDK codec at all) keeps the byte-path fallback in
+  * [[Multimodal.decodeFeatures]] (exactly the fallback a production
+  * pipeline runs for undecodable media). Swap [[decode]] for a
+  * JNI/FFI decoder to widen the real set.
   */
 object PngCodec {
 

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * (Streams.manifestStream) provably share one definition.
   *
   * A manifest row is (shard, n_rows, n_bytes, checksum): per export
-  * shard, the row count, byte volume, and a 60-bit XOR of per-row
+  * shard, the row count, the UTF-8 byte volume of the payload text
+  * (octet_length — "bytes" means octets, never a char count; the two
+  * diverge on any multibyte text), and a 60-bit XOR of per-row
   * signatures md5(doc_id ":" text). Every field is MERGEABLE —
   * counts and bytes sum, XOR checksums XOR — so the manifest of a
   * union is the merge of the parts' manifests: exactly the
@@ -22,17 +24,20 @@ object Manifest {
 
   /** Per-shard manifest partial of `docs` — the same arithmetic
     * export_manifest's oracle replays in DuckDB (seeded md5-prefix
-    * shard, 15-hex-digit row signature, bit_xor).
+    * shard, 15-hex-digit row signature, bit_xor). `n_bytes` is
+    * derived HERE as octet_length(textCol) so the label is honest by
+    * construction — callers cannot pass a char count as bytes.
     */
   def partial(docs: DataFrame, idCol: String, textCol: String,
-      bytesCol: String, seed: Long, nShards: Int): DataFrame =
+      seed: Long, nShards: Int): DataFrame =
     ShuffleShard.assign(docs, idCol, seed, nShards)
-      .select(col("shard"), col(bytesCol),
+      .select(col("shard"),
+        octet_length(col(textCol)).cast("long").as("nb"),
         conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
           col(textCol))), 1, 15), 16, 10).cast("long").as("row_sig"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(bytesCol)).as("n_bytes"),
+        sum(col("nb")).as("n_bytes"),
         expr("bit_xor(row_sig)").as("checksum"))
 
   /** Merge manifest partials back to one manifest: counts and bytes

@@ -35,13 +35,13 @@ object ShardStore {
     * Returns the published epoch (0 for a fresh store).
     */
   def publish(spark: SparkSession, dir: String, docs: DataFrame,
-      idCol: String, textCol: String, bytesCol: String, seed: Long,
+      idCol: String, textCol: String, seed: Long,
       nShards: Int, retainEpochs: Int = 1): Long = {
     val next = Epochs.published(spark, dir).lastOption.fold(0L)(_ + 1)
     val assigned = ShuffleShard.assign(docs, idCol, seed, nShards)
     ShuffleShard.writeShards(assigned, nShards,
       s"${Epochs.epochPath(dir, next)}/shards")
-    Manifest.partial(docs, idCol, textCol, bytesCol, seed, nShards)
+    Manifest.partial(docs, idCol, textCol, seed, nShards)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${Epochs.epochPath(dir, next)}/manifest")
     Epochs.publish(spark, dir, next, retainEpochs)
@@ -79,11 +79,11 @@ object ShardStore {
     * (empty mismatch set = the delivery is bit-complete).
     */
   def validate(pinned: Pinned, idCol: String, textCol: String,
-      bytesCol: String, seed: Long, nShards: Int): DataFrame = {
+      seed: Long, nShards: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val recomputed = Manifest.partial(
         pinned.shards.drop("shard", "shuffle_key"),
-        idCol, textCol, bytesCol, seed, nShards)
+        idCol, textCol, seed, nShards)
       .withColumnsRenamed(Map("n_rows" -> "got_rows",
         "n_bytes" -> "got_bytes", "checksum" -> "got_checksum"))
     pinned.manifest.join(recomputed, Seq("shard"), "full_outer")

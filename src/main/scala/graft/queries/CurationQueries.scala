@@ -585,7 +585,7 @@ object CurationQueries {
     */
   def exportManifest(s: SparkSession, dir: String): DataFrame =
     graft.ops.Manifest.partial(Tables(s, dir).documents,
-        "doc_id", "text", "n_chars", ShardSeed, NShards)
+        "doc_id", "text", ShardSeed, NShards)
       .orderBy(col("shard"))
 
   val exportManifestSql: String =
@@ -593,11 +593,11 @@ object CurationQueries {
        |  SELECT
        |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
        |      % $NShards AS shard,
-       |    n_chars,
+       |    strlen(text) AS nb,
        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT
        |      AS row_sig
        |  FROM documents)
-       |SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+       |SELECT shard, count(*) AS n_rows, sum(nb)::BIGINT AS n_bytes,
        |  bit_xor(row_sig) AS checksum
        |FROM h GROUP BY shard ORDER BY shard""".stripMargin
 
@@ -617,7 +617,7 @@ object CurationQueries {
   def manifestIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     def part(d: DataFrame): DataFrame = graft.ops.Manifest.partial(
-      d, "doc_id", "text", "n_chars", ShardSeed, NShards)
+      d, "doc_id", "text", ShardSeed, NShards)
     graft.ops.Manifest.merge(
         part(docs.filter(col("doc_id") % 2 === 0))
           .unionByName(part(docs.filter(col("doc_id") % 2 =!= 0))))
@@ -643,7 +643,7 @@ object CurationQueries {
   def manifestDiff(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir).documents
     def mf(d: DataFrame): DataFrame = graft.ops.Manifest.partial(
-      d, "doc_id", "text", "n_chars", ShardSeed, NShards)
+      d, "doc_id", "text", ShardSeed, NShards)
     val old = mf(base).select(col("shard"),
       col("n_rows").as("old_rows"), col("n_bytes").as("old_bytes"),
       col("checksum").as("old_sum"))
@@ -677,7 +677,7 @@ object CurationQueries {
        |  SELECT
        |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
        |      % $NShards AS shard,
-       |    count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+       |    count(*) AS n_rows, sum(strlen(text))::BIGINT AS n_bytes,
        |    bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
        |      1, 15))::BIGINT) AS checksum
        |  FROM documents GROUP BY 1),
@@ -685,7 +685,7 @@ object CurationQueries {
        |  SELECT
        |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
        |      % $NShards AS shard,
-       |    count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+       |    count(*) AS n_rows, sum(strlen(text))::BIGINT AS n_bytes,
        |    bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
        |      1, 15))::BIGINT) AS checksum
        |  FROM newv GROUP BY 1)
@@ -1424,10 +1424,10 @@ object CurationQueries {
     val store = graft.util.Staging.dir(s, "shard_delivery")
     val docs = Tables(s, dir).documents
     graft.ops.ShardStore.publish(s, store, docs,
-      "doc_id", "text", "n_chars", ShardSeed, NShards)
+      "doc_id", "text", ShardSeed, NShards)
     val pinned = graft.ops.ShardStore.readShards(s, store)
     graft.ops.ShardStore
-      .validate(pinned, "doc_id", "text", "n_chars", ShardSeed, NShards)
+      .validate(pinned, "doc_id", "text", ShardSeed, NShards)
       .orderBy(col("shard"))
   }
 
@@ -1436,11 +1436,11 @@ object CurationQueries {
        |  SELECT
        |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
        |      % $NShards AS shard,
-       |    n_chars,
+       |    strlen(text) AS nb,
        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT
        |      AS row_sig
        |  FROM documents)
-       |SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS n_bytes,
+       |SELECT shard, count(*) AS n_rows, sum(nb)::BIGINT AS n_bytes,
        |  bit_xor(row_sig) AS checksum, TRUE AS ok
        |FROM h GROUP BY shard ORDER BY shard""".stripMargin
 
@@ -1463,9 +1463,14 @@ object CurationQueries {
     * manifest-level skip this query's per-shard totals already provide.
     */
   def qResumeCursor(s: SparkSession, dir: String): DataFrame = {
+    // assigned feeds THREE subtrees (in-shard windows, the per-shard
+    // prefix aggregate, the total-chars probe base) — checkpoint the
+    // narrow (doc_id, n_chars, shuffle_key, shard) derivation so the
+    // scan + md5 shard assignment runs once per query, not three times
     val assigned = ShuffleShard.assign(
         Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
         "doc_id", ShardSeed, NShards)
+      .localCheckpoint(false)
     val wShard = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col("doc_id"))
     val inShard = assigned
@@ -1547,10 +1552,16 @@ object CurationQueries {
     */
   def mixPerplexityBand(s: SparkSession, dir: String): DataFrame = {
     val model = TextQueries.lmModel(s, dir)
+    // scored feeds TWO subtrees (the edge histogram and the classify
+    // join) — checkpoint the ~24 B/doc (source, n_chars, q) narrow
+    // derivation so the corpus is tokenized + LM-scored ONCE per run
+    // (the text_nbclassify/cooc_pmi doctrine); re-scoring 100 TB of
+    // text for pass 2 is the expensive half of this query
     val scored = Tables(s, dir).documents
       .select(col("source"), col("n_chars"),
         floor(graft.text.BigramLm.score(col("text"), model) * 10000 + 0.5)
           .cast("long").as("q"))
+      .localCheckpoint(false)
     val wCum = Window.partitionBy(col("source")).orderBy(col("q"))
     val wAll = Window.partitionBy(col("source"))
     val edges = scored.groupBy(col("source"), col("q"))

@@ -908,7 +908,227 @@ object DedupQueries {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** The streaming-takedown lifecycle under the FULL hash oracle — the
+    * registered face of [[graft.streaming.Streams.takedownStream]]
+    * (the q_mv_compact / q_shard_delivery move applied to the last
+    * spec-only lifecycle loop): a MinHash snapshot index over the seen
+    * corpus (the dedup_incremental 80% split) takes two planted
+    * takedown waves (doc_id ≡ 3 then ≡ 10 mod 97, within the seen
+    * split) through the real stream — each non-empty batch scrubs the
+    * snapshot-isolated index under a fresh published epoch and lands
+    * its (doc_id, epoch) audit rows batch-keyed. The face returns, per
+    * removed doc: its audit epoch, `n_before` = its τ ≥ 0.7 index
+    * matches before any scrub (self-match included — jaccard 1), and
+    * `n_after` = its matches against the FINAL index. The oracle
+    * replays wave routing + epoch arithmetic and BOTH probe counts via
+    * exact Jaccard over the split (the dedup_incremental S-curve
+    * argument) — a hash match proves the audit trail names exactly the
+    * planted ids with the right epochs AND the scrub removed exactly
+    * the taken-down docs: each n_after counts only SURVIVING
+    * lookalikes (the removed doc itself always gone), so a scrub that
+    * missed a doc, or ate a survivor, flips the hash.
+    *
+    * Scale: probe cost is the band equi-join on a removal-set-sized
+    * batch (KB by the takedown contract); the stream's per-batch cost
+    * is one epoch rewrite of the index — the price SnapshotIndex
+    * already documents. The probes are the consumer-visible PROOF of
+    * the scrub, not an extra corpus pass.
+    */
+  def qTakedownAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = graft.util.Staging.dir(s, "takedown_audit")
+    val idxDir = s"$base/index"
+    val auditDir = s"$base/audit"
+    val docs = Tables(s, dir).documents
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    graft.dedup.SnapshotIndex.init(
+      graft.dedup.MinHashIndex.build(seen, "doc_id", "text", n = 3),
+      s, idxDir)
+    // planted waves — takedown lists are driver-side by the
+    // takedownStream contract (KB-scale in-lists)
+    def wave(r: Long): Seq[Long] = seen
+      .filter(pmod(col("doc_id"), lit(97L)) === r)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val (w1, w2) = (wave(3L), wave(10L))
+    require(w1.nonEmpty && w2.nonEmpty,
+      "takedown_audit: fixture waves must both be non-empty")
+    val removedDocs = docs.filter(pmod(col("doc_id"), lit(5)) < 4 &&
+        (pmod(col("doc_id"), lit(97L)) === 3 ||
+          pmod(col("doc_id"), lit(97L)) === 10))
+      .select(col("doc_id"), col("text"))
+    // n_before probes epoch 0 and is MATERIALIZED now: the second
+    // publish retires epoch 0 (retention 1), so this plan must not
+    // re-run afterwards
+    val before = graft.dedup.MinHashIndex.probe(
+        graft.dedup.SnapshotIndex.load(s, idxDir).index,
+        removedDocs, "doc_id", "text", n = 3, tau = 0.7)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_before"))
+      .localCheckpoint(true)
+    val ms =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = graft.streaming.Streams.takedownStream(
+      ms.toDS().toDF("doc_id"), idxDir, auditDir)
+    try {
+      ms.addData(w1); q.processAllAvailable()
+      ms.addData(w2); q.processAllAvailable()
+    } finally q.stop()
+    val after = graft.dedup.MinHashIndex.probe(
+        graft.dedup.SnapshotIndex.load(s, idxDir).index,
+        removedDocs, "doc_id", "text", n = 3, tau = 0.7)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_after"))
+    s.read.parquet(auditDir).select(col("doc_id"), col("epoch"))
+      .join(before, Seq("doc_id"), "left")
+      .join(after, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("epoch"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Replays wave routing (mod-97 classes within the mod-5 seen
+    * split), the per-wave epoch, and both probe counts as exact
+    * Jaccard over word trigrams — n_after restricted to surviving
+    * index docs.
+    */
+  val qTakedownAuditSql: String =
+    s"""WITH rm AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 97 = 3 THEN 1 ELSE 2 END::BIGINT AS epoch
+       |  FROM documents
+       |  WHERE doc_id % 5 < 4 AND doc_id % 97 IN (3, 10)),
+       |sh AS ($shingleSql),
+       |hits AS (
+       |  SELECT r.doc_id AS rid, s.doc_id AS sid
+       |  FROM rm r
+       |  JOIN sh rs ON rs.doc_id = r.doc_id
+       |  JOIN sh s ON s.doc_id % 5 < 4
+       |  WHERE round(len(list_intersect(rs.sh, s.sh))::DOUBLE /
+       |          len(list_distinct(list_concat(rs.sh, s.sh))), 4) >= 0.7),
+       |nb AS (SELECT rid, count(*) AS n FROM hits GROUP BY rid),
+       |na AS (SELECT rid, count(*) AS n FROM hits
+       |       WHERE sid NOT IN (SELECT doc_id FROM rm) GROUP BY rid)
+       |SELECT r.doc_id, r.epoch,
+       |  coalesce(nb.n, 0)::BIGINT AS n_before,
+       |  coalesce(na.n, 0)::BIGINT AS n_after
+       |FROM rm r
+       |LEFT JOIN nb ON nb.rid = r.doc_id
+       |LEFT JOIN na ON na.rid = r.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+
+  /** The streaming ADMISSION loop under the full hash oracle — the
+    * registered face of
+    * [[graft.streaming.Streams.dedupIndexStreamSnapshot]] (the last
+    * streaming lifecycle whose registered face was cheap: the batch
+    * body dedupIndexBatchOn is shared code): the seen corpus (mod-5
+    * split) seeds a snapshot index; the fresh 20% arrives as two crawl
+    * batches (doc parity); per batch the stream drops intra-batch
+    * near-dups (id_b of any τ ≥ 0.7 pair — "keep the smaller id"),
+    * rejects docs that duplicate the INDEX SO FAR (seen ∪ earlier
+    * admissions — batch 1 must honor batch 0's appends), appends the
+    * admissions, and lands them batchId-keyed. The face reports per
+    * batch (n_arrived, n_admitted, sum_admitted_ids); the id sum makes
+    * the hash sensitive to WHICH docs were admitted, not just how
+    * many. The oracle replays the whole admission cascade as exact
+    * Jaccard CTEs (the dedup_minhash_lsh S-curve argument), so a
+    * missed rejection, a phantom admission, or batch 1 ignoring batch
+    * 0's appends all flip the hash.
+    *
+    * The driver-side collect feeds the MemoryStream FIXTURE only (the
+    * same mechanism every streaming spec uses) — the operator under
+    * test reads a stream; production feeds it from a file/queue
+    * source. Scale is dedupIndexStream's documented price: per batch
+    * one banded self-join of the batch + one band equi-join against
+    * the index.
+    */
+  def qAdmissionAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = graft.util.Staging.dir(s, "admission_audit")
+    val idxDir = s"$base/index"
+    val outDir = s"$base/out"
+    val docs = Tables(s, dir).documents
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    graft.dedup.SnapshotIndex.init(
+      graft.dedup.MinHashIndex.build(seen, "doc_id", "text", n = 3),
+      s, idxDir)
+    val rows = fresh.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    require(b0.nonEmpty && b1.nonEmpty,
+      "admission_audit: both crawl batches must be non-empty")
+    val ms =
+      org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.dedupIndexStreamSnapshot(
+      ms.toDS().toDF("doc_id", "text"), idxDir, "doc_id", "text",
+      n = 3, tau = 0.7, outDir)
+    try {
+      ms.addData(b0.toSeq); q.processAllAvailable()
+      ms.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val arrived = fresh
+      .groupBy(pmod(col("doc_id"), lit(2)).as("batch"))
+      .agg(count(lit(1)).as("n_arrived"))
+    val admitted = s.read.parquet(outDir)
+      .groupBy(col("batch").cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("doc_id")).as("sum_admitted_ids"))
+    arrived.join(admitted, Seq("batch"), "left")
+      .select(col("batch"), col("n_arrived"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("sum_admitted_ids"), lit(0L)).as("sum_admitted_ids"))
+      .orderBy(col("batch"))
+  }
+
+  /** Replays the two-batch admission cascade with exact Jaccard:
+    * intra-batch "∃ smaller τ-match in the batch" drops, then the
+    * index-so-far rejection (seen for batch 0; seen ∪ batch-0
+    * admissions for batch 1).
+    */
+  val qAdmissionAuditSql: String =
+    s"""WITH sh AS ($shingleSql),
+       |fr AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+       |sn AS (SELECT doc_id FROM documents WHERE doc_id % 5 < 4),
+       |b0 AS (SELECT doc_id FROM fr WHERE doc_id % 2 = 0),
+       |b1 AS (SELECT doc_id FROM fr WHERE doc_id % 2 = 1),
+       |jac AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j
+       |  FROM sh a JOIN sh b ON b.doc_id % 5 = 4
+       |  WHERE a.doc_id <> b.doc_id),
+       |adm0 AS (
+       |  SELECT x.doc_id FROM b0 x
+       |  WHERE NOT EXISTS (SELECT 1 FROM jac j JOIN b0 y ON j.ida = y.doc_id
+       |          WHERE j.idb = x.doc_id AND j.ida < x.doc_id AND j.j >= 0.7)
+       |    AND NOT EXISTS (SELECT 1 FROM jac j JOIN sn s ON j.ida = s.doc_id
+       |          WHERE j.idb = x.doc_id AND j.j >= 0.7)),
+       |adm1 AS (
+       |  SELECT x.doc_id FROM b1 x
+       |  WHERE NOT EXISTS (SELECT 1 FROM jac j JOIN b1 y ON j.ida = y.doc_id
+       |          WHERE j.idb = x.doc_id AND j.ida < x.doc_id AND j.j >= 0.7)
+       |    AND NOT EXISTS (SELECT 1 FROM jac j
+       |          WHERE j.idb = x.doc_id AND j.j >= 0.7
+       |            AND (j.ida IN (SELECT doc_id FROM sn)
+       |              OR j.ida IN (SELECT doc_id FROM adm0))))
+       |SELECT 0::BIGINT AS batch,
+       |  (SELECT count(*) FROM b0)::BIGINT AS n_arrived,
+       |  (SELECT count(*) FROM adm0)::BIGINT AS n_admitted,
+       |  coalesce((SELECT sum(doc_id) FROM adm0), 0)::BIGINT
+       |    AS sum_admitted_ids
+       |UNION ALL
+       |SELECT 1::BIGINT, (SELECT count(*) FROM b1)::BIGINT,
+       |  (SELECT count(*) FROM adm1)::BIGINT,
+       |  coalesce((SELECT sum(doc_id) FROM adm1), 0)::BIGINT
+       |ORDER BY batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_admission_audit" -> (qAdmissionAudit _),
+    "q_takedown_audit" -> (qTakedownAudit _),
     "dedup_inline" -> (dedupInline _),
     "dedup_recall" -> (dedupRecall _),
     "dedup_containment" -> (dedupContainment _),
@@ -935,6 +1155,8 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_admission_audit" -> qAdmissionAuditSql,
+    "q_takedown_audit" -> qTakedownAuditSql,
     "q_takedown_propagate" -> qTakedownPropagateSql,
     "dedup_inline" -> dedupInlineSql,
     "dedup_containment" -> dedupContainmentSql,

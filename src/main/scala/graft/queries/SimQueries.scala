@@ -1188,7 +1188,9 @@ object SimQueries {
     * RAISES at the centroid build (a raise_error guard on the
     * label-cardinality frame — zero corpus-side cost), so an
     * out-of-radix corpus fails loudly instead of silently wrapping
-    * the assignment. Map-side after a KB broadcast; the only
+    * the assignment; the MAGNITUDE half of the headroom is guarded
+    * the same way (max |x| ≤ 180 riding the centroid aggregate — the
+    * inline bound derivation), so "unit-ish" is enforced, not assumed. Map-side after a KB broadcast; the only
     * exchanges are the centroid build (64·|labels| partial-agg rows)
     * and the final |labels|² count — the 100 TB shape of every
     * assign-to-codebook pass (IVF routing, NCM classify, domain mix).
@@ -1198,14 +1200,30 @@ object SimQueries {
     val cents = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"),
+        max(abs(col("x").cast("double"))).as("mx"))
       .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"),
+        max(col("mx")).as("mx"))
       .select(
         when(col("label") < 0 || col("label") >= 1024,
           raise_error(concat(
             lit("emb_ncm_share: label outside the 1024-class radix: "),
             col("label").cast("string"))))
+          // the 63-bit key's headroom also assumes bounded embedding
+          // MAGNITUDE: with max|x| ≤ 180, every centroid mean lies in
+          // [−180, 180], so per-dim (x−c)² ≤ 360² and the worst key is
+          // 64·360²·1e9·1024 ≈ 8.5e18 < 2⁶³−1 ≈ 9.22e18. Every label
+          // row carries its own max|x| (riding the same partial
+          // aggregate that builds the centroids — zero extra corpus
+          // passes) and every x belongs to some label, so ANY
+          // out-of-range value in the corpus RAISES here instead of
+          // silently wrapping the argmin.
+          .when(col("mx") > 180.0,
+            raise_error(concat(
+              lit("emb_ncm_share: embedding magnitude exceeds the " +
+                "quantized-key headroom (max |x| = "),
+              col("mx").cast("string"), lit(" > 180))"))))
           .otherwise(col("label")).as("clabel"),
         expr("transform(dc, p -> p.c)").as("cvec"))
       .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))

@@ -676,8 +676,19 @@ object SourceQueries {
     */
   def sourceQuarantine(s: SparkSession, dir: String): DataFrame = {
     val out = graft.util.Staging.dir(s, "quarantine_src")
+    // the CONCAT line builder (and the byte-replaying DuckDB oracle)
+    // assume `source` is a JSON-safe identifier — a quote, backslash
+    // or control char would make a CLEAN line unparseable Spark-side
+    // while the oracle still routes by doc_id % 23 alone. Guard it
+    // loudly: a future fixture with exotic source names must fail
+    // here, not surface as an oracle hash mismatch. (Escaping via
+    // to_json on both sides is the lift if sources ever need it.)
+    val safeSource = when(col("source").rlike("[\"\\\\\\u0000-\\u001f]"),
+        raise_error(concat(lit("source_quarantine: source value is not " +
+          "JSON-safe for the concat line builder: "), col("source"))))
+      .otherwise(col("source"))
     val line = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
-      lit(",\"source\":\""), col("source"), lit("\",\"len\":"),
+      lit(",\"source\":\""), safeSource, lit("\",\"len\":"),
       col("n_chars").cast("string"), lit("}"))
     Tables(s, dir).documents
       .select(line.as("l"), col("doc_id"))

@@ -849,11 +849,11 @@ object Streams {
     * mvRefreshStream's batchId-keyed overwrite.
     */
   def manifestStream(docs: DataFrame, stateDir: String, idCol: String,
-      textCol: String, bytesCol: String, seed: Long, nShards: Int,
+      textCol: String, seed: Long, nShards: Int,
       checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     mvRefreshStream(docs, stateDir,
-      b => graft.ops.Manifest.partial(b, idCol, textCol, bytesCol,
+      b => graft.ops.Manifest.partial(b, idCol, textCol,
         seed, nShards),
       checkpointDir)
 
@@ -1004,25 +1004,41 @@ object Streams {
     * localCheckpointed batch); no state store, no watermark — the
     * quarantine trail grows with bad data, not with time.
     */
+  /** Internal corrupt-record column [[quarantineStream]] appends to the
+    * caller's clean schema — deliberately namespaced so a user schema
+    * (or a JSON document carrying a literal `_bad` key) cannot collide
+    * with it.
+    */
+  val QuarantineCorruptCol = "_graft_corrupt"
+
   def quarantineStream(lines: DataFrame, schemaDdl: String, outDir: String,
       checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the corrupt-record column is appended to the CLEAN schema under a
+    // collision-resistant name: a caller whose schema (or whose data's
+    // literal JSON keys) uses a plain `_bad` must not get a duplicate-
+    // column analysis error or have clean rows misrouted to quarantine;
+    // a schema that somehow declares the graft-internal name itself is
+    // rejected loudly rather than silently shadowed
+    require(!schemaDdl.contains(QuarantineCorruptCol),
+      s"quarantineStream: schemaDdl must not declare $QuarantineCorruptCol" +
+        " — it is the internal corrupt-record column")
     val writer = lines.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val shared = batch.localCheckpoint(false)
         try {
           val parsed = shared.select(col("value"),
-            from_json(col("value"), s"$schemaDdl, _bad STRING",
-              Map("columnNameOfCorruptRecord" -> "_bad")).as("j"))
+            from_json(col("value"), s"$schemaDdl, $QuarantineCorruptCol STRING",
+              Map("columnNameOfCorruptRecord" -> QuarantineCorruptCol)).as("j"))
           // quarantine = anything the parser did not turn into a clean
           // typed row: malformed (corrupt column set), NULL input (the
           // struct itself comes back null), or a null line
           val bad = col("value").isNull || col("j").isNull ||
-            col("j._bad").isNotNull
+            col(s"j.$QuarantineCorruptCol").isNotNull
           val line = coalesce(col("value"), lit(""))
           parsed.filter(!bad)
-            .select(col("j.*")).drop("_bad")
+            .select(col("j.*")).drop(QuarantineCorruptCol)
             .write.mode("overwrite").parquet(s"$outDir/clean/batch=$batchId")
           parsed.filter(bad)
             .select(line.as("line"),
@@ -1188,12 +1204,14 @@ object Streams {
     * by the retry contract). That re-append closes the common race;
     * the residual window (a rewrite that listed the old epoch's files
     * before the append landed AND publishes only after the re-check)
-    * is governed by the single-maintainer cadence: run compact/remove
-    * between drained batches — `processAllAvailable()` then maintain —
-    * exactly [[compactMv]]'s contract. READS need no cadence (that is
-    * the point of the snapshot); only the append-vs-rewrite overlap
-    * does. Same retry contract as the flat stream (self-match filter +
-    * batchId-keyed output overwrite).
+    * is closed MECHANICALLY since r11: SnapshotIndex.compact/remove
+    * rewrite through [[graft.util.Epochs.rewriteToNextChecked]] (the
+    * source epoch's content signature is re-checked before publish,
+    * so a mid-rewrite append re-runs the rewrite and survives) under
+    * [[graft.util.Epochs.withMaintenanceLease]] (two concurrent
+    * maintainers fail loudly). READS need no cadence (that is the
+    * point of the snapshot). Same retry contract as the flat stream
+    * (self-match filter + batchId-keyed output overwrite).
     */
   def dedupIndexStreamSnapshot(docs: DataFrame, indexRoot: String,
       idCol: String, textCol: String, n: Int, tau: Double, outDir: String,

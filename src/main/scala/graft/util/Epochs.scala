@@ -90,13 +90,29 @@ object Epochs {
     // file BEFORE it becomes visible under the pointer name
     // (delete + rename), so a concurrent reader sees the old full
     // content, nothing (FNF → max-published fallback), or the new full
-    // content — never a zero-byte or half-written pointer
+    // content — never a zero-byte or half-written pointer. The temp
+    // name is unique per publish so two racing publishes can never
+    // interleave through a shared temp file, and the rename result is
+    // CHECKED: a false return (a racer recreated the pointer between
+    // our delete and rename) retries once against the new state and
+    // then fails loudly — a silent no-pointer window is the one
+    // outcome current()'s max-published fallback cannot distinguish
+    // from normal operation.
     val ptr = new Path(dir, "_CURRENT")
-    val tmp = new Path(dir, "_CURRENT.tmp")
+    val tmp = new Path(dir, s"_CURRENT.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
     fs.delete(ptr, false)
-    fs.rename(tmp, ptr)
+    if (!fs.rename(tmp, ptr)) {
+      fs.delete(ptr, false)
+      if (!fs.rename(tmp, ptr)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"Epochs.publish: could not swing $ptr to epoch $epoch after " +
+            "retry — a concurrent publisher is racing this one; " +
+            "maintenance must run under withMaintenanceLease")
+      }
+    }
     published(spark, dir).filter(_ < epoch - retain)
       .foreach(e => fs.delete(new Path(epochPath(dir, e)), true))
   }
@@ -104,6 +120,11 @@ object Epochs {
   /** Rewrite the current epoch's artifact into the next epoch dir and
     * publish it; returns the new epoch. `rewrite(currentDir, nextDir)`
     * must fully materialize the artifact under nextDir.
+    *
+    * UNFENCED: a writer appending into the current epoch while the
+    * rewrite runs can be silently dropped (the rewrite lists the old
+    * files, publishes, the old epoch retires with the append inside).
+    * Index maintenance goes through [[rewriteToNextChecked]].
     */
   def rewriteToNext(spark: SparkSession, dir: String, retain: Int = 1)(
       rewrite: (String, String) => Unit): Long = {
@@ -112,5 +133,104 @@ object Epochs {
     rewrite(epochPath(dir, cur), epochPath(dir, next))
     publish(spark, dir, next, retain)
     next
+  }
+
+  /** Order-independent fingerprint of the file tree under `path`:
+    * sorted (relative path, byte length) lines. An append adds files
+    * and a takedown/compact replaces them, so ANY maintenance-relevant
+    * change to an epoch's artifact changes the signature; modification
+    * times are deliberately excluded (not rename-stable on object
+    * stores). A file rewritten in place to the same byte length is
+    * invisible — parquet writers never do that (every commit creates
+    * new part files), which is the contract this fingerprint rides.
+    */
+  def contentSignature(spark: SparkSession, path: String): String = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    if (!fs.exists(root)) return "<absent>"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    val rootPath = root.toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      buf += s"${st.getPath.toUri.getPath.stripPrefix(rootPath)}:${st.getLen}"
+    }
+    buf.sorted.mkString("\n")
+  }
+
+  /** [[rewriteToNext]] with the append-journal fence (the mechanical
+    * closure of the append/rewrite race): the source epoch's
+    * [[contentSignature]] is recorded BEFORE the rewrite and re-checked
+    * AFTER it, immediately before publish. If an append landed in the
+    * source epoch mid-rewrite the signatures differ — the half-built
+    * next epoch is discarded and the rewrite re-runs over the now-
+    * larger source, so the concurrent append SURVIVES into the
+    * published epoch instead of silently retiring with the old one.
+    * After `maxAttempts` signature mismatches the operation fails
+    * loudly (an append storm should win over maintenance, not lose to
+    * it). The residual window — an append whose files land after the
+    * final re-list — is closed from the append side: appenders re-read
+    * the current epoch after their write and re-append on advance
+    * (SnapshotIndex/SimHashSnapshot unconditionally; IvfPqSnapshot
+    * verified-by-id).
+    *
+    * Cost at 100 TB: two recursive LISTs of one epoch directory per
+    * attempt — metadata-only, proportional to file count, zero data
+    * read.
+    */
+  def rewriteToNextChecked(spark: SparkSession, dir: String,
+      retain: Int = 1, maxAttempts: Int = 3)(
+      rewrite: (String, String) => Unit): Long = {
+    val cur = current(spark, dir)
+    val next = cur + 1
+    val fs = fsOf(spark, dir)
+    var attempt = 0
+    var stable = false
+    while (!stable) {
+      attempt += 1
+      val before = contentSignature(spark, epochPath(dir, cur))
+      rewrite(epochPath(dir, cur), epochPath(dir, next))
+      if (contentSignature(spark, epochPath(dir, cur)) == before)
+        stable = true
+      else if (attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"Epochs.rewriteToNextChecked: epoch $cur under $dir changed " +
+            s"during every one of $maxAttempts rewrite attempts — " +
+            "concurrent appends are outpacing maintenance; drain the " +
+            "ingest before compacting")
+      else fs.delete(new Path(epochPath(dir, next)), true)
+    }
+    publish(spark, dir, next, retain)
+    next
+  }
+
+  /** Single-maintainer enforcement: run `body` holding the directory's
+    * maintenance lease (`_MAINTENANCE.lock`, created atomically with
+    * overwrite = false). A second concurrent maintainer gets a loud
+    * IllegalStateException instead of a silent epoch race — the
+    * mechanical form of the "run compact/remove between ingest
+    * batches" cadence the snapshot indexes document. The lease guards
+    * MAINTAINERS against each other only; appends and reads never take
+    * it (appends are fenced by [[rewriteToNextChecked]]'s signature
+    * loop plus their own epoch-advance re-append, reads by snapshot
+    * isolation). A maintainer that dies holding the lease leaves the
+    * lock file behind — deliberately: a crashed rewrite wants a human
+    * (or an orchestrator that knows the process is dead) to remove
+    * `_MAINTENANCE.lock`, not a timeout that silently re-admits the
+    * race the lease exists to prevent.
+    */
+  def withMaintenanceLease[T](spark: SparkSession, dir: String)(
+      body: => T): T = {
+    val fs = fsOf(spark, dir)
+    val lease = new Path(dir, "_MAINTENANCE.lock")
+    val acquired =
+      try { fs.create(lease, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired)
+      throw new IllegalStateException(
+        s"Epochs.withMaintenanceLease: $lease is held — epoch " +
+          "maintenance is single-maintainer; if its owner crashed, " +
+          "remove the lock file and re-run")
+    try body finally fs.delete(lease, false)
   }
 }

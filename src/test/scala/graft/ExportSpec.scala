@@ -109,14 +109,14 @@ class ExportSpec extends SparkSpec {
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val v1Ids = ids(v1)
 
-    assert(ShardStore.publish(spark, dir, v1, "doc_id", "text", "n_chars",
+    assert(ShardStore.publish(spark, dir, v1, "doc_id", "text",
       seed = 42L, nShards = 8) === 0L)
     val run = ShardStore.readShards(spark, dir) // training starts here
     assert(run.epoch === 0L)
     assert(ids(run.shards) === v1Ids)
 
     // the exporter publishes the next crawl mid-training
-    assert(ShardStore.publish(spark, dir, v2, "doc_id", "text", "n_chars",
+    assert(ShardStore.publish(spark, dir, v2, "doc_id", "text",
       seed = 42L, nShards = 8) === 1L)
     assert(ids(run.shards) === v1Ids,
       "a pinned run must keep reading its epoch after a new publish")
@@ -131,18 +131,18 @@ class ExportSpec extends SparkSpec {
     // delivery validation: recomputed manifest matches the published
     // one shard-for-shard on both epochs
     Seq(run, now).foreach { p =>
-      val bad = ShardStore.validate(p, "doc_id", "text", "n_chars",
+      val bad = ShardStore.validate(p, "doc_id", "text",
         seed = 42L, nShards = 8).filter(!col("ok"))
       assert(bad.isEmpty, s"epoch ${p.epoch}: delivery validation failed")
     }
     // a corrupted delivery is CAUGHT: drop one doc from the read frame
     val torn = run.copy(shards = run.shards.filter(col("doc_id") =!= v1Ids.head))
-    assert(ShardStore.validate(torn, "doc_id", "text", "n_chars",
+    assert(ShardStore.validate(torn, "doc_id", "text",
       seed = 42L, nShards = 8).filter(!col("ok")).count() >= 1L)
 
     // retention: one more publish retires epoch 0; reading it fails
     // loudly, never returns a partial tree
-    assert(ShardStore.publish(spark, dir, v1, "doc_id", "text", "n_chars",
+    assert(ShardStore.publish(spark, dir, v1, "doc_id", "text",
       seed = 42L, nShards = 8) === 2L)
     assert(ShardStore.publishedEpochs(spark, dir) === Seq(1L, 2L))
     intercept[IllegalArgumentException] {

@@ -522,4 +522,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1,
       s"clean/quarantine split must not add exchanges:\n${plan.take(1200)}")
   }
+
+  test("q_takedown_audit: removal-set-scale probe counts broadcast onto " +
+      "the audit trail; nothing goes cartesian") {
+    val plan = planOf(graft.queries.DedupQueries.qTakedownAudit(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-doc probe counts must broadcast:\n" + plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
 }

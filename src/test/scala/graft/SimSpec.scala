@@ -632,14 +632,12 @@ class SimSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet
       .subsetOf(Set("png", "jpeg", "wav", "gif", "mp4")))
     val byFormat = out.map(r => r.getString(0) -> r).toMap
-    // png and wav rows all decode; fallback formats never claim to
-    assert(byFormat("png").getLong(2) === byFormat("png").getLong(1),
-      "every png row must take the real-decode branch")
-    assert(byFormat("wav").getLong(2) === byFormat("wav").getLong(1),
-      "every wav row must take the real-decode branch")
-    assert(byFormat("gif").getLong(2) === byFormat("gif").getLong(1),
-      "every gif row must take the real-decode branch")
-    out.filter(r => !Set("png", "wav", "gif").contains(r.getString(0)))
+    // png/jpeg/wav/gif rows all decode; only mp4 takes the fallback
+    Seq("png", "jpeg", "wav", "gif").foreach { f =>
+      assert(byFormat(f).getLong(2) === byFormat(f).getLong(1),
+        s"every $f row must take the real-decode branch")
+    }
+    out.filter(r => !Set("png", "jpeg", "wav", "gif").contains(r.getString(0)))
       .foreach(r =>
         assert(r.getLong(2) === 0L, s"${r.getString(0)} must use the fallback"))
     // INDEPENDENT oracles for the decoded checksums: pattern arithmetic
@@ -671,6 +669,51 @@ class SimSpec extends SparkSpec {
       }.sum
     assert(byFormat("gif").getLong(4) === expectedGif,
       "gif checksum sum must equal the codec-independent frame pattern sums")
+    // jpeg is LOSSY (quality 1.0): the independent oracle is the
+    // pattern sum within JpegCodec's measured per-pixel error band —
+    // |Σ decoded − Σ pattern| ≤ Σ|err| ≤ meanTol · total pixels
+    val jpegDims = docs.filter(_.getLong(1) % 5 === 1L)
+      .map { r =>
+        val nc = r.getLong(1)
+        (r.getLong(0), (64 + nc % 512).toInt, (64 + (nc * 7) % 512).toInt)
+      }
+    val expectedJpeg = jpegDims.map { case (id, w, h) =>
+      graft.multimodal.PngCodec.patternSum(id, w, h) }.sum
+    val jpegPixels = jpegDims.map { case (_, w, h) => w.toLong * h }.sum
+    val jpegDelta = math.abs(byFormat("jpeg").getLong(4) - expectedJpeg)
+    assert(jpegDelta <=
+        (graft.multimodal.JpegCodec.MeanAbsPixelTolerance * jpegPixels).toLong,
+      s"jpeg checksum sum off the pattern oracle by $jpegDelta " +
+        s"over $jpegPixels pixels")
+  }
+
+  test("JpegCodec: quality-1.0 round-trip recovers dims exactly and " +
+      "every pixel within the measured error band") {
+    import graft.multimodal.{JpegCodec, PngCodec}
+    Seq((3L, 64, 71), (42L, 129, 90), (487L, 320, 200)).foreach {
+      case (id, w, h) =>
+        val bytes = JpegCodec.synthesize(id, w, h)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert((img.getWidth, img.getHeight) === ((w, h)))
+        var absSum = 0L
+        var maxErr = 0
+        for (y <- 0 until h; x <- 0 until w) {
+          val e = math.abs((img.getRGB(x, y) & 0xff) - PngCodec.pixel(id, x, y))
+          absSum += e
+          maxErr = math.max(maxErr, e)
+        }
+        assert(maxErr <= JpegCodec.MaxAbsPixelTolerance,
+          s"id=$id worst pixel error $maxErr")
+        assert(absSum.toDouble / (w * h) <= JpegCodec.MeanAbsPixelTolerance,
+          s"id=$id mean error ${absSum.toDouble / (w * h)}")
+        // and the shared decode path agrees with a direct ImageIO read
+        val (dw, dh, sum) = PngCodec.decode(bytes).get
+        assert((dw, dh) === ((w, h)))
+        assert(sum ===
+          (for (y <- 0 until h; x <- 0 until w)
+            yield (img.getRGB(x, y) & 0xff).toLong).sum)
+    }
   }
 
   test("mm_audio: every clip's frame features equal the pattern replay") {
@@ -807,14 +850,14 @@ class SimSpec extends SparkSpec {
     val feats = graft.multimodal.Multimodal.decodeFeatures(media)
     val n = graft.util.Tables(spark, sf).documents.count()
     assert(feats.count() === n)
-    // fallback rows pass the text bytes through unchanged; png rows
-    // carry an encoder-sized payload (non-empty, spec'd above), wav
-    // rows exactly the canonical 44-byte header + 2 bytes per sample
+    // fallback rows (mp4 only) pass the text bytes through unchanged;
+    // png/jpeg rows carry an encoder-sized payload (non-empty, spec'd
+    // above), wav rows exactly the canonical 44-byte header + 2 bytes
+    // per sample
     val joined = feats.toDF().join(
       graft.util.Tables(spark, sf).documents,
       col("media_id") === col("doc_id"))
-    assert(joined.filter(col("format") =!= "png" && col("format") =!= "wav"
-        && col("format") =!= "gif")
+    assert(joined.filter(col("format") === "mp4")
       .filter(col("n_bytes") =!= length(col("text"))).count() === 0)
     assert(joined.filter(col("format") === "wav")
       .filter(col("n_bytes") =!=
@@ -1199,6 +1242,33 @@ class SimSpec extends SparkSpec {
       val r = rows(id)
       assert(r.getBoolean(7) && r.getLong(6) > 0)
     }
+    // jpeg rows (n_chars % 5 == 1) now REALLY decode: dims exact, luma
+    // within the lossy band (≤ 1 pixel error feeding each box average,
+    // ±1 more from the integer division — ≤ 2 per thumb cell)
+    val jpegChecked = metas.toSeq.filter(_._2 % 5 == 1).sortBy(_._1)
+      .take(5).map { case (id, nc) =>
+        val w = (64 + nc % 512).toInt
+        val h = (64 + (nc * 7) % 512).toInt
+        val tw = math.min(8, w); val th = math.min(8, h)
+        var luma = 0L
+        for (ty <- 0 until th; tx <- 0 until tw) {
+          val x0 = tx * w / tw; val x1 = (tx + 1) * w / tw
+          val y0 = ty * h / th; val y1 = (ty + 1) * h / th
+          var acc = 0L; var cnt = 0L
+          for (y <- y0 until math.max(y1, y0 + 1);
+               x <- x0 until math.max(x1, x0 + 1)) {
+            acc += graft.multimodal.PngCodec.pixel(id, x, y); cnt += 1
+          }
+          luma += acc / cnt
+        }
+        val r = rows(id)
+        assert(r.getBoolean(7), s"jpeg row $id must decode")
+        assert((r.getInt(1), r.getInt(2)) === ((w, h)), s"jpeg dims of $id")
+        assert(math.abs(r.getLong(5) - luma) <= 2L * tw * th,
+          s"jpeg luma of $id off by ${math.abs(r.getLong(5) - luma)}")
+        id
+      }
+    assert(jpegChecked.size === 5, "expected 5 jpeg rows replayed")
   }
 
   test("emb_dim_stats: dead dim and constant dim report exactly") {
@@ -1373,5 +1443,93 @@ class SimSpec extends SparkSpec {
       "every vector assigned exactly once")
     assert(got.keys.forall { case (_, a) => labels.contains(a.toInt) },
       "assignments stay inside the label set")
+  }
+
+  test("Epochs fence: an append landing mid-rewrite survives into the " +
+      "published epoch exactly once; a persistent append storm fails " +
+      "loudly; a second concurrent maintainer errors on the lease") {
+    import graft.sim.{IvfPqIndex, IvfPqSnapshot}
+    import graft.util.Epochs
+    val e = graft.util.Tables(spark, sf).embeddings
+    val day1 = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val late = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val lateIds = late.select("vec_id").collect().map(_.getLong(0)).toSet
+    val index = IvfPqIndex.fit(day1, "vec_id", "embedding",
+      c = 8, m = 8, ks = 16, iters = 2)
+    // the saved cells table carries the search-contract id column
+    // (neighbor_id — Pq.cellCodes' output), whatever idCol fed it
+    def distinctIds(dir: String, epoch: Long): Set[Long] =
+      spark.read.parquet(s"$dir/epoch=$epoch/cells")
+        .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSet
+    def dupIds(dir: String, epoch: Long): Long =
+      spark.read.parquet(s"$dir/epoch=$epoch/cells")
+        .groupBy("neighbor_id").count().filter(col("count") > 1).count()
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_epoch_fence").toString
+    IvfPqSnapshot.init(index, spark, dir)
+
+    // (1) an append injected into the FIRST rewrite attempt changes the
+    // source epoch's content signature — the checked rewrite discards
+    // the half-built next epoch and re-runs over the appended files,
+    // so the admission survives, exactly once
+    var attempts = 0
+    val published = Epochs.rewriteToNextChecked(spark, dir) { (cur, next) =>
+      attempts += 1
+      if (attempts == 1)
+        IvfPqIndex.append(spark, cur, late, "vec_id", "embedding")
+      IvfPqSnapshot.compactRewrite(spark)(cur, next)
+    }
+    assert(published === 1L)
+    assert(attempts === 2, "the signature re-check must re-run the rewrite")
+    assert(lateIds.subsetOf(distinctIds(dir, 1L)),
+      "a mid-rewrite admission must survive into the published epoch")
+    assert(dupIds(dir, 1L) === 0L, "never a duplicate code row")
+
+    // (2) an append storm that outpaces every attempt fails LOUDLY
+    // instead of publishing an epoch that silently drops the last one
+    val storm = intercept[IllegalStateException] {
+      Epochs.rewriteToNextChecked(spark, dir, maxAttempts = 2) {
+        (cur, next) =>
+          IvfPqIndex.append(spark, cur, late.limit(3),
+            "vec_id", "embedding")
+          IvfPqSnapshot.compactRewrite(spark)(cur, next)
+      }
+    }
+    assert(storm.getMessage.contains("rewrite attempts"))
+    assert(Epochs.current(spark, dir) === 1L,
+      "a failed checked rewrite must not publish")
+
+    // (3) the maintenance lease: a second maintainer fails loudly
+    Epochs.withMaintenanceLease(spark, dir) {
+      val second = intercept[IllegalStateException] {
+        IvfPqSnapshot.compact(spark, dir)
+      }
+      assert(second.getMessage.contains("single-maintainer"))
+    }
+    // released on exit: maintenance proceeds normally afterwards
+    assert(IvfPqSnapshot.compact(spark, dir) === 2L)
+
+    // (4) the append side of the fence, both race outcomes, fresh dir:
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_epoch_fence2").toString
+    IvfPqSnapshot.init(index, spark, dir2)
+    // maintenance publishes epoch 1 between the append's pointer
+    // resolution (0) and its files landing — the rewrite did NOT
+    // capture the batch, so the post-write epoch re-check re-appends
+    // it into the new epoch
+    assert(IvfPqSnapshot.compact(spark, dir2) === 1L)
+    IvfPqSnapshot.appendFrom(spark, dir2, 0L, late, "vec_id", "embedding")
+    assert(lateIds.subsetOf(distinctIds(dir2, 1L)),
+      "an admission raced by maintenance must be re-appended")
+    assert(dupIds(dir2, 1L) === 0L)
+    // and when the rewrite DID capture the batch (epoch 2 compacts the
+    // late rows in), the id verification finds nothing missing — no
+    // duplicate re-append
+    assert(IvfPqSnapshot.compact(spark, dir2) === 2L)
+    IvfPqSnapshot.appendFrom(spark, dir2, 1L, late, "vec_id", "embedding")
+    assert(lateIds.subsetOf(distinctIds(dir2, 2L)))
+    assert(dupIds(dir2, 2L) === 0L,
+      "a captured admission must not be re-appended")
   }
 }

@@ -1179,7 +1179,7 @@ class StreamSpec extends SparkSpec {
     val ms = MemoryStream[(Long, String, Long)]
     val q = Streams.manifestStream(
       ms.toDS().toDF("doc_id", "text", "n_chars"), stateDir,
-      "doc_id", "text", "n_chars", seed = 42L, nShards = 16)
+      "doc_id", "text", seed = 42L, nShards = 16)
     try {
       Seq(b1, b2, b3).foreach { b =>
         ms.addData(b.toSeq); q.processAllAvailable() }
@@ -1321,5 +1321,44 @@ class StreamSpec extends SparkSpec {
       assert(n === line.getBytes("UTF-8").length.toLong && s === sig(line)) }
     // nothing lost between the two routes
     assert(clean.length + quar.length === ids.length + 1)
+  }
+
+  test("quarantineStream corrupt-column collisions: a schema declaring " +
+      "the internal name is rejected loudly; a user `_bad` column (and " +
+      "a literal _bad JSON key) routes cleanly") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // the internal name in the caller's schema → loud, immediate
+    val boom = intercept[IllegalArgumentException] {
+      Streams.quarantineStream(
+        MemoryStream[String].toDS().toDF("value"),
+        s"doc_id BIGINT, ${Streams.QuarantineCorruptCol} STRING",
+        graft.util.Staging.dir(spark, "quarantine_collide0"))
+    }
+    assert(boom.getMessage.contains(Streams.QuarantineCorruptCol))
+    // a plain `_bad` column is the USER's business: declared in the
+    // schema and carried as a literal JSON key, it must parse as a
+    // clean typed column, never shadow corruption routing (the r10
+    // advice scenario: the old internal name was exactly `_bad`)
+    val out = graft.util.Staging.dir(spark, "quarantine_collide1")
+    val ms = MemoryStream[String]
+    val q = Streams.quarantineStream(ms.toDS().toDF("value"),
+      "doc_id BIGINT, _bad STRING", out)
+    try {
+      ms.addData(Seq(
+        """{"doc_id":1,"_bad":"user-data"}""",
+        """{"doc_id":2,"_bad":null}""",
+        """{"doc_id":3"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val clean = spark.read.parquet(s"$out/clean")
+      .select("doc_id", "_bad").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(clean.toSeq === Seq((1L, Some("user-data")), (2L, None)),
+      "user _bad values must come through as data, complete rows stay clean")
+    val quar = spark.read.parquet(s"$out/quarantine")
+      .select("line").collect().map(_.getString(0))
+    assert(quar.toSeq === Seq("""{"doc_id":3"""),
+      "only the genuinely torn line quarantines")
   }
 }
