@@ -61,10 +61,10 @@ object Bench {
     * no manual adjudication.
     */
   val ValidatorRefS: Map[String, Double] = Map(
-    "knn_classify" -> 7.52, "knn_graph" -> 7.07, "knn_brute" -> 0.40,
-    "dedup_embedding" -> 3.38, "dedup_semantic" -> 0.18,
-    "agg_equidepth" -> 2.29, "mix_curriculum" -> 0.16,
-    "dedup_recall" -> 1.81)
+    "knn_classify" -> 7.37, "knn_graph" -> 6.90, "knn_brute" -> 0.40,
+    "dedup_embedding" -> 2.88, "dedup_semantic" -> 0.18,
+    "agg_equidepth" -> 2.59, "mix_curriculum" -> 0.15,
+    "dedup_recall" -> 1.82)
 
   /** 2× the committed minimum, floored at 0.75 s: sub-second entries
     * sit at the noise floor where a 2× ratio is scheduler jitter, not

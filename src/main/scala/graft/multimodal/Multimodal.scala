@@ -61,7 +61,7 @@ object Multimodal {
     * from n_chars arithmetic — thumbnail-scale so synthesis is a map
     * pass, encoded executor-side in the same batch loop the decoder
     * uses), `jpeg` rows a REAL quality-1.0 JPEG of the same pattern
-    * (dims 64–575 px from the fallback-branch arithmetic), and `wav`
+    * (thumbnail-plus scale, dims 32–127 px — the decode path is what the fixture proves, not megapixel throughput), and `wav`
     * rows carry a REAL PCM16 WAV payload (deterministic sample
     * pattern, 256–767 samples at [[WavRate]]); only `mp4` carries the
     * raw text bytes as its opaque blob.
@@ -69,7 +69,8 @@ object Multimodal {
     * audio overloads the same typed slots as (n_samples, sample_rate)
     * — the schema stays one struct, the format column disambiguates.
     */
-  def mediaTable(docs: DataFrame): Dataset[MediaRecord] = {
+  def mediaTable(docs: DataFrame,
+      formats: Seq[String] = Formats): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val m5 = pmod(col("n_chars"), lit(5))
@@ -78,15 +79,24 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("bytes"),
         element_at(typedlit(Formats), (m5 + 1).cast("int")).as("format"),
         when(m5 === 0, lit(16) + pmod(col("n_chars"), lit(32)))
+          .when(m5 === 1, lit(32) + pmod(col("n_chars"), lit(96)))
           .when(m5 === 2, lit(256) + pmod(col("n_chars") * 3, lit(512)))
           .when(m5 === 3, lit(16) + pmod(col("n_chars"), lit(24)))
           .otherwise(lit(64) + pmod(col("n_chars"), lit(512)))
           .cast("int").as("width"),
         when(m5 === 0, lit(16) + pmod(col("n_chars") * 7, lit(32)))
+          .when(m5 === 1, lit(32) + pmod(col("n_chars") * 7, lit(96)))
           .when(m5 === 2, lit(WavRate))
           .when(m5 === 3, lit(12) + pmod(col("n_chars") * 7, lit(24)))
           .otherwise(lit(64) + pmod(col("n_chars") * 7, lit(512)))
           .cast("int").as("height"))
+      // the format prune happens BEFORE the synthesis map: now that
+      // png/jpeg/wav/gif payloads are all real, synthesis is the
+      // expensive half of this fixture, and a consumer that only reads
+      // one modality (mm_audio/mm_vad/mm_frames) must not pay for
+      // encoding the others — the fixture analogue of partition
+      // pruning reaching the scan
+      .filter(col("format").isInCollection(formats))
       .as[MediaRecord]
       // plain per-record map: synthesis has no batch-level work to
       // amortize, so no .grouped buffering (that shape belongs to

@@ -527,7 +527,7 @@ object SimQueries {
     */
   def mmAudio(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioFeatures(
-        Multimodal.mediaTable(Tables(s, dir).documents))
+        Multimodal.mediaTable(Tables(s, dir).documents, Seq("wav")))
       .toDF()
       .orderBy(col("media_id"))
 
@@ -539,7 +539,7 @@ object SimQueries {
     */
   def mmVad(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioSegments(
-        Multimodal.mediaTable(Tables(s, dir).documents))
+        Multimodal.mediaTable(Tables(s, dir).documents, Seq("wav")))
       .toDF()
       .orderBy(col("media_id"))
 
@@ -935,7 +935,8 @@ object SimQueries {
     * poster (first) frame.
     */
   def mmThumb(s: SparkSession, dir: String): DataFrame =
-    Multimodal.thumbnails(Multimodal.mediaTable(Tables(s, dir).documents))
+    Multimodal.thumbnails(Multimodal.mediaTable(Tables(s, dir).documents,
+        Seq("png", "jpeg", "gif")))
       .toDF()
       .filter(col("decoded"))
       .orderBy(col("media_id"))

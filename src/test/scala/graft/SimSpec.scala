@@ -675,7 +675,7 @@ class SimSpec extends SparkSpec {
     val jpegDims = docs.filter(_.getLong(1) % 5 === 1L)
       .map { r =>
         val nc = r.getLong(1)
-        (r.getLong(0), (64 + nc % 512).toInt, (64 + (nc * 7) % 512).toInt)
+        (r.getLong(0), (32 + nc % 96).toInt, (32 + (nc * 7) % 96).toInt)
       }
     val expectedJpeg = jpegDims.map { case (id, w, h) =>
       graft.multimodal.PngCodec.patternSum(id, w, h) }.sum
@@ -1247,8 +1247,8 @@ class SimSpec extends SparkSpec {
     // ±1 more from the integer division — ≤ 2 per thumb cell)
     val jpegChecked = metas.toSeq.filter(_._2 % 5 == 1).sortBy(_._1)
       .take(5).map { case (id, nc) =>
-        val w = (64 + nc % 512).toInt
-        val h = (64 + (nc * 7) % 512).toInt
+        val w = (32 + nc % 96).toInt
+        val h = (32 + (nc * 7) % 96).toInt
         val tw = math.min(8, w); val th = math.min(8, h)
         var luma = 0L
         for (ty <- 0 until th; tx <- 0 until tw) {
