@@ -1087,32 +1087,36 @@ object DedupQueries {
   /** Replays the two-batch admission cascade with exact Jaccard:
     * intra-batch "∃ smaller τ-match in the batch" drops, then the
     * index-so-far rejection (seen for batch 0; seen ∪ batch-0
-    * admissions for batch 1).
+    * admissions for batch 1). The τ-filtered pair set materializes
+    * ONCE (`AS MATERIALIZED` — the quadratic Jaccard pass is the
+    * oracle's unavoidable ground-truth cost; without the hint DuckDB
+    * re-inlines it into each of the four anti-join subqueries, ~4×
+    * the sweep wall-clock at sf0.1).
     */
   val qAdmissionAuditSql: String =
-    s"""WITH sh AS ($shingleSql),
+    s"""WITH sh AS MATERIALIZED ($shingleSql),
        |fr AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
        |sn AS (SELECT doc_id FROM documents WHERE doc_id % 5 < 4),
        |b0 AS (SELECT doc_id FROM fr WHERE doc_id % 2 = 0),
        |b1 AS (SELECT doc_id FROM fr WHERE doc_id % 2 = 1),
-       |jac AS (
-       |  SELECT a.doc_id AS ida, b.doc_id AS idb,
-       |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-       |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j
+       |hits AS MATERIALIZED (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb
        |  FROM sh a JOIN sh b ON b.doc_id % 5 = 4
-       |  WHERE a.doc_id <> b.doc_id),
+       |  WHERE a.doc_id <> b.doc_id
+       |    AND round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |          len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7),
        |adm0 AS (
        |  SELECT x.doc_id FROM b0 x
-       |  WHERE NOT EXISTS (SELECT 1 FROM jac j JOIN b0 y ON j.ida = y.doc_id
-       |          WHERE j.idb = x.doc_id AND j.ida < x.doc_id AND j.j >= 0.7)
-       |    AND NOT EXISTS (SELECT 1 FROM jac j JOIN sn s ON j.ida = s.doc_id
-       |          WHERE j.idb = x.doc_id AND j.j >= 0.7)),
+       |  WHERE NOT EXISTS (SELECT 1 FROM hits j JOIN b0 y ON j.ida = y.doc_id
+       |          WHERE j.idb = x.doc_id AND j.ida < x.doc_id)
+       |    AND NOT EXISTS (SELECT 1 FROM hits j JOIN sn s ON j.ida = s.doc_id
+       |          WHERE j.idb = x.doc_id)),
        |adm1 AS (
        |  SELECT x.doc_id FROM b1 x
-       |  WHERE NOT EXISTS (SELECT 1 FROM jac j JOIN b1 y ON j.ida = y.doc_id
-       |          WHERE j.idb = x.doc_id AND j.ida < x.doc_id AND j.j >= 0.7)
-       |    AND NOT EXISTS (SELECT 1 FROM jac j
-       |          WHERE j.idb = x.doc_id AND j.j >= 0.7
+       |  WHERE NOT EXISTS (SELECT 1 FROM hits j JOIN b1 y ON j.ida = y.doc_id
+       |          WHERE j.idb = x.doc_id AND j.ida < x.doc_id)
+       |    AND NOT EXISTS (SELECT 1 FROM hits j
+       |          WHERE j.idb = x.doc_id
        |            AND (j.ida IN (SELECT doc_id FROM sn)
        |              OR j.ida IN (SELECT doc_id FROM adm0))))
        |SELECT 0::BIGINT AS batch,
