@@ -61,10 +61,10 @@ object Bench {
     * no manual adjudication.
     */
   val ValidatorRefS: Map[String, Double] = Map(
-    "knn_classify" -> 7.37, "knn_graph" -> 6.90, "knn_brute" -> 0.40,
-    "dedup_embedding" -> 2.88, "dedup_semantic" -> 0.18,
-    "agg_equidepth" -> 2.59, "mix_curriculum" -> 0.15,
-    "dedup_recall" -> 1.82)
+    "knn_classify" -> 8.22, "knn_graph" -> 7.57, "knn_brute" -> 0.35,
+    "dedup_embedding" -> 3.03, "dedup_semantic" -> 0.16,
+    "agg_equidepth" -> 2.34, "mix_curriculum" -> 0.15,
+    "dedup_recall" -> 1.59)
 
   /** 2× the committed minimum, floored at 0.75 s: sub-second entries
     * sit at the noise floor where a 2× ratio is scheduler jitter, not

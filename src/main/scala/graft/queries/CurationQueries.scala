@@ -1331,6 +1331,83 @@ object CurationQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Crawl n-gram NOVELTY — the "marginal value of the next crawl"
+    * metric a data-acquisition loop gates on (doc-level diffs like
+    * q_corpus_diff/manifest_diff miss it: a re-crawl can be 95% "new
+    * docs" that are 99% already-seen TEXT): per source of the new
+    * crawl, the distinct word-trigram count, how many of those grams
+    * the OLD corpus has never seen anywhere, and the novelty share in
+    * basis points (pure integer arithmetic). Same planted re-crawl as
+    * q_corpus_diff ([[recrawled]]); grams ride the dedup pipeline's
+    * exact tokenization ([[graft.text.TextOps.tokens]]/wordNgrams —
+    * one definition corpus-wide) hashed to 60-bit md5 prefixes, so the
+    * wide strings never cross a shuffle.
+    *
+    * Plan shape at 100 TB: gram tables are token-scale — this is the
+    * honest cost of corpus-level novelty, and it is ONE exchange per
+    * side (partial-aggregatable distinct on the 8-byte hash) plus one
+    * hash anti-join (left join + null-count here, so the per-source
+    * totals ride the same join), then a |sources|-row rollup. The old
+    * side's distinct gram set is the reusable artifact: a production
+    * loop materializes it once (bucketed by gh) and every future crawl
+    * joins against it co-located — or prefilters through dedup_bloom's
+    * membership sketch when approximate novelty is enough.
+    */
+  def qCrawlNovelty(s: SparkSession, dir: String): DataFrame = {
+    def grams(d: DataFrame): DataFrame = d
+      .select(col("source"),
+        explode(graft.text.TextOps.wordNgrams(
+          graft.text.TextOps.tokens(col("text")), 3)).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    val base = Tables(s, dir).documents
+    val oldGrams = grams(base).select(col("gh")).distinct()
+    val newGrams = grams(recrawled(base)).distinct()
+    newGrams
+      .join(oldGrams.withColumn("seen", lit(1)), Seq("gh"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 10000 div n_grams").as("novelty_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Replays the recrawl transform, the exact tokenization, the 60-bit
+    * gram hash, and the anti-join as a left-join null count.
+    */
+  val qCrawlNoveltySql: String =
+    """WITH oldg AS MATERIALIZED (
+      |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+      |  FROM (
+      |    SELECT unnest([array_to_string(toks[i:i+2], ' ')
+      |                   FOR i IN range(1, len(toks) - 1)]) AS g
+      |    FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |                   x -> x <> '') AS toks
+      |          FROM documents))),
+      |newd AS (
+      |  SELECT source, CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+      |                      ELSE text END AS text
+      |  FROM documents WHERE doc_id % 31 <> 0
+      |  UNION ALL
+      |  SELECT source, text || ' v2' FROM documents WHERE doc_id % 17 = 3),
+      |newg AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+      |  FROM (
+      |    SELECT source, unnest([array_to_string(toks[i:i+2], ' ')
+      |                           FOR i IN range(1, len(toks) - 1)]) AS g
+      |    FROM (SELECT source,
+      |            list_filter(string_split_regex(lower(text), '\s+'),
+      |              x -> x <> '') AS toks
+      |          FROM newd)))
+      |SELECT n.source, count(*)::BIGINT AS n_grams,
+      |  count(*) FILTER (WHERE o.gh IS NULL)::BIGINT AS n_novel,
+      |  (count(*) FILTER (WHERE o.gh IS NULL) * 10000 // count(*))::BIGINT
+      |    AS novelty_bp
+      |FROM newg n LEFT JOIN oldg o ON n.gh = o.gh
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Packing-efficiency report — the accounting that justifies packing
     * at all: for the three canonical sequence layouts at block size 512
     * (each doc contributes n_toks + 1 positions, the EOS convention of
@@ -1648,6 +1725,7 @@ object CurationQueries {
     "mix_perplexity_band" -> (mixPerplexityBand _),
     "pack_stats" -> (packStats _),
     "q_corpus_diff" -> (qCorpusDiff _),
+    "q_crawl_novelty" -> (qCrawlNovelty _),
     "mix_dedup_weight" -> (mixDedupWeight _),
     "pack_bestfit" -> (packBestfit _),
     "mix_dsir" -> (mixDsir _),
@@ -1679,6 +1757,7 @@ object CurationQueries {
     "mix_perplexity_band" -> mixPerplexityBandSql,
     "pack_stats" -> packStatsSql,
     "q_corpus_diff" -> qCorpusDiffSql,
+    "q_crawl_novelty" -> qCrawlNoveltySql,
     "mix_dsir" -> mixDsirSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,

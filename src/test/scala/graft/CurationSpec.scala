@@ -592,4 +592,41 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(2) >= (n * 9 + 9) / 10 - (n + 9) / 10 + 1)
     }
   }
+
+  test("q_crawl_novelty: planted edits are the ONLY novelty; arithmetic " +
+      "and per-source replay hold") {
+    val out = graft.queries.CurationQueries.qCrawlNovelty(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 20)
+    out.foreach { case (src, (grams, novel, bp)) =>
+      assert(grams > 0 && novel >= 0 && novel <= grams, src)
+      assert(bp === novel * 10000 / grams, s"$src basis points")
+    }
+    // independent replay from the raw docs: trigram sets per source on
+    // both sides of the planted recrawl — novelty must match exactly
+    val docs = graft.util.Tables(spark, sf).documents
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Set[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val oldAll = docs.iterator.flatMap(d => grams(d._3)).toSet
+    val newDocs =
+      docs.filter(_._1 % 31 != 0).map { case (id, src, tx) =>
+        (src, if (id % 13 == 0) tx + " [edited]" else tx) } ++
+      docs.filter(_._1 % 17 == 3).map { case (_, src, tx) =>
+        (src, tx + " v2") }
+    newDocs.groupBy(_._1).foreach { case (src, ds) =>
+      val g = ds.iterator.flatMap(d => grams(d._2)).toSet
+      val novel = g.diff(oldAll)
+      assert(out(src)._1 === g.size.toLong, s"$src gram count")
+      assert(out(src)._2 === novel.size.toLong, s"$src novel count")
+      // every novel gram must touch a planted suffix - the recrawl
+      // invents no other text, so novelty is exactly the edit signal
+      novel.foreach(ng => assert(
+        ng.contains("[edited]") || ng.contains("v2"), s"$src: $ng"))
+    }
+  }
 }

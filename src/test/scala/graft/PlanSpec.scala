@@ -523,6 +523,20 @@ class PlanSpec extends SparkSpec {
       s"clean/quarantine split must not add exchanges:\n${plan.take(1200)}")
   }
 
+  test("q_crawl_novelty: the anti-join rides the 8-byte gram hash; " +
+      "nothing goes cartesian") {
+    val plan = planOf(graft.queries.CurationQueries.qCrawlNovelty(spark, sf))
+    // the join must be EQUI-keyed on the 8-byte hash (broadcast at
+    // test scale where the old gram set is KB; shuffled-hash on gh at
+    // corpus scale — both co-locatable/bucketable, neither quadratic)
+    assert("Join \\[gh#".r.findFirstIn(plan).isDefined,
+      "the novelty join must key on the hashed gram:\n" + plan.take(1200))
+    // recrawled()'s one-row maxId broadcast is the only permitted NLJ
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      plan.take(1200))
+  }
+
   test("q_takedown_audit: removal-set-scale probe counts broadcast onto " +
       "the audit trail; nothing goes cartesian") {
     val plan = planOf(graft.queries.DedupQueries.qTakedownAudit(spark, sf))
