@@ -33,20 +33,29 @@ object ShardStore {
 
   /** Publish `docs` as the next epoch's shard tree + manifest.
     * Returns the published epoch (0 for a fresh store).
+    *
+    * Fenced (r11): the next epoch number is claimed by LISTING, so two
+    * concurrent publishers would resolve the same number and interleave
+    * their shard trees under one epoch dir — the maintenance lease
+    * makes the second fail loudly instead
+    * ([[graft.util.Epochs.withMaintenanceLease]]; exporters serialize
+    * publishes, exactly the snapshot indexes' maintainer contract).
+    * Readers never take the lease — they pin published epochs.
     */
   def publish(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: String, textCol: String, seed: Long,
-      nShards: Int, retainEpochs: Int = 1): Long = {
-    val next = Epochs.published(spark, dir).lastOption.fold(0L)(_ + 1)
-    val assigned = ShuffleShard.assign(docs, idCol, seed, nShards)
-    ShuffleShard.writeShards(assigned, nShards,
-      s"${Epochs.epochPath(dir, next)}/shards")
-    Manifest.partial(docs, idCol, textCol, seed, nShards)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${Epochs.epochPath(dir, next)}/manifest")
-    Epochs.publish(spark, dir, next, retainEpochs)
-    next
-  }
+      nShards: Int, retainEpochs: Int = 1): Long =
+    Epochs.withMaintenanceLease(spark, dir) {
+      val next = Epochs.published(spark, dir).lastOption.fold(0L)(_ + 1)
+      val assigned = ShuffleShard.assign(docs, idCol, seed, nShards)
+      ShuffleShard.writeShards(assigned, nShards,
+        s"${Epochs.epochPath(dir, next)}/shards")
+      Manifest.partial(docs, idCol, textCol, seed, nShards)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${Epochs.epochPath(dir, next)}/manifest")
+      Epochs.publish(spark, dir, next, retainEpochs)
+      next
+    }
 
   def currentEpoch(spark: SparkSession, dir: String): Long =
     Epochs.current(spark, dir)

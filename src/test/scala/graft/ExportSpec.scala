@@ -151,6 +151,21 @@ class ExportSpec extends SparkSpec {
     // crash-window fallback: losing _CURRENT resolves to max published
     new java.io.File(s"$dir/_CURRENT").delete()
     assert(ShardStore.currentEpoch(spark, dir) === 2L)
+
+    // publisher fence: the next epoch number is claimed by listing, so
+    // a second concurrent publisher must fail LOUDLY on the lease
+    // instead of interleaving its shard tree under the same epoch dir
+    graft.util.Epochs.withMaintenanceLease(spark, dir) {
+      val racer = intercept[IllegalStateException] {
+        ShardStore.publish(spark, dir, v1, "doc_id", "text",
+          seed = 42L, nShards = 8)
+      }
+      assert(racer.getMessage.contains("single-maintainer"))
+    }
+    // and proceeds normally once the lease is released
+    assert(ShardStore.publish(spark, dir, v2, "doc_id", "text",
+      seed = 42L, nShards = 8) === 3L)
+    assert(ids(ShardStore.readShards(spark, dir).shards) === ids(v2))
   }
 
   test("SourceMixture.mix materializes exactly mixStats' copy counts") {
