@@ -80,7 +80,9 @@ object Bench {
       queries: Map[String, (SparkSession, String) => DataFrame],
       raw: Map[String, Seq[Double]])
       : (Map[String, Seq[Double]], Seq[String]) = {
-    if (!sfDir.contains("sf0.1")) return (raw, Nil)
+    // exact directory match, not substring — the refs are sf0.1
+    // numbers and must not be applied to e.g. a future sf0.12 dir
+    if (!sfDir.stripSuffix("/").endsWith("/sf0.1")) return (raw, Nil)
     var acc = raw
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     SinglePassQueries.toSeq.sorted.foreach { n =>
@@ -93,7 +95,15 @@ object Bench {
           try {
             queries(n)(spark, sfDir).count()
             acc = acc.updated(n, runs :+ (System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => () }
+          } catch {
+            // one stderr line, like every other bench failure — a
+            // validator that THROWS on re-probe is a regression, not
+            // steal, and must not hide behind the steal_suspect tag
+            case scala.util.control.NonFatal(e) =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              System.err.println(s"[bench] steal-guard re-probe of $n " +
+                s"FAILED: ${msg.takeWhile(_ != '\n').take(200)}")
+          }
           if (acc(n).min > stealThresholdS(ref)) suspects += n
         case _ => ()
       }

@@ -71,6 +71,8 @@ object SimHashSnapshot {
     var stable = false
     while (!stable) {
       SimHashIndex.append(newDocs, Epochs.epochPath(dir, e), idCol, textCol)
+      // appenders' half of the fence — Epochs.awaitNoMaintenance doc
+      Epochs.awaitNoMaintenance(spark, dir)
       val now = Epochs.current(spark, dir)
       if (now == e) stable = true else e = now
     }

@@ -85,12 +85,16 @@ object SnapshotIndex {
     * results are distinct-ed). This closes the publish-before-recheck
     * half of the race; the other half — a rewrite that lists files
     * before the append lands and publishes only after the re-check —
-    * is closed mechanically by [[compact]]/[[remove]] rewriting
-    * through [[graft.util.Epochs.rewriteToNextChecked]] (the source
-    * epoch's content signature is re-checked before publish and the
-    * rewrite re-runs over the appended files) under
+    * is closed mechanically from BOTH sides: [[compact]]/[[remove]]
+    * rewrite through [[graft.util.Epochs.rewriteToNextChecked]] (the
+    * source epoch's content signature is re-checked before publish and
+    * the rewrite re-runs over mid-rewrite appends) under
     * [[graft.util.Epochs.withMaintenanceLease]] (two concurrent
-    * maintainers fail loudly instead of racing each other).
+    * maintainers fail loudly), and the append loop takes its epoch
+    * re-read only after [[graft.util.Epochs.awaitNoMaintenance]] — the
+    * lease is the common linearization point, so an append whose files
+    * landed after the rewrite's final re-list still observes the
+    * publish and re-appends.
     */
   def append(spark: SparkSession, newDocs: DataFrame, dir: String,
       idCol: String, textCol: String, n: Int): Unit =
@@ -109,6 +113,11 @@ object SnapshotIndex {
     while (!stable) {
       MinHashIndex.append(newDocs, Epochs.epochPath(dir, e),
         idCol, textCol, n)
+      // the appenders' half of the fence (Epochs.awaitNoMaintenance
+      // doc): only an epoch re-read taken while NO rewrite is in
+      // flight proves stability — a rewrite that listed before our
+      // files landed could otherwise publish after this check
+      Epochs.awaitNoMaintenance(spark, dir)
       val now = Epochs.current(spark, dir)
       if (now == e) stable = true else e = now
     }

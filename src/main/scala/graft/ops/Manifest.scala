@@ -27,6 +27,15 @@ object Manifest {
     * shard, 15-hex-digit row signature, bit_xor). `n_bytes` is
     * derived HERE as octet_length(textCol) so the label is honest by
     * construction — callers cannot pass a char count as bytes.
+    *
+    * UNIT-CHANGE NOTE (r11): manifests published before this change
+    * carried whatever unit the caller passed (in practice n_chars).
+    * On pure-ASCII corpora the values coincide; on multibyte text a
+    * pre-change manifest will NOT validate against a post-change
+    * recompute, and a merge mixing pre/post partials is meaningless —
+    * re-publish (or re-manifest the state dir) across the boundary
+    * rather than merging across it. Counts and checksums are
+    * unaffected either way.
     */
   def partial(docs: DataFrame, idCol: String, textCol: String,
       seed: Long, nShards: Int): DataFrame =

@@ -1039,10 +1039,21 @@ object DedupQueries {
     * The driver-side collect feeds the MemoryStream FIXTURE only (the
     * same mechanism every streaming spec uses) — the operator under
     * test reads a stream; production feeds it from a file/queue
-    * source. Scale is dedupIndexStream's documented price: per batch
-    * one banded self-join of the batch + one band equi-join against
-    * the index.
+    * source. The feed is BUDGET-BOUNDED at any corpus size (the
+    * dedup_recall move): a deterministic stride on doc_id div 5 caps
+    * the collected crawl at ~[[AdmissionFeedBudget]] docs, so the
+    * fixture's driver memory is constant while the operator's own
+    * per-batch cost stays dedupIndexStream's documented price (one
+    * banded self-join of the batch + one band equi-join against the
+    * index). At every shipped SF the stride resolves to 1 (the whole
+    * fresh split flows).
     */
+  /** Max docs the admission-audit fixture collects into its
+    * MemoryStream feed — bounds the face's driver memory at any
+    * corpus size (the oracle replays the stride arithmetic).
+    */
+  val AdmissionFeedBudget = 5000L
+
   def qAdmissionAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1051,7 +1062,11 @@ object DedupQueries {
     val outDir = s"$base/out"
     val docs = Tables(s, dir).documents
     val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
-    val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val freshAll = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val stride = math.max(1L,
+      (freshAll.count() + AdmissionFeedBudget - 1) / AdmissionFeedBudget)
+    val fresh = freshAll
+      .filter(pmod(expr("doc_id div 5"), lit(stride)) === 0)
     graft.dedup.SnapshotIndex.init(
       graft.dedup.MinHashIndex.build(seen, "doc_id", "text", n = 3),
       s, idxDir)
@@ -1095,7 +1110,12 @@ object DedupQueries {
     */
   val qAdmissionAuditSql: String =
     s"""WITH sh AS MATERIALIZED ($shingleSql),
-       |fr AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+       |fr AS (SELECT doc_id FROM documents
+       |       WHERE doc_id % 5 = 4
+       |         AND (doc_id // 5) % (
+       |           SELECT greatest(1, (count(*) + ${AdmissionFeedBudget - 1})
+       |                              // $AdmissionFeedBudget)
+       |           FROM documents WHERE doc_id % 5 = 4) = 0),
        |sn AS (SELECT doc_id FROM documents WHERE doc_id % 5 < 4),
        |b0 AS (SELECT doc_id FROM fr WHERE doc_id % 2 = 0),
        |b1 AS (SELECT doc_id FROM fr WHERE doc_id % 2 = 1),

@@ -26,12 +26,16 @@ import graft.util.Epochs
   * concurrent maintainer fails loudly) and rewrite through
   * [[graft.util.Epochs.rewriteToNextChecked]], whose content-signature
   * re-check re-runs the rewrite when an append's files landed in the
-  * source epoch mid-rewrite; [[append]] re-reads the current epoch
-  * after its write and, on advance, re-appends ONLY the ids the new
-  * epoch is missing (verified by anti-join — exact-once, never a
-  * duplicate slot). Either the admission survives or something throws;
-  * silent loss has no remaining window. Reads need no cadence — that
-  * is the point of the snapshot.
+  * source epoch mid-rewrite; [[append]], after its write, first waits
+  * out any in-flight maintenance lease
+  * ([[graft.util.Epochs.awaitNoMaintenance]] — the lease spans the
+  * rewrite's first listing to post-publish, so it is the two sides'
+  * common linearization point) and THEN re-reads the current epoch,
+  * re-appending on advance ONLY the ids the new epoch is missing
+  * (verified by anti-join — exact-once, never a duplicate slot).
+  * Either the admission survives or something throws; silent loss has
+  * no remaining window. Reads need no cadence — that is the point of
+  * the snapshot.
   *
   * At 100 TB nothing here adds search cost: the probed-cell partition
   * pruning operates on one epoch's `cells` tree exactly as on the flat
@@ -96,6 +100,8 @@ object IvfPqSnapshot {
     while (!stable) {
       IvfPqIndex.append(spark, Epochs.epochPath(dir, e),
         pending, idCol, vecCol)
+      // appenders' half of the fence — Epochs.awaitNoMaintenance doc
+      Epochs.awaitNoMaintenance(spark, dir)
       val now = Epochs.current(spark, dir)
       if (now == e) stable = true
       else {

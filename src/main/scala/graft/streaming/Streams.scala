@@ -1020,7 +1020,12 @@ object Streams {
     // column analysis error or have clean rows misrouted to quarantine;
     // a schema that somehow declares the graft-internal name itself is
     // rejected loudly rather than silently shadowed
-    require(!schemaDdl.contains(QuarantineCorruptCol),
+    // parse the DDL and compare FIELD NAMES case-insensitively (Spark's
+    // default resolution): a raw substring test would both reject
+    // legitimate columns that merely contain the internal name
+    // (`_graft_corrupt_reason`) and miss case-variant true collisions
+    require(!org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+        .fieldNames.exists(_.equalsIgnoreCase(QuarantineCorruptCol)),
       s"quarantineStream: schemaDdl must not declare $QuarantineCorruptCol" +
         " — it is the internal corrupt-record column")
     val writer = lines.writeStream

@@ -169,10 +169,12 @@ object Epochs {
     * After `maxAttempts` signature mismatches the operation fails
     * loudly (an append storm should win over maintenance, not lose to
     * it). The residual window — an append whose files land after the
-    * final re-list — is closed from the append side: appenders re-read
-    * the current epoch after their write and re-append on advance
-    * (SnapshotIndex/SimHashSnapshot unconditionally; IvfPqSnapshot
-    * verified-by-id).
+    * final re-list — is closed from the append side: appenders wait
+    * out any in-flight lease ([[awaitNoMaintenance]] — the lease spans
+    * first-listing to post-publish, giving the two sides a common
+    * linearization point) and THEN re-read the current epoch,
+    * re-appending on advance (SnapshotIndex/SimHashSnapshot
+    * unconditionally; IvfPqSnapshot verified-by-id).
     *
     * Cost at 100 TB: two recursive LISTs of one epoch directory per
     * attempt — metadata-only, proportional to file count, zero data
@@ -204,33 +206,81 @@ object Epochs {
     next
   }
 
+  private def leasePath(dir: String) = new Path(dir, "_MAINTENANCE.lock")
+
   /** Single-maintainer enforcement: run `body` holding the directory's
     * maintenance lease (`_MAINTENANCE.lock`, created atomically with
-    * overwrite = false). A second concurrent maintainer gets a loud
+    * overwrite = false — atomic on HDFS and local filesystems; an
+    * object store without atomic conditional create, e.g. plain S3A,
+    * needs an external coordination service behind the same two calls,
+    * which is the standard lake-house answer and exactly where this
+    * seam sits). A second concurrent maintainer gets a loud
     * IllegalStateException instead of a silent epoch race — the
     * mechanical form of the "run compact/remove between ingest
     * batches" cadence the snapshot indexes document. The lease guards
-    * MAINTAINERS against each other only; appends and reads never take
-    * it (appends are fenced by [[rewriteToNextChecked]]'s signature
-    * loop plus their own epoch-advance re-append, reads by snapshot
-    * isolation). A maintainer that dies holding the lease leaves the
-    * lock file behind — deliberately: a crashed rewrite wants a human
-    * (or an orchestrator that knows the process is dead) to remove
-    * `_MAINTENANCE.lock`, not a timeout that silently re-admits the
-    * race the lease exists to prevent.
+    * maintainers against each other AND anchors the appenders' side of
+    * the fence ([[awaitNoMaintenance]]); reads never take it (snapshot
+    * isolation). Only FileAlreadyExists maps to "held" — any other IO
+    * failure propagates rather than misreporting a transient RPC error
+    * as a lease conflict. A maintainer that dies holding the lease
+    * leaves the lock file behind — deliberately: a crashed rewrite
+    * wants a human (or an orchestrator that knows the process is dead)
+    * to remove `_MAINTENANCE.lock`, not a timeout that silently
+    * re-admits the race the lease exists to prevent.
     */
   def withMaintenanceLease[T](spark: SparkSession, dir: String)(
       body: => T): T = {
     val fs = fsOf(spark, dir)
-    val lease = new Path(dir, "_MAINTENANCE.lock")
+    val lease = leasePath(dir)
     val acquired =
       try { fs.create(lease, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // RawLocalFileSystem signals an existing file with a plain
+        // IOException whose message names the path — match that shape
+        // only; anything else is a real IO failure and propagates
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("already exists")) =>
+          false
+      }
     if (!acquired)
       throw new IllegalStateException(
         s"Epochs.withMaintenanceLease: $lease is held — epoch " +
           "maintenance is single-maintainer; if its owner crashed, " +
           "remove the lock file and re-run")
     try body finally fs.delete(lease, false)
+  }
+
+  /** True while a maintainer holds the directory's lease. */
+  def maintenanceHeld(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(leasePath(dir))
+
+  /** The APPENDERS' half of the maintenance fence. An appender whose
+    * files land after a rewrite's final signature re-check but whose
+    * epoch re-read happens before the publish pointer swing would miss
+    * the swap — the one ordering [[rewriteToNextChecked]] alone cannot
+    * see. Closing it needs a common linearization point, and the lease
+    * is exactly that: maintainers hold it from BEFORE their first
+    * source listing until AFTER publish, so an appender that (files
+    * already visible) observes NO lease knows every future rewrite
+    * will list its files, and every completed rewrite is already
+    * visible through the pointer; it then re-reads the epoch once and
+    * either is stable or re-appends. So the appender protocol is:
+    * write → awaitNoMaintenance → re-read epoch → (advance? verify/
+    * re-append : done). Polls at 100 ms; a stale crashed-maintainer
+    * lock surfaces here as a LOUD timeout (the withMaintenanceLease
+    * doctrine), never as silent loss.
+    */
+  def awaitNoMaintenance(spark: SparkSession, dir: String,
+      timeoutMs: Long = 600000L): Unit = {
+    val t0 = System.nanoTime()
+    while (maintenanceHeld(spark, dir)) {
+      if ((System.nanoTime() - t0) / 1000000L > timeoutMs)
+        throw new IllegalStateException(
+          s"Epochs.awaitNoMaintenance: ${leasePath(dir)} still held " +
+            s"after ${timeoutMs} ms — a maintainer is stuck or crashed " +
+            "holding the lock; remove it only if its owner is dead")
+      Thread.sleep(100L)
+    }
   }
 }

@@ -1531,5 +1531,25 @@ class SimSpec extends SparkSpec {
     assert(lateIds.subsetOf(distinctIds(dir2, 2L)))
     assert(dupIds(dir2, 2L) === 0L,
       "a captured admission must not be re-appended")
+
+    // (5) the appenders' half of the fence: the post-write epoch
+    // re-read only counts once NO maintenance lease is in flight — a
+    // held lease blocks the append's stability check until released,
+    // and a stale crashed-maintainer lock surfaces as a LOUD timeout,
+    // never as a silently-missed publish
+    val lease = new java.io.File(s"$dir2/_MAINTENANCE.lock")
+    assert(lease.createNewFile())
+    val stale = intercept[IllegalStateException] {
+      Epochs.awaitNoMaintenance(spark, dir2, timeoutMs = 300L)
+    }
+    assert(stale.getMessage.contains("still held"))
+    val releaser = new Thread(() => { Thread.sleep(400L); lease.delete(); () })
+    val t0 = System.nanoTime()
+    releaser.start()
+    IvfPqSnapshot.appendFrom(spark, dir2, 2L,
+      late.filter(col("vec_id") < 0), "vec_id", "embedding")
+    releaser.join()
+    assert((System.nanoTime() - t0) / 1e6 >= 350.0,
+      "the append's stability check must wait out the in-flight lease")
   }
 }
