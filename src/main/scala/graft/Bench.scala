@@ -49,66 +49,88 @@ object Bench {
     "knn_classify", "knn_graph", "knn_brute", "dedup_embedding",
     "dedup_semantic", "agg_equidepth", "mix_curriculum", "dedup_recall")
 
-  /** Committed sf0.1 minima for the single-pass validators (SCALING.md's
-    * per-query table — refresh when that table regenerates). These are
-    * the steal-guard reference: a single-pass timing has no min-of-3
-    * protection, so a capture that lands in a co-tenant steal window
-    * would read as a multi-second regression (the r10 driver capture
-    * showed knn_graph 22.6 s vs 6.5 s committed — pure steal). If a
-    * validator's timing exceeds [[stealThresholdS]], it gets ONE warm
-    * re-probe and the min is kept; if still over, the query lands in
-    * the JSON's `steal_suspect` array so cross-round comparisons need
-    * no manual adjudication.
-    */
-  val ValidatorRefS: Map[String, Double] = Map(
-    "knn_classify" -> 8.22, "knn_graph" -> 7.57, "knn_brute" -> 0.35,
-    "dedup_embedding" -> 3.03, "dedup_semantic" -> 0.16,
-    "agg_equidepth" -> 2.34, "mix_curriculum" -> 0.15,
-    "dedup_recall" -> 1.59)
-
   /** 2× the committed minimum, floored at 0.75 s: sub-second entries
     * sit at the noise floor where a 2× ratio is scheduler jitter, not
     * steal — never worth a re-probe.
     */
   def stealThresholdS(ref: Double): Double = math.max(2.0 * ref, 0.75)
 
-  /** The steal-guard pass (sf0.1 only — the refs are sf0.1 numbers):
-    * warm re-probe of any single-pass validator over its threshold,
-    * returning the augmented raw timings plus the still-over set.
+  /** Wall-clock cap on the re-probe pass: under box-wide steal MANY
+    * queries read over threshold at once, and re-probing each would
+    * roughly double the capture. Queries still over threshold when the
+    * budget runs out are tagged steal_suspect on their 3-sweep minima
+    * alone — the tag's meaning ("adjudicate this against the pass
+    * spread, not as a plan regression") is the same either way.
+    */
+  val ReprobeBudgetS: Double = 180.0
+
+  /** The FULL-SURFACE steal-guard pass (sf0.1 only — the references
+    * are [[BenchRefs.Sf01Ref]], the committed sf0.1 3-sweep minima from
+    * SCALING.md): any query whose capture minimum exceeds
+    * [[stealThresholdS]] of its committed reference gets ONE warm
+    * re-probe (single-pass n² validators first — their timing has no
+    * min-of-3 protection, so a steal window hits them hardest) and the
+    * min is kept. Returns (augmented raw timings, steal_suspect,
+    * reprobe_failed):
+    *
+    *  - `steal_suspect` — still over threshold after the re-probe
+    *    opportunity: cross-round comparisons adjudicate these as host
+    *    steal, not plan regressions, with no manual paragraph;
+    *  - `reprobe_failed` — the re-probe THREW. That is a real
+    *    regression signal (the query ran green in the sweeps but died
+    *    warm), so it must NOT hide behind the steal tag; it gets its
+    *    own array and a stderr line.
     */
   def reprobeValidators(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
-      raw: Map[String, Seq[Double]])
-      : (Map[String, Seq[Double]], Seq[String]) = {
+      raw: Map[String, Seq[Double]],
+      refs: Map[String, Double] = BenchRefs.Sf01Ref,
+      budgetS: Double = ReprobeBudgetS)
+      : (Map[String, Seq[Double]], Seq[String], Seq[String]) = {
     // exact directory match, not substring — the refs are sf0.1
     // numbers and must not be applied to e.g. a future sf0.12 dir
-    if (!sfDir.stripSuffix("/").endsWith("/sf0.1")) return (raw, Nil)
+    if (!sfDir.stripSuffix("/").endsWith("/sf0.1")) return (raw, Nil, Nil)
     var acc = raw
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
-    SinglePassQueries.toSeq.sorted.foreach { n =>
-      (ValidatorRefS.get(n), acc.getOrElse(n, Nil)) match {
-        case (Some(ref), runs)
-            if runs.nonEmpty && runs.min > stealThresholdS(ref) =>
-          System.err.println(s"[bench] steal-guard: $n " +
-            f"${runs.min}%.2fs > ${stealThresholdS(ref)}%.2fs, re-probing")
-          val t0 = System.nanoTime()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val over = raw.keys.toSeq.filter { n =>
+      refs.get(n).exists { ref =>
+        val runs = acc.getOrElse(n, Nil)
+        runs.nonEmpty && runs.min > stealThresholdS(ref)
+      }
+    }.sortBy(n => (!SinglePassQueries.contains(n), n))
+    val t0 = System.nanoTime()
+    over.foreach { n =>
+      val ref = refs(n)
+      val runs = acc(n)
+      if ((System.nanoTime() - t0) / 1e9 > budgetS) {
+        System.err.println(s"[bench] steal-guard: re-probe budget " +
+          s"exhausted — tagging $n on its sweep minima alone")
+        suspects += n
+      } else {
+        System.err.println(s"[bench] steal-guard: $n " +
+          f"${runs.min}%.2fs > ${stealThresholdS(ref)}%.2fs, re-probing")
+        val p0 = System.nanoTime()
+        val probed =
           try {
             queries(n)(spark, sfDir).count()
-            acc = acc.updated(n, runs :+ (System.nanoTime() - t0) / 1e9)
+            acc = acc.updated(n, runs :+ (System.nanoTime() - p0) / 1e9)
+            true
           } catch {
             // one stderr line, like every other bench failure — a
-            // validator that THROWS on re-probe is a regression, not
+            // query that THROWS on re-probe is a regression, not
             // steal, and must not hide behind the steal_suspect tag
             case scala.util.control.NonFatal(e) =>
               val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
               System.err.println(s"[bench] steal-guard re-probe of $n " +
                 s"FAILED: ${msg.takeWhile(_ != '\n').take(200)}")
+              failed += n
+              false
           }
-          if (acc(n).min > stealThresholdS(ref)) suspects += n
-        case _ => ()
+        if (probed && acc(n).min > stealThresholdS(ref)) suspects += n
       }
     }
-    (acc, suspects.toSeq)
+    (acc, suspects.toSeq, failed.toSeq)
   }
 
   /** Wall-clock budget for the whole measure phase: sweeps after the
@@ -206,7 +228,8 @@ object Bench {
     */
   def renderLine(results: Map[String, Double], sfDir: String,
       dec: Int, floorSec: Double,
-      stealSuspect: Seq[String] = Nil): String = {
+      stealSuspect: Seq[String] = Nil,
+      reprobeFailed: Seq[String] = Nil): String = {
     val failed = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
     val ok = results.values.filter(_ >= 0)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -225,13 +248,18 @@ object Bench {
           "\"n_other_fast\":" + fast.size)
       else Nil)
     val qs = entries.mkString("{", ",", "}")
-    // steal_suspect only appears when non-empty (and only the full
-    // line passes it) — the short stdout line stays dense
+    // steal_suspect / reprobe_failed only appear when non-empty (and
+    // only the full line passes them) — the short stdout line stays
+    // dense
     val steal =
       if (stealSuspect.isEmpty) ""
       else stealSuspect.sorted.map("\"" + _ + "\"")
         .mkString(""","steal_suspect":[""", ",", "]")
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs$steal,"sf":"$sfDir"}"""
+    val reprobe =
+      if (reprobeFailed.isEmpty) ""
+      else reprobeFailed.sorted.map("\"" + _ + "\"")
+        .mkString(""","reprobe_failed":[""", ",", "]")
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs$steal$reprobe,"sf":"$sfDir"}"""
   }
 
   /** The short line for stdout: densest rendering that fits the
@@ -249,11 +277,12 @@ object Bench {
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
     val raw0 = measureRaw(spark, sfDir, SparkEntry.queries)
-    val (raw, stealSuspect) =
+    val (raw, stealSuspect, reprobeFailed) =
       reprobeValidators(spark, sfDir, SparkEntry.queries, raw0)
     val results = minima(raw)
     val line = shortLine(results, sfDir)
-    val fullLine = renderLine(results, sfDir, 9, 0.0, stealSuspect)
+    val fullLine = renderLine(results, sfDir, 9, 0.0, stealSuspect,
+      reprobeFailed)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
         (fullLine + "\n").getBytes("UTF-8"))

@@ -27,9 +27,47 @@ import graft.util.Epochs
   */
 object ShardStore {
 
+  /** Manifest format stamped into each published epoch
+    * (`_MANIFEST_FORMAT` sidecar): format "2" means `n_bytes` is
+    * octet_length of the payload text ([[Manifest.partial]]'s
+    * derive-internally arithmetic). Format "1" — never stamped —
+    * retroactively names the pre-change era whose n_bytes carried
+    * whatever unit the caller passed (in practice a char count): the
+    * two coincide on pure-ASCII corpora and silently diverge on any
+    * multibyte text, so [[validate]] REFUSES an unstamped or
+    * differently-stamped manifest with an explicit unit-mismatch error
+    * instead of surfacing the era mix as an opaque per-shard checksum
+    * failure.
+    */
+  val ManifestFormat = "2"
+  private val FormatSidecar = "_MANIFEST_FORMAT"
+
   /** A pinned read handle: `shards` plans read only `epoch`'s files. */
   final case class Pinned(shards: DataFrame, manifest: DataFrame,
       epoch: Long, dir: String)
+
+  private def stampFormat(spark: SparkSession, epochDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(epochDir, FormatSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(ManifestFormat.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The epoch's stamped manifest format, or None for a pre-stamp
+    * (pre-format-2) publish.
+    */
+  def manifestFormat(spark: SparkSession, dir: String,
+      epoch: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      Epochs.epochPath(dir, epoch), FormatSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
 
   /** Publish `docs` as the next epoch's shard tree + manifest.
     * Returns the published epoch (0 for a fresh store).
@@ -53,6 +91,7 @@ object ShardStore {
       Manifest.partial(docs, idCol, textCol, seed, nShards)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"${Epochs.epochPath(dir, next)}/manifest")
+      stampFormat(spark, Epochs.epochPath(dir, next))
       Epochs.publish(spark, dir, next, retainEpochs)
       next
     }
@@ -90,6 +129,20 @@ object ShardStore {
   def validate(pinned: Pinned, idCol: String, textCol: String,
       seed: Long, nShards: Int): DataFrame = {
     import org.apache.spark.sql.functions._
+    // era gate BEFORE the arithmetic: a manifest whose n_bytes unit is
+    // unknown (pre-stamp) or different must fail with a unit error, not
+    // an opaque per-shard bytes/checksum mismatch
+    val fmt = manifestFormat(pinned.shards.sparkSession, pinned.dir,
+      pinned.epoch)
+    if (!fmt.contains(ManifestFormat))
+      throw new IllegalStateException(
+        s"ShardStore.validate: epoch ${pinned.epoch} under ${pinned.dir} " +
+          s"carries manifest format ${fmt.getOrElse("<unstamped — " +
+            "pre-format-" + ManifestFormat + " publish, n_bytes unit " +
+            "unknown>")} but this build validates format " +
+          s"$ManifestFormat (n_bytes = octet_length) — re-publish the " +
+          "epoch across the unit boundary instead of merging or " +
+          "validating across it")
     val recomputed = Manifest.partial(
         pinned.shards.drop("shard", "shuffle_key"),
         idCol, textCol, seed, nShards)

@@ -104,14 +104,19 @@ object Epochs {
     try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
     fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr)) {
-      fs.delete(ptr, false)
-      if (!fs.rename(tmp, ptr)) {
-        fs.delete(tmp, false)
-        throw new IllegalStateException(
-          s"Epochs.publish: could not swing $ptr to epoch $epoch after " +
-            "retry — a concurrent publisher is racing this one; " +
-            "maintenance must run under withMaintenanceLease")
-      }
+      // a failed rename here means a racer recreated the pointer
+      // between this publish's delete and rename — an unleased
+      // concurrent publisher. Fail IMMEDIATELY: deleting the racer's
+      // freshly installed pointer to retry over it would "resolve"
+      // the race last-writer-wins (and open a second no-pointer
+      // window readers can't distinguish from normal operation),
+      // which is exactly the silent outcome the lease doctrine bans.
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"Epochs.publish: could not swing $ptr to epoch $epoch — a " +
+          "concurrent publisher recreated the pointer between this " +
+          "publish's delete and rename; maintenance must run under " +
+          "withMaintenanceLease")
     }
     published(spark, dir).filter(_ < epoch - retain)
       .foreach(e => fs.delete(new Path(epochPath(dir, e)), true))
@@ -194,13 +199,18 @@ object Epochs {
       rewrite(epochPath(dir, cur), epochPath(dir, next))
       if (contentSignature(spark, epochPath(dir, cur)) == before)
         stable = true
-      else if (attempt >= maxAttempts)
+      else if (attempt >= maxAttempts) {
+        // discard the half-built epoch=N+1 on the FINAL failure too
+        // (the retry branch already does): it is invisible to readers
+        // (no _PUBLISHED marker) but would waste space and shadow a
+        // later rewrite's tree where file names happen to differ
+        fs.delete(new Path(epochPath(dir, next)), true)
         throw new IllegalStateException(
           s"Epochs.rewriteToNextChecked: epoch $cur under $dir changed " +
             s"during every one of $maxAttempts rewrite attempts — " +
             "concurrent appends are outpacing maintenance; drain the " +
             "ingest before compacting")
-      else fs.delete(new Path(epochPath(dir, next)), true)
+      } else fs.delete(new Path(epochPath(dir, next)), true)
     }
     publish(spark, dir, next, retain)
     next
@@ -208,47 +218,147 @@ object Epochs {
 
   private def leasePath(dir: String) = new Path(dir, "_MAINTENANCE.lock")
 
+  /** This process's lease-owner identity: host#pid. Stable for the
+    * process lifetime, and exactly what an orchestrator needs to
+    * decide "is that owner still alive" before breaking a lease.
+    */
+  private[util] lazy val ownerId: String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "unknown-host" }
+    s"$host#${ProcessHandle.current().pid()}"
+  }
+
+  private val AcquiredRe = "acquired_ms=(\\d+)".r
+
+  /** The current lease holder's recorded metadata
+    * (`owner=<host>#<pid> acquired_ms=<epoch-millis>`), if a lock file
+    * exists. An empty or foreign-format lock (a pre-metadata layout,
+    * or a torn write) reads as a placeholder — still "held", just
+    * undiagnosable, which is the manual-removal case.
+    */
+  def leaseOwner(spark: SparkSession, dir: String): Option[String] = {
+    val fs = fsOf(spark, dir)
+    val lease = leasePath(dir)
+    if (!fs.exists(lease)) return None
+    val content =
+      try {
+        val in = fs.open(lease)
+        try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    Some(if (content.nonEmpty) content
+    else "<no owner metadata — pre-metadata lock or torn write>")
+  }
+
   /** Single-maintainer enforcement: run `body` holding the directory's
     * maintenance lease (`_MAINTENANCE.lock`, created atomically with
-    * overwrite = false — atomic on HDFS and local filesystems; an
-    * object store without atomic conditional create, e.g. plain S3A,
-    * needs an external coordination service behind the same two calls,
-    * which is the standard lake-house answer and exactly where this
-    * seam sits). A second concurrent maintainer gets a loud
-    * IllegalStateException instead of a silent epoch race — the
-    * mechanical form of the "run compact/remove between ingest
-    * batches" cadence the snapshot indexes document. The lease guards
-    * maintainers against each other AND anchors the appenders' side of
-    * the fence ([[awaitNoMaintenance]]); reads never take it (snapshot
-    * isolation). Only FileAlreadyExists maps to "held" — any other IO
+    * create-if-absent). Atomicity per scheme: on HDFS, `create(path,
+    * overwrite = false)` is atomic at the NameNode. On `file://`,
+    * Hadoop's RawLocalFileSystem implements non-overwrite create as
+    * exists()-then-create — check-then-act, NOT atomic — so local
+    * stores acquire through NIO `Files.createFile` (open with
+    * O_CREAT|O_EXCL, atomic on POSIX) instead. An object store without
+    * atomic conditional create, e.g. plain S3A, needs an external
+    * coordination service behind the same acquire/release calls, which
+    * is the standard lake-house answer and exactly where this seam
+    * sits. A second concurrent maintainer gets a loud
+    * IllegalStateException (naming the recorded holder) instead of a
+    * silent epoch race — the mechanical form of the "run
+    * compact/remove between ingest batches" cadence the snapshot
+    * indexes document. The lease guards maintainers against each other
+    * AND anchors the appenders' side of the fence
+    * ([[awaitNoMaintenance]]); reads never take it (snapshot
+    * isolation). Only already-exists maps to "held" — any other IO
     * failure propagates rather than misreporting a transient RPC error
-    * as a lease conflict. A maintainer that dies holding the lease
-    * leaves the lock file behind — deliberately: a crashed rewrite
-    * wants a human (or an orchestrator that knows the process is dead)
-    * to remove `_MAINTENANCE.lock`, not a timeout that silently
-    * re-admits the race the lease exists to prevent.
+    * as a lease conflict.
+    *
+    * The lock records `owner=<host>#<pid> acquired_ms=<millis>` so an
+    * orchestrator can DISTINGUISH a live maintainer from a crashed one
+    * (check the named pid, or the age). A maintainer that dies holding
+    * the lease still blocks everything — deliberately: recovery is the
+    * EXPLICIT [[breakStaleLease]] (or removing the file by hand),
+    * never a timeout that silently re-admits the race the lease exists
+    * to prevent. The metadata write lands after the atomic create —
+    * a racer peeking between the two sees an empty lock, which reads
+    * as held-with-unknown-owner, never as free.
     */
   def withMaintenanceLease[T](spark: SparkSession, dir: String)(
       body: => T): T = {
     val fs = fsOf(spark, dir)
     val lease = leasePath(dir)
+    val meta = s"owner=$ownerId acquired_ms=${System.currentTimeMillis()}"
+      .getBytes("UTF-8")
     val acquired =
-      try { fs.create(lease, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        // RawLocalFileSystem signals an existing file with a plain
-        // IOException whose message names the path — match that shape
-        // only; anything else is a real IO failure and propagates
-        case e: java.io.IOException
-            if Option(e.getMessage).exists(_.contains("already exists")) =>
-          false
+      if (fs.getUri.getScheme == "file") {
+        // local path: NIO CREATE_NEW is the atomic primitive;
+        // RawLocalFileSystem's create(overwrite = false) is not
+        fs.mkdirs(new Path(dir))
+        val local = java.nio.file.Paths.get(lease.toUri.getPath)
+        try {
+          java.nio.file.Files.createFile(local)
+          java.nio.file.Files.write(local, meta)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try {
+          val out = fs.create(lease, false)
+          try out.write(meta) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          // some Hadoop FS impls signal an existing file with a plain
+          // IOException whose message names the collision — match that
+          // shape only; anything else is a real IO failure, propagate
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(_.contains("already exists")) =>
+            false
+        }
       }
     if (!acquired)
       throw new IllegalStateException(
-        s"Epochs.withMaintenanceLease: $lease is held — epoch " +
-          "maintenance is single-maintainer; if its owner crashed, " +
-          "remove the lock file and re-run")
+        s"Epochs.withMaintenanceLease: $lease is held by " +
+          s"[${leaseOwner(spark, dir).getOrElse("<released just now>")}] — " +
+          "epoch maintenance is single-maintainer; if that owner is " +
+          "dead, recover via breakStaleLease (or remove the lock file) " +
+          "and re-run")
     try body finally fs.delete(lease, false)
+  }
+
+  /** EXPLICIT crashed-maintainer recovery — never called automatically
+    * by anything in this codebase: deletes the directory's maintenance
+    * lock, but only when the lock's own recorded `acquired_ms` proves
+    * it is at least `minAgeMs` old. A younger lock fails loudly naming
+    * the recorded owner (it may well be alive); a lock with NO
+    * parseable metadata also fails loudly — its age cannot be proven,
+    * so the human who has verified the owner is dead removes the file
+    * by hand. Returns the broken lock's recorded metadata.
+    *
+    * The caller owns the liveness judgment (check the named host#pid
+    * first); `minAgeMs` is the backstop that stops a fat-fingered
+    * break of a lease taken seconds ago.
+    */
+  def breakStaleLease(spark: SparkSession, dir: String,
+      minAgeMs: Long): String = {
+    val fs = fsOf(spark, dir)
+    val lease = leasePath(dir)
+    val owner = leaseOwner(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"Epochs.breakStaleLease: no maintenance lease under $dir"))
+    val ageMs = AcquiredRe.findFirstMatchIn(owner)
+      .map(m => System.currentTimeMillis() - m.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"Epochs.breakStaleLease: $lease carries no parseable " +
+          s"acquired_ms [$owner] — its age cannot be proven; verify " +
+          "the owner is dead and remove the lock file by hand"))
+    if (ageMs < minAgeMs)
+      throw new IllegalStateException(
+        s"Epochs.breakStaleLease: $lease is only ${ageMs} ms old " +
+          s"(< $minAgeMs required) and held by [$owner] — refusing to " +
+          "break a lease that young")
+    fs.delete(lease, false)
+    owner
   }
 
   /** True while a maintainer holds the directory's lease. */
@@ -278,8 +388,11 @@ object Epochs {
       if ((System.nanoTime() - t0) / 1000000L > timeoutMs)
         throw new IllegalStateException(
           s"Epochs.awaitNoMaintenance: ${leasePath(dir)} still held " +
-            s"after ${timeoutMs} ms — a maintainer is stuck or crashed " +
-            "holding the lock; remove it only if its owner is dead")
+            s"after ${timeoutMs} ms by " +
+            s"[${leaseOwner(spark, dir).getOrElse("<released just now>")}]" +
+            " — a maintainer is stuck or crashed holding the lock; if " +
+            "that owner is dead, recover via breakStaleLease (or remove " +
+            "the lock file)")
       Thread.sleep(100L)
     }
   }

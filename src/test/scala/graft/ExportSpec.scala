@@ -168,6 +168,51 @@ class ExportSpec extends SparkSpec {
     assert(ids(ShardStore.readShards(spark, dir).shards) === ids(v2))
   }
 
+  test("ShardStore manifest format gate: validate refuses an unstamped " +
+      "(pre-octet_length) or differently-stamped epoch with an explicit " +
+      "unit error, never an opaque checksum mismatch") {
+    import graft.ops.ShardStore
+    val docs = util.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).limit(60)
+    val dir = Files.createTempDirectory("graft-store-fmt").toString
+    assert(ShardStore.publish(spark, dir, docs, "doc_id", "text",
+      seed = 7L, nShards = 4) === 0L)
+    val pinned = ShardStore.readShards(spark, dir)
+    // a fresh publish is stamped and validates clean
+    assert(ShardStore.manifestFormat(spark, dir, 0L) ===
+      Some(ShardStore.ManifestFormat))
+    assert(ShardStore.validate(pinned, "doc_id", "text", 7L, 4)
+      .filter(!col("ok")).isEmpty)
+    // pre-stamp era (an r10-or-earlier publish): no sidecar → the
+    // n_bytes unit is unknown and validate must say SO, up front.
+    // (Edits go through the Hadoop FS API — the local ChecksumFileSystem
+    // keeps .crc sidecars that a raw NIO write would desynchronize.)
+    val sidecar = new org.apache.hadoop.fs.Path(
+      s"$dir/epoch=0/_MANIFEST_FORMAT")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(v: String): Unit = {
+      val out = fs.create(sidecar, true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+    fs.delete(sidecar, false)
+    val unstamped = intercept[IllegalStateException] {
+      ShardStore.validate(ShardStore.readShards(spark, dir),
+        "doc_id", "text", 7L, 4)
+    }
+    assert(unstamped.getMessage.contains("unit unknown"))
+    // a future format bump refuses symmetrically
+    stamp("3")
+    val bumped = intercept[IllegalStateException] {
+      ShardStore.validate(ShardStore.readShards(spark, dir),
+        "doc_id", "text", 7L, 4)
+    }
+    assert(bumped.getMessage.contains("manifest format 3"))
+    // restore: the gate clears and the arithmetic still validates
+    stamp(ShardStore.ManifestFormat)
+    assert(ShardStore.validate(ShardStore.readShards(spark, dir),
+      "doc_id", "text", 7L, 4).filter(!col("ok")).isEmpty)
+  }
+
   test("SourceMixture.mix materializes exactly mixStats' copy counts") {
     val docs = util.Tables(spark, sf).documents
     val weights = Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 0.25)

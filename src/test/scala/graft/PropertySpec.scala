@@ -251,6 +251,56 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.Bench.minima(rawV)(oneValidator) >= 0.0)
   }
 
+  test("Bench steal-guard: a forced spike re-probes and clears, a real " +
+    "slow query tags steal_suspect, a throwing re-probe tags " +
+    "reprobe_failed (never steal_suspect)") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val sfDir = "/nonexistent/sf0.1"
+    val fast: (SparkSession, String) => DataFrame =
+      (s, _) => { import s.implicits._; Seq(1).toDF("x") }
+    val slow: (SparkSession, String) => DataFrame =
+      (s, _) => { Thread.sleep(1200L); import s.implicits._; Seq(1).toDF("x") }
+    val dies: (SparkSession, String) => DataFrame =
+      (_, _) => throw new RuntimeException("simulated warm-re-probe death")
+    // refs of 0.1 s floor the threshold at 0.75 s (stealThresholdS)
+    val refs = Map("q_recovers" -> 0.1, "q_still_slow" -> 0.1,
+      "q_dies_warm" -> 0.1, "q_fine" -> 0.1)
+    val raw = Map(
+      "q_recovers" -> Seq(5.0), // spiked in sweeps, fast warm → cleared
+      "q_still_slow" -> Seq(5.0), // still over after re-probe → suspect
+      "q_dies_warm" -> Seq(5.0), // re-probe throws → reprobe_failed
+      "q_fine" -> Seq(0.1)) // under threshold → untouched
+    val queries = Map("q_recovers" -> fast, "q_still_slow" -> slow,
+      "q_dies_warm" -> dies, "q_fine" -> fast)
+    val (aug, suspects, rFailed) =
+      graft.Bench.reprobeValidators(spark, sfDir, queries, raw, refs)
+    assert(aug("q_recovers").length === 2 && aug("q_recovers").min < 0.75,
+      "a steal spike must clear on a fast warm re-probe")
+    assert(suspects === Seq("q_still_slow"))
+    assert(rFailed === Seq("q_dies_warm"),
+      "a throwing re-probe is a regression signal, not steal")
+    assert(aug("q_dies_warm") === Seq(5.0), "no fabricated timings")
+    assert(aug("q_fine") === Seq(0.1))
+    // the guard is inert off sf0.1 (the refs are sf0.1 numbers)
+    val (aug2, s2, f2) = graft.Bench.reprobeValidators(
+      spark, "/nonexistent/sf0.01", queries, raw, refs)
+    assert(aug2 === raw && s2.isEmpty && f2.isEmpty)
+    // budget exhaustion: over-threshold queries tag on sweep minima
+    // alone, and no re-probe runs (no timing appended anywhere)
+    val (aug3, s3, f3) = graft.Bench.reprobeValidators(
+      spark, sfDir, queries, raw, refs, budgetS = -1.0)
+    assert(aug3 === raw && f3.isEmpty)
+    assert(s3.sorted === Seq("q_dies_warm", "q_recovers", "q_still_slow"))
+    // the full JSON line carries both arrays and stays parseable
+    val line = graft.Bench.renderLine(graft.Bench.minima(aug), sfDir,
+      9, 0.0, suspects, rFailed)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("steal_suspect").get(0).asText() === "q_still_slow")
+    assert(node.get("reprobe_failed").get(0).asText() === "q_dies_warm")
+    // the full-surface reference table covers the whole registry
+    assert(graft.BenchRefs.Sf01Ref.size >= 218)
+  }
+
   test("shard hash: deterministic, all shards hit, no gross skew") {
     import spark.implicits._
     val ids = (0L until 4000L).toDF("id")

@@ -1499,6 +1499,9 @@ class SimSpec extends SparkSpec {
     assert(storm.getMessage.contains("rewrite attempts"))
     assert(Epochs.current(spark, dir) === 1L,
       "a failed checked rewrite must not publish")
+    assert(!new java.io.File(s"$dir/epoch=2").exists(),
+      "a failed checked rewrite must discard its half-built epoch dir, " +
+        "not leave an unpublished partial tree on disk")
 
     // (3) the maintenance lease: a second maintainer fails loudly
     Epochs.withMaintenanceLease(spark, dir) {
