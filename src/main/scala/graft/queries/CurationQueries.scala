@@ -1348,18 +1348,16 @@ object CurationQueries {
     * side (partial-aggregatable distinct on the 8-byte hash) plus one
     * hash anti-join (left join + null-count here, so the per-source
     * totals ride the same join), then a |sources|-row rollup. The old
-    * side's distinct gram set is the reusable artifact: a production
-    * loop materializes it once (bucketed by gh) and every future crawl
-    * joins against it co-located — or prefilters through dedup_bloom's
-    * membership sketch when approximate novelty is enough.
+    * side's distinct gram set is the reusable artifact, and
+    * [[graft.dedup.NoveltyIndex]] IS that artifact (persisted, bucketed
+    * by gh, Epochs-snapshotted): this query is the full-recompute
+    * VALIDATOR, [[qCrawlNoveltyProbe]] is the O(new crawl) production
+    * path against the saved index — same oracle, so probe ≡ recompute
+    * is hash-proven at both SFs.
     */
   def qCrawlNovelty(s: SparkSession, dir: String): DataFrame = {
-    def grams(d: DataFrame): DataFrame = d
-      .select(col("source"),
-        explode(graft.text.TextOps.wordNgrams(
-          graft.text.TextOps.tokens(col("text")), 3)).as("g"))
-      .select(col("source"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    def grams(d: DataFrame): DataFrame =
+      graft.dedup.NoveltyIndex.sourceGramHashes(d, "source", "text", 3)
     val base = Tables(s, dir).documents
     val oldGrams = grams(base).select(col("gh")).distinct()
     val newGrams = grams(recrawled(base)).distinct()
@@ -1407,6 +1405,43 @@ object CurationQueries {
       |FROM newg n LEFT JOIN oldg o ON n.gh = o.gh
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** The q_crawl_novelty daily-job shape a 100 TB loop actually runs —
+    * [[graft.dedup.NoveltyIndex]]'s probe against the PERSISTED corpus
+    * gram index instead of q_crawl_novelty's per-run full recompute:
+    * the index is built once per corpus dir (memoized, the
+    * centroidsFor precedent — production materializes it once and
+    * appends admitted crawls), and each run costs one map-side gram
+    * pass over the NEW crawl plus one anti-join on the 8-byte gh
+    * against the bucketed index. Identical output columns, identical
+    * oracle SQL — a hash match at both SFs IS the proof that the
+    * incremental path reproduces the full recompute exactly. The
+    * append-≡-rebuild and compaction-invariance halves of the index
+    * contract are DedupSpec-pinned (the dedup_incremental precedent).
+    */
+  def qCrawlNoveltyProbe(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = noveltyIndexFor(s, dir)
+    val snap = graft.dedup.NoveltyIndex.load(s, idxDir)
+    graft.dedup.NoveltyIndex.probe(snap,
+        recrawled(Tables(s, dir).documents), "source", "text", 3)
+      .orderBy(col("source"))
+  }
+
+  /** The saved novelty index for a corpus dir — fit-once-per-session
+    * memoization (the IVF-centroid pattern applied to a PERSISTED
+    * artifact: repeated probes re-plan against the same epoch files,
+    * never re-derive the corpus gram set).
+    */
+  private val noveltyIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def noveltyIndexFor(s: SparkSession, dir: String): String =
+    noveltyIndexCache.computeIfAbsent(dir, _ => {
+      val idxDir = graft.util.Staging.dir(s, "novelty_index")
+      graft.dedup.NoveltyIndex.init(s, Tables(s, dir).documents,
+        idxDir, "text", 3)
+      idxDir
+    })
 
   /** Packing-efficiency report — the accounting that justifies packing
     * at all: for the three canonical sequence layouts at block size 512
@@ -1726,6 +1761,7 @@ object CurationQueries {
     "pack_stats" -> (packStats _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_crawl_novelty" -> (qCrawlNovelty _),
+    "q_crawl_novelty_probe" -> (qCrawlNoveltyProbe _),
     "mix_dedup_weight" -> (mixDedupWeight _),
     "pack_bestfit" -> (packBestfit _),
     "mix_dsir" -> (mixDsir _),
@@ -1758,6 +1794,9 @@ object CurationQueries {
     "pack_stats" -> packStatsSql,
     "q_corpus_diff" -> qCorpusDiffSql,
     "q_crawl_novelty" -> qCrawlNoveltySql,
+    // the probe face must reproduce the full recompute bit-for-bit, so
+    // the oracle IS q_crawl_novelty's (the manifest_incremental move)
+    "q_crawl_novelty_probe" -> qCrawlNoveltySql,
     "mix_dsir" -> mixDsirSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "sample_shard" -> sampleShardSql,

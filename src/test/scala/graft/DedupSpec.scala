@@ -657,6 +657,148 @@ class DedupSpec extends SparkSpec {
     assert(Epochs.current(spark, dir) === 2L)
   }
 
+  test("Epochs lease: owner metadata on the lock, conflicts name the " +
+      "holder, and a dead owner recovers ONLY through explicit " +
+      "breakStaleLease") {
+    import graft.util.Epochs
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease").toString
+    val myPid = s"#${ProcessHandle.current().pid()}"
+    Epochs.withMaintenanceLease(spark, dir) {
+      // live lease: the lock records THIS process and its acquire time
+      val owner = Epochs.leaseOwner(spark, dir).get
+      assert(owner.contains(myPid) && owner.contains("acquired_ms="))
+      // a second maintainer fails loudly, NAMING the holder — the
+      // orchestrator's "is that owner alive" signal
+      val conflict = intercept[IllegalStateException] {
+        Epochs.withMaintenanceLease(spark, dir) { () }
+      }
+      assert(conflict.getMessage.contains("single-maintainer"))
+      assert(conflict.getMessage.contains(myPid))
+      // breaking a lease younger than minAge refuses loudly
+      val young = intercept[IllegalStateException] {
+        Epochs.breakStaleLease(spark, dir, minAgeMs = 3600000L)
+      }
+      assert(young.getMessage.contains("refusing"))
+    }
+    assert(!Epochs.maintenanceHeld(spark, dir))
+    // dead owner: lock present, no live process — simulate the crash
+    // by planting a lock whose acquired_ms is long past
+    val lock = java.nio.file.Paths.get(s"$dir/_MAINTENANCE.lock")
+    java.nio.file.Files.write(lock, ("owner=deadhost#99999 " +
+      s"acquired_ms=${System.currentTimeMillis() - 600000L}").getBytes("UTF-8"))
+    // appenders diagnose loudly, naming the dead owner and the recovery
+    val stuck = intercept[IllegalStateException] {
+      Epochs.awaitNoMaintenance(spark, dir, timeoutMs = 200L)
+    }
+    assert(stuck.getMessage.contains("deadhost#99999"))
+    assert(stuck.getMessage.contains("breakStaleLease"))
+    // recovery is explicit: break succeeds past minAge and returns the
+    // dead owner's record; the fence works again afterwards
+    assert(Epochs.breakStaleLease(spark, dir, minAgeMs = 60000L)
+      .contains("deadhost#99999"))
+    assert(!Epochs.maintenanceHeld(spark, dir))
+    Epochs.withMaintenanceLease(spark, dir) {
+      assert(Epochs.maintenanceHeld(spark, dir))
+    }
+    assert(!Epochs.maintenanceHeld(spark, dir))
+    // a metadata-less lock (pre-metadata layout / torn write): age is
+    // unprovable, so break refuses and directs manual removal
+    java.nio.file.Files.createFile(lock)
+    val torn = intercept[IllegalStateException] {
+      Epochs.breakStaleLease(spark, dir, minAgeMs = 0L)
+    }
+    assert(torn.getMessage.contains("by hand"))
+    java.nio.file.Files.delete(lock)
+    // no lease at all: loud, not a silent no-op
+    intercept[IllegalStateException] {
+      Epochs.breakStaleLease(spark, dir, minAgeMs = 0L)
+    }
+  }
+
+  test("NoveltyIndex: probe ≡ full recompute; append ≡ rebuild " +
+      "(idempotent on retry); compaction and a raced epoch advance " +
+      "never change a probe") {
+    import graft.dedup.NoveltyIndex
+    import spark.implicits._
+    val docs = util.Tables(spark, sf).documents
+    val old = docs.filter(col("doc_id") % 5 < 4)
+    val fresh = docs.filter(col("doc_id") % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    NoveltyIndex.init(spark, old, dir, "text", 3)
+
+    def probeRows(newSide: org.apache.spark.sql.DataFrame) =
+      NoveltyIndex.probe(NoveltyIndex.load(spark, dir), newSide,
+          "source", "text", 3)
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    def gramSet: Set[Long] = NoveltyIndex.load(spark, dir).grams
+      .distinct().collect().map(_.getLong(0)).toSet
+
+    // (1) probe ≡ the full recompute (q_crawl_novelty's left-join
+    // null-count arithmetic), end-to-end through the persisted layout
+    val expected = NoveltyIndex.sourceGramHashes(fresh, "source", "text", 3)
+      .distinct()
+      .join(NoveltyIndex.gramHashes(old, "text", 3).distinct()
+        .withColumn("seen", lit(1)), Seq("gh"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_grams"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(probeRows(fresh) === expected)
+    assert(expected.exists(_._3 > 0L),
+      "fixture must plant genuine novelty or the pin is vacuous")
+
+    // (2) append ≡ rebuild: admitting the crawl leaves EXACTLY the
+    // full-corpus gram set; re-probing the same crawl finds nothing new
+    NoveltyIndex.append(spark, fresh, dir, "text", 3)
+    val rebuilt = NoveltyIndex.gramHashes(docs, "text", 3)
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(gramSet === rebuilt, "append must equal a full rebuild")
+    val reProbe = probeRows(fresh)
+    assert(reProbe.forall(r => r._3 === 0L && r._4 === 0L),
+      "an admitted crawl must probe as fully seen")
+    // retry idempotence (the physical-duplicate contract): a duplicate
+    // append changes neither the gram set nor any probe
+    NoveltyIndex.append(spark, fresh, dir, "text", 3)
+    assert(gramSet === rebuilt)
+    assert(probeRows(fresh) === reProbe)
+
+    // (3) compaction invariance: pinned reader survives, probes are
+    // byte-identical, the layout collapses to one file per bucket
+    val pinned = NoveltyIndex.load(spark, dir)
+    val nPinned = pinned.grams.count()
+    assert(NoveltyIndex.compact(spark, dir) === 1L)
+    assert(pinned.grams.count() === nPinned,
+      "a pinned epoch-0 reader must survive the compaction publish")
+    assert(probeRows(fresh) === reProbe)
+    assert(gramSet === rebuilt)
+    val bucketDirs = new java.io.File(s"$dir/epoch=1/grams")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("b="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { b =>
+      val parts = b.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts === 1, s"bucket ${b.getName}: $parts files after compact")
+    }
+
+    // (4) the appenders' fence: an append resolved against a STALE
+    // epoch (a compaction published underneath it) must land its novel
+    // grams in the CURRENT epoch, exactly once
+    val extra = Seq((900001L, "zq1 zq2 zq3 zq4", "srcX"))
+      .toDF("doc_id", "text", "source")
+    val extraGrams = NoveltyIndex.gramHashes(extra, "text", 3)
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(extraGrams.nonEmpty && (extraGrams -- rebuilt) === extraGrams,
+      "fixture grams must be genuinely novel")
+    NoveltyIndex.appendFrom(spark, extra, dir, startEpoch = 0L, "text", 3)
+    assert(gramSet === rebuilt ++ extraGrams,
+      "a raced append must be re-appended into the advanced epoch")
+    assert(probeRows(extra).forall(_._3 === 0L))
+  }
+
   test("dedup_inline: planted within-doc repeats collapse keep-first; " +
       "the plan's only exchange is the result ORDER BY") {
     import spark.implicits._

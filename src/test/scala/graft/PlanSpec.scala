@@ -15,6 +15,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
+  test("q_crawl_novelty_probe: novelty rides an anti-join against the " +
+      "SAVED gram index — the old corpus text is never re-derived") {
+    val probe = planOf(CurationQueries.qCrawlNoveltyProbe(spark, sf))
+    assert(!probe.contains("CartesianProduct"), probe.take(800))
+    assert(probe.contains("LeftAnti"),
+      "the seen-set membership test must compile to an anti-join")
+    assert(probe.contains("novelty_index"),
+      "the build side must scan the persisted index files")
+    // scan accounting: the validator reads the recrawl branches once
+    // (v - 1 scans) plus ONE old-corpus gram derivation; the probe
+    // reads the recrawl branches twice (n_grams + n_novel each consume
+    // the new side — the deliberate trade documented on probe(): 2×
+    // the crawl-scale side beats distinct-exchanging the corpus-scale
+    // index) and the old-corpus derivation NOWHERE
+    def docScans(plan: String) =
+      "documents\\.parquet".r.findAllIn(plan).size
+    val validatorScans =
+      docScans(planOf(CurationQueries.qCrawlNovelty(spark, sf)))
+    assert(docScans(probe) === 2 * (validatorScans - 1),
+      s"probe scans documents ${docScans(probe)}x vs validator " +
+        s"${validatorScans}x — expected exactly two recrawl-branch " +
+        "derivations and NO old-corpus scan:\n" + probe.take(1200))
+  }
+
   test("mix_sources joins the recipe by broadcast, never a shuffle") {
     val plan = planOf(CurationQueries.mixSources(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
