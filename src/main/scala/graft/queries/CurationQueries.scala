@@ -629,6 +629,81 @@ object CurationQueries {
     */
   val manifestIncrementalSql: String = exportManifestSql
 
+  /** Max docs the manifest-stream fixture collects into its
+    * MemoryStream feed — bounds the face's driver memory at any corpus
+    * size (the AdmissionFeedBudget stride pattern; the oracle replays
+    * the stride arithmetic). At every shipped SF the stride resolves
+    * to 1 — the whole corpus flows.
+    */
+  val ManifestFeedBudget = 5000L
+
+  /** The streaming-manifest lifecycle under the full hash oracle — the
+    * registered face of [[graft.streaming.Streams.manifestStream]]
+    * (the q_mv_compact / q_takedown_audit move applied to the last
+    * lifecycle loop whose only gate was a spec): the corpus arrives as
+    * three crawl batches (doc_id mod 3) through the REAL stream, each
+    * micro-batch landing its own nShards-row manifest partial
+    * (Manifest.partial — the identical arithmetic export_manifest
+    * runs); the accumulated partials are then FOLDED by the
+    * maintenance path (Streams.compactMv + Manifest.merge) and the
+    * face returns the published manifest (readManifest's read-time
+    * merge). The oracle is export_manifest's arithmetic over the fed
+    * docs, so a hash match proves the whole loop — per-batch partials,
+    * compaction, read-time merge — reproduces the one-shot manifest
+    * bit-for-bit; a batch dropped, double-counted, or corrupted by
+    * compaction flips the hash.
+    *
+    * The driver-side collect feeds the MemoryStream FIXTURE only
+    * (production feeds a file/queue source) and is budget-bounded by
+    * [[ManifestFeedBudget]]; the operator's own per-batch cost is one
+    * scan of the BATCH, state is nShards rows per batch — the 100 TB
+    * claim manifestStream documents.
+    */
+  def manifestStreamFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stateDir = graft.util.Staging.dir(s, "manifest_stream_face")
+    val docs = Tables(s, dir).documents
+    val stride = math.max(1L,
+      (docs.count() + ManifestFeedBudget - 1) / ManifestFeedBudget)
+    val rows = docs.filter(pmod(col("doc_id"), lit(stride)) === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batches = Seq(0L, 1L, 2L).map(m => rows.filter(_._1 % 3 == m))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.manifestStream(
+      ms.toDS().toDF("doc_id", "text"), stateDir, "doc_id", "text",
+      ShardSeed, NShards)
+    try {
+      batches.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // the maintenance fold: published manifest is invariant under it
+    graft.streaming.Streams.compactMv(s, stateDir,
+      graft.ops.Manifest.merge)
+    graft.streaming.Streams.readManifest(s, stateDir)
+      .orderBy(col("shard"))
+  }
+
+  /** export_manifest's arithmetic over the stride-bounded feed. */
+  val manifestStreamSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % (SELECT greatest(1,
+       |      (count(*) + ${ManifestFeedBudget - 1}) // $ManifestFeedBudget)
+       |    FROM documents) = 0),
+       |h AS (
+       |  SELECT
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':$ShardSeed'), 1, 8))::BIGINT
+       |      % $NShards AS shard,
+       |    strlen(text) AS nb,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT
+       |      AS row_sig
+       |  FROM f)
+       |SELECT shard, count(*) AS n_rows, sum(nb)::BIGINT AS n_bytes,
+       |  bit_xor(row_sig) AS checksum
+       |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Shard-level corpus change detection off MANIFESTS ALONE — the
     * step before q_corpus_diff in a real lake: two published snapshots
     * are first compared shard-by-shard (row/byte deltas + XOR checksum
@@ -1770,6 +1845,7 @@ object CurationQueries {
     "mix_split" -> (mixSplit _),
     "export_manifest" -> (exportManifest _),
     "manifest_incremental" -> (manifestIncremental _),
+    "manifest_stream" -> (manifestStreamFace _),
     "manifest_diff" -> (manifestDiff _),
     "mix_data_constrained" -> (mixDataConstrained _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1803,6 +1879,7 @@ object CurationQueries {
     "mix_split" -> mixSplitSql,
     "export_manifest" -> exportManifestSql,
     "manifest_incremental" -> manifestIncrementalSql,
+    "manifest_stream" -> manifestStreamSql,
     "manifest_diff" -> manifestDiffSql,
     "mix_data_constrained" -> mixDataConstrainedSql,
     "sample_weighted" -> sampleWeightedSql,
