@@ -658,6 +658,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The repo-shipped pretrained tokenizer (public merges.txt format,
+    * loaded once — a static model, no per-corpus state): 48 common
+    * English merges in GPT-2-style frequency order. Stand-in for the
+    * production artifact (a real deployment points loadMergesResource /
+    * loadMerges at its model's published merges file).
+    */
+  private lazy val PretrainedBpe: graft.text.Bpe.Model =
+    graft.text.Bpe.loadMergesResource("/graft/bpe/fixture_merges.txt")
+
+  /** Token accounting under a FIXED pretrained tokenizer — the
+    * production budget path: text_bpe prices the corpus under a
+    * tokenizer trained ON that corpus (the right tool for tokenizer
+    * R&D), but real token budgets, packing plans, and mix weights are
+    * denominated in the TARGET MODEL's tokenizer, which is fixed long
+    * before the corpus arrives. This face loads the public merges.txt
+    * interchange format ([[graft.text.Bpe.loadMerges]]) and reports
+    * per-doc pretoken count, BPE token count, and integer fertility
+    * under the LOADED merges, through the same native one-pass
+    * expression the trained path uses (map-only, zero shuffle before
+    * the result ORDER BY). No SQL twin — BPE encoding is inherently
+    * iterative per word — so the row is declared rows-only; TextSpec
+    * pins hand-traced encodes under the fixture merges, the merges.txt
+    * round-trip, and loaded-vs-trained parity on an identical merge
+    * list.
+    */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_pretok"),
+        graft.text.Bpe.tokenCount(col("text"), PretrainedBpe)
+          .as("n_bpe_tok"))
+      .withColumn("fertility_x100",
+        when(col("n_pretok") > 0,
+          floor(col("n_bpe_tok") * lit(100L) / col("n_pretok")))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+
   /** TextRank keyword ranks over the corpus word graph
     * ([[graft.text.TextRank]]): integer-arithmetic PageRank, so the
     * 10-round trajectory is exact and the DuckDB twin (the same rounds
@@ -1203,6 +1240,7 @@ object TextQueries {
     "text_cooc_pmi" -> (textCoocPmi _),
     "text_pagerank" -> (textPagerank _),
     "text_bpe" -> (textBpe _),
+    "text_bpe_apply" -> (textBpeApply _),
     "text_lmscore" -> (textLmscore _),
     "text_entropy" -> (textEntropy _),
     "text_chunk" -> (textChunk _),

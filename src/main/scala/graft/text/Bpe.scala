@@ -130,6 +130,53 @@ object Bpe {
     trainOnCounts(wc, numMerges)
   }
 
+  /** Parse the public `merges.txt` interchange format — one
+    * `left right` pair per line, rank = line order, `#...` header
+    * lines and blanks skipped (the format Sennrich's reference
+    * implementation emits and the GPT-2 / huggingface-tokenizers BPE
+    * readers consume). This is the PRODUCTION accounting path: token
+    * budgets are priced under the FIXED tokenizer the target model
+    * trains with, never a tokenizer re-fit per corpus (a re-fit
+    * changes the unit of every budget it feeds). The loaded model
+    * drives the same [[encodeSyms]] engine and the same native
+    * [[graft.functions.BpeTokenCount]] expression as a trained one —
+    * loaded-vs-trained parity on an identical merge list is
+    * TextSpec-pinned.
+    */
+  def loadMerges(lines: Iterator[String]): Model = {
+    val merges = lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && l.indexOf(' ', i + 1) < 0,
+          s"merges.txt line is not 'left right': '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }.toVector
+    require(merges.nonEmpty, "merges.txt carries no merge pairs")
+    val ranks = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      ranks.put(pairKey(a, b), Integer.valueOf(r))
+    }
+    val vocab = merges.iterator
+      .flatMap { case (a, b) => Iterator(a, b, a + b) }.toSet
+    Model(ranks, merges, vocab)
+  }
+
+  /** [[loadMerges]] from a classpath resource. */
+  def loadMergesResource(path: String): Model = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"merges resource not found: $path")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try loadMerges(src.getLines()) finally src.close()
+  }
+
+  /** Render a model's merge list back to merges.txt lines (the
+    * round-trip half of the interchange format — what a trainer
+    * publishes for serving-side loads).
+    */
+  def renderMerges(model: Model): Seq[String] =
+    "#version: 0.2" +: model.merges.map { case (a, b) => s"$a $b" }
+
   /** Greedy lowest-rank-first encode of one pretoken — the standard
     * BPE apply: repeatedly merge ALL occurrences of the present pair
     * with the smallest training rank. Replays training exactly for

@@ -294,6 +294,68 @@ class TextSpec extends SparkSpec {
     assert(out.getLong(3) === 155240L, s"sum fertility_x100 ${out.getLong(3)}")
   }
 
+  test("Bpe.loadMerges: hand-traced encodes under the fixture merges; " +
+      "merges.txt round-trip; loaded ≡ trained on an identical list; " +
+      "text_bpe_apply totals pinned (rows-only query, value gate)") {
+    import graft.text.Bpe
+    val m = Bpe.loadMergesResource("/graft/bpe/fixture_merges.txt")
+    assert(m.merges.size === 48)
+    assert(m.merges.take(3) === Seq(("t", "h"), ("i", "n"), ("th", "e")))
+    // hand-traced greedy rank-first encodes under the fixture ranks:
+    // the: (t,h) r0 → [th,e]; (th,e) r2 → [the]
+    assert(Bpe.encodeWord(m, "the") === Seq("the"))
+    // hash: (a,s) r23 → [h,as,h]; (h,as) r47 → [has,h]
+    assert(Bpe.encodeWord(m, "hash") === Seq("has", "h"))
+    // data: (a,t) r9 beats (d,a) r30 and (t,a) r31 → [d,at,a], done
+    assert(Bpe.encodeWord(m, "data") === Seq("d", "at", "a"))
+    // window: (i,n) r1 beats (w,i) r29 → [w,in,d,o,w]; (w,in) r43
+    assert(Bpe.encodeWord(m, "window") === Seq("win", "d", "o", "w"))
+    // spark: (a,r) r12 → [s,p,ar,k]; (s,p) r35 → [sp,ar,k]
+    assert(Bpe.encodeWord(m, "spark") === Seq("sp", "ar", "k"))
+    // unseen characters stay single-codepoint tokens
+    assert(Bpe.encodeWord(m, "zq") === Seq("z", "q"))
+    // format strictness: a malformed pair line fails loudly
+    intercept[IllegalArgumentException] {
+      Bpe.loadMerges(Iterator("a b c"))
+    }
+    // round-trip: render → load reproduces merges and ranks exactly
+    val rt = Bpe.loadMerges(Bpe.renderMerges(m).iterator)
+    assert(rt.merges === m.merges && rt.ranks === m.ranks)
+    // loaded ≡ trained on an identical merge list: a trainer publishes
+    // merges.txt, the serving side loads it — every encode agrees
+    val trained = Bpe.trainOnCounts(Seq("hug" -> 10L, "pug" -> 5L,
+      "pun" -> 12L, "bun" -> 4L, "hugs" -> 5L), 3)
+    val loaded = Bpe.loadMerges(Bpe.renderMerges(trained).iterator)
+    assert(loaded.merges === trained.merges)
+    Seq("hug", "hugs", "pun", "bug", "mugging").foreach { w =>
+      assert(Bpe.encodeWord(loaded, w) === Bpe.encodeWord(trained, w))
+    }
+    // native expression ≡ driver encode under the LOADED model
+    val docs = graft.util.Tables(spark, sf).documents
+    val sample = docs.select(col("text"),
+      Bpe.tokenCount(col("text"), m).as("n")).limit(50).collect()
+    val p = java.util.regex.Pattern.compile(TextOps.BpePattern)
+    sample.foreach { r =>
+      val matcher = p.matcher(
+        r.getString(0).toLowerCase(java.util.Locale.ROOT))
+      var n = 0
+      while (matcher.find()) n += Bpe.encodeWord(m, matcher.group()).size
+      assert(r.getInt(1) === n)
+    }
+    // the registered face: exact totals pinned (the text_bpe gate —
+    // deterministic static merges, re-derive on INTENTIONAL fixture
+    // changes). n_pretok matches text_bpe's pin: same pretokenization.
+    val out = graft.queries.TextQueries.textBpeApply(spark, sf)
+      .agg(count(lit(1)).as("rows"), sum(col("n_pretok")).as("pre"),
+        sum(col("n_bpe_tok")).as("bpe"),
+        sum(col("fertility_x100")).as("fert"))
+      .collect()(0)
+    assert(out.getLong(0) === 500L)
+    assert(out.getLong(1) === 27939L, s"sum n_pretok ${out.getLong(1)}")
+    assert(out.getLong(2) === 84820L, s"sum n_bpe_tok ${out.getLong(2)}")
+    assert(out.getLong(3) === 151441L, s"sum fertility_x100 ${out.getLong(3)}")
+  }
+
   test("Bpe: native expression equals driver-side encode on real docs") {
     import graft.text.Bpe
     val docs = graft.util.Tables(spark, sf).documents
