@@ -661,9 +661,12 @@ object SourceQueries {
     * to a quarantine bucket with enough identity (count, byte mass, a
     * content signature) to chase upstream. The fixture plants
     * deterministic corruption (docs with doc_id % 23 = 7 lose their
-    * JSON tail — the torn-write shape) in lines built by CONCAT, not
-    * to_json, so the DuckDB oracle reconstructs every byte and the hash
-    * gates both routing and signatures. Parsing is `from_json` over a
+    * JSON tail — the torn-write shape) in lines built by to_json on
+    * BOTH engines (byte-identical compact rendering, probe-verified:
+    * `"`→`\"`, `\`→`\\`), so the DuckDB oracle reconstructs every byte
+    * and the hash gates routing, signatures, AND the escaping path —
+    * a planted quote-and-backslash source row rides the fixture to
+    * prove it end-to-end. Parsing is `from_json` over a
     * text scan with `columnNameOfCorruptRecord` — map-only, no
     * file-source corrupt-column restriction, ONE pass splits clean
     * rows (grouped per source) from quarantine (the `_quarantine`
@@ -676,21 +679,28 @@ object SourceQueries {
     */
   def sourceQuarantine(s: SparkSession, dir: String): DataFrame = {
     val out = graft.util.Staging.dir(s, "quarantine_src")
-    // the CONCAT line builder (and the byte-replaying DuckDB oracle)
-    // assume `source` is a JSON-safe identifier — a quote, backslash
-    // or control char would make a CLEAN line unparseable Spark-side
-    // while the oracle still routes by doc_id % 23 alone. Guard it
-    // loudly: a future fixture with exotic source names must fail
-    // here, not surface as an oracle hash mismatch. (Escaping via
-    // to_json on both sides is the lift if sources ever need it.)
-    val safeSource = when(col("source").rlike("[\"\\\\\\u0000-\\u001f]"),
-        raise_error(concat(lit("source_quarantine: source value is not " +
-          "JSON-safe for the concat line builder: "), col("source"))))
+    // the line is built with to_json on BOTH engines, so quotes and
+    // backslashes in source values round-trip instead of tripping the
+    // pre-r12 concat-builder guard. Control characters stay loudly
+    // guarded: Spark (Jackson) renders \u-escapes with UPPERCASE hex,
+    // DuckDB (yyjson) lowercase, so one would surface as a silent
+    // oracle hash mismatch — the one shape to_json cannot carry.
+    val safeSource = when(col("source").rlike("[\\u0000-\\u001f]"),
+        raise_error(concat(lit("source_quarantine: source value carries " +
+          "a control character — the engines' \\u escape hex case " +
+          "differs: "), col("source"))))
       .otherwise(col("source"))
-    val line = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
-      lit(",\"source\":\""), safeSource, lit("\",\"len\":"),
-      col("n_chars").cast("string"), lit("}"))
-    Tables(s, dir).documents
+    val docs = Tables(s, dir).documents
+    val base = docs.select(col("doc_id"), safeSource.as("source"),
+      col("n_chars").cast("long").as("len"))
+    // planted JSON-hostile row (quote + backslash in source) — both
+    // engines add the same row, so the escaping path itself is under
+    // the hash gate, not just declared safe
+    val planted = docs.agg(max(col("doc_id")).as("m"))
+      .select((col("m") + 1).as("doc_id"),
+        lit("we\"ird\\src").as("source"), lit(11L).as("len"))
+    val line = to_json(struct(col("doc_id"), col("source"), col("len")))
+    base.unionByName(planted)
       .select(line.as("l"), col("doc_id"))
       .select(when(pmod(col("doc_id"), lit(23L)) === 7,
           expr("substring(l, 1, length(l) - 3)"))
@@ -719,11 +729,16 @@ object SourceQueries {
   }
 
   val sourceQuarantineSql: String =
-    """WITH l AS (
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT (SELECT max(doc_id) + 1 FROM documents),
+      |    'we"ird\src', 11),
+      |l AS (
       |  SELECT doc_id, source, n_chars,
-      |    '{"doc_id":' || doc_id || ',"source":"' || source ||
-      |      '","len":' || n_chars || '}' AS full_line
-      |  FROM documents),
+      |    to_json(struct_pack(doc_id := doc_id, source := source,
+      |      len := n_chars::BIGINT))::VARCHAR AS full_line
+      |  FROM d),
       |r AS (
       |  SELECT
       |    CASE WHEN doc_id % 23 = 7 THEN '_quarantine' ELSE source END

@@ -250,14 +250,19 @@ class SourceSpec extends SparkSpec {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def sig(line: String): Long =
       java.lang.Long.parseLong(md5hex(line).take(15), 16)
-    val docs = graft.util.Tables(spark, sf).documents
+    val corpus = graft.util.Tables(spark, sf).documents
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("source"),
         org.apache.spark.sql.functions.col("n_chars")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    // driver replay of the fixture + routing + signature arithmetic
+    // the fixture's planted JSON-hostile row rides the replay too
+    val docs = corpus :+ ((corpus.map(_._1).max + 1, "we\"ird\\src", 11L))
+    // driver replay of the fixture + to_json escaping + routing +
+    // signature arithmetic
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val want = docs.map { case (id, src, n) =>
-      val full = s"""{"doc_id":$id,"source":"$src","len":$n}"""
+      val full = s"""{"doc_id":$id,"source":"${esc(src)}","len":$n}"""
       if (id % 23 == 7) ("_quarantine", (full.length - 3).toLong,
         sig(full.dropRight(3)))
       else (src, n, sig(full))
@@ -274,5 +279,10 @@ class SourceSpec extends SparkSpec {
     assert(got("_quarantine")._1 === docs.count(_._1 % 23 == 7).toLong)
     assert(got.values.map(_._1).sum === docs.length.toLong,
       "no line lost between clean routing and quarantine")
+    // the quote-and-backslash source survived the round-trip into its
+    // OWN bucket (not quarantine, not a mangled name)
+    assert(got.contains("we\"ird\\src") ||
+      (docs.last._1 % 23 == 7),
+      "the JSON-hostile source must round-trip as a clean bucket")
   }
 }
