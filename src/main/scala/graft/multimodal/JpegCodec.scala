@@ -7,8 +7,9 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 /** REAL JPEG synthesis on the JDK's own codec — the r7 GIF move applied
   * to the jpeg branch, so jpeg rows exercise a genuine encode → decode
   * round-trip instead of the byte-path fallback. Decoding rides
-  * [[PngCodec.decode]] (ImageIO reads JPEG natively); only mp4 keeps
-  * the fallback (no JDK codec at all).
+  * [[PngCodec.decode]] (ImageIO reads JPEG natively); [[AviCodec]]
+  * reuses the same encode per MJPEG frame, so since r12 no fixture
+  * format falls back (the byte path serves corrupt media only).
   *
   * The independent oracle is a TOLERANCE pin, not equality: JPEG is
   * lossy even at quality 1.0 (DCT coefficient quantization), so the
@@ -38,13 +39,21 @@ object JpegCodec {
     * (why the consumers are rows-only rather than SQL-oracled, same
     * as PNG).
     */
-  def synthesize(id: Long, w: Int, h: Int): Array[Byte] = {
+  def synthesize(id: Long, w: Int, h: Int): Array[Byte] =
+    synthesizeGray(w, h, (x, y) => PngCodec.pixel(id, x, y))
+
+  /** Quality-1.0 JPEG of an arbitrary gray pattern — the shared encode
+    * under [[synthesize]] (single image, PngCodec pattern) and
+    * [[AviCodec.synthesize]] (per-frame GifCodec pattern), so every
+    * JPEG in the fixture carries the same measured tolerance band.
+    */
+  def synthesizeGray(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = PngCodec.pixel(id, x, y)
+        val g = gray(x, y)
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }

@@ -19,14 +19,19 @@ import org.apache.spark.sql.functions._
   * tolerance instead of equality), and `wav` rows carry genuine PCM16
   * RIFF/WAVE payloads decoded by `javax.sound.sampled` ([[WavCodec]])
   * — each synthesized deterministically per doc so the specs verify
-  * the round-trip against codec-independent pattern arithmetic, and
-  * `gif` rows carry genuine ANIMATED GIFs ([[GifCodec]]) whose
-  * temporal axis the frame sampler really decodes. Only `mp4` (no JDK
-  * codec at all) takes the byte-path FALLBACK in
-  * `decodeBatch` — the same degrade-gracefully branch a production
-  * pipeline keeps for corrupt or unknown media. Swap the codec calls
-  * for JNI/FFI decoders to widen the real set without touching the
-  * schema, batching, or parallelism.
+  * the round-trip against codec-independent pattern arithmetic, `gif`
+  * rows carry genuine ANIMATED GIFs ([[GifCodec]]) whose temporal axis
+  * the frame sampler really decodes, and `avi` rows carry genuine
+  * MJPEG-in-AVI clips ([[AviCodec]] — the public RIFF container with a
+  * quality-1.0 JPEG per frame, the one VIDEO container the JDK can
+  * both write and read). Every fixture format now decodes for real;
+  * the byte-path FALLBACK in `decodeBatch` remains the degrade-
+  * gracefully branch for corrupt or unknown media (spec-pinned with a
+  * corrupt blob; mp4 itself stays out of scope by decision — its
+  * H.26x/AV1 bitstreams need native decoders the JDK will never ship,
+  * and MJPEG/AVI already exercises the real temporal-container path).
+  * Swap the codec calls for JNI/FFI decoders to widen the real set
+  * without touching the schema, batching, or parallelism.
   */
 object Multimodal {
 
@@ -50,7 +55,7 @@ object Multimodal {
     */
   val DecodeBatchSize = 64
 
-  private val Formats = Seq("png", "jpeg", "wav", "gif", "mp4")
+  private val Formats = Seq("png", "jpeg", "wav", "gif", "avi")
 
   /** Sample rate of synthesized wav rows (8 kHz — telephony PCM). */
   val WavRate = 8000
@@ -63,8 +68,10 @@ object Multimodal {
     * uses), `jpeg` rows a REAL quality-1.0 JPEG of the same pattern
     * (thumbnail-plus scale, dims 32–127 px — the decode path is what the fixture proves, not megapixel throughput), and `wav`
     * rows carry a REAL PCM16 WAV payload (deterministic sample
-    * pattern, 256–767 samples at [[WavRate]]); only `mp4` carries the
-    * raw text bytes as its opaque blob.
+    * pattern, 256–767 samples at [[WavRate]]), and `avi` rows a REAL
+    * MJPEG-in-AVI clip (2–5 quality-1.0 JPEG frames of the GifCodec
+    * pattern, dims 24–63 px — video pays per FRAME, so the slot is
+    * sized like the gif slot, not the single-image jpeg slot).
     * Metadata semantics per modality: images state (width, height);
     * audio overloads the same typed slots as (n_samples, sample_rate)
     * — the schema stays one struct, the format column disambiguates.
@@ -82,13 +89,13 @@ object Multimodal {
           .when(m5 === 1, lit(32) + pmod(col("n_chars"), lit(96)))
           .when(m5 === 2, lit(256) + pmod(col("n_chars") * 3, lit(512)))
           .when(m5 === 3, lit(16) + pmod(col("n_chars"), lit(24)))
-          .otherwise(lit(64) + pmod(col("n_chars"), lit(512)))
+          .otherwise(lit(24) + pmod(col("n_chars"), lit(40)))
           .cast("int").as("width"),
         when(m5 === 0, lit(16) + pmod(col("n_chars") * 7, lit(32)))
           .when(m5 === 1, lit(32) + pmod(col("n_chars") * 7, lit(96)))
           .when(m5 === 2, lit(WavRate))
           .when(m5 === 3, lit(12) + pmod(col("n_chars") * 7, lit(24)))
-          .otherwise(lit(64) + pmod(col("n_chars") * 7, lit(512)))
+          .otherwise(lit(24) + pmod(col("n_chars") * 7, lit(40)))
           .cast("int").as("height"))
       // the format prune happens BEFORE the synthesis map: now that
       // png/jpeg/wav/gif payloads are all real, synthesis is the
@@ -112,6 +119,9 @@ object Multimodal {
           case "gif" =>
             m.copy(bytes = GifCodec.synthesize(m.media_id, m.width, m.height,
               GifCodec.frameCount(m.media_id)))
+          case "avi" =>
+            m.copy(bytes = AviCodec.synthesize(m.media_id, m.width, m.height,
+              AviCodec.frameCount(m.media_id)))
           case _ => m
         }
       })
@@ -144,6 +154,12 @@ object Multimodal {
           }
         case "gif" =>
           GifCodec.decodeFrames(m.bytes).map { frames =>
+            MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
+              frames.iterator.map(_._3).sum,
+              frames.head._1 / 8, frames.head._2 / 8, decoded = true)
+          }
+        case "avi" =>
+          AviCodec.decodeFrames(m.bytes).map { frames =>
             MediaFeatures(m.media_id, m.format, m.bytes.length.toLong,
               frames.iterator.map(_._3).sum,
               frames.head._1 / 8, frames.head._2 / 8, decoded = true)
@@ -301,29 +317,37 @@ object Multimodal {
       media_id: Long, frame_id: Int, n_units: Long, checksum: Long,
       decoded: Boolean)
 
-  /** Frame sampler. The TEMPORAL axis is REAL for `gif` rows: the
-    * payload is a genuine animated GIF and each emitted row is one
-    * DECODED frame ([[GifCodec.decodeFrames]] through the JDK's
-    * multi-frame ImageReader) — frame count comes from the container,
-    * per-frame stats from decoded pixels. Formats without a JDK
-    * temporal decoder (mp4 and the undecodable blobs) keep the
-    * byte-window fallback: nFrames equal byte slices standing in for
-    * keyframe seeks, preserving the fan-out shape (rows × frames) and
-    * the batch loop. `decoded` records which branch each row took.
+  /** Frame sampler. The TEMPORAL axis is REAL for `gif` AND `avi`
+    * rows: the payload is a genuine multi-frame container and each
+    * emitted row is one DECODED frame ([[GifCodec.decodeFrames]]
+    * through the JDK's multi-frame ImageReader; [[AviCodec
+    * .decodeFrames]] walking the RIFF 'movi' chunks and decoding each
+    * MJPEG frame) — frame count comes from the container, per-frame
+    * stats from decoded pixels. Undecodable blobs keep the byte-window
+    * fallback: nFrames equal byte slices standing in for keyframe
+    * seeks, preserving the fan-out shape (rows × frames) and the batch
+    * loop. `decoded` records which branch each row took.
     */
   def sampleFrames(media: Dataset[MediaRecord], nFrames: Int = 4): Dataset[MediaFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.flatMap { m =>
-        val real =
-          if (m.format == "gif")
+        val real = m.format match {
+          case "gif" =>
             GifCodec.decodeFrames(m.bytes).map(_.zipWithIndex.map {
               case ((w, h, pixelSum), f) =>
                 MediaFrame(m.media_id, f, w.toLong * h, pixelSum,
                   decoded = true)
             })
-          else None
+          case "avi" =>
+            AviCodec.decodeFrames(m.bytes).map(_.zipWithIndex.map {
+              case ((w, h, pixelSum), f) =>
+                MediaFrame(m.media_id, f, w.toLong * h, pixelSum,
+                  decoded = true)
+            })
+          case _ => None
+        }
         real.getOrElse {
           val len = m.bytes.length
           (0 until nFrames).map { f =>

@@ -15,11 +15,11 @@ import javax.imageio.ImageIO
   * This is the image half of the multimodal boundary: PNG is the one
   * format the JDK encodes AND decodes losslessly; JPEG goes through
   * the same [[decode]] with a measured lossy tolerance ([[JpegCodec]]
-  * — its oracle is a per-pixel error band, not equality). Only mp4
-  * (no JDK codec at all) keeps the byte-path fallback in
-  * [[Multimodal.decodeFeatures]] (exactly the fallback a production
-  * pipeline runs for undecodable media). Swap [[decode]] for a
-  * JNI/FFI decoder to widen the real set.
+  * — its oracle is a per-pixel error band, not equality); since r12
+  * MJPEG video frames ride it too ([[AviCodec]]). The byte-path
+  * fallback in [[Multimodal.decodeFeatures]] remains for CORRUPT or
+  * unknown media (exactly the fallback a production pipeline runs).
+  * Swap [[decode]] for a JNI/FFI decoder to widen the real set.
   */
 object PngCodec {
 

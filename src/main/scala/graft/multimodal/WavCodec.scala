@@ -10,7 +10,7 @@ import javax.sound.sampled.AudioSystem
   * INDEPENDENTLY of the codec and assert the decode round-trip
   * recovered every sample — the same proves-real-bytes property
   * [[PngCodec]] gives the image path. This closes the audio half of
-  * the multimodal boundary; mp4 remains byte-path fallback (gif covers the real temporal axis)
+  * the multimodal boundary; since r12 every fixture format decodes for real (AviCodec closed the mp4 byte fallback)
   * (no JDK codec exists — swap [[decode]] for an FFI decoder to widen
   * the real set).
   */

@@ -496,13 +496,16 @@ object SimQueries {
       .orderBy(col("sub"))
   }
 
-  /** Multimodal: per-format stats over the batch-decoded features. The
-    * png group's checksums are REAL decoded pixel sums (JDK ImageIO
-    * over genuinely synthesized PNGs); other formats take the
-    * documented byte-path fallback. Rows-only for the driver — a PNG
+  /** Multimodal: per-format stats over the batch-decoded features.
+    * Every fixture format decodes for REAL (png/jpeg via ImageIO, wav
+    * via javax.sound, gif via the multi-frame ImageReader, avi via the
+    * RIFF walk + per-frame MJPEG decode — r12 closed the last byte
+    * fallback; the fallback branch itself serves corrupt media and is
+    * spec-pinned with a corrupt blob). Rows-only for the driver — a
     * payload's byte length is the JDK encoder's business, not SQL's —
-    * but SimSpec holds the png group to an INDEPENDENT oracle: the
-    * pixel-pattern arithmetic computed without touching the codec.
+    * but SimSpec holds every format's checksums to INDEPENDENT
+    * pattern-arithmetic oracles (exact for the lossless codecs, the
+    * measured quality-1.0 band for jpeg/avi).
     */
   def mmMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(Multimodal.mediaTable(Tables(s, dir).documents))
@@ -543,10 +546,12 @@ object SimQueries {
       .toDF()
       .orderBy(col("media_id"))
 
-  /** Frame sampling over the first 20 payloads: 4 byte-window "frames"
-    * per item, per-frame size + checksum — png rows window REAL PNG
-    * bytes now, so the oracle is rows-only; the partition invariant
-    * (frames sum to the payload) is spec-asserted.
+  /** Frame sampling over the first 20 payloads: gif AND avi rows emit
+    * REAL decoded frames (container frame count, per-frame pixel
+    * stats — avi through the RIFF/MJPEG walk since r12); image/audio
+    * rows keep the 4 byte-window "frames" (size + checksum per
+    * window, the partition invariant spec-asserted). Rows-only; the
+    * per-frame sums pin against the pattern oracles in SimSpec.
     */
   def mmFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(

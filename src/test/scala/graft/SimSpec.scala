@@ -630,16 +630,15 @@ class SimSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum === 500L)
     assert(out.forall(_.getLong(3) > 0), "total_bytes must be positive")
     assert(out.map(_.getString(0)).toSet
-      .subsetOf(Set("png", "jpeg", "wav", "gif", "mp4")))
+      .subsetOf(Set("png", "jpeg", "wav", "gif", "avi")))
     val byFormat = out.map(r => r.getString(0) -> r).toMap
-    // png/jpeg/wav/gif rows all decode; only mp4 takes the fallback
-    Seq("png", "jpeg", "wav", "gif").foreach { f =>
+    // every fixture format decodes for real since r12 (avi closed the
+    // last byte fallback; the fallback branch itself is pinned by the
+    // corrupt-blob test below)
+    Seq("png", "jpeg", "wav", "gif", "avi").foreach { f =>
       assert(byFormat(f).getLong(2) === byFormat(f).getLong(1),
         s"every $f row must take the real-decode branch")
     }
-    out.filter(r => !Set("png", "jpeg", "wav", "gif").contains(r.getString(0)))
-      .foreach(r =>
-        assert(r.getLong(2) === 0L, s"${r.getString(0)} must use the fallback"))
     // INDEPENDENT oracles for the decoded checksums: pattern arithmetic
     // over (doc_id, n_chars), no codec involved
     val docs = graft.util.Tables(spark, sf).documents
@@ -685,6 +684,25 @@ class SimSpec extends SparkSpec {
         (graft.multimodal.JpegCodec.MeanAbsPixelTolerance * jpegPixels).toLong,
       s"jpeg checksum sum off the pattern oracle by $jpegDelta " +
         s"over $jpegPixels pixels")
+    // avi checksums: Σ per-frame GifCodec pattern sums within the JPEG
+    // band (MJPEG frames are quality-1.0 JPEGs of the gif pattern)
+    val aviDims = docs.filter(_.getLong(1) % 5 === 4L)
+      .map { r =>
+        val nc = r.getLong(1)
+        (r.getLong(0), (24 + nc % 40).toInt, (24 + (nc * 7) % 40).toInt)
+      }
+    val expectedAvi = aviDims.map { case (id, w, h) =>
+      (0 until graft.multimodal.AviCodec.frameCount(id))
+        .map(f => graft.multimodal.GifCodec.framePatternSum(id, f, w, h))
+        .sum
+    }.sum
+    val aviPixels = aviDims.map { case (id, w, h) =>
+      graft.multimodal.AviCodec.frameCount(id).toLong * w * h }.sum
+    val aviDelta = math.abs(byFormat("avi").getLong(4) - expectedAvi)
+    assert(aviDelta <=
+        (graft.multimodal.JpegCodec.MeanAbsPixelTolerance * aviPixels).toLong,
+      s"avi checksum sum off the pattern oracle by $aviDelta " +
+        s"over $aviPixels pixels")
   }
 
   test("JpegCodec: quality-1.0 round-trip recovers dims exactly and " +
@@ -814,8 +832,9 @@ class SimSpec extends SparkSpec {
     assert(GifCodec.decodeFrames("not a gif".getBytes("UTF-8")).isEmpty)
   }
 
-  test("frame sampling: real gif frames, byte-window tiling elsewhere") {
-    import graft.multimodal.GifCodec
+  test("frame sampling: real gif and avi frames, byte-window tiling " +
+      "elsewhere") {
+    import graft.multimodal.{AviCodec, GifCodec, JpegCodec}
     val frames = SimQueries.mmFrames(spark, sf).collect()
     val media = graft.multimodal.Multimodal.mediaTable(
         graft.util.Tables(spark, sf).documents.filter(col("doc_id") < 20))
@@ -835,6 +854,19 @@ class SimSpec extends SparkSpec {
             GifCodec.framePatternSum(id, f, m.width, m.height),
             s"gif $id frame $f pixel sum")
         }
+      } else if (m.format == "avi") {
+        // REAL temporal decode through the RIFF walk; JPEG frames are
+        // lossy, so sums pin within the measured quality-1.0 band
+        assert(fs.forall(_.getBoolean(4)), "avi frames must be decoded")
+        assert(fs.length === AviCodec.frameCount(id))
+        val px = m.width.toLong * m.height
+        fs.sortBy(_.getInt(1)).zipWithIndex.foreach { case (r, f) =>
+          assert(r.getLong(2) === px)
+          val want = GifCodec.framePatternSum(id, f, m.width, m.height)
+          assert(math.abs(r.getLong(3) - want) <=
+            JpegCodec.MeanAbsPixelTolerance * px,
+            s"avi $id frame $f pixel sum outside the JPEG band")
+        }
       } else {
         assert(fs.length === 4)
         assert(fs.forall(!_.getBoolean(4)))
@@ -850,20 +882,56 @@ class SimSpec extends SparkSpec {
     val feats = graft.multimodal.Multimodal.decodeFeatures(media)
     val n = graft.util.Tables(spark, sf).documents.count()
     assert(feats.count() === n)
-    // fallback rows (mp4 only) pass the text bytes through unchanged;
-    // png/jpeg rows carry an encoder-sized payload (non-empty, spec'd
-    // above), wav rows exactly the canonical 44-byte header + 2 bytes
-    // per sample
+    // every format carries an encoder-sized payload (non-empty, real
+    // codecs since r12); wav rows exactly the canonical 44-byte header
+    // + 2 bytes per sample; avi rows at least the RIFF + hdrl overhead
     val joined = feats.toDF().join(
       graft.util.Tables(spark, sf).documents,
       col("media_id") === col("doc_id"))
-    assert(joined.filter(col("format") === "mp4")
-      .filter(col("n_bytes") =!= length(col("text"))).count() === 0)
     assert(joined.filter(col("format") === "wav")
       .filter(col("n_bytes") =!=
         lit(44) + (lit(256) + pmod(col("n_chars") * 3, lit(512))) * 2)
       .count() === 0)
+    assert(joined.filter(col("format") === "avi")
+      .filter(col("n_bytes") <= 200 || !col("decoded")).count() === 0,
+      "avi rows must carry a real decoded RIFF container")
     assert(joined.filter(col("n_bytes") <= 0).count() === 0)
+  }
+
+  test("AviCodec round-trip: every MJPEG frame of a real AVI decodes " +
+      "within the JPEG band; corrupt media takes the fallback branch") {
+    import graft.multimodal.{AviCodec, GifCodec, JpegCodec}
+    val bytes = AviCodec.synthesize(id = 5L, w = 28, h = 33, frames = 3)
+    // a genuine RIFF AVI container
+    assert(bytes.take(4).map(_.toChar).mkString === "RIFF")
+    assert(bytes.slice(8, 12).map(_.toChar).mkString === "AVI ")
+    val frames = AviCodec.decodeFrames(bytes).get
+    assert(frames.length === 3)
+    frames.zipWithIndex.foreach { case ((w, h, sum), f) =>
+      assert((w, h) === ((28, 33)))
+      val want = GifCodec.framePatternSum(5L, f, 28, 33)
+      assert(math.abs(sum - want) <=
+        JpegCodec.MeanAbsPixelTolerance * 28 * 33,
+        s"frame $f pixel sum outside the quality-1.0 band")
+    }
+    // undecodable bytes take None (→ the byte-path fallback upstream),
+    // including truncation INSIDE a declared chunk and a non-AVI RIFF
+    assert(AviCodec.decodeFrames("not an avi".getBytes("UTF-8")).isEmpty)
+    assert(AviCodec.decodeFrames(bytes.take(bytes.length / 2)).isEmpty)
+    assert(AviCodec.decodeFrames(
+      "RIFF   WAVE".getBytes("ISO-8859-1")).isEmpty)
+    // the decodeBatch degrade-gracefully branch survives avi going
+    // real: a corrupt blob yields the byte-path features, never a crash
+    import spark.implicits._
+    val corrupt = Seq(graft.multimodal.Multimodal.MediaRecord(
+      99L, "garbage payload bytes".getBytes("UTF-8"), "avi", 24, 24)).toDS()
+    val feat = graft.multimodal.Multimodal.decodeFeatures(corrupt).collect()
+    assert(feat.length === 1 && !feat(0).decoded)
+    assert(feat(0).checksum ===
+      "garbage payload bytes".getBytes("UTF-8").iterator.take(16)
+        .map(b => (b & 0xff).toLong).sum)
+    assert((feat(0).thumb_w, feat(0).thumb_h) === ((3, 3)),
+      "fallback thumbs derive from metadata dims / 8")
   }
 
   test("Pq: Lloyd rounds improve on the init codebook; codes stay bounded") {
