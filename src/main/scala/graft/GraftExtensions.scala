@@ -109,7 +109,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_sign_pack", 1)(es => graft.functions.SignPack(es.head))),
     (FunctionIdentifier("graft_hamming"),
       info("graft_hamming", "graft_hamming(a, b) - Hamming distance of two packed sign codes"),
-      arity("graft_hamming", 2)(es => graft.functions.HammingDist(es(0), es(1)))))
+      arity("graft_hamming", 2)(es => graft.functions.HammingDist(es(0), es(1)))),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-parity semantics)"),
+      arity("graft_jaro_winkler", 2)(es =>
+        graft.functions.JaroWinklerSim(es(0), es(1)))))
 
   def names: Set[String] = injections.map(_._1.funcName).toSet
 

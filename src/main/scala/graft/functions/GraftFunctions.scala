@@ -38,7 +38,8 @@ object GraftFunctions {
       LshBuckets(v, foldableInt("graft_lsh_buckets tables", t),
         foldableInt("graft_lsh_buckets bits", b),
         foldableLong("graft_lsh_buckets seed", s),
-        foldableInt("graft_lsh_buckets dim", d)) })
+        foldableInt("graft_lsh_buckets dim", d)) },
+    "graft_jaro_winkler" -> { case Seq(a, b) => JaroWinklerSim(a, b) })
 
   /** Names of every imperatively-registered function — the parity
     * surface FunctionsSpec holds [[graft.GraftExtensions]] to.

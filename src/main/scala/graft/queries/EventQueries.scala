@@ -1337,7 +1337,116 @@ object EventQueries {
       |FROM (SELECT unnest([500000, 800000, 900000, 990000]) AS thr)
       |ORDER BY 1""".stripMargin
 
+  /** Gap for [[qIntervalJoin]]'s session intervals (30 min — tighter
+    * than [[SessionGapS]] on purpose: interval-join fan-out is bounded
+    * by interval LENGTH / bucket size, so the demo keeps sessions
+    * short the way a production impact analysis would).
+    */
+  private val IntervalGapS = 1800L
+
+  /** Half-width of an incident's impact window (± 5 min). */
+  private val IncidentPadS = 300L
+
+  /** Bucket size of the interval-overlap equi-join (1 h). Sizing rule
+    * at 100 TB: a bucket ≫ the TYPICAL interval length (each interval
+    * then explodes to ~1-2 buckets) and small enough that one bucket's
+    * pair cross-product fits a task — tune per workload like shuffle
+    * partition counts.
+    */
+  private val IntervalBucketS = 3600L
+
+  /** Interval-overlap join — the batch operator behind blast-radius /
+    * impact analysis: which user SESSIONS were in flight during each
+    * error INCIDENT's ±5 min window. Spark has no interval-join
+    * operator, and the naive `ON s.start <= i.end AND i.start <= s.end`
+    * theta-join compiles to BroadcastNestedLoopJoin — O(|S|·|I|)
+    * comparisons, the plan that dies first at 100 TB. This face is the
+    * standard bucketed rewrite that turns overlap into an EQUI-join:
+    *
+    *  1. explode each interval to the 1-h buckets it covers (map-side;
+    *     fan-out = interval span / bucket, ~1-2 here);
+    *  2. shuffle-hash join on the bucket id — co-partitioned, scales
+    *     with data like any groupBy;
+    *  3. re-check true overlap (the bucket join is a superset);
+    *  4. emit each surviving pair ONCE without a distinct: keep only
+    *     the join row whose bucket contains the overlap's START
+    *     (`floor(greatest(starts)/B)` — that bucket is covered by both
+    *     sides by construction, so exactly one copy survives and the
+    *     dedup shuffle disappears).
+    *
+    * Sessions are the gaps-and-islands fold (one user_id exchange);
+    * incidents are a map-only filter on the same scan. All outputs are
+    * exact integers. The oracle runs the naive overlap join — result
+    * equality IS the proof the bucketed rewrite loses nothing.
+    */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+    val base = e.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val prev = lag(col("es"), 1).over(w)
+    val sess = base
+      .withColumn("brk",
+        when(prev.isNull || col("es") - prev > IntervalGapS, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("es")).as("start_s"), max(col("es")).as("end_s"))
+    val inc = base.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        (col("es") - IncidentPadS).as("i_start"),
+        (col("es") + IncidentPadS).as("i_end"))
+    val b = lit(IntervalBucketS)
+    val sessB = sess.withColumn("bucket",
+      explode(sequence(floor(col("start_s") / b), floor(col("end_s") / b))))
+    val incB = inc.withColumn("bucket",
+      explode(sequence(floor(col("i_start") / b), floor(col("i_end") / b))))
+    incB.join(sessB, Seq("bucket"))
+      .filter(col("start_s") <= col("i_end") && col("i_start") <= col("end_s"))
+      // one canonical copy per pair: the bucket holding the overlap start
+      .filter(col("bucket") === floor(greatest(col("start_s"), col("i_start")) / b))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(least(col("end_s"), col("i_end")) -
+          greatest(col("start_s"), col("i_start"))).as("overlap_s"))
+      .orderBy(col("incident_id"))
+  }
+
+  val qIntervalJoinSql: String =
+    s"""WITH sess AS (
+       |  SELECT user_id, session_id, min(es) AS start_s, max(es) AS end_s
+       |  FROM (
+       |    SELECT user_id, es,
+       |      sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+       |                     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+       |    FROM (
+       |      SELECT user_id, event_id, es,
+       |        CASE WHEN lag(es) OVER (PARTITION BY user_id
+       |                                ORDER BY es, event_id) IS NULL
+       |               OR es - lag(es) OVER (PARTITION BY user_id
+       |                                     ORDER BY es, event_id)
+       |                  > $IntervalGapS
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM (SELECT user_id, event_id,
+       |              floor(epoch(ts))::BIGINT AS es FROM events)))
+       |  GROUP BY user_id, session_id),
+       |inc AS (
+       |  SELECT event_id AS incident_id,
+       |    floor(epoch(ts))::BIGINT - $IncidentPadS AS i_start,
+       |    floor(epoch(ts))::BIGINT + $IncidentPadS AS i_end
+       |  FROM events WHERE event_type = 'error')
+       |SELECT i.incident_id, count(*) AS n_sessions,
+       |  count(DISTINCT s.user_id) AS n_users,
+       |  sum(least(s.end_s, i.i_end) - greatest(s.start_s, i.i_start))
+       |    ::BIGINT AS overlap_s
+       |FROM inc i JOIN sess s
+       |  ON s.start_s <= i.i_end AND i.i_start <= s.end_s
+       |GROUP BY i.incident_id
+       |ORDER BY i.incident_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (qIntervalJoin _),
     "q_seasonality" -> (qSeasonality _),
     "q_pareto" -> (qPareto _),
     "q_skew_report" -> (qSkewReport _),
@@ -1363,6 +1472,7 @@ object EventQueries {
     "q_skew_join" -> (qSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_interval_join" -> qIntervalJoinSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_pareto" -> qParetoSql,
     "q_skew_report" -> qSkewReportSql,

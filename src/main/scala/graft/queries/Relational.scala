@@ -1127,7 +1127,222 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Vertex filter for [[qTriangles]]' co-occurrence graph (pushed to
+    * the part scan). Keeps the graph analytics-sized at every SF; at
+    * 100 TB the same role is played by whatever significance filter
+    * the pipeline applies before graph construction.
+    */
+  private val TriangleMaxPartSize = 12
+
+  /** Triangle census of the part co-purchase graph, rolled up by brand
+    * — the graph-analytics face beyond connected components
+    * (dedup_clusters) and PageRank (text_pagerank): triangles measure
+    * CLUSTERING (tightly-bound product cliques), the signal behind
+    * bundle detection and community seeding.
+    *
+    * Edges: parts co-ordered in one order (p_size ≤
+    * [[TriangleMaxPartSize]] pushed into the part scan; the li⋈li
+    * self-join is an equi-join on l_orderkey, pairs bounded by
+    * per-order line counts). Counting uses the DEGREE-ORDERED
+    * node-iterator (Schank/Wagner's forward algorithm; the
+    * MapReduce formulation is Suri & Vassilvitskii, WWW'11 "Counting
+    * triangles and the curse of the last reducer" — their partition
+    * algorithm exists for exactly the skew this ordering kills):
+    * orient every edge from the (degree, id)-SMALLER endpoint to the
+    * larger, so out-degrees are O(√|E|)-bounded and the wedge join
+    * Σ C(outdeg,2) stays near-linear instead of exploding on hub
+    * vertices — the curse-of-the-last-reducer fix. Each triangle
+    * {a,b,c} then materializes EXACTLY once (min vertex contributes
+    * the wedge, middle→max the closing edge), so no distinct pass.
+    * Wedge and closing joins are shuffle equi-joins on 8-byte keys;
+    * the degree lookup and brand dim broadcast.
+    *
+    * The oracle counts the same triangles with the naive a<b<c triple
+    * self-join — equality proves the oriented rewrite drops and
+    * double-counts nothing.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val keep = t.part.filter(col("p_size") <= TriangleMaxPartSize)
+      .select(col("p_partkey"), col("p_brand"))
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(keep.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.withColumnsRenamed(Map("pk" -> "u"))
+    val bb = li.withColumnsRenamed(Map("pk" -> "v"))
+    val edges = a.join(bb, Seq("ok")).filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val deg = edges.select(col("u").as("p")).unionAll(
+        edges.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val degU = deg.withColumnsRenamed(Map("p" -> "u", "d" -> "du"))
+    val degV = deg.withColumnsRenamed(Map("p" -> "v", "d" -> "dv"))
+    // orient low (degree, id) -> high: out-degree-bounded edge list
+    val oriented = edges
+      .join(broadcast(degU), Seq("u")).join(broadcast(degV), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("dv"))
+          .otherwise(col("du")).as("ddst"))
+    // wedges from each min vertex, (deg, id)-canonical (b before c);
+    // the closing edge is then exactly b -> c in the oriented list
+    val e1 = oriented.withColumnsRenamed(
+      Map("src" -> "a", "dst" -> "b", "ddst" -> "db"))
+    val e2 = oriented.withColumnsRenamed(
+      Map("src" -> "a", "dst" -> "c", "ddst" -> "dc"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("pk"))
+      .join(broadcast(keep), col("pk") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_tri_slots"),
+        countDistinct(col("pk")).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qTrianglesSql: String =
+    s"""WITH keep AS (
+       |  SELECT p_partkey, p_brand FROM part
+       |  WHERE p_size <= $TriangleMaxPartSize),
+       |li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM keep)),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.v = e2.u
+       |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |verts AS (
+       |  SELECT a AS pk FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT k.p_brand, count(*) AS n_tri_slots,
+       |  count(DISTINCT v.pk) AS n_parts
+       |FROM verts v JOIN keep k ON v.pk = k.p_partkey
+       |GROUP BY k.p_brand
+       |ORDER BY k.p_brand""".stripMargin
+
+  /** Link threshold for [[qErLink]] on the 1e-4-quantized score.
+    * 0.90 is the precision-over-recall point on this fixture: zero
+    * mislinks at sf0.001 AND sf0.01 (spec-pinned), at the cost of the
+    * handful of doubled-first-char corruptions of SHORT names
+    * ("rred rod" → "red rod" scores 0.8768 and stays unlinked —
+    * 2/200 mentions at sf0.001). Production tunes this on a labeled
+    * pair sample; the engine-side contract is only that the threshold
+    * applies to the QUANTIZED score, so both engines cut identically.
+    */
+  private val ErLinkMinScoreQ4 = 9000L
+
+  /** Entity resolution / record linkage — the operator that cleans
+    * entity mentions before any entity-keyed join or dedup: noisy
+    * MENTIONS are linked to a CANONICAL entity list by multi-pass
+    * blocking + Jaro-Winkler best-match scoring (Fellegi-Sunter
+    * shape; the score is the native [[graft.functions.JaroWinklerSim]]
+    * expression, DuckDB-parity semantics).
+    *
+    * Fixture: mentions are part names under four deterministic
+    * corruption modes (p_partkey mod 4): exact / swap chars 2-3 /
+    * drop last char / double first char — each reconstructible in
+    * pure SQL, so the oracle rebuilds the identical mention set.
+    * Entities are the distinct part names.
+    *
+    * The scale design is the blocking, not the scoring: scoring all
+    * |mentions|×|entities| pairs is the cartesian that dies at 100 TB.
+    * Two blocking passes — equi-join on the LAST word (survives modes
+    * 0/1/3) and on the FIRST word (survives modes 0/2) — produce a
+    * candidate set that provably contains every true pair, at
+    * equi-join cost; union-distinct, score, quantize to 1e-4 (integer
+    * compare — no cross-engine float drift), threshold, and keep the
+    * best match per mention (ties by entity name). This IS production
+    * multi-pass blocking: each pass is cheap and leaky, the union is
+    * tight.
+    */
+  def qErLink(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val part = Tables(s, dir).part
+    val mode = pmod(col("p_partkey"), lit(4))
+    val nm = col("p_name")
+    val mentions = part.select(col("p_partkey").as("mention_id"),
+        when(mode === 1, concat(substring(nm, 1, 1), substring(nm, 3, 1),
+            substring(nm, 2, 1), substring(nm, 4, 1000000)))
+          .when(mode === 2, nm.substr(lit(1), length(nm) - 1))
+          .when(mode === 3, concat(substring(nm, 1, 1), nm))
+          .otherwise(nm).as("mention"))
+    val entities = part.select(col("p_name").as("entity")).distinct()
+    def words(c: org.apache.spark.sql.Column) = split(c, " ")
+    val m1 = mentions.withColumn("bk", element_at(words(col("mention")), -1))
+    val m2 = mentions.withColumn("bk", element_at(words(col("mention")), 1))
+    val e1 = entities.withColumn("bk", element_at(words(col("entity")), -1))
+    val e2 = entities.withColumn("bk", element_at(words(col("entity")), 1))
+    val candidates = m1.join(e1, Seq("bk")).select(
+        col("mention_id"), col("mention"), col("entity"))
+      .unionAll(m2.join(e2, Seq("bk")).select(
+        col("mention_id"), col("mention"), col("entity")))
+      .distinct()
+    val w = Window.partitionBy(col("mention_id"))
+      .orderBy(col("score_q4").desc, col("entity"))
+    candidates
+      .withColumn("score_q4",
+        floor(call_function("graft_jaro_winkler",
+          col("mention"), col("entity")) * 10000 + 0.5).cast("long"))
+      .filter(col("score_q4") >= ErLinkMinScoreQ4)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("mention_id"), col("mention"), col("entity"), col("score_q4"))
+      .orderBy(col("mention_id"))
+  }
+
+  val qErLinkSql: String =
+    s"""WITH mentions AS (
+       |  SELECT p_partkey AS mention_id,
+       |    CASE p_partkey % 4
+       |      WHEN 1 THEN substr(p_name, 1, 1) || substr(p_name, 3, 1) ||
+       |                  substr(p_name, 2, 1) || substr(p_name, 4, 1000000)
+       |      WHEN 2 THEN substr(p_name, 1, len(p_name) - 1)
+       |      WHEN 3 THEN substr(p_name, 1, 1) || p_name
+       |      ELSE p_name END AS mention
+       |  FROM part),
+       |entities AS (SELECT DISTINCT p_name AS entity FROM part),
+       |cand AS (
+       |  SELECT DISTINCT mention_id, mention, entity FROM (
+       |    SELECT m.mention_id, m.mention, e.entity
+       |    FROM mentions m JOIN entities e
+       |      ON split_part(m.mention, ' ', -1) = split_part(e.entity, ' ', -1)
+       |    UNION ALL
+       |    SELECT m.mention_id, m.mention, e.entity
+       |    FROM mentions m JOIN entities e
+       |      ON split_part(m.mention, ' ', 1) = split_part(e.entity, ' ', 1))),
+       |scored AS (
+       |  SELECT mention_id, mention, entity,
+       |    floor(jaro_winkler_similarity(mention, entity) * 10000 + 0.5)
+       |      ::BIGINT AS score_q4
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY mention_id
+       |                               ORDER BY score_q4 DESC, entity) AS rk
+       |  FROM scored WHERE score_q4 >= $ErLinkMinScoreQ4)
+       |SELECT mention_id, mention, entity, score_q4
+       |FROM ranked WHERE rk = 1
+       |ORDER BY mention_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_er_link" -> (qErLink _),
+    "q_triangles" -> (qTriangles _),
     "q_mv_refresh" -> (qMvRefresh _),
     "q_mv_compact" -> (qMvCompact _),
     "q_constraints" -> (qConstraints _),
@@ -1159,6 +1374,8 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_er_link" -> qErLinkSql,
+    "q_triangles" -> qTrianglesSql,
     "q_mv_refresh" -> qMvRefreshSql,
     // the state-lifecycle face shares the oracle: partial -> compact ->
     // merge must equal the one-shot recompute bit-for-bit

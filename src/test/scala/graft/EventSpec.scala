@@ -542,6 +542,54 @@ class EventSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
     assert(got.forall(_._4 >= 1L), "salt factor is at least 1")
   }
+
+  test("q_interval_join: bucketed overlap equi-join equals the naive " +
+      "range join; every incident keeps its own session") {
+    val got = EventQueries.qIntervalJoin(spark, sf).collect()
+    // the error event itself lies inside one of its user's sessions,
+    // so every incident overlaps >= 1 session and the inner join keeps
+    // every error event as an output row
+    val nErrors = graft.util.Tables(spark, sf).events
+      .filter(col("event_type") === "error").count()
+    assert(got.length === nErrors.toInt)
+    assert(got.forall(r => r.getLong(1) >= 1L))
+    // users never exceed sessions; overlap of a +/-300 s window is
+    // bounded by n_sessions * 600 s
+    assert(got.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(got.forall(r => r.getLong(3) >= 0L &&
+      r.getLong(3) <= r.getLong(1) * 600L))
+    // naive parity: rebuild sessions/incidents, overlap-join with the
+    // raw theta predicate (fine at sf0.001), compare aggregate-exact
+    val e = graft.util.Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val prev = lag(col("es"), 1).over(w)
+    val sess = e
+      .withColumn("brk",
+        when(prev.isNull || col("es") - prev > 1800L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("es")).as("start_s"), max(col("es")).as("end_s"))
+    val inc = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        (col("es") - 300L).as("i_start"), (col("es") + 300L).as("i_end"))
+    val naive = inc.join(sess,
+        col("start_s") <= col("i_end") && col("i_start") <= col("end_s"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(least(col("end_s"), col("i_end")) -
+          greatest(col("start_s"), col("i_start"))).as("overlap_s"))
+      .orderBy(col("incident_id"))
+      .collect()
+    assert(naive.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq ===
+      got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq)
+  }
 }
 
 object EventSpec {

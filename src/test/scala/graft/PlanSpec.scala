@@ -568,4 +568,34 @@ class PlanSpec extends SparkSpec {
       "the per-doc probe counts must broadcast:\n" + plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
+
+  test("q_interval_join: the overlap join is a bucket EQUI-join - no " +
+      "nested-loop, no cartesian anywhere in the plan") {
+    val plan = planOf(graft.queries.EventQueries.qIntervalJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the naive theta overlap join leaked through:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q_triangles: wedge and closing joins are shuffle equi-joins; " +
+      "degree and brand dims broadcast; no cartesian") {
+    val plan = planOf(graft.queries.Relational.qTriangles(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"),
+      "degree/brand lookups must broadcast:\n" + plan.take(800))
+    // the part filter reaches the scan
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), " +
+        "LessThanOrEqual(p_size,12)") ||
+      plan.contains("LessThanOrEqual(p_size,12)"),
+      "p_size vertex filter must push into the part scan:\n" +
+        plan.take(1500))
+  }
+
+  test("q_er_link: blocking is equi-joins only - scoring never sees a " +
+      "cartesian candidate set") {
+    val plan = planOf(graft.queries.Relational.qErLink(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }

@@ -345,4 +345,83 @@ class RelationalSpec extends SparkSpec {
     assert(got.exists(_.getString(0) < "2000-01") &&
       got.exists(_.getString(0) >= "2000-01"))
   }
+
+  test("JaroWinkler: DuckDB-parity semantics pinned (probed constants, " +
+      "boost threshold, integer-halved transpositions, empties)") {
+    import graft.functions.JaroWinkler.similarity
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = similarity(u(a), u(b))
+    // textbook pairs, values read off DuckDB jaro_winkler_similarity
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(jw("abc", "abc") === 1.0)
+    // DuckDB's empty-string choice: 0.0 even for two empties
+    assert(jw("", "abc") === 0.0 && jw("abc", "") === 0.0 && jw("", "") === 0.0)
+    // boost threshold: a 4-char shared prefix gets NO bonus at jaro
+    // 0.511 or 0.667, DOES at 0.733 (DuckDB-probed)
+    assert(math.abs(jw("abcdxxxxxxxx", "abcdyyyyyyyyyyyyyyyy")
+      - 0.5111111111111111) < 1e-12)
+    assert(math.abs(jw("abcdef", "abcxyz") - 2.0 / 3) < 1e-12)
+    assert(math.abs(jw("abcdefghij", "abcdefwxyz") - 0.84) < 1e-12)
+    // transpositions integer-halved: abcd/badc has 2 matched-order
+    // mismatch pairs -> t = 1 (NOT 1.5-style fractional)
+    assert(math.abs(jw("abcd", "badc") - 0.8333333333333334) < 1e-12)
+    // match window: a match further than max/2-1 away does not count
+    assert(jw("aaaaaaaaab", "b") === 0.0)
+    // symmetric
+    assert(jw("kitten", "sitting") === jw("sitting", "kitten"))
+    // SQL-callable through both registration paths
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS s").head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+  }
+
+  test("q_triangles: brand rollup equals the naive a<b<c census 3x; " +
+      "degree-ordered join emits each triangle exactly once") {
+    val got = Relational.qTriangles(spark, sf).collect()
+    // slot conservation: every triangle contributes exactly 3 vertex
+    // slots, so sum(n_tri_slots) = 3 * naive triangle count
+    val naive = {
+      val t = graft.util.Tables(spark, sf)
+      val keep = t.part.filter(col("p_size") <= 12).select(col("p_partkey"))
+      val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+        .join(keep, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.withColumnsRenamed(Map("pk" -> "u"))
+        .join(li.withColumnsRenamed(Map("pk" -> "v")), Seq("ok"))
+        .filter(col("u") < col("v")).select(col("u"), col("v")).distinct()
+      e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"), col("e3.u") === col("e1.u") &&
+          col("e3.v") === col("e2.v"))
+        .count()
+    }
+    assert(got.map(_.getLong(1)).sum === 3 * naive)
+    assert(naive === 3433L, "sf0.001 census moved - fixture changed?")
+    assert(got.length === 24) // 24 of the 25 brands participate
+    // participation is bounded by the brand's vertex count
+    assert(got.forall(r => r.getLong(2) > 0 && r.getLong(2) <= 500))
+  }
+
+  test("q_er_link: zero mislinks at sf0.001; exact mentions score 10000; " +
+      "only short doubled-prefix corruptions fall below the threshold") {
+    val linked = Relational.qErLink(spark, sf).collect()
+    assert(linked.length === 198, "2/200 stay unlinked by design")
+    val truth = graft.util.Tables(spark, sf).part
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // precision: every link lands on the mention's true entity
+    linked.foreach { r =>
+      assert(r.getString(2) === truth(r.getLong(0)),
+        s"mention ${r.getLong(0)} '${r.getString(1)}' mislinked")
+    }
+    // exact-mode mentions (p_partkey % 4 == 0) link at exactly 1.0
+    linked.filter(_.getLong(0) % 4 == 0).foreach { r =>
+      assert(r.getLong(3) === 10000L)
+    }
+    // the 2 unlinked are doubled-first-char corruptions of short names
+    val unlinked = truth.keySet -- linked.map(_.getLong(0)).toSet
+    assert(unlinked.forall(_ % 4 == 3))
+  }
 }
