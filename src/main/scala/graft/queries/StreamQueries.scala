@@ -429,7 +429,97 @@ object StreamQueries {
        |GROUP BY 1
        |ORDER BY split""".stripMargin
 
+  /** Cap on the [[resampleStreamFace]] fixture feed (the
+    * AdmissionFeedBudget stride pattern — the driver-side collect is a
+    * FIXTURE cost, so it is budget-bounded and the oracle replays the
+    * stride arithmetic).
+    */
+  val ResampleFeedBudget = 5000L
+
+  /** Streams.resampleStream's registered face — the streaming LOCF
+    * lifecycle under the full hash oracle (previously spec-gated only):
+    * the strided event feed arrives as three TIME-ORDERED batches (day
+    * cuts at min+10 / min+20 — day-granular cuts satisfy the stream's
+    * per-user no-regression delivery contract by construction) through
+    * the REAL flatMapGroupsWithState query; emitted rows are each
+    * user's CLOSED days (latest value + event count, gap days
+    * forward-filled at n_events = 0; the open last day is withheld by
+    * the append-mode contract). The oracle is the batch LOCF grid
+    * (q_resample's arithmetic) over the same strided users, restricted
+    * to days strictly before each user's last — hash equality proves
+    * the one-key-at-a-time state fold reproduces the batch
+    * sequence()+LOCF semantics across batch boundaries. State: one
+    * 24-byte record per active user, forever.
+    */
+  def resampleStreamFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = Tables(s, dir).events
+    val stride = math.max(1L,
+      (e.count() + ResampleFeedBudget - 1) / ResampleFeedBudget)
+    val rows = e.filter(pmod(col("user_id"), lit(stride)) === 0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Ev].collect().sortBy(r => (r.ts.getTime, r.event_id))
+    def day(r: Streams.Ev): Long = Math.floorDiv(r.ts.getTime, 86400000L)
+    val d0 = rows.iterator.map(day).min
+    val batches = Seq(rows.filter(day(_) < d0 + 10),
+      rows.filter(r => day(r) >= d0 + 10 && day(r) < d0 + 20),
+      rows.filter(day(_) >= d0 + 20))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streams.Ev]
+    val sink = "resample_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Streams.resampleStream(ms.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val sunk = s.table(sink).orderBy(col("user_id"), col("day"))
+    // detach the result from the per-run memory sink (repeat runs in
+    // one session must not accumulate catalog state)
+    val static = s.createDataFrame(
+      java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+    s.catalog.dropTempView(sink)
+    static.orderBy(col("user_id"), col("day"))
+  }
+
+  val resampleStreamSql: String =
+    s"""WITH f AS (
+       |  SELECT user_id, event_id, value, ts FROM events
+       |  WHERE user_id % (SELECT greatest(1,
+       |      (count(*) + ${ResampleFeedBudget - 1}) // $ResampleFeedBudget)
+       |    FROM events) = 0),
+       |e AS (
+       |  SELECT user_id, event_id, value,
+       |    floor(epoch(ts) / 86400)::BIGINT AS day, ts
+       |  FROM f),
+       |daily AS (
+       |  SELECT user_id, day,
+       |    max(CASE WHEN rn = 1 THEN value END) AS day_value,
+       |    count(*) AS n_events
+       |  FROM (
+       |    SELECT e.*, row_number() OVER (PARTITION BY user_id, day
+       |                                   ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM e)
+       |  GROUP BY user_id, day),
+       |grid AS (
+       |  SELECT user_id, unnest(generate_series(d0, d1 - 1)) AS day
+       |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+       |        FROM e GROUP BY user_id)
+       |  WHERE d1 > d0)
+       |SELECT g.user_id, g.day,
+       |  last_value(daily.day_value IGNORE NULLS) OVER (
+       |    PARTITION BY g.user_id ORDER BY g.day
+       |    ROWS UNBOUNDED PRECEDING) AS filled_value,
+       |  coalesce(daily.n_events, 0) AS n_events
+       |FROM grid g LEFT JOIN daily
+       |  ON daily.user_id = g.user_id AND daily.day = g.day
+       |ORDER BY g.user_id, g.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "resample_stream" -> (resampleStreamFace _),
     "stream_split" -> (streamSplit _),
     "stream_outer_join" -> (streamOuterJoin _),
     "stream_latest" -> (streamLatest _),
@@ -446,6 +536,7 @@ object StreamQueries {
     "events_json" -> (eventsJson _))
 
   val oracleSql: Map[String, String] = Map(
+    "resample_stream" -> resampleStreamSql,
     "stream_split" -> streamSplitSql,
     "stream_outer_join" -> streamOuterJoinSql,
     "stream_latest" -> streamLatestSql,
