@@ -566,4 +566,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }, 4)
   }
+
+  test("Bench inter-sweep hygiene: persistent RDDs and cached frames " +
+      "left by one sweep are evicted before the next") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val leaky: (SparkSession, String) => DataFrame = (s, _) => {
+      // record how many persistent RDDs PRE-EXIST at call time, then
+      // leak one frame-cache + one raw persisted RDD (the CC /
+      // containment shape that pinned storage across sweeps pre-r12)
+      seen += s.sparkContext.getPersistentRDDs.size
+      import s.implicits._
+      val df = Seq(1, 2, 3).toDF("x").cache()
+      s.sparkContext.parallelize(Seq(1)).persist().count()
+      df
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val raw = graft.Bench.measureRaw(spark, "/nonexistent",
+      Map("q_leaky" -> leaky))
+    assert(raw("q_leaky").length === graft.Bench.Passes)
+    // every sweep starts from the same clean-session state: the leaks
+    // of sweep k are gone before sweep k+1 runs
+    assert(seen.toSeq === Seq.fill(graft.Bench.Passes)(0),
+      s"pre-existing persistent RDDs per sweep: $seen")
+    // post-run leftovers from the FINAL sweep are the caller's to drop
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }
