@@ -92,6 +92,23 @@ case class JaroWinklerSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // analysis-time misuse guard (the repo-wide expression convention —
+  // see CmsEstimate): a non-string argument otherwise dies mid-job in
+  // the generated similarity(UTF8String, UTF8String) call instead of
+  // failing analysis cleanly
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{NullType, StringType}
+    Seq(("first", left), ("second", right)).collectFirst {
+      // NullType folds to NULL (null-intolerant eval), like builtins
+      case (pos, e) if e.dataType != StringType && e.dataType != NullType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_jaro_winkler $pos argument must be STRING, got " +
+            e.dataType.simpleString)
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     JaroWinkler.similarity(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
 

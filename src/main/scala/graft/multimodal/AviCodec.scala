@@ -62,6 +62,7 @@ object AviCodec {
     * chunks under 'movi').
     */
   def synthesize(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(frames > 0, s"an MJPEG AVI needs >= 1 frame, got $frames")
     val jpegs = (0 until frames).map { f =>
       JpegCodec.synthesizeGray(w, h, (x, y) => GifCodec.pixel(id, f, x, y))
     }

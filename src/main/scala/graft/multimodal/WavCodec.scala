@@ -10,9 +10,9 @@ import javax.sound.sampled.AudioSystem
   * INDEPENDENTLY of the codec and assert the decode round-trip
   * recovered every sample — the same proves-real-bytes property
   * [[PngCodec]] gives the image path. This closes the audio half of
-  * the multimodal boundary; since r12 every fixture format decodes for real (AviCodec closed the mp4 byte fallback)
-  * (no JDK codec exists — swap [[decode]] for an FFI decoder to widen
-  * the real set).
+  * the multimodal boundary; since r12 every fixture format decodes
+  * for real ([[AviCodec]] closed the last byte fallback — the byte
+  * path now serves corrupt/unknown media only).
   */
 object WavCodec {
 

@@ -457,7 +457,13 @@ object StreamQueries {
     val e = Tables(s, dir).events
     val stride = math.max(1L,
       (e.count() + ResampleFeedBudget - 1) / ResampleFeedBudget)
-    val rows = e.filter(pmod(col("user_id"), lit(stride)) === 0)
+    // keep the users at the MINIMUM observed remainder, not literal 0:
+    // a corpus whose user ids share no multiple of the stride would
+    // otherwise feed nothing (empty.min crash); min-remainder is
+    // total, deterministic, and the oracle replays it
+    val keepRem = e.select(min(pmod(col("user_id"), lit(stride))))
+      .head().getLong(0)
+    val rows = e.filter(pmod(col("user_id"), lit(stride)) === keepRem)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[Streams.Ev].collect().sortBy(r => (r.ts.getTime, r.event_id))
@@ -486,11 +492,15 @@ object StreamQueries {
   }
 
   val resampleStreamSql: String =
-    s"""WITH f AS (
+    s"""WITH st AS (
+       |  SELECT greatest(1,
+       |    (count(*) + ${ResampleFeedBudget - 1}) // $ResampleFeedBudget)
+       |    AS stride
+       |  FROM events),
+       |f AS (
        |  SELECT user_id, event_id, value, ts FROM events
-       |  WHERE user_id % (SELECT greatest(1,
-       |      (count(*) + ${ResampleFeedBudget - 1}) // $ResampleFeedBudget)
-       |    FROM events) = 0),
+       |  WHERE user_id % (SELECT stride FROM st) =
+       |    (SELECT min(user_id % stride) FROM events, st)),
        |e AS (
        |  SELECT user_id, event_id, value,
        |    floor(epoch(ts) / 86400)::BIGINT AS day, ts

@@ -13,15 +13,23 @@ import json, sys
 def minima(path):
     raw = json.load(open(path))
     qs = raw["queries"] if "queries" in raw else raw
+    # Bench writes "q": [] for a query with no successful pass — that
+    # is a failure to surface, never a row to fabricate or a crash
+    failed = sorted(k for k, v in qs.items() if isinstance(v, list) and not v)
+    assert not failed, (
+        f"{path}: no successful pass for {failed} — fix the queries or "
+        "recapture; a SCALING row cannot be fabricated")
     return {k: min(v) if isinstance(v, list) else float(v)
             for k, v in qs.items()}
 
 def main(p0001, p001, p01, md="SCALING.md"):
     m = [minima(p0001), minima(p001), minima(p01)]
     names = sorted(m[2])
+    # symmetric coverage: a query in ANY capture must be in ALL three —
+    # asymmetry means the captures span different code revisions
     for col in m:
-        missing = set(names) - set(col)
-        assert not missing, f"missing queries in a capture: {missing}"
+        diff = set(names) ^ set(col)
+        assert not diff, f"capture coverage mismatch on: {sorted(diff)}"
     rows = []
     for n in names:
         a, b, c = (col[n] for col in m)
