@@ -1340,7 +1340,74 @@ object Relational {
        |FROM ranked WHERE rk = 1
        |ORDER BY mention_id""".stripMargin
 
+  /** Dim-side predicate for [[qBloomJoin]] (~2% of orders at every SF,
+    * pushed into the parquet scan).
+    */
+  private val BloomJoinMinTotal = 490000.0
+
+  /** Runtime-filter join — the semi-join-reduction pattern every
+    * 100 TB fact⋈dim join wants when the FILTERED dim is still too big
+    * to broadcast: the dim's join keys fold into a [[graft.functions
+    * .BloomFilterAgg]] bloom filter (KB-scale, partial-aggregating
+    * through the shuffle), ONE one-row broadcast carries it to every
+    * fact partition, and `graft_bloom_contains` discards ~98% of the
+    * fact MAP-SIDE — the exact shuffle-hash join then runs over
+    * candidates only. Bloom answers have no false negatives, so
+    * prefilter + exact join ≡ plain join; the oracle RUNS the plain
+    * join, and hash equality is the no-rows-lost proof. (Spark's own
+    * runtime bloom-filter injection makes the same move when its size
+    * thresholds trigger; this face is the explicit, threshold-free
+    * form, and dedup_bloom is the same contract as document
+    * MEMBERSHIP — this is the JOIN-accelerator form, dim payload
+    * columns carried through.) Fit cost: one count of the filtered dim
+    * to size the filter (optimal m, k at fpp 1e-3). All aggregates in
+    * exact integer ten-thousandths/hundredths — no float-sum parity
+    * surface.
+    */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = Tables(s, dir)
+    val dim = t.orders.filter(col("o_totalprice") > BloomJoinMinTotal)
+      .select(col("o_orderkey"),
+        month(col("o_orderdate")).cast("long").as("omonth"))
+    val nDim = math.max(1L, dim.count())
+    val bits = graft.functions.BloomUtil.optimalNumBits(nDim, 0.001)
+    val k = graft.functions.BloomUtil.optimalNumHashes(bits.toLong, nDim)
+    val bloom = dim.agg(call_function("graft_bloom_agg",
+      xxhash64(col("o_orderkey")), lit(bits), lit(k)).as("bf"))
+    val pruned = t.lineitem
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+      .crossJoin(broadcast(bloom)) // one KB-scale row to every task
+      .filter(call_function("graft_bloom_contains",
+        col("bf"), xxhash64(col("l_orderkey"))))
+      .drop("bf")
+    // exact join kept a SHUFFLE join on purpose: broadcasting the dim
+    // would hide the problem the bloom solves (a dim too big to ship)
+    pruned.join(dim.hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"), col("omonth"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_c100"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000 + 0.5).cast("long")).as("rev_q4"))
+      .orderBy(col("l_returnflag"), col("omonth"))
+  }
+
+  val qBloomJoinSql: String =
+    s"""SELECT l.l_returnflag, month(o.o_orderdate) AS omonth,
+       |  count(*) AS n_items,
+       |  sum(floor(l.l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS qty_c100,
+       |  sum(floor(l.l_extendedprice * (1.0 - l.l_discount)
+       |      * 10000 + 0.5)::BIGINT)::BIGINT AS rev_q4
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE o.o_totalprice > $BloomJoinMinTotal
+       |GROUP BY l.l_returnflag, omonth
+       |ORDER BY l.l_returnflag, omonth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> (qBloomJoin _),
     "q_er_link" -> (qErLink _),
     "q_triangles" -> (qTriangles _),
     "q_mv_refresh" -> (qMvRefresh _),
@@ -1374,6 +1441,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_bloom_join" -> qBloomJoinSql,
     "q_er_link" -> qErLinkSql,
     "q_triangles" -> qTrianglesSql,
     "q_mv_refresh" -> qMvRefreshSql,

@@ -598,4 +598,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("q_bloom_join: dim filter pushed to the orders scan; the bloom " +
+      "rides a one-row broadcast; the exact join stays a shuffle join") {
+    val plan = planOf(graft.queries.Relational.qBloomJoin(spark, sf))
+    assert(plan.contains("GreaterThan(o_totalprice,490000.0)"),
+      "dim predicate must reach the parquet scan:\n" + plan.take(1200))
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      "the exact join must stay a shuffle join (broadcasting the dim " +
+        "would hide what the bloom is for):\n" + plan.take(800))
+    // the only nested-loop is the deliberate one-row bloom broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      plan.take(800))
+    assert(plan.contains("graft_bloom_contains") ||
+      plan.contains("bloommightcontain") ||
+      plan.toLowerCase.contains("bloom"),
+      "the map-side bloom prefilter must appear in the plan:\n" +
+        plan.take(1200))
+  }
 }

@@ -424,4 +424,31 @@ class RelationalSpec extends SparkSpec {
     val unlinked = truth.keySet -- linked.map(_.getLong(0)).toSet
     assert(unlinked.forall(_ % 4 == 3))
   }
+
+  test("q_bloom_join: bloom prefilter + exact join equals the plain " +
+      "join; the prefilter never drops a true match") {
+    val got = Relational.qBloomJoin(spark, sf).collect()
+    val t = graft.util.Tables(spark, sf)
+    val dim = t.orders.filter(col("o_totalprice") > 490000.0)
+      .select(col("o_orderkey"), month(col("o_orderdate")).cast("long")
+        .as("omonth"))
+    val plain = t.lineitem
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"), col("omonth"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_c100"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000 + 0.5).cast("long")).as("rev_q4"))
+      .orderBy(col("l_returnflag"), col("omonth"))
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq ===
+      plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq)
+    // no false negatives: every lineitem of a qualifying order passes
+    // the bloom (count the rows the exact join sees vs the true count)
+    val trueRows = t.lineitem.join(dim,
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(got.map(_.getLong(2)).sum === trueRows)
+  }
 }
