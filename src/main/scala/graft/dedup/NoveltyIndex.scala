@@ -37,11 +37,20 @@ import graft.util.Epochs
   *
   * At 100 TB the index is gram-scale (the honest floor for corpus-level
   * novelty) but the DAILY job touches it through one bucketed
-  * equi-join — the corpus text is never re-read. When approximate
-  * novelty is enough, the documented cheaper tier is a membership
-  * sketch over the same gh column (dedup_bloom's
-  * [[graft.functions.BloomFilter]] machinery): KB–MB of broadcast
-  * state, zero join, at the price of a bounded false-"seen" rate.
+  * equi-join — the corpus text is never re-read. The CHEAPER tier on
+  * top of that join is the epoch's **bloom membership sketch** over
+  * the same gh column (dedup_bloom's [[graft.functions.BloomFilter]]
+  * machinery), persisted beside the gram files and OR-merged on load:
+  * with `prefilter = true`, [[probe]] broadcasts the KB–MB filter,
+  * every bloom-NEGATIVE gram is PROVEN novel map-side (bloom answers
+  * have no false negatives), and only the bloom-positive residue —
+  * true matches plus the ~fpp false-positive sliver — pays the exact
+  * anti-join. Prefiltered output ≡ plain probe output EXACTLY
+  * (spec-pinned), because the one-sided error only ever routes grams
+  * INTO the exact join, never around it. The torn-write direction is
+  * guarded the same way: appends land their bloom row BEFORE their
+  * gram files, so a crash between the two leaves extra bits (a
+  * slightly higher fpp), never a file gram the sketch would deny.
   *
   * Reference anchor: the reference pipeline re-derives corpus state
   * per run (hadoop-multiple-streaming MultiStreamJobRunner.java:34-78
@@ -56,10 +65,20 @@ object NoveltyIndex {
     */
   val NBuckets = 64
 
-  /** A pinned read handle: `grams` (column `gh`) reads only `epoch`'s
-    * files.
+  /** False-positive rate the epoch blooms are sized for. The filter
+    * for n grams costs ~1.2 bytes/gram at 0.005 — a 1e9-gram corpus
+    * index carries a ~1.2 GB sketch, which is when the caller shards
+    * the key space or simply skips the prefilter; at the daily-crawl
+    * scales the tier targets, the broadcast is KB–MB.
     */
-  final case class Snapshot(grams: DataFrame, epoch: Long, dir: String)
+  val BloomFpp = 0.005
+
+  /** A pinned read handle: `grams` (column `gh`) reads only `epoch`'s
+    * files; `bloom` is the epoch's OR-merged membership sketch (None
+    * for a pre-sketch epoch — [[probe]] then ignores `prefilter`).
+    */
+  final case class Snapshot(grams: DataFrame, epoch: Long, dir: String,
+      bloom: Option[Array[Byte]] = None)
 
   /** The shared gram arithmetic — tokenize → word n-grams → 60-bit
     * md5-prefix hash (long). ONE definition corpus-wide: the full
@@ -90,20 +109,89 @@ object NoveltyIndex {
 
   private def gramsPath(epochDir: String) = s"$epochDir/grams"
 
-  /** Index a corpus: distinct grams, bucketed, published as epoch 0. */
+  private def bloomPath(epochDir: String) = s"$epochDir/bloom"
+
+  /** One bloom row (serialized filter, header-carrying) over `grams`'
+    * gh column, appended to the epoch's bloom table. gh is already a
+    * 60-bit hash; [[graft.functions.BloomUtil]] re-avalanches it
+    * (splitmix64 double hashing), so feeding it raw is sound.
+    */
+  private def appendBloomRow(spark: SparkSession, epochDir: String,
+      grams: DataFrame, numBits: Int, numHashes: Int): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    grams.agg(call_function("graft_bloom_agg", col("gh"),
+        lit(numBits), lit(numHashes)).as("bf"))
+      .coalesce(1)
+      .write.mode("append").parquet(bloomPath(epochDir))
+  }
+
+  /** Build the epoch's sketch fresh from its written gram files —
+    * init's and compact's path (right-sized: n is the actual distinct
+    * gram count, read from the parquet footers).
+    */
+  private def writeFreshBloom(spark: SparkSession, epochDir: String): Unit = {
+    val grams = spark.read.parquet(gramsPath(epochDir)).select(col("gh"))
+    val n = math.max(1L, grams.count())
+    val m = graft.functions.BloomUtil.optimalNumBits(n, BloomFpp)
+    val k = graft.functions.BloomUtil.optimalNumHashes(m, n)
+    appendBloomRow(spark, epochDir, grams, m, k)
+  }
+
+  /** The epoch's membership sketch: all bloom rows OR-merged (an
+    * appended epoch carries one row per admitted crawl — same (m, k)
+    * by construction, and OR is exactly the [[graft.functions
+    * .BloomFilterAgg]] merge). None for a pre-sketch epoch.
+    */
+  def loadBloom(spark: SparkSession, dir: String,
+      epoch: Long): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(
+      bloomPath(Epochs.epochPath(dir, epoch)))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val rows = spark.read.parquet(p.toString).collect()
+        .map(_.getAs[Array[Byte]](0))
+      if (rows.isEmpty) None
+      else {
+        val (k0, acc) = graft.functions.BloomUtil.deserializeWords(rows.head)
+        rows.tail.foreach { b =>
+          val (k, w) = graft.functions.BloomUtil.deserializeWords(b)
+          require(k == k0 && w.length == acc.length,
+            s"NoveltyIndex.loadBloom: mixed filter geometry under $p " +
+              s"(k=$k0/${k}, words=${acc.length}/${w.length}) — the " +
+              "epoch's sketch is unusable; compact to rebuild it")
+          var i = 0
+          while (i < acc.length) { acc(i) |= w(i); i += 1 }
+        }
+        Some(graft.functions.BloomUtil.serialize(acc, k0))
+      }
+    }
+  }
+
+  /** Index a corpus: distinct grams, bucketed, published as epoch 0
+    * (with the epoch's membership sketch built from the written
+    * files, BEFORE publish — an unpublished torn init is invisible).
+    */
   def init(spark: SparkSession, docs: DataFrame, dir: String,
       textCol: String, n: Int): Unit = {
+    val epochDir = Epochs.epochPath(dir, 0L)
+    // co-locate each bucket before the partitioned write (the compact
+    // layout, from birth): without this every distinct-exchange task
+    // writes into every bucket dir — tasks × NBuckets small files,
+    // and every later probe/append lists and opens all of them
     bucketed(gramHashes(docs, textCol, n).distinct())
+      .repartition(col("b"))
       .write.mode("overwrite").partitionBy("b")
-      .parquet(gramsPath(Epochs.epochPath(dir, 0L)))
+      .parquet(gramsPath(epochDir))
+    writeFreshBloom(spark, epochDir)
     Epochs.publish(spark, dir, 0L)
   }
 
-  /** Pin the current epoch and load its gram set. */
+  /** Pin the current epoch and load its gram set + membership sketch. */
   def load(spark: SparkSession, dir: String): Snapshot = {
     val e = Epochs.current(spark, dir)
     Snapshot(spark.read.parquet(gramsPath(Epochs.epochPath(dir, e)))
-      .select(col("gh")), e, dir)
+      .select(col("gh")), e, dir, loadBloom(spark, dir, e))
   }
 
   /** Per-source novelty of a new crawl against the indexed corpus —
@@ -124,14 +212,45 @@ object NoveltyIndex {
     * save a map-side re-derivation of the crawl-scale side. At 100 TB
     * the corpus set dwarfs any daily crawl; paying the small side
     * twice is the right plan.
+    *
+    * `prefilter = true` engages the epoch's bloom sketch (the
+    * q_bloom_join shape, inverted for an ANTI join): the filter rides
+    * ONE one-row broadcast, bloom-NEGATIVE grams are novel by the
+    * no-false-negative guarantee and skip the join entirely, and only
+    * the bloom-positive residue pays the exact anti-join — so the
+    * index side of the join sees a candidate stream shrunk to the
+    * true-seen fraction + fpp. Output is EXACTLY the plain probe's
+    * (spec-pinned): the sketch's one-sided error can only route a
+    * gram into the exact join, never mark it seen. A pre-sketch
+    * snapshot (bloom = None) ignores the flag and runs the plain
+    * path — the request is an optimization, not a semantics switch.
     */
   def probe(snapshot: Snapshot, newDocs: DataFrame, sourceCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int, prefilter: Boolean = false): DataFrame = {
     val newG = sourceGramHashes(newDocs, sourceCol, textCol, n).distinct()
     val total = newG.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_grams"))
-    val novel = newG.join(snapshot.grams, Seq("gh"), "left_anti")
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_novel"))
+    val novelG = snapshot.bloom match {
+      case Some(bf) if prefilter =>
+        val s = newDocs.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        import s.implicits._
+        val bloomDf = Seq(Tuple1(bf)).toDF("graft_bloom")
+        val flagged = newG.crossJoin(broadcast(bloomDf))
+          .withColumn("maybe_seen", call_function("graft_bloom_contains",
+            col("graft_bloom"), col("gh")))
+          .drop("graft_bloom")
+        flagged.filter(!col("maybe_seen"))
+          .select(col(sourceCol), col("gh"))
+          .unionByName(flagged.filter(col("maybe_seen"))
+            .select(col(sourceCol), col("gh"))
+            .join(snapshot.grams, Seq("gh"), "left_anti"))
+      case _ =>
+        newG.join(snapshot.grams, Seq("gh"), "left_anti")
+          .select(col(sourceCol), col("gh"))
+    }
+    val novel = novelG.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_novel"))
     total.join(novel, Seq(sourceCol), "left")
       .select(col(sourceCol), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
@@ -160,12 +279,25 @@ object NoveltyIndex {
     var e = startEpoch
     var stable = false
     while (!stable) {
+      val epochDir = Epochs.epochPath(dir, e)
       val idx = spark.read
-        .parquet(gramsPath(Epochs.epochPath(dir, e))).select(col("gh"))
-      bucketed(gramHashes(newDocs, textCol, n).distinct()
-          .join(idx, Seq("gh"), "left_anti"))
+        .parquet(gramsPath(epochDir)).select(col("gh"))
+      val novel = gramHashes(newDocs, textCol, n).distinct()
+        .join(idx, Seq("gh"), "left_anti")
+      // sketch row FIRST (same geometry as the epoch's existing rows),
+      // gram files second: a crash between the two leaves extra bloom
+      // bits (bounded fpp drift), never a file gram the sketch denies —
+      // the one ordering under which prefilter ≡ plain survives a torn
+      // append. The novel set is consumed twice (crawl-scale; the probe
+      // doc's small-side-twice trade, restated).
+      loadBloom(spark, dir, e).foreach { bf =>
+        val (k, words) = graft.functions.BloomUtil.deserializeWords(bf)
+        appendBloomRow(spark, epochDir, novel, words.length * 64, k)
+      }
+      bucketed(novel)
+        .repartition(col("b"))
         .write.mode("append").partitionBy("b")
-        .parquet(gramsPath(Epochs.epochPath(dir, e)))
+        .parquet(gramsPath(epochDir))
       Epochs.awaitNoMaintenance(spark, dir)
       val now = Epochs.current(spark, dir)
       if (now == e) stable = true else e = now
@@ -188,6 +320,11 @@ object NoveltyIndex {
           .repartition(col("b"))
           .write.mode("overwrite").partitionBy("b")
           .parquet(gramsPath(next))
+        // right-size the sketch from the rewritten files: appends only
+        // ever accrete rows at epoch-birth geometry, so compaction is
+        // where fpp drift resets (and where a pre-sketch epoch gains
+        // its bloom)
+        writeFreshBloom(spark, next)
       }
     }
 }

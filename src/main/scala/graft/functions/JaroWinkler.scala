@@ -15,17 +15,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * Exact semantics (pinned by probe against DuckDB, FunctionsSpec):
   *  - either side empty → 0.0 (INCLUDING both empty — DuckDB's choice);
   *  - Jaro: match window = max(|a|,|b|)/2 − 1 (floor, min 0),
-  *    transpositions counted pairwise over matched chars and HALVED,
+  *    transpositions counted pairwise over matched units and HALVED,
   *    jaro = (m/|a| + m/|b| + (m−t)/m) / 3, m = 0 → 0;
   *  - Winkler boost only when jaro > 0.7 (the standard boost
   *    threshold — verified against DuckDB: a 4-char shared prefix at
   *    jaro 0.667 gets NO boost, 0.733 does):
   *    jw = jaro + min(prefix, 4) · 0.1 · (1 − jaro).
   *
-  * Comparison is per Java char (UTF-16 unit) — identical to code
-  * points on BMP text and to bytes on ASCII; consumers quantize to
-  * 1e-4 before any cross-engine compare so ulp-level double drift in
-  * the 3-term average can never flip a hash.
+  * Comparison is per **UTF-8 byte** — DuckDB's unit (probed:
+  * 'café'/'cafe' → 0.8483…, which is the 5-byte/4-byte Jaro, not the
+  * 4-char 0.8833; '日本語'/'日本' → 0.9333, the 9/6-byte run), so
+  * parity holds on NON-ASCII text too, not just the ASCII fixtures.
+  * UTF8String hands the bytes over without a decode, and on ASCII the
+  * byte and char runs are the same sequence — the r12 pins are
+  * unchanged. Consumers quantize to 1e-4 before any cross-engine
+  * compare so ulp-level double drift in the 3-term average can never
+  * flip a hash.
   *
   * Reference anchor: the reference has no string-similarity operator
   * at all (mappers shell out to user binaries —
@@ -36,8 +41,8 @@ object JaroWinkler {
 
   /** 0.0–1.0 similarity; static so generated code calls it directly. */
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -52,7 +57,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!bFlag(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bFlag(j) && a(i) == b(j)) {
           aFlag(i) = true; bFlag(j) = true; m += 1; found = true
         }
         j += 1
@@ -60,14 +65,14 @@ object JaroWinkler {
       i += 1
     }
     if (m == 0) return 0.0
-    // transpositions: matched chars of a vs matched chars of b, in order
+    // transpositions: matched bytes of a vs matched bytes of b, in order
     var t = 0
     var j = 0
     i = 0
     while (i < la) {
       if (aFlag(i)) {
         while (!bFlag(j)) j += 1
-        if (a.charAt(i) != b.charAt(j)) t += 1
+        if (a(i) != b(j)) t += 1
         j += 1
       }
       i += 1
@@ -77,7 +82,7 @@ object JaroWinkler {
     if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(la, lb))
-    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix))
+    while (prefix < maxPrefix && a(prefix) == b(prefix))
       prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }

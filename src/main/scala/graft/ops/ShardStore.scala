@@ -96,6 +96,34 @@ object ShardStore {
       next
     }
 
+  /** One-shot migration for a PRE-format-[[ManifestFormat]] epoch the
+    * operator has MANUALLY AUDITED as unit-consistent (in practice: a
+    * provably ASCII-only corpus, where the legacy char count and
+    * octet_length coincide byte-for-byte). Stamps the epoch so
+    * [[validate]] accepts it without a re-publish. Never called by
+    * anything in this codebase — the audit is the human's, exactly
+    * like [[graft.util.Epochs.breakStaleLease]]'s liveness judgment;
+    * the mechanical guards here are only (a) the epoch must be
+    * published (a half-written tree can't be blessed) and (b) an
+    * ALREADY-stamped epoch refuses loudly (re-blessing a format-2
+    * epoch is a no-op someone meant differently; a future format-3
+    * era must not be silently relabeled).
+    */
+  def stampAuditedLegacyEpoch(spark: SparkSession, dir: String,
+      epoch: Long): Unit = {
+    require(Epochs.published(spark, dir).contains(epoch),
+      s"epoch $epoch is not published under $dir — only a complete, " +
+        "published tree can be stamped")
+    manifestFormat(spark, dir, epoch).foreach { fmt =>
+      throw new IllegalStateException(
+        s"ShardStore.stampAuditedLegacyEpoch: epoch $epoch under $dir " +
+          s"already carries format $fmt — refusing to restamp (this " +
+          "helper exists ONLY for pre-stamp epochs after a manual " +
+          "ASCII/unit audit)")
+    }
+    stampFormat(spark, Epochs.epochPath(dir, epoch))
+  }
+
   def currentEpoch(spark: SparkSession, dir: String): Long =
     Epochs.current(spark, dir)
 
@@ -142,7 +170,8 @@ object ShardStore {
             "unknown>")} but this build validates format " +
           s"$ManifestFormat (n_bytes = octet_length) — re-publish the " +
           "epoch across the unit boundary instead of merging or " +
-          "validating across it")
+          "validating across it (or, for a manually-audited ASCII-only " +
+          "legacy epoch, bless it via stampAuditedLegacyEpoch)")
     val recomputed = Manifest.partial(
         pinned.shards.drop("shard", "shuffle_key"),
         idCol, textCol, seed, nShards)

@@ -704,6 +704,132 @@ object CurationQueries {
        |  bit_xor(row_sig) AS checksum
        |FROM h GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Doc budget for the novelty_stream fixture feed (the
+    * ManifestFeedBudget pattern: bounds the driver-side MemoryStream
+    * collect at any corpus size; stride resolves to 1 at every
+    * shipped SF — the whole strided recrawl flows).
+    */
+  val NoveltyFeedBudget = 5000L
+
+  /** The daily-crawl novelty LIFECYCLE under the full hash oracle —
+    * [[graft.streaming.Streams.noveltyStream]] driven end-to-end
+    * (the manifest_stream move applied to the acquisition loop): the
+    * planted recrawl arrives as three TIME-ordered crawl batches
+    * (doc_id mod 3) through the REAL streaming query; each batch is
+    * probed against the persisted gram index (bloom prefilter ON —
+    * the production tier stack), then admitted, so batch k's probe
+    * measures novelty against corpus + batches 0..k−1 — the "value of
+    * the next crawl given everything already admitted" number the
+    * loop gates on. The oracle replays the identical algebra in SQL:
+    * after admission the index holds corpus ∪ ALL grams of earlier
+    * batches (append admits exactly the novel ones; novel ∪ seen =
+    * the batch), so batch k's novel grams are those absent from the
+    * corpus whose FIRST carrying batch is k — a min(batch) rollup.
+    * Hash equality across batch boundaries proves probe → admit →
+    * append wired through foreachBatch loses and double-counts
+    * nothing, and that each append is visible to the NEXT probe.
+    */
+  def noveltyStreamFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables(s, dir).documents
+    val stride = math.max(1L,
+      (docs.count() + NoveltyFeedBudget - 1) / NoveltyFeedBudget)
+    val base = docs.filter(pmod(col("doc_id"), lit(stride)) === 0)
+    // index built ONCE per corpus dir (the noveltyIndexFor pricing:
+    // production maintains a persisted index, it does not rebuild it
+    // per crawl day); each RUN then clones the pristine epoch tree so
+    // its three appends never leak into the next run — the clone is a
+    // flat FS copy of the bucketed gram files + sketch, priced in-face
+    val pristine = noveltyStreamPristine.computeIfAbsent(dir, _ => {
+      val d = graft.util.Staging.dir(s, "novelty_stream_pristine")
+      graft.dedup.NoveltyIndex.init(s, base, d, "text", 3)
+      d
+    })
+    val idxDir = graft.util.Staging.dir(s, "novelty_stream_idx")
+    val conf = s.sparkContext.hadoopConfiguration
+    val from = new org.apache.hadoop.fs.Path(pristine)
+    val to = new org.apache.hadoop.fs.Path(idxDir)
+    val srcFs = from.getFileSystem(conf)
+    val dstFs = to.getFileSystem(conf)
+    // child-wise copy: FileUtil.copy into an EXISTING dir nests the
+    // source under it (cp semantics); the clone needs the epoch tree
+    // and _CURRENT pointer directly under idxDir
+    srcFs.listStatus(from).foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, st.getPath, dstFs,
+        new org.apache.hadoop.fs.Path(to, st.getPath.getName),
+        false, true, conf)
+    }
+    val feed = recrawled(base)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batches = Seq(0L, 1L, 2L).map(m => feed.filter(_._1 % 3 == m))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long)]
+    val q = graft.streaming.Streams.noveltyStream(
+        ms.toDS().toDF("doc_id", "source", "text"),
+        idxDir, "source", "text", 3) { (batchId, rows) =>
+      rows.foreach(r => buf += ((batchId, r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))))
+    }
+    try {
+      batches.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    buf.toSeq.toDF("batch", "source", "n_grams", "n_novel", "novelty_bp")
+      .orderBy(col("batch"), col("source"))
+  }
+
+  /** The cumulative-admission algebra in closed form: batch k novel =
+    * gh ∉ corpus grams AND min carrying batch = k.
+    */
+  val noveltyStreamSql: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT * FROM documents
+       |  WHERE doc_id % (SELECT greatest(1,
+       |      (count(*) + ${NoveltyFeedBudget - 1}) // $NoveltyFeedBudget)
+       |    FROM documents) = 0),
+       |oldg AS MATERIALIZED (
+       |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+       |  FROM (
+       |    SELECT unnest([array_to_string(toks[i:i+2], ' ')
+       |                   FOR i IN range(1, len(toks) - 1)]) AS g
+       |    FROM (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+       |                   x -> x <> '') AS toks
+       |          FROM base))),
+       |newd AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+       |         ELSE text END AS text
+       |  FROM base WHERE doc_id % 31 <> 0
+       |  UNION ALL
+       |  SELECT (SELECT max(doc_id) FROM base) + 1 + doc_id, source,
+       |    text || ' v2'
+       |  FROM base WHERE doc_id % 17 = 3),
+       |newg AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id % 3 AS batch, source,
+       |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      unnest([array_to_string(toks[i:i+2], ' ')
+       |              FOR i IN range(1, len(toks) - 1)]) AS g
+       |    FROM (SELECT doc_id, source,
+       |            list_filter(string_split_regex(lower(text), '\\s+'),
+       |              x -> x <> '') AS toks
+       |          FROM newd))),
+       |firstb AS (SELECT gh, min(batch) AS fb FROM newg GROUP BY gh)
+       |SELECT n.batch, n.source, count(*)::BIGINT AS n_grams,
+       |  count(*) FILTER (WHERE o.gh IS NULL AND f.fb = n.batch)::BIGINT
+       |    AS n_novel,
+       |  (count(*) FILTER (WHERE o.gh IS NULL AND f.fb = n.batch)
+       |    * 10000 // count(*))::BIGINT AS novelty_bp
+       |FROM newg n
+       |LEFT JOIN oldg o ON n.gh = o.gh
+       |LEFT JOIN firstb f ON n.gh = f.gh
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** Shard-level corpus change detection off MANIFESTS ALONE — the
     * step before q_corpus_diff in a real lake: two published snapshots
     * are first compared shard-by-shard (row/byte deltas + XOR checksum
@@ -1493,12 +1619,21 @@ object CurationQueries {
     * incremental path reproduces the full recompute exactly. The
     * append-≡-rebuild and compaction-invariance halves of the index
     * contract are DedupSpec-pinned (the dedup_incremental precedent).
+    *
+    * Runs with the bloom `prefilter` ON — the face prices the full
+    * production tier stack: one-row sketch broadcast proves the
+    * bloom-negative grams novel map-side, the exact anti-join sees
+    * only the positive residue, and the hash staying green against
+    * the SAME full-recompute oracle is the end-to-end proof the
+    * sketch's one-sided error never reaches the output
+    * (prefilter ≡ plain is additionally DedupSpec-pinned).
     */
   def qCrawlNoveltyProbe(s: SparkSession, dir: String): DataFrame = {
     val idxDir = noveltyIndexFor(s, dir)
     val snap = graft.dedup.NoveltyIndex.load(s, idxDir)
     graft.dedup.NoveltyIndex.probe(snap,
-        recrawled(Tables(s, dir).documents), "source", "text", 3)
+        recrawled(Tables(s, dir).documents), "source", "text", 3,
+        prefilter = true)
       .orderBy(col("source"))
   }
 
@@ -1508,6 +1643,13 @@ object CurationQueries {
     * never re-derive the corpus gram set).
     */
   private val noveltyIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** novelty_stream's pristine (never-appended) index per corpus dir —
+    * kept SEPARATE from [[noveltyIndexCache]]: the stream face strides
+    * its base corpus and each run must start from an append-free tree.
+    */
+  private val noveltyStreamPristine =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def noveltyIndexFor(s: SparkSession, dir: String): String =
@@ -1846,6 +1988,7 @@ object CurationQueries {
     "export_manifest" -> (exportManifest _),
     "manifest_incremental" -> (manifestIncremental _),
     "manifest_stream" -> (manifestStreamFace _),
+    "novelty_stream" -> (noveltyStreamFace _),
     "manifest_diff" -> (manifestDiff _),
     "mix_data_constrained" -> (mixDataConstrained _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1880,6 +2023,7 @@ object CurationQueries {
     "export_manifest" -> exportManifestSql,
     "manifest_incremental" -> manifestIncrementalSql,
     "manifest_stream" -> manifestStreamSql,
+    "novelty_stream" -> noveltyStreamSql,
     "manifest_diff" -> manifestDiffSql,
     "mix_data_constrained" -> mixDataConstrainedSql,
     "sample_weighted" -> sampleWeightedSql,

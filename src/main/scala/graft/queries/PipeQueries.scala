@@ -628,9 +628,8 @@ object PipeQueries {
     * round-tripping through a partitioned parquet tree and re-aggregating.
     */
   def partitionByKey(s: SparkSession, dir: String): DataFrame =
-    // per-run temp dir: concurrent sessions must not collide on the path
-    partitionByKeyTo(s, dir,
-      java.nio.file.Files.createTempDirectory("graft_partition_by_key").toString)
+    // per-run staging dir: shared-FS-visible, collision-free per run
+    partitionByKeyTo(s, dir, graft.util.Staging.dir(s, "partition_by_key"))
 
   def partitionByKeyTo(s: SparkSession, dir: String, out: String): DataFrame = {
     Tables(s, dir).orders
@@ -711,8 +710,7 @@ object PipeQueries {
     * newline-free — one doc per line, the Hadoop Streaming record model.
     */
   def sourceTextfile(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_text_source").toString
+    val out = graft.util.Staging.dir(s, "text_source")
     Tables(s, dir).documents.select(col("text"))
       .write.mode("overwrite").text(out)
     Pipes.wc("value")(s.read.text(out))

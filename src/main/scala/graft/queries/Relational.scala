@@ -1154,12 +1154,15 @@ object Relational {
     * vertices — the curse-of-the-last-reducer fix. Each triangle
     * {a,b,c} then materializes EXACTLY once (min vertex contributes
     * the wedge, middle→max the closing edge), so no distinct pass.
-    * Wedge and closing joins are shuffle equi-joins on 8-byte keys;
-    * the degree lookup and brand dim broadcast.
     *
     * The oracle counts the same triangles with the naive a<b<c triple
     * self-join — equality proves the oriented rewrite drops and
     * double-counts nothing.
+    *
+    * Wedge and closing joins are shuffle equi-joins on 8-byte keys;
+    * the brand dim broadcasts by hint (part is dim-scale by contract),
+    * while the vertex-scale DEGREE joins are left to AQE — see the
+    * inline note at the orientation step.
     */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -1178,9 +1181,15 @@ object Relational {
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
     val degU = deg.withColumnsRenamed(Map("p" -> "u", "d" -> "du"))
     val degV = deg.withColumnsRenamed(Map("p" -> "v", "d" -> "dv"))
-    // orient low (degree, id) -> high: out-degree-bounded edge list
+    // orient low (degree, id) -> high: out-degree-bounded edge list.
+    // The degree joins are deliberately UNHINTED: degrees are
+    // VERTEX-scale, so whether they fit a broadcast is a runtime fact
+    // (the pushed p_size filter bounds it here; at 100× it may not) —
+    // AQE broadcasts when the filtered vertex set actually fits and
+    // falls back to a shuffle equi-join when it doesn't, which is the
+    // plan you want at every scale
     val oriented = edges
-      .join(broadcast(degU), Seq("u")).join(broadcast(degV), Seq("v"))
+      .join(degU, Seq("u")).join(degV, Seq("v"))
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("u"))

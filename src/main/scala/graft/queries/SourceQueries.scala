@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables
@@ -22,7 +21,7 @@ object SourceQueries {
     * inside the value survive — the Hadoop semantic.
     */
   def sourceKv(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_kv_source").toString
+    val out = graft.util.Staging.dir(s, "kv_source")
     Tables(s, dir).orders
       .select(concat_ws("\t", col("o_orderstatus"),
         col("o_totalprice").cast("string")).as("value"))
@@ -52,7 +51,7 @@ object SourceQueries {
     * then hand straight back to the declarative layer.
     */
   def sourceSeqfile(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_seq_source").toString + "/data"
+    val out = graft.util.Staging.dir(s, "seq_source") + "/data"
     Tables(s, dir).orders
       .select(col("o_orderstatus"), col("o_orderkey").cast("string"))
       .rdd.map(r => (r.getString(0), r.getString(1)))
@@ -81,7 +80,7 @@ object SourceQueries {
     * delimiter, aggregated against the original parquet.
     */
   def sourceXmlrecord(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_xml_source").toString
+    val out = graft.util.Staging.dir(s, "xml_source")
     Tables(s, dir).documents
       .select(concat(lit("<doc id=\""), col("doc_id"), lit("\">\n"),
         col("text"), lit("\n</doc>")).as("value"))
@@ -111,8 +110,7 @@ object SourceQueries {
     * produces.
     */
   def sourcePartitioned(s: SparkSession, dir: String): DataFrame =
-    sourcePartitionedFrom(s, dir,
-      Files.createTempDirectory("graft_part_source").toString)
+    sourcePartitionedFrom(s, dir, graft.util.Staging.dir(s, "part_source"))
 
   def sourcePartitionedFrom(s: SparkSession, dir: String, out: String): DataFrame = {
     Tables(s, dir).orders
@@ -139,7 +137,7 @@ object SourceQueries {
     * migrating user most likely has on disk besides plain text.
     */
   def sourceCsv(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_csv_source").toString
+    val out = graft.util.Staging.dir(s, "csv_source")
     Tables(s, dir).nation
       .write.mode("overwrite").option("header", "true").csv(out)
     s.read
@@ -278,7 +276,7 @@ object SourceQueries {
     * no inference job at scale — inference means an extra full scan).
     */
   def sourceJsonl(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_jsonl_source").toString
+    val out = graft.util.Staging.dir(s, "jsonl_source")
     Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("n_chars"))
       .write.mode("overwrite").json(out)
     s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(out)
@@ -306,7 +304,7 @@ object SourceQueries {
     */
   def bucketJoin(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val warehouse = Files.createTempDirectory("graft_bucket").toString
+    val warehouse = graft.util.Staging.dir(s, "bucket_warehouse")
     def writeBucketed(df: DataFrame, name: String, key: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $name")
       df.write.bucketBy(8, key).sortBy(key)
@@ -339,7 +337,7 @@ object SourceQueries {
     * read back explicitly anyway — schema-on-read, no inference pass.
     */
   def sourceOrc(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_orc_source").toString
+    val out = graft.util.Staging.dir(s, "orc_source")
     Tables(s, dir).orders
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").orc(out)

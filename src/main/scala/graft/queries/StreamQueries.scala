@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -90,17 +89,25 @@ object StreamQueries {
     * on a stream), then a summary of what landed — deterministic because
     * AvailableNow drains the source completely, so the oracle can state
     * the same aggregates straight off the batch table.
+    *
+    * Sinks and the staged source directory both live under
+    * [[graft.util.Staging.dir]] (shared-FS-visible, shutdown-GC'd) —
+    * the file streaming source wants a DIRECTORY, so the table file is
+    * copied in through the Hadoop FileSystem API (a symlink does not
+    * exist on object stores, and a driver-local temp dir is invisible
+    * to executors on a real cluster).
     */
   def streamMultiSink(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val home = Files.createTempDirectory("graft_multisink").toString
-    // the file streaming source wants a DIRECTORY; link the table file in
-    val srcDir = Files.createTempDirectory("graft_multisink_src")
-    Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val home = graft.util.Staging.dir(s, "multisink")
+    val srcDir = graft.util.Staging.dir(s, "multisink_src")
+    val conf = s.sparkContext.hadoopConfiguration
+    val from = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val to = new org.apache.hadoop.fs.Path(srcDir, "events.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf), from,
+      to.getFileSystem(conf), to, false, conf)
     val stream = Tables.normalizeEventTs(
-      s.readStream.schema(probedEventsSchema(s, dir)).parquet(srcDir.toString))
+      s.readStream.schema(probedEventsSchema(s, dir)).parquet(srcDir))
     val q = Streams.multiSink(stream, home, Seq(
       "clicks" -> (df => df.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("value"))),
@@ -460,9 +467,15 @@ object StreamQueries {
     // keep the users at the MINIMUM observed remainder, not literal 0:
     // a corpus whose user ids share no multiple of the stride would
     // otherwise feed nothing (empty.min crash); min-remainder is
-    // total, deterministic, and the oracle replays it
-    val keepRem = e.select(min(pmod(col("user_id"), lit(stride))))
-      .head().getLong(0)
+    // total, deterministic, and the oracle replays it. On an EMPTY
+    // events table the min aggregate is NULL — the face is then the
+    // empty grid (the oracle's CTEs all evaluate empty too), not an
+    // NPE out of getLong
+    val remRow = e.select(min(pmod(col("user_id"), lit(stride)))).head()
+    if (remRow.isNullAt(0))
+      return s.emptyDataset[Streams.DayRow](
+        org.apache.spark.sql.Encoders.product[Streams.DayRow]).toDF()
+    val keepRem = remRow.getLong(0)
     val rows = e.filter(pmod(col("user_id"), lit(stride)) === keepRem)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))

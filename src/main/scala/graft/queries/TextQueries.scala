@@ -658,14 +658,21 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** The repo-shipped pretrained tokenizer (public merges.txt format,
-    * loaded once — a static model, no per-corpus state): 48 common
-    * English merges in GPT-2-style frequency order. Stand-in for the
+  /** The repo-shipped pretrained tokenizer at PRODUCTION VOCAB SCALE
+    * (public merges.txt format, loaded once — a static model, no
+    * per-corpus state): 10,000 synthetic merges (the real-tokenizer
+    * ballpark — GPT-2 ships 50k), built letter-pair-first so every
+    * merge's operands exist when it applies. Stand-in for the
     * production artifact (a real deployment points loadMergesResource /
-    * loadMerges at its model's published merges file).
+    * loadMerges at its model's published merges file). The model rides
+    * the plan as ONE reference object (BpeTokenCount.addReferenceObj —
+    * never inlined into generated code or plan strings, toString
+    * prints `model[N merges]`), so vocab size cannot bloat the plan;
+    * the 48-merge hand-traceable fixture stays at
+    * `/graft/bpe/fixture_merges.txt` for TextSpec's exact-trace gates.
     */
   private lazy val PretrainedBpe: graft.text.Bpe.Model =
-    graft.text.Bpe.loadMergesResource("/graft/bpe/fixture_merges.txt")
+    graft.text.Bpe.loadMergesResource("/graft/bpe/synthetic_merges_10k.txt")
 
   /** Token accounting under a FIXED pretrained tokenizer — the
     * production budget path: text_bpe prices the corpus under a

@@ -902,6 +902,46 @@ object Streams {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  /** The daily-crawl NOVELTY loop at micro-batch cadence — the
+    * streaming face of [[graft.dedup.NoveltyIndex]]: each arriving
+    * crawl batch is (1) PROBED against the persisted corpus gram index
+    * (per-source novelty, bloom-prefiltered by default — the full
+    * production tier stack), then (2) ADMITTED ([[graft.dedup
+    * .NoveltyIndex.append]] — novel grams only), so the NEXT batch's
+    * probe already sees this batch's grams: exactly the
+    * acquisition-loop contract "novelty is measured against everything
+    * admitted before you". `sink` receives each batch's probe rows
+    * (|sources|-scale, collected — KB) keyed by batchId.
+    *
+    * Replay caveat (documented, not hidden): append is retry-idempotent
+    * (the index's physical-duplicate contract), but a batch RETRIED
+    * after its append landed re-probes as fully seen — a production
+    * deployment journals probe rows batchId-keyed (overwrite, the
+    * takedownStream audit pattern) so a replayed batch's rows are
+    * recognized by key, never double-reported. The registered face
+    * drives this under MemoryStream + processAllAvailable, where each
+    * batch runs exactly once.
+    */
+  def noveltyStream(crawl: DataFrame, indexDir: String,
+      sourceCol: String, textCol: String, n: Int,
+      prefilter: Boolean = true,
+      checkpointDir: Option[String] = None)(
+      sink: (Long, Seq[org.apache.spark.sql.Row]) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = crawl.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val snap = graft.dedup.NoveltyIndex.load(spark, indexDir)
+        val rows = graft.dedup.NoveltyIndex
+          .probe(snap, batch, sourceCol, textCol, n, prefilter)
+          .collect().toSeq
+        graft.dedup.NoveltyIndex.append(spark, batch, indexDir, textCol, n)
+        sink(batchId, rows)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   // ---- streaming ANN enrichment -----------------------------------------
 
   /** Streaming ANN enrichment: arriving query vectors get their top-k

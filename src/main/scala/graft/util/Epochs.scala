@@ -231,6 +231,12 @@ object Epochs {
 
   private val AcquiredRe = "acquired_ms=(\\d+)".r
 
+  private val OwnerRe = "owner=([^#\\s]+)#(\\d+)".r
+
+  private def localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown-host" }
+
   /** The current lease holder's recorded metadata
     * (`owner=<host>#<pid> acquired_ms=<epoch-millis>`), if a lock file
     * exists. An empty or foreign-format lock (a pre-metadata layout,
@@ -335,9 +341,17 @@ object Epochs {
     * so the human who has verified the owner is dead removes the file
     * by hand. Returns the broken lock's recorded metadata.
     *
-    * The caller owns the liveness judgment (check the named host#pid
-    * first); `minAgeMs` is the backstop that stops a fat-fingered
-    * break of a lease taken seconds ago.
+    * The caller owns the liveness judgment for a FOREIGN-host lock
+    * (check the named host#pid there first); `minAgeMs` is the
+    * backstop that stops a fat-fingered break of a lease taken
+    * seconds ago. When the recorded host IS this host, the judgment
+    * is mechanical and this method makes it: a recorded pid that is
+    * still alive (`ProcessHandle.of`) refuses the break EVEN past
+    * `minAgeMs`, naming the owner — age never overrides observed
+    * liveness where liveness is actually observable. (A same-host pid
+    * that has died and been recycled by an unrelated process reads as
+    * alive — the conservative direction: the break is refused and the
+    * human removes the file by hand, exactly the pre-probe behavior.)
     */
   def breakStaleLease(spark: SparkSession, dir: String,
       minAgeMs: Long): String = {
@@ -357,6 +371,16 @@ object Epochs {
         s"Epochs.breakStaleLease: $lease is only ${ageMs} ms old " +
           s"(< $minAgeMs required) and held by [$owner] — refusing to " +
           "break a lease that young")
+    OwnerRe.findFirstMatchIn(owner).foreach { m =>
+      if (m.group(1) == localHost &&
+          ProcessHandle.of(m.group(2).toLong)
+            .map[Boolean](_.isAlive).orElse(false))
+        throw new IllegalStateException(
+          s"Epochs.breakStaleLease: $lease is held by [$owner] and " +
+            s"pid ${m.group(2)} is STILL ALIVE on this host — a live " +
+            "maintainer's lease is never stale, whatever its age; " +
+            "stop that process first if the break is really intended")
+    }
     fs.delete(lease, false)
     owner
   }

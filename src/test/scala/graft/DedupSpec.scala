@@ -715,6 +715,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("breakStaleLease same-host liveness: a LIVE recorded pid " +
+      "refuses the break even past minAge; a dead same-host pid " +
+      "breaks; a foreign host stays minAge-only") {
+    import graft.util.Epochs
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease2").toString
+    new java.io.File(dir).mkdirs()
+    val lock = java.nio.file.Paths.get(s"$dir/_MAINTENANCE.lock")
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "unknown-host" }
+    val staleMs = System.currentTimeMillis() - 3600000L
+    def plant(owner: String): Unit =
+      java.nio.file.Files.write(lock,
+        s"owner=$owner acquired_ms=$staleMs".getBytes("UTF-8"))
+
+    // (a) same host, pid = THIS test JVM (alive by construction), age
+    // one hour: minAge satisfied, liveness probe refuses anyway
+    plant(s"$host#${ProcessHandle.current().pid()}")
+    val live = intercept[IllegalStateException] {
+      Epochs.breakStaleLease(spark, dir, minAgeMs = 0L)
+    }
+    assert(live.getMessage.contains("STILL ALIVE"))
+    assert(live.getMessage.contains(host))
+    assert(java.nio.file.Files.exists(lock), "a refused break must not delete")
+
+    // (b) same host, provably dead pid: the break proceeds
+    val deadPid = (100000 to 4000000 by 991)
+      .find(p => !ProcessHandle.of(p.toLong).isPresent).get
+    plant(s"$host#$deadPid")
+    assert(Epochs.breakStaleLease(spark, dir, minAgeMs = 0L)
+      .contains(s"$host#$deadPid"))
+    assert(!java.nio.file.Files.exists(lock))
+
+    // (c) foreign host carrying OUR (live) pid: liveness is not
+    // observable from here — minAge-only, exactly the old behavior
+    plant(s"definitely-not-$host#${ProcessHandle.current().pid()}")
+    assert(Epochs.breakStaleLease(spark, dir, minAgeMs = 60000L)
+      .contains("definitely-not-"))
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
   test("NoveltyIndex: probe ≡ full recompute; append ≡ rebuild " +
       "(idempotent on retry); compaction and a raced epoch advance " +
       "never change a probe") {
@@ -797,6 +838,70 @@ class DedupSpec extends SparkSpec {
     assert(gramSet === rebuilt ++ extraGrams,
       "a raced append must be re-appended into the advanced epoch")
     assert(probeRows(extra).forall(_._3 === 0L))
+  }
+
+  test("NoveltyIndex bloom tier: prefiltered probe ≡ plain probe at " +
+      "init, after appends (multi-row OR-merged sketch), and after " +
+      "compaction; the sketch denies no file gram") {
+    import graft.dedup.NoveltyIndex
+    val docs = util.Tables(spark, sf).documents
+    val old = docs.filter(col("doc_id") % 5 < 4)
+    val fresh = docs.filter(col("doc_id") % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nvbloom").toString
+    NoveltyIndex.init(spark, old, dir, "text", 3)
+
+    def rows(newSide: org.apache.spark.sql.DataFrame, pf: Boolean) =
+      NoveltyIndex.probe(NoveltyIndex.load(spark, dir), newSide,
+          "source", "text", 3, prefilter = pf)
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+
+    // init writes the sketch; prefilter ≡ plain with genuine novelty
+    val snap0 = NoveltyIndex.load(spark, dir)
+    assert(snap0.bloom.nonEmpty, "init must persist the epoch's sketch")
+    val plain0 = rows(fresh, pf = false)
+    assert(plain0.exists(_._3 > 0L), "fixture must plant novelty")
+    assert(rows(fresh, pf = true) === plain0)
+
+    // the no-false-negative half, directly: every indexed gram is
+    // bloom-positive (a single denial would turn a seen gram novel)
+    val bf = snap0.bloom.get
+    val denied = snap0.grams.collect().map(_.getLong(0))
+      .count(g => !graft.functions.BloomUtil.mightContain(bf, g))
+    assert(denied === 0, s"$denied indexed grams denied by the sketch")
+
+    // append accretes a SECOND bloom row at the same geometry; the
+    // OR-merged sketch must still cover everything
+    NoveltyIndex.append(spark, fresh, dir, "text", 3)
+    val postAppend = rows(fresh, pf = false)
+    assert(postAppend.forall(r => r._3 === 0L),
+      "an admitted crawl must probe fully seen")
+    assert(rows(fresh, pf = true) === postAppend)
+    val snap1 = NoveltyIndex.load(spark, dir)
+    val bf1 = snap1.bloom.get
+    val denied1 = snap1.grams.collect().map(_.getLong(0))
+      .count(g => !graft.functions.BloomUtil.mightContain(bf1, g))
+    assert(denied1 === 0,
+      s"$denied1 appended grams denied by the OR-merged sketch")
+
+    // compaction right-sizes to ONE fresh row and parity still holds
+    NoveltyIndex.compact(spark, dir)
+    val bloomFiles = new java.io.File(s"$dir/epoch=1/bloom")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(bloomFiles === 1,
+      s"compaction must rebuild a single sketch row, saw $bloomFiles files")
+    assert(rows(fresh, pf = true) === rows(fresh, pf = false))
+
+    // a snapshot with NO sketch ignores the prefilter request (plain
+    // path, identical output) instead of failing or silently skipping
+    val bare = NoveltyIndex.load(spark, dir).copy(bloom = None)
+    val bareRows = NoveltyIndex.probe(bare, fresh, "source", "text", 3,
+        prefilter = true)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(bareRows === rows(fresh, pf = false))
   }
 
   test("dedup_inline: planted within-doc repeats collapse keep-first; " +

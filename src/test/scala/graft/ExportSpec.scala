@@ -211,6 +211,27 @@ class ExportSpec extends SparkSpec {
     stamp(ShardStore.ManifestFormat)
     assert(ShardStore.validate(ShardStore.readShards(spark, dir),
       "doc_id", "text", 7L, 4).filter(!col("ok")).isEmpty)
+
+    // stampAuditedLegacyEpoch (r13): the one-shot post-audit blessing.
+    // On an ALREADY-stamped epoch it refuses (re-labeling an era is
+    // never a shortcut) ...
+    val restamp = intercept[IllegalStateException] {
+      ShardStore.stampAuditedLegacyEpoch(spark, dir, 0L)
+    }
+    assert(restamp.getMessage.contains("already carries format"))
+    // ... on a pre-stamp epoch it stamps, and validate accepts without
+    // a re-publish (this store IS ASCII-only: the audited case)
+    fs.delete(sidecar, false)
+    ShardStore.stampAuditedLegacyEpoch(spark, dir, 0L)
+    assert(ShardStore.manifestFormat(spark, dir, 0L) ===
+      Some(ShardStore.ManifestFormat))
+    assert(ShardStore.validate(ShardStore.readShards(spark, dir),
+      "doc_id", "text", 7L, 4).filter(!col("ok")).isEmpty)
+    // ... and an unpublished epoch can never be blessed
+    val unpublished = intercept[IllegalArgumentException] {
+      ShardStore.stampAuditedLegacyEpoch(spark, dir, 9L)
+    }
+    assert(unpublished.getMessage.contains("not published"))
   }
 
   test("SourceMixture.mix materializes exactly mixStats' copy counts") {

@@ -25,17 +25,19 @@ class PlanSpec extends SparkSpec {
       "the build side must scan the persisted index files")
     // scan accounting: the validator reads the recrawl branches once
     // (v - 1 scans) plus ONE old-corpus gram derivation; the probe
-    // reads the recrawl branches twice (n_grams + n_novel each consume
-    // the new side — the deliberate trade documented on probe(): 2×
-    // the crawl-scale side beats distinct-exchanging the corpus-scale
-    // index) and the old-corpus derivation NOWHERE
+    // (prefilter ON since r13) reads the recrawl branches THRICE —
+    // n_grams, the bloom-negative novel branch, and the bloom-positive
+    // residue each consume the new side (the deliberate trade
+    // documented on probe(): re-deriving the crawl-scale side beats
+    // distinct-exchanging or caching the corpus-scale index) — and the
+    // old-corpus derivation NOWHERE
     def docScans(plan: String) =
       "documents\\.parquet".r.findAllIn(plan).size
     val validatorScans =
       docScans(planOf(CurationQueries.qCrawlNovelty(spark, sf)))
-    assert(docScans(probe) === 2 * (validatorScans - 1),
+    assert(docScans(probe) === 3 * (validatorScans - 1),
       s"probe scans documents ${docScans(probe)}x vs validator " +
-        s"${validatorScans}x — expected exactly two recrawl-branch " +
+        s"${validatorScans}x — expected exactly three recrawl-branch " +
         "derivations and NO old-corpus scan:\n" + probe.take(1200))
   }
 
@@ -578,12 +580,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_triangles: wedge and closing joins are shuffle equi-joins; " +
-      "degree and brand dims broadcast; no cartesian") {
+      "brand dim broadcasts; degree joins stay unhinted equi-joins; " +
+      "no cartesian") {
     val plan = planOf(graft.queries.Relational.qTriangles(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
     assert(plan.contains("BroadcastHashJoin"),
-      "degree/brand lookups must broadcast:\n" + plan.take(800))
+      "the hinted brand/part dim lookup must broadcast:\n" + plan.take(800))
+    // the vertex-scale degree joins carry NO broadcast hint (r13):
+    // whether AQE broadcasts them is a runtime sizing decision, so the
+    // pin is only that they remain equi-joins (no cartesian/NLJ above)
     // the part filter reaches the scan
     assert(plan.contains("PushedFilters: [IsNotNull(p_size), " +
         "LessThanOrEqual(p_size,12)") ||
@@ -615,6 +621,26 @@ class PlanSpec extends SparkSpec {
       plan.contains("bloommightcontain") ||
       plan.toLowerCase.contains("bloom"),
       "the map-side bloom prefilter must appear in the plan:\n" +
+        plan.take(1200))
+  }
+
+  test("q_crawl_novelty_probe (prefilter ON): the sketch rides ONE " +
+      "one-row broadcast; the exact anti-join survives for the " +
+      "positive residue; no cartesian") {
+    val plan = planOf(
+      graft.queries.CurationQueries.qCrawlNoveltyProbe(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // every nested-loop is a deliberate ONE-ROW broadcast: the bloom
+    // sketch once per consumer of the flagged gram stream (novel-by-
+    // sketch branch + residue branch) plus the recrawl fixture's
+    // max-doc-id scalar in each of the three crawl-side derivations
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 5,
+      plan.take(1200))
+    assert(plan.toLowerCase.contains("bloommightcontain") ||
+      plan.contains("graft_bloom_contains"),
+      "the sketch prefilter must appear in the plan:\n" + plan.take(1200))
+    assert(plan.contains("LeftAnti"),
+      "the exact anti-join must survive for bloom-positive grams:\n" +
         plan.take(1200))
   }
 }

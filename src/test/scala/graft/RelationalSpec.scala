@@ -370,6 +370,15 @@ class RelationalSpec extends SparkSpec {
     assert(jw("aaaaaaaaab", "b") === 0.0)
     // symmetric
     assert(jw("kitten", "sitting") === jw("sitting", "kitten"))
+    // NON-ASCII parity (r13): DuckDB compares UTF-8 BYTES, so 'café'
+    // is a 5-unit string — 0.8483 (byte Jaro), not the 4-char 0.8833.
+    // All constants probed off duckdb jaro_winkler_similarity directly.
+    assert(math.abs(jw("café", "cafe") - 0.8483333333333334) < 1e-12)
+    assert(math.abs(jw("naïve", "naive") - 0.8577777777777779) < 1e-12)
+    assert(math.abs(jw("héllo wörld", "hello world")
+      - 0.8531468531468531) < 1e-12)
+    assert(math.abs(jw("日本語", "日本") - 0.9333333333333333) < 1e-12)
+    assert(jw("café", "café") === 1.0)
     // SQL-callable through both registration paths
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
@@ -421,6 +430,26 @@ class RelationalSpec extends SparkSpec {
       assert(r.getLong(3) === 10000L)
     }
     // the 2 unlinked are doubled-first-char corruptions of short names
+    val unlinked = truth.keySet -- linked.map(_.getLong(0)).toSet
+    assert(unlinked.forall(_ % 4 == 3))
+  }
+
+  test("q_er_link recall floor (r13 value gate): linked fraction and " +
+      "zero mislinks pinned at sf0.01 too — blocking or threshold " +
+      "regressions fail here, not in prose") {
+    val sf01 = "/root/testdata/sf0.01"
+    val linked = Relational.qErLink(spark, sf01).collect()
+    val truth = graft.util.Tables(spark, sf01).part
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // measured floor: 1988/2000 linked (99.4% — the misses are the
+    // documented short-name doubled-first-char sub-threshold scores,
+    // all mode 3), and precision stays absolute
+    assert(linked.length === 1988, s"linked ${linked.length}/2000")
+    linked.foreach { r =>
+      assert(r.getString(2) === truth(r.getLong(0)),
+        s"mention ${r.getLong(0)} mislinked")
+    }
     val unlinked = truth.keySet -- linked.map(_.getLong(0)).toSet
     assert(unlinked.forall(_ % 4 == 3))
   }

@@ -342,9 +342,21 @@ class TextSpec extends SparkSpec {
       while (matcher.find()) n += Bpe.encodeWord(m, matcher.group()).size
       assert(r.getInt(1) === n)
     }
-    // the registered face: exact totals pinned (the text_bpe gate —
-    // deterministic static merges, re-derive on INTENTIONAL fixture
-    // changes). n_pretok matches text_bpe's pin: same pretokenization.
+    // the production-scale loaded model (r13): 10k synthetic merges in
+    // the same interchange format — the size a real deployment loads.
+    // Hand-traced under the generated ranks: "the" merges (h,e) r186
+    // before (t,h) r501 and "t he" is no merge; "abc" chains
+    // (a,b) r1 then the phase-2 "ab c" r2029 to a single token.
+    val m10k = Bpe.loadMergesResource("/graft/bpe/synthetic_merges_10k.txt")
+    assert(m10k.merges.size === 10000)
+    assert(Bpe.encodeWord(m10k, "the") === Seq("t", "he"))
+    assert(Bpe.encodeWord(m10k, "abc") === Seq("abc"))
+    val rt10k = Bpe.loadMerges(Bpe.renderMerges(m10k).iterator)
+    assert(rt10k.ranks === m10k.ranks)
+    // the registered face (runs the 10k model): exact totals pinned
+    // (the text_bpe gate — deterministic static merges, re-derive on
+    // INTENTIONAL fixture changes). n_pretok matches text_bpe's pin:
+    // same pretokenization.
     val out = graft.queries.TextQueries.textBpeApply(spark, sf)
       .agg(count(lit(1)).as("rows"), sum(col("n_pretok")).as("pre"),
         sum(col("n_bpe_tok")).as("bpe"),
@@ -352,8 +364,8 @@ class TextSpec extends SparkSpec {
       .collect()(0)
     assert(out.getLong(0) === 500L)
     assert(out.getLong(1) === 27939L, s"sum n_pretok ${out.getLong(1)}")
-    assert(out.getLong(2) === 84820L, s"sum n_bpe_tok ${out.getLong(2)}")
-    assert(out.getLong(3) === 151441L, s"sum fertility_x100 ${out.getLong(3)}")
+    assert(out.getLong(2) === 70891L, s"sum n_bpe_tok ${out.getLong(2)}")
+    assert(out.getLong(3) === 126530L, s"sum fertility_x100 ${out.getLong(3)}")
   }
 
   test("Bpe: native expression equals driver-side encode on real docs") {
