@@ -257,6 +257,44 @@ object NoveltyIndex {
       .withColumn("novelty_bp", expr("n_novel * 10000 div n_grams"))
   }
 
+  /** The approximate ZERO-JOIN novelty tier — the probe for when the
+    * answer gates a decision ("is this crawl worth admitting?") and a
+    * bounded undercount is acceptable: per-source novelty from the
+    * membership sketch ALONE. One map-side gram pass + one distinct
+    * exchange + a |sources|-row rollup; the gram index files are never
+    * opened — at 100 TB the daily cost is the crawl's own gram pass
+    * plus a KB–MB broadcast, full stop.
+    *
+    * Error contract (one-sided, from the bloom's one-sided error):
+    * a bloom false positive marks a genuinely-novel gram "seen", so
+    * `n_novel_lb` is a LOWER BOUND on the exact probe's n_novel —
+    * never an overcount — and the deficit is bounded in expectation by
+    * fpp × n_grams ([[BloomFpp]] at epoch birth; appends drift it up
+    * until compact right-sizes). Columns are suffixed `_lb` so a
+    * reader can never mistake the tier for the exact one. Fails
+    * loudly on a pre-sketch epoch — silently degrading to the exact
+    * join would invert the tier's entire point.
+    */
+  def probeApprox(snapshot: Snapshot, newDocs: DataFrame,
+      sourceCol: String, textCol: String, n: Int): DataFrame = {
+    val bf = snapshot.bloom.getOrElse(throw new IllegalStateException(
+      s"NoveltyIndex.probeApprox: epoch ${snapshot.epoch} under " +
+        s"${snapshot.dir} carries no membership sketch — compact to " +
+        "build one, or use probe()"))
+    val s = newDocs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val bloomDf = Seq(Tuple1(bf)).toDF("graft_bloom")
+    sourceGramHashes(newDocs, sourceCol, textCol, n).distinct()
+      .crossJoin(broadcast(bloomDf))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(!call_function("graft_bloom_contains",
+            col("graft_bloom"), col("gh")), 1L).otherwise(0L))
+          .as("n_novel_lb"))
+      .withColumn("novelty_bp_lb", expr("n_novel_lb * 10000 div n_grams"))
+  }
+
   /** Admit a crawl: append its NOVEL grams (vs the current epoch) into
     * the current epoch. Runs the appenders' half of the maintenance
     * fence verbatim ([[Epochs.awaitNoMaintenance]] — write, wait out

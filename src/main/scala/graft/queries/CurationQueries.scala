@@ -1637,6 +1637,28 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** The ZERO-JOIN novelty tier, registered — [[graft.dedup
+    * .NoveltyIndex.probeApprox]] over the same planted recrawl and the
+    * same persisted index as q_crawl_novelty_probe: per-source novelty
+    * from the epoch's bloom sketch ALONE (one crawl gram pass + one
+    * KB–MB one-row broadcast; the gram index files are never opened).
+    * This is the tier a 100 TB acquisition loop runs HOURLY, promoting
+    * only interesting crawls to the exact anti-join probe. No SQL twin
+    * — the sketch's bit arithmetic has no DuckDB oracle — so the row
+    * is declared rows-only; the value gates live in DedupSpec: n_grams
+    * ≡ the exact probe's, n_novel_lb a per-source LOWER bound on the
+    * exact n_novel (the bloom's one-sided error can only undercount),
+    * deficit within the fpp budget, and the face deterministic (the
+    * sketch is a pure hash artifact — same epoch, same bits).
+    */
+  def qCrawlNoveltySketch(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = noveltyIndexFor(s, dir)
+    val snap = graft.dedup.NoveltyIndex.load(s, idxDir)
+    graft.dedup.NoveltyIndex.probeApprox(snap,
+        recrawled(Tables(s, dir).documents), "source", "text", 3)
+      .orderBy(col("source"))
+  }
+
   /** The saved novelty index for a corpus dir — fit-once-per-session
     * memoization (the IVF-centroid pattern applied to a PERSISTED
     * artifact: repeated probes re-plan against the same epoch files,
@@ -1989,6 +2011,7 @@ object CurationQueries {
     "manifest_incremental" -> (manifestIncremental _),
     "manifest_stream" -> (manifestStreamFace _),
     "novelty_stream" -> (noveltyStreamFace _),
+    "q_crawl_novelty_sketch" -> (qCrawlNoveltySketch _),
     "manifest_diff" -> (manifestDiff _),
     "mix_data_constrained" -> (mixDataConstrained _),
     "sample_weighted" -> (sampleWeighted _),

@@ -904,6 +904,49 @@ class DedupSpec extends SparkSpec {
     assert(bareRows === rows(fresh, pf = false))
   }
 
+  test("NoveltyIndex.probeApprox (zero-join tier): n_grams ≡ exact, " +
+      "n_novel_lb a one-sided LOWER bound within the fpp budget, " +
+      "deterministic, loud on a sketchless snapshot") {
+    import graft.dedup.NoveltyIndex
+    val docs = util.Tables(spark, sf).documents
+    val old = docs.filter(col("doc_id") % 5 < 4)
+    val fresh = docs.filter(col("doc_id") % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nvapprox").toString
+    NoveltyIndex.init(spark, old, dir, "text", 3)
+    val snap = NoveltyIndex.load(spark, dir)
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = collectMap(
+      NoveltyIndex.probe(snap, fresh, "source", "text", 3))
+    val approx = collectMap(
+      NoveltyIndex.probeApprox(snap, fresh, "source", "text", 3))
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (src, (ng, novel, bp)) =>
+      val (ngA, lb, bpA) = approx(src)
+      assert(ngA === ng, s"$src: n_grams must match the exact probe")
+      assert(lb >= 0L && lb <= novel,
+        s"$src: lb $lb must lower-bound exact $novel (one-sided error)")
+      // expected deficit fpp*n_grams (0.005); generous 10x slack so the
+      // pin never flakes on hash luck while still catching a broken
+      // direction (a deficit of n_grams/2 means the sketch is noise)
+      assert(novel - lb <= math.max(3L, (0.05 * ng).toLong),
+        s"$src: deficit ${novel - lb} exceeds the fpp budget on $ng grams")
+      assert(bpA <= bp)
+    }
+    assert(exact.values.exists(_._2 > 0L), "fixture must plant novelty")
+    // pure hash artifact: byte-identical on a re-run
+    val again = collectMap(
+      NoveltyIndex.probeApprox(snap, fresh, "source", "text", 3))
+    assert(again === approx)
+    // sketchless snapshot: loud, never a silent fallback to the join
+    val noSketch = intercept[IllegalStateException] {
+      NoveltyIndex.probeApprox(snap.copy(bloom = None), fresh,
+        "source", "text", 3)
+    }
+    assert(noSketch.getMessage.contains("no membership sketch"))
+  }
+
   test("dedup_inline: planted within-doc repeats collapse keep-first; " +
       "the plan's only exchange is the result ORDER BY") {
     import spark.implicits._

@@ -643,4 +643,23 @@ class PlanSpec extends SparkSpec {
       "the exact anti-join must survive for bloom-positive grams:\n" +
         plan.take(1200))
   }
+
+  test("q_crawl_novelty_sketch: ZERO joins on the gram path — the " +
+      "index files are never opened; only one-row broadcasts") {
+    val plan = planOf(
+      graft.queries.CurationQueries.qCrawlNoveltySketch(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("LeftAnti") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      "the approximate tier must not join anything:\n" + plan.take(1200))
+    assert(!plan.contains("novelty_index"),
+      "the gram index files must never be opened:\n" + plan.take(1200))
+    // the only nested-loops are one-row broadcasts: the sketch plus
+    // the recrawl fixture's max-doc-id scalar
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      plan.take(1200))
+    assert(plan.toLowerCase.contains("bloommightcontain") ||
+      plan.contains("graft_bloom_contains"), plan.take(1200))
+  }
 }

@@ -1164,6 +1164,73 @@ class StreamSpec extends SparkSpec {
       "a torn staging write must be discarded, never installed")
   }
 
+  test("noveltyStream: checkpointed restart — committed crawls never " +
+      "re-probe or re-append; the next batch measures novelty against " +
+      "everything admitted before it") {
+    import graft.dedup.NoveltyIndex
+    val docs = util.Tables(spark, sf).documents
+    val old = docs.filter(col("doc_id") % 3 === 0)
+    val crawlA = docs.filter(col("doc_id") % 3 === 1)
+    val crawlB = docs.filter(col("doc_id") % 3 === 2)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-nvstream-idx").toString
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-nvstream-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-nvstream-ckpt").toString
+    NoveltyIndex.init(spark, old, idxDir, "text", 3)
+
+    // the closed-form expectations, computed OUTSIDE the stream: each
+    // crawl's per-source novelty against corpus + everything admitted
+    // before it (admission makes the index = corpus ∪ earlier crawls)
+    def expected(crawl: org.apache.spark.sql.DataFrame,
+        seen: org.apache.spark.sql.DataFrame) =
+      NoveltyIndex.sourceGramHashes(crawl, "source", "text", 3).distinct()
+        .join(NoveltyIndex.gramHashes(seen, "text", 3).distinct(),
+          Seq("gh"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expA = expected(crawlA, old)
+    val expB = expected(crawlB, old.unionByName(crawlA))
+
+    val acc = scala.collection.mutable.Map[Long, Map[String, Long]]()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, source STRING, text STRING")
+    def run(): Unit = {
+      val q = Streams.noveltyStream(
+        spark.readStream.schema(schema).parquet(srcDir),
+        idxDir, "source", "text", 3, checkpointDir = Some(ckpt)) {
+        (id, rows) =>
+          // batchId-keyed overwrite — the documented replay journaling
+          acc(id) = rows.map(r => r.getString(0) -> r.getLong(2))
+            .filter(_._2 > 0L).toMap
+      }
+      q.processAllAvailable(); q.stop()
+    }
+    def write(d: org.apache.spark.sql.DataFrame): Unit =
+      d.select(col("doc_id"), col("source"), col("text"))
+        .write.mode("append").parquet(srcDir)
+
+    write(crawlA); run()
+    assert(acc.size === 1)
+    assert(acc.values.head === expA.filter(_._2 > 0L))
+    assert(expA.values.sum > 0L, "fixture must plant novelty in crawl A")
+
+    // restart from the SAME checkpoint with a new crawl file: crawl A
+    // is committed — it must not re-probe (no new acc key for it) and
+    // must not re-append (B's novelty already discounts A exactly once)
+    write(crawlB); run()
+    assert(acc.size === 2, s"exactly one new batch, got keys ${acc.keySet}")
+    assert(acc(acc.keySet.max) === expB.filter(_._2 > 0L),
+      "crawl B must be measured against corpus + crawl A")
+    // the index holds exactly corpus ∪ A ∪ B (append ≡ rebuild)
+    val gramSet = NoveltyIndex.load(spark, idxDir).grams
+      .distinct().collect().map(_.getLong(0)).toSet
+    val rebuilt = NoveltyIndex.gramHashes(docs, "text", 3)
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(gramSet === rebuilt)
+  }
+
   test("manifestStream: streamed batch partials merge to the EXACT " +
       "batch export_manifest; compaction preserves the manifest") {
     implicit val ctx = spark.sqlContext
