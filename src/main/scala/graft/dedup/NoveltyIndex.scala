@@ -111,6 +111,21 @@ object NoveltyIndex {
 
   private def bloomPath(epochDir: String) = s"$epochDir/bloom"
 
+  /** The epoch's gram set, empty-tree-safe: an epoch whose write left
+    * no data files (empty corpus) reads as the EMPTY gram set — the
+    * semantically right answer ("nothing has been seen") — instead of
+    * dying in parquet schema inference on a _SUCCESS-only directory.
+    */
+  private def epochGrams(spark: SparkSession, epochDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(gramsPath(epochDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // globStatus returns null when no path component matches at all
+    if (Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/*.parquet")))
+        .forall(_.isEmpty))
+      spark.range(0).select(col("id").as("gh"))
+    else spark.read.parquet(gramsPath(epochDir)).select(col("gh"))
+  }
+
   /** One bloom row (serialized filter, header-carrying) over `grams`'
     * gh column, appended to the epoch's bloom table. gh is already a
     * 60-bit hash; [[graft.functions.BloomUtil]] re-avalanches it
@@ -127,13 +142,21 @@ object NoveltyIndex {
 
   /** Build the epoch's sketch fresh from its written gram files —
     * init's and compact's path (right-sized: n is the actual distinct
-    * gram count, read from the parquet footers).
+    * gram count, read from the parquet footers). Degenerate-corpus
+    * guards: an epoch with NO gram files (empty corpus — the write
+    * left only _SUCCESS) stays sketchless (probe's documented
+    * pre-sketch fallback), and the sizing n is floored at 64 keys so
+    * optimalNumHashes never exceeds [[graft.functions.BloomFilterAgg]]'s
+    * k ≤ 32 bound on a near-empty gram set (n = 1 would size k = 44;
+    * flooring only over-sizes the filter, which tightens fpp).
     */
   private def writeFreshBloom(spark: SparkSession, epochDir: String): Unit = {
-    val grams = spark.read.parquet(gramsPath(epochDir)).select(col("gh"))
-    val n = math.max(1L, grams.count())
+    val grams = epochGrams(spark, epochDir)
+    val n0 = grams.count()
+    if (n0 == 0L) return
+    val n = math.max(64L, n0)
     val m = graft.functions.BloomUtil.optimalNumBits(n, BloomFpp)
-    val k = graft.functions.BloomUtil.optimalNumHashes(m, n)
+    val k = math.min(32, graft.functions.BloomUtil.optimalNumHashes(m, n))
     appendBloomRow(spark, epochDir, grams, m, k)
   }
 
@@ -190,8 +213,8 @@ object NoveltyIndex {
   /** Pin the current epoch and load its gram set + membership sketch. */
   def load(spark: SparkSession, dir: String): Snapshot = {
     val e = Epochs.current(spark, dir)
-    Snapshot(spark.read.parquet(gramsPath(Epochs.epochPath(dir, e)))
-      .select(col("gh")), e, dir, loadBloom(spark, dir, e))
+    Snapshot(epochGrams(spark, Epochs.epochPath(dir, e)), e, dir,
+      loadBloom(spark, dir, e))
   }
 
   /** Per-source novelty of a new crawl against the indexed corpus —
@@ -318,8 +341,7 @@ object NoveltyIndex {
     var stable = false
     while (!stable) {
       val epochDir = Epochs.epochPath(dir, e)
-      val idx = spark.read
-        .parquet(gramsPath(epochDir)).select(col("gh"))
+      val idx = epochGrams(spark, epochDir)
       val novel = gramHashes(newDocs, textCol, n).distinct()
         .join(idx, Seq("gh"), "left_anti")
       // sketch row FIRST (same geometry as the epoch's existing rows),
@@ -353,8 +375,7 @@ object NoveltyIndex {
       retainEpochs: Int = 1): Long =
     Epochs.withMaintenanceLease(spark, dir) {
       Epochs.rewriteToNextChecked(spark, dir, retainEpochs) { (cur, next) =>
-        bucketed(spark.read.parquet(gramsPath(cur))
-            .select(col("gh")).distinct())
+        bucketed(epochGrams(spark, cur).distinct())
           .repartition(col("b"))
           .write.mode("overwrite").partitionBy("b")
           .parquet(gramsPath(next))

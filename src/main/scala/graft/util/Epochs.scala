@@ -222,18 +222,19 @@ object Epochs {
     * process lifetime, and exactly what an orchestrator needs to
     * decide "is that owner still alive" before breaking a lease.
     */
-  private[util] lazy val ownerId: String = {
-    val host =
-      try java.net.InetAddress.getLocalHost.getHostName
-      catch { case _: java.net.UnknownHostException => "unknown-host" }
-    s"$host#${ProcessHandle.current().pid()}"
-  }
+  private[util] lazy val ownerId: String =
+    s"$localHost#${ProcessHandle.current().pid()}"
 
   private val AcquiredRe = "acquired_ms=(\\d+)".r
 
   private val OwnerRe = "owner=([^#\\s]+)#(\\d+)".r
 
-  private def localHost: String =
+  /** ONE hostname derivation for both the lock's recorded owner
+    * ([[ownerId]]) and [[breakStaleLease]]'s same-host comparison —
+    * if the two ever diverged, the liveness probe would silently stop
+    * firing on exactly the host where liveness is observable.
+    */
+  private lazy val localHost: String =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: java.net.UnknownHostException => "unknown-host" }
 

@@ -904,6 +904,49 @@ class DedupSpec extends SparkSpec {
     assert(bareRows === rows(fresh, pf = false))
   }
 
+  test("NoveltyIndex degenerate corpora: single-gram init sizes a " +
+      "legal sketch (k ≤ 32); empty-corpus init publishes sketchless " +
+      "and every probe tier still answers") {
+    import graft.dedup.NoveltyIndex
+    import spark.implicits._
+    // ONE distinct trigram in the whole corpus: optimal k would be 44
+    // without the sizing floor — init must not crash and the sketch
+    // must still be exact-parity (r13 review finding)
+    val one = Seq((1L, "alpha beta gamma", "srcA"),
+      (2L, "alpha beta gamma", "srcB")).toDF("doc_id", "text", "source")
+    val d1 = java.nio.file.Files.createTempDirectory("graft-nv-one").toString
+    NoveltyIndex.init(spark, one, d1, "text", 3)
+    val s1 = NoveltyIndex.load(spark, d1)
+    assert(s1.bloom.nonEmpty)
+    val probeNew = Seq((3L, "delta epsilon zeta eta", "srcC"))
+      .toDF("doc_id", "text", "source")
+    def rows(snap: NoveltyIndex.Snapshot, pf: Boolean) =
+      NoveltyIndex.probe(snap, probeNew, "source", "text", 3, prefilter = pf)
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(rows(s1, pf = true) === rows(s1, pf = false))
+    assert(rows(s1, pf = false) === Seq(("srcC", 2L, 2L, 10000L)))
+    val approx1 = NoveltyIndex.probeApprox(s1, probeNew, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(approx1.head._1 === "srcC" && approx1.head._2 === 2L &&
+      approx1.head._3 <= 2L)
+
+    // EMPTY corpus: init publishes a sketchless epoch (nothing to
+    // sketch), probe answers everything-novel, prefilter request is a
+    // no-op, probeApprox refuses loudly
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val d0 = java.nio.file.Files.createTempDirectory("graft-nv-empty").toString
+    NoveltyIndex.init(spark, empty, d0, "text", 3)
+    val s0 = NoveltyIndex.load(spark, d0)
+    assert(s0.bloom.isEmpty)
+    assert(rows(s0, pf = true) === Seq(("srcC", 2L, 2L, 10000L)))
+    intercept[IllegalStateException] {
+      NoveltyIndex.probeApprox(s0, probeNew, "source", "text", 3)
+    }
+  }
+
   test("NoveltyIndex.probeApprox (zero-join tier): n_grams ≡ exact, " +
       "n_novel_lb a one-sided LOWER bound within the fpp budget, " +
       "deterministic, loud on a sketchless snapshot") {
