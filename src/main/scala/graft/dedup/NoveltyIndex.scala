@@ -65,6 +65,15 @@ object NoveltyIndex {
     */
   val NBuckets = 64
 
+  /** Target gh rows per write task for a fused-path append (~32 MB of
+    * longs before encoding): the write-task count derives from the
+    * probe's own novel-gram count, so a small daily crawl writes one
+    * file wave instead of a full shuffle-partition wave of near-empty
+    * parquet writers, and a huge one still caps at one task per
+    * bucket.
+    */
+  val AppendGramsPerTask = 4L << 20
+
   /** False-positive rate the epoch blooms are sized for. The filter
     * for n grams costs ~1.2 bytes/gram at 0.005 — a 1e9-gram corpus
     * index carries a ~1.2 GB sketch, which is when the caller shards
@@ -316,6 +325,109 @@ object NoveltyIndex {
             col("graft_bloom"), col("gh")), 1L).otherwise(0L))
           .as("n_novel_lb"))
       .withColumn("novelty_bp_lb", expr("n_novel_lb * 10000 div n_grams"))
+  }
+
+  /** Probe + admit FUSED for the streaming acquisition loop — one
+    * shared gram pass instead of the 4–6 the unfused pair pays (probe
+    * derives the batch's gram set for the `n_grams` rollup AND for each
+    * prefilter branch; append then re-derives it from the raw text and
+    * re-reads the epoch's gram files to re-anti-join). Here the batch's
+    * distinct (source, gh) pairs and the novel subset are each
+    * materialized ONCE (eager localCheckpoint — batch-scale by the
+    * O(new crawl) contract, reclaimed by the ContextCleaner when the
+    * batch's frames drop) and every consumer reads the pinned copy:
+    * the probe rollups, the admit's bloom row, and the admit's gram
+    * files. Output rows and LOGICAL on-disk state are identical to
+    * `probe()` followed by `append()` (file sizing differs — the write
+    * task count is derived from the novel count instead of the shuffle
+    * default; every read path is layout-insensitive):
+    *
+    *  - the gh set admit writes IS `distinct gh` of the probe's novel
+    *    (source, gh) pairs — same anti-join, same epoch;
+    *  - the bloom row consumes the pinned pairs pre-distinct (bit-set
+    *    idempotence: bloom(multiset) ≡ bloom(set), byte-identical) and
+    *    reuses the snapshot's sketch GEOMETRY (every row under an
+    *    epoch shares (m, k) by construction, so geometry from the
+    *    pinned sketch ≡ geometry from a re-read);
+    *  - the appenders' maintenance fence is intact: if the epoch
+    *    advanced between the snapshot and the admit (or advances while
+    *    admitting), the fused fast path steps aside and the full
+    *    [[append]] recomputation runs against the new epoch — the
+    *    physical-duplicate contract makes the raced write harmless
+    *    exactly as it does for plain append.
+    *
+    * Returns the probe's rows (collected — |sources|-scale, KB).
+    */
+  private[graft] def probeAndAdmit(spark: SparkSession, snapshot: Snapshot,
+      batch: DataFrame, sourceCol: String, textCol: String, n: Int,
+      prefilter: Boolean): Array[org.apache.spark.sql.Row] = {
+    val newG = sourceGramHashes(batch, sourceCol, textCol, n).distinct()
+      .localCheckpoint(true)
+    val total = newG.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val novelG = (snapshot.bloom match {
+      case Some(bf) if prefilter =>
+        graft.functions.GraftFunctions.register(spark)
+        import spark.implicits._
+        val bloomDf = Seq(Tuple1(bf)).toDF("graft_bloom")
+        val flagged = newG.crossJoin(broadcast(bloomDf))
+          .withColumn("maybe_seen", call_function("graft_bloom_contains",
+            col("graft_bloom"), col("gh")))
+          .drop("graft_bloom")
+        flagged.filter(!col("maybe_seen"))
+          .select(col(sourceCol), col("gh"))
+          .unionByName(flagged.filter(col("maybe_seen"))
+            .select(col(sourceCol), col("gh"))
+            .join(snapshot.grams, Seq("gh"), "left_anti"))
+      case _ =>
+        newG.join(snapshot.grams, Seq("gh"), "left_anti")
+          .select(col(sourceCol), col("gh"))
+    }).localCheckpoint(true)
+    val novel = novelG.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_novel"))
+    val rows = total.join(novel, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_grams"))
+      .collect()
+    // admit — fused fast path only while the snapshot's epoch is still
+    // current; any advance (before or during) falls back to the full
+    // append recomputation so the fence semantics are exactly plain
+    // append's
+    if (Epochs.current(spark, snapshot.dir) == snapshot.epoch) {
+      val epochDir = Epochs.epochPath(snapshot.dir, snapshot.epoch)
+      val novelGh = novelG.select(col("gh")).distinct()
+      snapshot.bloom.foreach { bf =>
+        val (k, words) = graft.functions.BloomUtil.deserializeWords(bf)
+        // the bloom is bit-idempotent, so it can consume the pinned
+        // per-(source, gh) pairs directly — same bits as the distinct
+        // set, one distinct-exchange saved
+        appendBloomRow(spark, epochDir, novelG.select(col("gh")),
+          words.length * 64, k)
+      }
+      // write-task count derived from the DATA (the probe rollup already
+      // counted the novel grams — free): ~[[AppendGramsPerTask]] gh rows
+      // per task, capped at one task per bucket. A fixed
+      // shuffle-partition count here costs a daily-crawl append a full
+      // task wave of near-empty parquet writers at small crawls and
+      // still bottlenecks at NBuckets distinct keys at huge ones —
+      // deriving from the count is right at every scale.
+      val novelUB = rows.iterator.map(_.getLong(2)).sum
+      val nWrite = math.max(1L,
+        math.min(NBuckets.toLong,
+          (novelUB + AppendGramsPerTask - 1) / AppendGramsPerTask)).toInt
+      bucketed(novelGh)
+        .repartition(nWrite, col("b"))
+        .write.mode("append").partitionBy("b")
+        .parquet(gramsPath(epochDir))
+      Epochs.awaitNoMaintenance(spark, snapshot.dir)
+      val now = Epochs.current(spark, snapshot.dir)
+      if (now != snapshot.epoch)
+        appendFrom(spark, batch, snapshot.dir, now, textCol, n)
+    } else {
+      append(spark, batch, snapshot.dir, textCol, n)
+    }
+    rows
   }
 
   /** Admit a crawl: append its NOVEL grams (vs the current epoch) into

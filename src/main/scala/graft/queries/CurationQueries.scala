@@ -752,13 +752,33 @@ object CurationQueries {
     val to = new org.apache.hadoop.fs.Path(idxDir)
     val srcFs = from.getFileSystem(conf)
     val dstFs = to.getFileSystem(conf)
-    // child-wise copy: FileUtil.copy into an EXISTING dir nests the
+    // child-wise clone: FileUtil.copy into an EXISTING dir nests the
     // source under it (cp semantics); the clone needs the epoch tree
-    // and _CURRENT pointer directly under idxDir
+    // and _CURRENT pointer directly under idxDir. Parquet DATA files
+    // are hard-linked when both sides are the local FS (the epoch tree
+    // is append-only — the run's admits only ADD part files next to
+    // the linked ones, never rewrite them), which turns the ~70-file
+    // byte copy into metadata ops; markers (_SUCCESS, _CURRENT — the
+    // commit protocol re-creates _SUCCESS on append) and any non-local
+    // FS keep the byte copy.
+    val localLink = srcFs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] &&
+      dstFs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    def clone0(src: org.apache.hadoop.fs.FileStatus,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      if (src.isDirectory) {
+        dstFs.mkdirs(dst)
+        srcFs.listStatus(src.getPath)
+          .foreach(c => clone0(c, new org.apache.hadoop.fs.Path(dst, c.getPath.getName)))
+      } else if (localLink && src.getPath.getName.endsWith(".parquet")) {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.getPath.toUri.getPath))
+      } else {
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, src.getPath, dstFs, dst,
+          false, true, conf)
+      }
     srcFs.listStatus(from).foreach { st =>
-      org.apache.hadoop.fs.FileUtil.copy(srcFs, st.getPath, dstFs,
-        new org.apache.hadoop.fs.Path(to, st.getPath.getName),
-        false, true, conf)
+      clone0(st, new org.apache.hadoop.fs.Path(to, st.getPath.getName))
     }
     val feed = recrawled(base)
       .select(col("doc_id"), col("source"), col("text")).collect()
@@ -1478,6 +1498,10 @@ object CurationQueries {
     * metadata — the planted edit models a crawler that hasn't
     * re-measured, and both engines share the convention).
     */
+  /** TEMPORARY r13 profiling accessor — removed with ScratchProbe. */
+  private[graft] def recrawledForScratch(base: DataFrame): DataFrame =
+    recrawled(base)
+
   private def recrawled(base: DataFrame): DataFrame = {
     val maxId = base.agg(max(col("doc_id")).as("max_id"))
     base.filter(col("doc_id") % 31 =!= 0)

@@ -933,10 +933,13 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val snap = graft.dedup.NoveltyIndex.load(spark, indexDir)
-        val rows = graft.dedup.NoveltyIndex
-          .probe(snap, batch, sourceCol, textCol, n, prefilter)
-          .collect().toSeq
-        graft.dedup.NoveltyIndex.append(spark, batch, indexDir, textCol, n)
+        // fused probe+admit: one shared gram pass per batch (the
+        // unfused pair re-derives the batch's gram set up to 6× and
+        // re-reads the epoch's files once more for the append's
+        // anti-join); rows and on-disk state are byte-identical —
+        // see NoveltyIndex.probeAndAdmit
+        val rows = graft.dedup.NoveltyIndex.probeAndAdmit(
+          spark, snap, batch, sourceCol, textCol, n, prefilter).toSeq
         sink(batchId, rows)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
