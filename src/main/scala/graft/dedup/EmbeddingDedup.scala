@@ -81,9 +81,16 @@ object EmbeddingDedup {
     graft.functions.GraftFunctions.register(embs.sparkSession)
     val withNorm = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.normD(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    // one side broadcasts (they are the same table — force it so the
+    // plan is stable); the STREAM side fans out to the cluster's
+    // default parallelism first: its task count is otherwise the
+    // corpus scan's split count — ONE for a small single-row-group
+    // parquet file — while the stage above it scores n²∕2 pairs
+    // (Knn.brute's unsplittable-input move, same rationale)
+    val a = graft.util.Fanout.ensure(
+      withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")))
     val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", round(
         Vectors.cosineWithNorms(Vectors.dotD(col("v_a"), col("v_b")),
           col("n_a"), col("n_b")), 6))

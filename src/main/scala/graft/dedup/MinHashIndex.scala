@@ -50,11 +50,18 @@ object MinHashIndex {
     Index(MinHashLSH.bands(MinHashLSH.signatures(sh)), sh)
   }
 
-  /** Persist: bands partitioned by band_id, shingles plain. */
+  /** Persist: bands partitioned by band_id, shingles plain. The two
+    * writes are independent (disjoint inputs and outputs) and overlap
+    * ([[graft.util.Par]]); note both derive from the handle's PINNED
+    * shingle table (the build-time localCheckpoint), so the shared
+    * subtree is materialized once, not raced.
+    */
   def save(index: Index, dir: String): Unit = {
-    index.bands.write.mode("overwrite").partitionBy("band_id")
-      .parquet(s"$dir/bands")
-    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    graft.util.Par.both(
+      index.bands.write.mode("overwrite").partitionBy("band_id")
+        .parquet(s"$dir/bands"),
+      index.shingles.write.mode("overwrite").parquet(s"$dir/shingles"))
+    ()
   }
 
   def load(spark: SparkSession, dir: String): Index =
@@ -75,12 +82,17 @@ object MinHashIndex {
     */
   def append(newDocs: DataFrame, dir: String, idCol: String,
       textCol: String, n: Int): Unit = {
+    // EAGER pin (was lazy): both appends consume the shingled batch
+    // and write disjoint tables — materialize once, overlap the two
+    // writes (graft.util.Par doc)
     val sh = MinHashLSH.shingled(newDocs, idCol, textCol, n)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     try {
-      MinHashLSH.bands(MinHashLSH.signatures(sh))
-        .write.mode("append").partitionBy("band_id").parquet(s"$dir/bands")
-      sh.write.mode("append").parquet(s"$dir/shingles")
+      graft.util.Par.both(
+        MinHashLSH.bands(MinHashLSH.signatures(sh))
+          .write.mode("append").partitionBy("band_id").parquet(s"$dir/bands"),
+        sh.write.mode("append").parquet(s"$dir/shingles"))
+      ()
     } finally graft.util.Caches.release(sh)
   }
 

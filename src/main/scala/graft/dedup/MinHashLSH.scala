@@ -40,7 +40,12 @@ object MinHashLSH {
     * §8 higher-order-function pitfall.
     */
   def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.withColumn("graft_toks", TextOps.tokens(col(textCol)))
+    // scan-parallelism floor (graft.util.Fanout doc): tokenize +
+    // shingle + the 64-lane minhash above this are the pipeline's
+    // heavy map work, and a single-row-group input otherwise runs it
+    // all on one core; no-op when the scan already has enough splits
+    graft.util.Fanout.ensure(docs)
+      .withColumn("graft_toks", TextOps.tokens(col(textCol)))
       .select(
         col(idCol).as("doc_id"),
         TextOps.wordNgrams(col("graft_toks"), n).as("shingles"))

@@ -50,7 +50,9 @@ object NgramJaccard {
   /** (doc_id, shingles) — one codegen'd shingling pass. */
   private[dedup] def shingle(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.withColumn("graft_toks", TextOps.tokens(col(textCol)))
+    // scan-parallelism floor (graft.util.Fanout doc) — no-op at scale
+    graft.util.Fanout.ensure(docs)
+      .withColumn("graft_toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("doc_id"),
         TextOps.wordNgrams(col("graft_toks"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)

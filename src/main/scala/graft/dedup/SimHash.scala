@@ -37,7 +37,9 @@ object SimHash {
   /** (id, simhash) for non-empty docs. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+    // scan-parallelism floor (graft.util.Fanout doc) — no-op at scale
+    graft.util.Fanout.ensure(docs)
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), simhash(col("toks")).as("sim"))
   }

@@ -132,13 +132,21 @@ object SnapshotIndex {
     Epochs.withMaintenanceLease(spark, dir) {
       Epochs.rewriteToNextChecked(spark, dir, retainEpochs) { (cur, next) =>
         val idx = MinHashIndex.load(spark, cur)
-        idx.bands.repartition(org.apache.spark.sql.functions.col("band_id"))
-          .write.mode("overwrite").partitionBy("band_id")
-          .parquet(s"$next/bands")
-        val nRows = idx.shingles.count()
-        val nOut = math.max(1L, (nRows + rowsPerFile - 1) / rowsPerFile).toInt
-        idx.shingles.repartition(nOut)
-          .write.mode("overwrite").parquet(s"$next/shingles")
+        // the two table rewrites read disjoint inputs and write
+        // disjoint outputs — overlap them (graft.util.Par doc); the
+        // publish happens strictly after both
+        graft.util.Par.both(
+          idx.bands.repartition(org.apache.spark.sql.functions.col("band_id"))
+            .write.mode("overwrite").partitionBy("band_id")
+            .parquet(s"$next/bands"),
+          {
+            val nRows = idx.shingles.count()
+            val nOut =
+              math.max(1L, (nRows + rowsPerFile - 1) / rowsPerFile).toInt
+            idx.shingles.repartition(nOut)
+              .write.mode("overwrite").parquet(s"$next/shingles")
+          })
+        ()
       }
     }
 
@@ -155,12 +163,15 @@ object SnapshotIndex {
     Epochs.withMaintenanceLease(spark, dir) {
       Epochs.rewriteToNextChecked(spark, dir, retainEpochs) { (cur, next) =>
         val idx = MinHashIndex.load(spark, cur)
-        idx.bands.filter(!col("doc_id").isInCollection(drop))
-          .repartition(col("band_id"))
-          .write.mode("overwrite").partitionBy("band_id")
-          .parquet(s"$next/bands")
-        idx.shingles.filter(!col("doc_id").isInCollection(drop))
-          .write.mode("overwrite").parquet(s"$next/shingles")
+        // disjoint inputs/outputs — overlap the two rewrites (Par doc)
+        graft.util.Par.both(
+          idx.bands.filter(!col("doc_id").isInCollection(drop))
+            .repartition(col("band_id"))
+            .write.mode("overwrite").partitionBy("band_id")
+            .parquet(s"$next/bands"),
+          idx.shingles.filter(!col("doc_id").isInCollection(drop))
+            .write.mode("overwrite").parquet(s"$next/shingles"))
+        ()
       }
     }
   }

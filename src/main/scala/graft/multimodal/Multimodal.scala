@@ -81,7 +81,11 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     val m5 = pmod(col("n_chars"), lit(5))
-    docs.select(
+    // scan-parallelism floor (graft.util.Fanout doc): synthesis is the
+    // expensive half of the fixture and decodeFeatures' mapPartitions
+    // inherits THIS partitioning — a single-row-group input otherwise
+    // serializes every codec on one core; no-op at scale
+    graft.util.Fanout.ensure(docs).select(
         col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("bytes"),
         element_at(typedlit(Formats), (m5 + 1).cast("int")).as("format"),

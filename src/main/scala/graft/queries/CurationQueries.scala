@@ -747,39 +747,10 @@ object CurationQueries {
       d
     })
     val idxDir = graft.util.Staging.dir(s, "novelty_stream_idx")
-    val conf = s.sparkContext.hadoopConfiguration
-    val from = new org.apache.hadoop.fs.Path(pristine)
-    val to = new org.apache.hadoop.fs.Path(idxDir)
-    val srcFs = from.getFileSystem(conf)
-    val dstFs = to.getFileSystem(conf)
-    // child-wise clone: FileUtil.copy into an EXISTING dir nests the
-    // source under it (cp semantics); the clone needs the epoch tree
-    // and _CURRENT pointer directly under idxDir. Parquet DATA files
-    // are hard-linked when both sides are the local FS (the epoch tree
-    // is append-only — the run's admits only ADD part files next to
-    // the linked ones, never rewrite them), which turns the ~70-file
-    // byte copy into metadata ops; markers (_SUCCESS, _CURRENT — the
-    // commit protocol re-creates _SUCCESS on append) and any non-local
-    // FS keep the byte copy.
-    val localLink = srcFs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] &&
-      dstFs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
-    def clone0(src: org.apache.hadoop.fs.FileStatus,
-        dst: org.apache.hadoop.fs.Path): Unit =
-      if (src.isDirectory) {
-        dstFs.mkdirs(dst)
-        srcFs.listStatus(src.getPath)
-          .foreach(c => clone0(c, new org.apache.hadoop.fs.Path(dst, c.getPath.getName)))
-      } else if (localLink && src.getPath.getName.endsWith(".parquet")) {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(src.getPath.toUri.getPath))
-      } else {
-        org.apache.hadoop.fs.FileUtil.copy(srcFs, src.getPath, dstFs, dst,
-          false, true, conf)
-      }
-    srcFs.listStatus(from).foreach { st =>
-      clone0(st, new org.apache.hadoop.fs.Path(to, st.getPath.getName))
-    }
+    // per-run clone of the pristine epoch tree (parquet data files
+    // hard-linked on local FS — the epoch tree is append-only;
+    // markers byte-copied): graft.util.Staging.cloneTree
+    graft.util.Staging.cloneTree(s, pristine, idxDir)
     val feed = recrawled(base)
       .select(col("doc_id"), col("source"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

@@ -483,7 +483,11 @@ object PipeQueries {
     * agg_percentiles). Either way the three quartiles come from one
     * aggregate buffer (`percentile(p, array(…))`), not three.
     */
-  def equidepthHistogram(li: DataFrame, exactBounds: Boolean = false): DataFrame = {
+  def equidepthHistogram(li0: DataFrame, exactBounds: Boolean = false): DataFrame = {
+    // scan-parallelism floor (graft.util.Fanout doc): both percentile
+    // passes are partial-aggregated MAP-side, and a single-row-group
+    // input runs each partial on one core; no-op at scale
+    val li = graft.util.Fanout.ensure(li0)
     val fractions = "array(0.25D, 0.5D, 0.75D)"
     val qs =
       if (exactBounds) expr(s"percentile(p, $fractions)")

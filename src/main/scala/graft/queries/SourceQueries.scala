@@ -185,8 +185,12 @@ object SourceQueries {
     val out = graft.util.Staging.dir(s, "binary_source")
     val confS = new org.apache.spark.util.SerializableConfiguration(
       s.sparkContext.hadoopConfiguration)
-    Tables(s, dir).documents.select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < BinaryBlobCap)
+    // scan-parallelism floor (graft.util.Fanout doc): the per-blob
+    // create/write/close loop below otherwise runs on ONE task for a
+    // single-row-group input — no-op at scale
+    graft.util.Fanout.ensure(
+        Tables(s, dir).documents.select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < BinaryBlobCap))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         // a PRIVATE FileSystem instance: FileSystem.get returns the
         // JVM-wide cached one, and setWriteChecksum on it would turn
@@ -629,9 +633,15 @@ object SourceQueries {
     */
   def sourceCodecs(s: SparkSession, dir: String): DataFrame = {
     val codecs = Seq("snappy", "zstd", "gzip", "lz4")
-    val li = Tables(s, dir).lineitem
-      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-    codecs.map { c =>
+    // fan the write out (graft.util.Fanout doc): a single-row-group
+    // input makes each codec write ONE task, serializing the whole
+    // compression benchmark on one core — no-op at scale
+    val li = graft.util.Fanout.ensure(Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")))
+    // the four round-trips are independent (disjoint staging dirs) —
+    // run them concurrently (graft.util.Par doc); wall-clock becomes
+    // the slowest codec instead of the sum of all four
+    graft.util.Par.all(codecs.map { c => () =>
       val out = graft.util.Staging.dir(s, s"codec_$c")
       li.write.mode("overwrite").option("compression", c).parquet(out)
       s.read.parquet(out)
@@ -640,7 +650,7 @@ object SourceQueries {
           round(sum(col("l_extendedprice")), 2).as("total"))
         .select(lit(c).as("codec"), col("n_rows"), col("sum_keys"),
           col("total"))
-    }.reduce(_ unionByName _)
+    }).reduce(_ unionByName _)
       .orderBy(col("codec"))
   }
 

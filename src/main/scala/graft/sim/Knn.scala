@@ -53,11 +53,20 @@ object Knn {
         Vectors.cosineWithNorms(Vectors.dotD(col("qv"), col("nv")),
           col("qn"), col("nn")), 6))
 
-  /** Exact brute-force top-k (query set broadcast). */
+  /** Exact brute-force top-k (query set broadcast). The corpus side is
+    * fanned out to the cluster's default parallelism before the pair
+    * scoring: the scoring stage's task count is otherwise capped by
+    * the corpus SCAN's split count, and a small single-row-group
+    * parquet file is ONE unsplittable split while the work above it is
+    * |Q|·|C| dot products — the guide's unsplittable-input move
+    * (repartition right after the read; the fan-out shuffle is
+    * O(|C|·dim), the compute it parallelizes is O(|Q|·|C|·dim)).
+    */
   def brute(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val qs = broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
-    val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "nv", "nn")
+    val cs = withNorm(graft.util.Fanout.ensure(corpus),
+      idCol, vecCol, "neighbor_id", "nv", "nn")
     pairTopK(scorePairs(qs, cs), k)
   }
 

@@ -1230,11 +1230,17 @@ object Streams {
         // themselves
         .filter(col("new_id") =!= col("seen_id"))
         .select(col("new_id")).distinct()
+      // EAGER pin (was lazy): the append and the batch-output write
+      // both consume the admit set and are independent of each other —
+      // materialize once, then overlap them (graft.util.Par doc). The
+      // batch output is batchId-keyed overwrite, so a failed append
+      // alongside a completed output write retries to the same state.
       admitted = batchKept.join(dupOfSeen,
           batchKept(idCol) === dupOfSeen("new_id"), "left_anti")
-        .localCheckpoint(false)
-      appendFn(admitted)
-      admitted.write.mode("overwrite").parquet(batchDir)
+        .localCheckpoint(true)
+      graft.util.Par.both(
+        appendFn(admitted),
+        admitted.write.mode("overwrite").parquet(batchDir))
     } finally {
       graft.util.Caches.release(pinned)
       if (admitted != null) graft.util.Caches.release(admitted)

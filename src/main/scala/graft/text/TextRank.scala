@@ -40,7 +40,9 @@ object TextRank {
     */
   def ranks(docs: DataFrame, textCol: String,
       iterations: Int = Iterations): DataFrame = {
-    val toks = docs.select(
+    // scan-parallelism floor (graft.util.Fanout doc): the tokenize +
+    // pair-explode below is the heavy map work — no-op at scale
+    val toks = graft.util.Fanout.ensure(docs).select(
       regexp_extract_all(lower(col(textCol)),
         lit(TextOps.BpePattern), lit(0)).as("a"))
     // adjacent pairs with multiplicity (zip_with pads the shorter side

@@ -55,6 +55,43 @@ object Staging {
     resolved
   }
 
+  /** Clone a directory tree for a run that will MUTATE its copy of a
+    * shared fixture (the pristine-index pattern: build a persisted
+    * index once per corpus dir, clone per run so appends/rewrites
+    * never leak into the next run). Parquet DATA files are hard-linked
+    * when both sides are the local FS — every graft store treats data
+    * files as immutable (appends add part files, rewrites land in new
+    * epoch dirs, retention deletes only unlink), so a link is safe and
+    * turns the per-run copy into metadata ops. Markers (_SUCCESS,
+    * _CURRENT, lease files — anything the commit protocol or Epochs
+    * may re-create in place) are byte-copied, as is everything on a
+    * non-local FS.
+    */
+  def cloneTree(s: SparkSession, from: String, to: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new Path(from)
+    val dst = new Path(to)
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    val link = srcFs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] &&
+      dstFs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    def go(st: org.apache.hadoop.fs.FileStatus, d: Path): Unit =
+      if (st.isDirectory) {
+        dstFs.mkdirs(d)
+        srcFs.listStatus(st.getPath)
+          .foreach(c => go(c, new Path(d, c.getPath.getName)))
+      } else if (link && st.getPath.getName.endsWith(".parquet")) {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(d.toUri.getPath),
+          java.nio.file.Paths.get(st.getPath.toUri.getPath))
+      } else {
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, st.getPath, dstFs, d,
+          false, true, conf)
+      }
+    srcFs.listStatus(src).foreach(st =>
+      go(st, new Path(dst, st.getPath.getName)))
+  }
+
   /** Number of files under `dir` whose name ends with `suffix`, listed
     * through the Hadoop FileSystem API (works on any shared FS, not
     * just `java.io.File`-visible local paths).

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * directory tree; nothing here assumes single-file inputs.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def table(name: String): DataFrame = Tables.resolved(spark, dir, name)
 
   def region: DataFrame    = table("region")
   def nation: DataFrame    = table("nation")
@@ -51,6 +51,25 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+
+  /** Resolved-scan memo, keyed by (session, dir, table): a CATALOG
+    * table resolves its schema once against the metastore, but a
+    * bare-path `spark.read.parquet` re-lists the path and re-reads a
+    * footer for schema inference on EVERY call — pure metadata
+    * overhead repeated by all 200+ queries. Memoizing the resolved
+    * frame (a logical plan — no data, no results; executions still
+    * scan the files) restores catalog behavior for the path layout.
+    * The source tables are immutable per run (the driver generates
+    * them before any query); session-keyed so a fresh session (fresh
+    * FileIndex/conf state) never sees another session's plan.
+    */
+  private val resolvedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private def resolved(spark: SparkSession, dir: String,
+      name: String): DataFrame =
+    resolvedCache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
