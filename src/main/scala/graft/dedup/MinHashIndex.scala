@@ -45,7 +45,11 @@ object MinHashIndex {
     */
   def build(docs: DataFrame, idCol: String, textCol: String, n: Int,
       checkpoint: Boolean = true): Index = {
-    val sh0 = MinHashLSH.shingled(docs, idCol, textCol, n)
+    // corpus-scale by contract ("index the existing corpus once") —
+    // floor the scan parallelism before the shingle derivation
+    // (MinHashLSH.shingled's fan-out placement note)
+    val sh0 = MinHashLSH.shingled(graft.util.Fanout.ensure(docs),
+      idCol, textCol, n)
     val sh = if (checkpoint) sh0.localCheckpoint(false) else sh0
     Index(MinHashLSH.bands(MinHashLSH.signatures(sh)), sh)
   }
@@ -55,10 +59,22 @@ object MinHashIndex {
     * ([[graft.util.Par]]); note both derive from the handle's PINNED
     * shingle table (the build-time localCheckpoint), so the shared
     * subtree is materialized once, not raced.
+    *
+    * The bands write RANGE-partitions on (band_id, band_hash) first
+    * (guide §6's cluster-on-write): each write task holds a contiguous
+    * slice of one or two bands, so the dynamic-partition write creates
+    * ~1 file per task instead of tasks × NumBands near-empty ones —
+    * an unclustered save from a P-partition build otherwise lands
+    * P × 16 files that every later probe/rewrite re-lists and
+    * re-opens (measured: +5 s per lifecycle-audit run at sf0.1).
+    * Unlike a hash repartition on band_id (which bottlenecks at 16
+    * non-empty reducers at ANY corpus size), the range keeps the
+    * write parallel at scale.
     */
   def save(index: Index, dir: String): Unit = {
     graft.util.Par.both(
-      index.bands.write.mode("overwrite").partitionBy("band_id")
+      index.bands.repartitionByRange(col("band_id"), col("band_hash"))
+        .write.mode("overwrite").partitionBy("band_id")
         .parquet(s"$dir/bands"),
       index.shingles.write.mode("overwrite").parquet(s"$dir/shingles"))
     ()

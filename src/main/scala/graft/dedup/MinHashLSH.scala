@@ -39,12 +39,16 @@ object MinHashLSH {
     * an attribute, not a re-evaluated derived expression — the SURVEY
     * §8 higher-order-function pitfall.
     */
+  /** NOTE on fan-out placement: the scan-parallelism floor
+    * (graft.util.Fanout) is applied by the CORPUS-scale entry points
+    * ([[nearDuplicates]], [[pairRecallOn]], [[MinHashIndex.build]]),
+    * NOT here — shingled is also the per-batch gateway of the probe
+    * and admission loops, where an unconditional fan-out of every
+    * KB-scale batch measured ~+5 s per lifecycle face (each ensure
+    * plans the frame and adds an exchange for no parallelism win).
+    */
   def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    // scan-parallelism floor (graft.util.Fanout doc): tokenize +
-    // shingle + the 64-lane minhash above this are the pipeline's
-    // heavy map work, and a single-row-group input otherwise runs it
-    // all on one core; no-op when the scan already has enough splits
-    graft.util.Fanout.ensure(docs)
+    docs
       .withColumn("graft_toks", TextOps.tokens(col(textCol)))
       .select(
         col(idCol).as("doc_id"),
@@ -93,7 +97,9 @@ object MinHashLSH {
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, n)
+    // corpus-scale self-dedup: floor the scan parallelism before the
+    // tokenize -> shingle -> minhash derivation (see shingled's note)
+    val sh = shingled(graft.util.Fanout.ensure(docs), idCol, textCol, n)
     // share the BAND table, not the shingle table: the bands are 16
     // narrow (doc, band, hash) rows per doc, but each side of the
     // candidates self-join otherwise re-runs the whole tokenize →

@@ -363,6 +363,14 @@ object NoveltyIndex {
       prefilter: Boolean): Array[org.apache.spark.sql.Row] = {
     val newG = sourceGramHashes(batch, sourceCol, textCol, n).distinct()
       .localCheckpoint(true)
+    try probeAndAdmitPinned(spark, snapshot, batch, newG, sourceCol,
+      textCol, n, prefilter)
+    finally graft.util.Caches.release(newG)
+  }
+
+  private def probeAndAdmitPinned(spark: SparkSession, snapshot: Snapshot,
+      batch: DataFrame, newG: DataFrame, sourceCol: String, textCol: String,
+      n: Int, prefilter: Boolean): Array[org.apache.spark.sql.Row] = {
     val total = newG.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_grams"))
     val novelG = (snapshot.bloom match {
@@ -383,6 +391,15 @@ object NoveltyIndex {
         newG.join(snapshot.grams, Seq("gh"), "left_anti")
           .select(col(sourceCol), col("gh"))
     }).localCheckpoint(true)
+    try probeAndAdmitNovel(spark, snapshot, batch, novelG, total,
+      sourceCol, textCol, n)
+    finally graft.util.Caches.release(novelG)
+  }
+
+  private def probeAndAdmitNovel(spark: SparkSession, snapshot: Snapshot,
+      batch: DataFrame, novelG: DataFrame, total: DataFrame,
+      sourceCol: String, textCol: String, n: Int)
+      : Array[org.apache.spark.sql.Row] = {
     val novel = novelG.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_novel"))
     val rows = total.join(novel, Seq(sourceCol), "left")

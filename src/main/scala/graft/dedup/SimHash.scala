@@ -35,10 +35,15 @@ object SimHash {
   def simhash(toks: Column): Column = call_function("graft_simhash64", toks)
 
   /** (id, simhash) for non-empty docs. */
+  /** Fan-out placement: corpus-scale callers ([[nearDuplicates]],
+    * SimHashIndex.build) floor the scan parallelism THEMSELVES —
+    * fingerprints is also the per-batch gateway of the probe/append
+    * loops, where fanning every KB-scale batch costs plan+exchange
+    * overhead for no parallelism win (the MinHashLSH.shingled note).
+    */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // scan-parallelism floor (graft.util.Fanout doc) — no-op at scale
-    graft.util.Fanout.ensure(docs)
+    docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), simhash(col("toks")).as("sim"))
@@ -50,7 +55,10 @@ object SimHash {
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame =
-    pairsOf(fingerprints(docs, idCol, textCol), maxDist)
+    // corpus-scale self-dedup: floor the scan parallelism before the
+    // tokenize+simhash derivation (fingerprints' placement note)
+    pairsOf(fingerprints(graft.util.Fanout.ensure(docs), idCol, textCol),
+      maxDist)
 
   /** The block-LSH pair join over ANY (doc_id, sim) 64-bit fingerprint
     * table — shared by text simhash and image pHash ([[graft.multimodal.PHash]]):

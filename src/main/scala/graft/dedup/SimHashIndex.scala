@@ -38,7 +38,10 @@ object SimHashIndex {
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
       checkpoint: Boolean = true): Index = {
-    val bl = blocksOf(SimHash.fingerprints(docs, idCol, textCol))
+    // corpus-scale by contract — floor the scan parallelism before
+    // the tokenize+simhash derivation (SimHash.fingerprints' note)
+    val bl = blocksOf(SimHash.fingerprints(
+      graft.util.Fanout.ensure(docs), idCol, textCol))
     Index(if (checkpoint) bl.localCheckpoint(false) else bl)
   }
 
@@ -50,9 +53,16 @@ object SimHashIndex {
     Index(if (checkpoint) bl.localCheckpoint(false) else bl)
   }
 
-  /** Persist partitioned by block_id (probe joins per block). */
+  /** Persist partitioned by block_id (probe joins per block). The
+    * write RANGE-partitions on (block_id, block_val) first — each
+    * write task holds a contiguous slice of ~one block, so the
+    * dynamic-partition write lands ~1 file per task instead of
+    * tasks × Blocks near-empty ones, and stays parallel at corpus
+    * scale (MinHashIndex.save's clustering note).
+    */
   def save(index: Index, dir: String): Unit =
-    index.blocks.write.mode("overwrite").partitionBy("block_id")
+    index.blocks.repartitionByRange(col("block_id"), col("block_val"))
+      .write.mode("overwrite").partitionBy("block_id")
       .parquet(s"$dir/blocks")
 
   def load(spark: SparkSession, dir: String): Index =
