@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: the logger prefixes every stdout
+// line with "[info] ", which defeated naive JSON extraction of the
+// bench's one-line result downstream for 13 rounds (the line reached
+// the capture as `[info] {"metric":...}`). With StdoutOutput the line
+// lands unprefixed as the last stdout line before sbt's own summary.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,14 +46,67 @@ object ConnectedComponents {
     */
   val SmallGraphNodes = 1000000L
 
+  /** Edge count at or below which [[labels]]/[[labelsStar]] take the
+    * driver union-find early exit instead of the iterative distributed
+    * loop. 2²² edges = two longs each ≈ 64 MB collected — the same
+    * data-to-driver class as a broadcast hash join's build side, for a
+    * structure (path-compressed union-find) that labels the graph in
+    * one pass instead of diameter (resp. log²) ROUNDS of join + agg +
+    * checkpoint jobs. A near-dup pair graph at 100 TB exceeds the
+    * threshold and runs the distributed loop unchanged; when it does
+    * NOT — duplicate clusters are rare relative to corpus size more
+    * often than not — collecting beats scheduling dozens of
+    * cluster-wide shuffles over KB of edges. Callers that must pin the
+    * distributed path (specs of the loop itself) pass
+    * `smallCollectMax = 0`.
+    */
+  val DriverUnionFindMaxEdges: Long = 1L << 22
+
+  /** Driver union-find over a collected edge list (id_a, id_b) —
+    * the small-graph early exit. Union-by-min keeps each tree's root
+    * at the component's minimum id, so `find` IS the label; path
+    * compression makes the whole pass O(E α(E)). Output contract is
+    * exactly [[labels]]': (id, label = min reachable id), one row per
+    * node with at least one edge.
+    */
+  private def unionFindLabels(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.getLong(0)
+      val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "label")
+  }
+
   /** (id, label) for every node of `edges` (columns id_a, id_b); label =
     * min node id reachable. Only nodes with at least one edge appear.
     */
-  def labels(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def labels(edges: DataFrame, maxIters: Int = 20,
+      smallCollectMax: Long = DriverUnionFindMaxEdges): DataFrame = {
     // persist the EDGE LIST, not just the symmetrized view: sym unions two
     // projections of `edges`, so an unpersisted edges plan (e.g. a whole
     // MinHash pipeline) would execute once per union branch per action
     val e = edges.persist()
+    // broadcast-class graph → one collect + union-find instead of
+    // diameter rounds of distributed jobs (DriverUnionFindMaxEdges doc);
+    // the count doubles as the persist's materialization
+    if (e.count() <= smallCollectMax)
+      return try unionFindLabels(e.select(col("id_a"), col("id_b")))
+      finally e.unpersist()
     val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
     // round 0 fused into initialization: one aggregation yields both the
@@ -102,8 +155,9 @@ object ConnectedComponents {
   /** Cluster summary: (cluster_id = min doc id, n_docs), one row per
     * component of the pair graph.
     */
-  def clusters(edges: DataFrame, maxIters: Int = 10): DataFrame =
-    labels(edges, maxIters)
+  def clusters(edges: DataFrame, maxIters: Int = 10,
+      smallCollectMax: Long = DriverUnionFindMaxEdges): DataFrame =
+    labels(edges, maxIters, smallCollectMax)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
 
@@ -138,7 +192,8 @@ object ConnectedComponents {
     * graph-scale, not corpus-scale), and non-convergence throws, the
     * same fail-loudly contract as [[labels]].
     */
-  def labelsStar(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+  def labelsStar(edges: DataFrame, maxIters: Int = 30,
+      smallCollectMax: Long = DriverUnionFindMaxEdges): DataFrame = {
     var e = edges.select(col("id_a").as("a"), col("id_b").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
@@ -146,6 +201,14 @@ object ConnectedComponents {
       .distinct().localCheckpoint(false)
     var eCount = e.count()
     if (eCount == 0) return e.select(col("u").as("id"), col("v").as("label"))
+    // the same broadcast-class early exit as [[labels]] — star
+    // alternation's log²-round advantage only matters where the edge
+    // set is too big to collect (DriverUnionFindMaxEdges doc). NOTE
+    // labelsStar includes every node incl. each component minimum,
+    // exactly unionFindLabels' contract.
+    if (eCount <= smallCollectMax)
+      return unionFindLabels(
+        e.select(col("u").as("id_a"), col("v").as("id_b")))
     var converged = false
     var it = 0
     while (it < maxIters && !converged) {
@@ -192,8 +255,9 @@ object ConnectedComponents {
   /** [[clusters]] over the star-alternation labels — same output
     * contract, log-round scale path.
     */
-  def clustersStar(edges: DataFrame, maxIters: Int = 30): DataFrame =
-    labelsStar(edges, maxIters)
+  def clustersStar(edges: DataFrame, maxIters: Int = 30,
+      smallCollectMax: Long = DriverUnionFindMaxEdges): DataFrame =
+    labelsStar(edges, maxIters, smallCollectMax)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
 }

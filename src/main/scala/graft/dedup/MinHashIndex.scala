@@ -148,8 +148,12 @@ object MinHashIndex {
   def removeSaved(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     val drop = ids.toSet
     swap(spark, dir, "bands") { (df, out) =>
+      // no repartition (SnapshotIndex.remove's note): the saved band
+      // files are clustered by band_id dir already, so the partitioned
+      // write preserves that layout without shuffling the whole band
+      // table per takedown — and without the NumBands-reducer
+      // bottleneck a hash repartition has at any corpus size
       df.filter(!col("doc_id").isInCollection(drop))
-        .repartition(col("band_id"))
         .write.mode("overwrite").partitionBy("band_id").parquet(out)
     }
     swap(spark, dir, "shingles") { (df, out) =>

@@ -132,7 +132,14 @@ object NoveltyIndex {
     if (Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/*.parquet")))
         .forall(_.isEmpty))
       spark.range(0).select(col("id").as("gh"))
-    else spark.read.parquet(gramsPath(epochDir)).select(col("gh"))
+    else
+      // schema pinned (gh data column + b partition dir): the layout is
+      // this object's own, so inference would re-read a footer per load
+      // for a schema that never changes — the streaming loop loads the
+      // epoch once per batch, and at corpus scale inference is an extra
+      // driver-side footer read on every probe
+      spark.read.schema("gh BIGINT, b INT").parquet(gramsPath(epochDir))
+        .select(col("gh"))
   }
 
   /** One bloom row (serialized filter, header-carrying) over `grams`'
@@ -181,7 +188,9 @@ object NoveltyIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val rows = spark.read.parquet(p.toString).collect()
+      // schema pinned for the same reason as the gram read: the bloom
+      // table is this object's own one-column layout
+      val rows = spark.read.schema("bf BINARY").parquet(p.toString).collect()
         .map(_.getAs[Array[Byte]](0))
       if (rows.isEmpty) None
       else {

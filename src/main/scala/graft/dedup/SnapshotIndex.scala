@@ -163,10 +163,18 @@ object SnapshotIndex {
     Epochs.withMaintenanceLease(spark, dir) {
       Epochs.rewriteToNextChecked(spark, dir, retainEpochs) { (cur, next) =>
         val idx = MinHashIndex.load(spark, cur)
-        // disjoint inputs/outputs — overlap the two rewrites (Par doc)
+        // disjoint inputs/outputs — overlap the two rewrites (Par doc).
+        // NO repartition on the bands side (unlike compact, whose job
+        // IS re-layout): the epoch's band files are already clustered
+        // by band_id directory, so each scan task holds whole bands
+        // and the partitioned write lands ~1 file per (task, band) —
+        // a scan → pushed filter → write plan with zero exchanges.
+        // The hash repartition this replaces shuffled the entire
+        // corpus-scale band table per takedown wave AND bottlenecked
+        // the write at NumBands reducers at any corpus size; a
+        // takedown preserves the input layout, compact restores it.
         graft.util.Par.both(
           idx.bands.filter(!col("doc_id").isInCollection(drop))
-            .repartition(col("band_id"))
             .write.mode("overwrite").partitionBy("band_id")
             .parquet(s"$next/bands"),
           idx.shingles.filter(!col("doc_id").isInCollection(drop))

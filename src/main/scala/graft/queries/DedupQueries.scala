@@ -947,10 +947,14 @@ object DedupQueries {
     val seen = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
     val idxDir = seenIndexClone(s, dir, "takedown_audit_idx")
     // planted waves — takedown lists are driver-side by the
-    // takedownStream contract (KB-scale in-lists)
-    def wave(r: Long): Seq[Long] = seen
-      .filter(pmod(col("doc_id"), lit(97L)) === r)
-      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    // takedownStream contract (KB-scale in-lists); BOTH waves come out
+    // of one collect (one scan instead of two for two tiny in-lists)
+    val waveRows = seen
+      .filter(pmod(col("doc_id"), lit(97L)).isin(3L, 10L))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(97L)).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def wave(r: Long): Seq[Long] =
+      waveRows.filter(_._2 == r).map(_._1).toSeq.sorted
     val (w1, w2) = (wave(3L), wave(10L))
     require(w1.nonEmpty && w2.nonEmpty,
       "takedown_audit: fixture waves must both be non-empty")
@@ -1064,24 +1068,76 @@ object DedupQueries {
     * the epoch-0 tree (parquet data files hard-linked on local FS,
     * [[graft.util.Staging.cloneTree]]) so its epoch rewrites and
     * appends never leak into the next run.
+    *
+    * PRICING (r13 verdict item 2): the amortized build+save is NOT
+    * hidden — it is benchmarked in full, every run, by its own
+    * registered face [[qSeenIndexBuild]] (`q_seen_index_build`, no
+    * memo), so the bench surface prices both halves of the lifecycle:
+    * the one-time corpus index build, and the maintained-index
+    * takedown/admission loops that start from it. The memo key
+    * carries the documents table's mtime, so a corpus regenerated in
+    * place within one JVM rebuilds instead of serving a stale index.
     */
   private val seenIndexPristine =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
 
   private def seenIndexClone(s: SparkSession, dir: String,
       prefix: String): String = {
-    val pristine = seenIndexPristine.computeIfAbsent(dir, _ => {
+    val key = (dir, graft.util.Tables.pathMtime(s, s"$dir/documents.parquet"))
+    val pristine = seenIndexPristine.computeIfAbsent(key, _ => {
       val d = graft.util.Staging.dir(s, "seen_index_pristine")
-      val seen = Tables(s, dir).documents
-        .filter(pmod(col("doc_id"), lit(5)) < 4)
       graft.dedup.SnapshotIndex.init(
-        graft.dedup.MinHashIndex.build(seen, "doc_id", "text", n = 3), s, d)
+        graft.dedup.MinHashIndex.build(seenSplit(s, dir), "doc_id", "text",
+          n = 3), s, d)
       d
     })
     val idxDir = graft.util.Staging.dir(s, prefix)
     graft.util.Staging.cloneTree(s, pristine, idxDir)
     idxDir
   }
+
+  /** The mod-5 seen split both lifecycle audit faces index. */
+  private def seenSplit(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.filter(pmod(col("doc_id"), lit(5)) < 4)
+
+  /** The seen-corpus index BUILD priced as its own face (r13 verdict
+    * item 2): builds the mod-5 seen split's MinHash snapshot index
+    * from the parquet input and publishes it as epoch 0 into a FRESH
+    * staging dir on EVERY invocation — no memo, the full
+    * tokenize → shingle → sign → band derivation plus both table
+    * writes are inside the timed region — then reads the SAVED epoch-0
+    * band table back and reports one row per band. The audit faces
+    * (q_takedown_audit, q_admission_audit) amortize exactly this build
+    * via [[seenIndexClone]] and price the maintained-index loop; this
+    * face is the other half of that bill.
+    *
+    * Output: (band_id, n_rows, n_docs, sum_doc_ids) — 16 rows; the
+    * id sum makes the hash sensitive to WHICH docs were indexed. The
+    * oracle replays the split arithmetic: every seen doc with ≥1 word
+    * trigram lands exactly once in each of the 16 bands.
+    */
+  def qSeenIndexBuild(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.util.Staging.dir(s, "seen_index_build")
+    graft.dedup.SnapshotIndex.init(
+      graft.dedup.MinHashIndex.build(seenSplit(s, dir), "doc_id", "text",
+        n = 3), s, d)
+    graft.dedup.SnapshotIndex.load(s, d).index.bands
+      .groupBy(col("band_id").cast("long").as("band_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy(col("band_id"))
+  }
+
+  val qSeenIndexBuildSql: String =
+    s"""WITH seen AS (
+       |  SELECT doc_id FROM ($shingleSql) WHERE doc_id % 5 < 4)
+       |SELECT t.range::BIGINT AS band_id,
+       |  (SELECT count(*) FROM seen)::BIGINT AS n_rows,
+       |  (SELECT count(*) FROM seen)::BIGINT AS n_docs,
+       |  (SELECT coalesce(sum(doc_id), 0) FROM seen)::BIGINT AS sum_doc_ids
+       |FROM range(16) t
+       |ORDER BY band_id""".stripMargin
 
   def qAdmissionAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1181,6 +1237,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_admission_audit" -> (qAdmissionAudit _),
     "q_takedown_audit" -> (qTakedownAudit _),
+    "q_seen_index_build" -> (qSeenIndexBuild _),
     "dedup_inline" -> (dedupInline _),
     "dedup_recall" -> (dedupRecall _),
     "dedup_containment" -> (dedupContainment _),
@@ -1209,6 +1266,7 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "q_admission_audit" -> qAdmissionAuditSql,
     "q_takedown_audit" -> qTakedownAuditSql,
+    "q_seen_index_build" -> qSeenIndexBuildSql,
     "q_takedown_propagate" -> qTakedownPropagateSql,
     "dedup_inline" -> dedupInlineSql,
     "dedup_containment" -> dedupContainmentSql,

@@ -309,15 +309,28 @@ object SourceQueries {
   def bucketJoin(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val warehouse = graft.util.Staging.dir(s, "bucket_warehouse")
+    // bucket count derived from the LARGER side's scan size (plan
+    // statistics — metadata, no job), not a constant: ~256 MB of fact
+    // table per bucket, floored at 8. Both sides MUST share the count
+    // or the join shuffles; at test scale this resolves to 8, at 100 TB
+    // to ~400k-per-100TB — a bucket file per core-day, not a 8-bucket
+    // bottleneck.
+    val factBytes = t.lineitem.queryExecution.optimizedPlan.stats.sizeInBytes
+    val buckets = (factBytes / (256L << 20)).toLong.max(8L)
+      .min(Int.MaxValue.toLong).toInt
     def writeBucketed(df: DataFrame, name: String, key: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $name")
-      df.write.bucketBy(8, key).sortBy(key)
+      df.write.bucketBy(buckets, key).sortBy(key)
         .option("path", s"$warehouse/$name").saveAsTable(name)
     }
-    writeBucketed(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_bk_orders", "o_orderkey")
-    writeBucketed(t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
-      "graft_bk_lineitem", "l_orderkey")
+    // the two bucketed publishes read disjoint tables and write
+    // disjoint outputs — overlap them (guide §2.6 / graft.util.Par):
+    // each write's tail waves otherwise leave the cluster idle
+    graft.util.Par.both(
+      writeBucketed(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_bk_orders", "o_orderkey"),
+      writeBucketed(t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
+        "graft_bk_lineitem", "l_orderkey"))
     s.table("graft_bk_orders")
       .hint("merge")
       .join(s.table("graft_bk_lineitem"),
@@ -490,11 +503,13 @@ object SourceQueries {
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
     val isBad = month(col("o_orderdate")).isin(3, 8)
     // publish v1: bad months arrive truncated (odd keys missing) with
-    // zeroed prices; good months arrive clean
-    orders.filter(!isBad)
-      .unionByName(orders.filter(isBad)
-        .filter(col("o_orderkey") % 2 === 0)
-        .withColumn("o_totalprice", lit(0.0)))
+    // zeroed prices; good months arrive clean. ONE filtered pass (row
+    // kept unless it is an odd key of a bad month; price zeroed where
+    // bad) — the union-of-two-filters spelling this replaces scanned
+    // orders twice for the same rows
+    orders.filter(!isBad || col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(isBad, lit(0.0)).otherwise(col("o_totalprice")))
       .repartition(col("o_month"))
       .write.mode("overwrite").partitionBy("o_month").parquet(out)
     // backfill: recompute ONLY the bad months, dynamic overwrite

@@ -933,13 +933,23 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val snap = graft.dedup.NoveltyIndex.load(spark, indexDir)
+        // scan-parallelism floor for the batch's gram pass: a memory /
+        // file-source micro-batch arrives in as few as ONE partition,
+        // and the tokenize → n-gram → md5 derivation below the distinct
+        // exchange then runs on one core (the Fanout story, applied by
+        // hand — foreachBatch frames are exchange-free LogicalRDDs, so
+        // the split-count probe is job-free). No-op when the batch
+        // already arrives wide.
+        val p = spark.sparkContext.defaultParallelism
+        val fanned =
+          if (batch.rdd.getNumPartitions < p) batch.repartition(p) else batch
         // fused probe+admit: one shared gram pass per batch (the
         // unfused pair re-derives the batch's gram set up to 6× and
         // re-reads the epoch's files once more for the append's
         // anti-join); rows and on-disk state are byte-identical —
         // see NoveltyIndex.probeAndAdmit
         val rows = graft.dedup.NoveltyIndex.probeAndAdmit(
-          spark, snap, batch, sourceCol, textCol, n, prefilter).toSeq
+          spark, snap, fanned, sourceCol, textCol, n, prefilter).toSeq
         sink(batchId, rows)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()

@@ -172,7 +172,8 @@ class DedupSpec extends SparkSpec {
     // silently-wrong labels
     val edges = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      graft.dedup.ConnectedComponents.labels(edges, maxIters = 1).collect()
+      graft.dedup.ConnectedComponents.labels(edges, maxIters = 1,
+        smallCollectMax = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -182,7 +183,8 @@ class DedupSpec extends SparkSpec {
     // path 1-2-...-8: diameter 7, so the fused round-0 cannot finish it —
     // exercises the iterative localCheckpoint loop over several rounds
     val edges = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = graft.dedup.ConnectedComponents.labels(edges).collect()
+    val out = graft.dedup.ConnectedComponents
+      .labels(edges, smallCollectMax = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === (1L to 8L).map(i => (i, 1L)).toSet)
   }
@@ -190,7 +192,7 @@ class DedupSpec extends SparkSpec {
   test("ConnectedComponents.release drops the final checkpoint blocks") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val lbl = graft.dedup.ConnectedComponents.labels(edges)
+    val lbl = graft.dedup.ConnectedComponents.labels(edges, smallCollectMax = 0)
     lbl.count() // consume fully before releasing (lineage is truncated)
     val ids = lbl.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
@@ -1338,14 +1340,17 @@ class DedupSpec extends SparkSpec {
     // 60-hop path: diameter 60 — the star alternation must converge in
     // its default 30 rounds (log²-ish), which min-propagation could not
     val path = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val starPath = labelMap(graft.dedup.ConnectedComponents.labelsStar(path))
+    val starPath = labelMap(graft.dedup.ConnectedComponents
+      .labelsStar(path, smallCollectMax = 0))
     assert(starPath.keySet === (0L to 60L).toSet)
     assert(starPath.values.toSet === Set(0L), "one component rooted at 0")
     // forest: two components + an isolated edge, shuffled ids
     val forest = Seq((9L, 3L), (3L, 7L), (12L, 14L), (14L, 11L), (21L, 20L))
       .toDF("id_a", "id_b")
-    val star = labelMap(graft.dedup.ConnectedComponents.labelsStar(forest))
-    val prop = labelMap(graft.dedup.ConnectedComponents.labels(forest))
+    val star = labelMap(graft.dedup.ConnectedComponents
+      .labelsStar(forest, smallCollectMax = 0))
+    val prop = labelMap(graft.dedup.ConnectedComponents
+      .labels(forest, smallCollectMax = 0))
     assert(star === prop)
     assert(star(9L) === 3L && star(12L) === 11L && star(21L) === 20L)
     // real corpus pair graph: byte-identical cluster summaries

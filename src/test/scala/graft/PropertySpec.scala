@@ -495,8 +495,11 @@ class PropertySpec extends AnyFunSuite {
     } yield edges.filter(e => e._1 != e._2)
     checkProp(forAll(gen) { edges =>
       edges.isEmpty || {
+        // smallCollectMax = 0 pins the DISTRIBUTED star alternation —
+        // the default would early-exit to the same union-find this
+        // property checks against
         val got = graft.dedup.ConnectedComponents
-          .labelsStar(edges.toDF("id_a", "id_b"))
+          .labelsStar(edges.toDF("id_a", "id_b"), smallCollectMax = 0)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // driver union-find with path compression
         val parent = scala.collection.mutable.Map[Long, Long]()
@@ -516,6 +519,33 @@ class PropertySpec extends AnyFunSuite {
         got == want
       }
     }, 30)
+  }
+
+  test("labels/labelsStar driver union-find early exit (the default) " +
+    "equals the distributed loops on arbitrary random graphs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    checkProp(forAll(gen) { edges =>
+      edges.isEmpty || {
+        val df = edges.toDF("id_a", "id_b")
+        def m(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+          d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val fast = m(graft.dedup.ConnectedComponents.labels(df))
+        val slow = m(graft.dedup.ConnectedComponents
+          .labels(df, smallCollectMax = 0))
+        val fastStar = m(graft.dedup.ConnectedComponents.labelsStar(df))
+        val slowStar = m(graft.dedup.ConnectedComponents
+          .labelsStar(df, smallCollectMax = 0))
+        fast == slow && fastStar == slowStar && fast == fastStar
+      }
+    }, 12)
   }
 
   test("splitAssign: deterministic, exhaustive, and 97/2/1-shaped on " +
